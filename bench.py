@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is end-to-end per query (plan + execute + collect-to-count) after a
+one-time warmup query to amortize JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_packet_inspector_spark import plans
+from hbase_packet_inspector_spark.session import get_spark
+
+# Headline set: one per operator family (agg, percentile, topk, window,
+# as-of correlation, star join, rollup, setop, anti join, dedup/similarity
+# once they land).
+HEADLINE = [
+    "traffic_per_method",
+    "latency_percentiles",
+    "top_hot_users",
+    "events_per_minute",
+    "sessionize",
+    "asof_correlate",
+    "scanner_enrich",
+    "rolling_avg_per_user",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "customer_geo_rollup",
+    "priority_top_orders",
+    "parts_never_returned",
+    "brand_supplier_volume",
+    "order_lineitem_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hpi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    plans.QUERIES["traffic_per_method"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = plans.QUERIES.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        n = q.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

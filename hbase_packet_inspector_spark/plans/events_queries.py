@@ -1,0 +1,374 @@
+"""Event-stream analytics: the HPI canonical workload (SURVEY.md §2F) over
+the driver's ``events`` table (event_id, ts, user_id, event_type, value, props).
+
+The mapping (FIXTURES.md §4): event_type ≅ rpc method, user_id ≅ client,
+value ≅ size/elapsed. Each query here is the Spark-first expression of a
+query HPI users run against the H2 tables (traffic per method, latency
+percentiles, top-N hot keys, per-second series, request↔response as-of
+correlation, scanner-state enrichment, distinct clients).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+from .num import cents as _cents  # noqa: E402
+
+
+@register(
+    "traffic_per_method",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="QPS/traffic per method: groupBy + count/sum (HPI §2F row 1).",
+    tags=("events", "agg"),
+)
+def traffic_per_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = F.sum(_cents(F.col("value")))
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (sc.cast("double") / 100).alias("total_value"),
+            (sc.cast("double") / (F.count("*") * 100)).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "latency_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Latency percentiles per method (HPI §2F row 2). Exact interpolated "
+    "percentile on both engines (linear interpolation semantics match).",
+    tags=("events", "agg", "percentile"),
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "top_hot_users",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 25
+    """,
+    doc="Top-N hot clients (HPI §2F row 3): agg + TakeOrderedAndProject. "
+    "Deterministic tie-break on user_id.",
+    tags=("events", "topk"),
+)
+def top_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "events_per_minute",
+    f"""
+    SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS minute_epoch,
+           event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Per-minute time series per method (HPI §2F tumbling window row). "
+    "Bucket emitted as epoch seconds — timezone-proof across engines.",
+    tags=("events", "window-agg", "timeseries"),
+)
+def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    minute = (F.floor(F.col("ts").cast("long") / 60) * 60).cast("long")
+    return (
+        ev.groupBy(minute.alias("minute_epoch"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "event_type_share",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+    FROM events GROUP BY event_type
+    """,
+    doc="Traffic share per method: window-over-aggregate. The global window "
+    "runs over #distinct-methods rows (post-agg), so it is scale-safe.",
+    tags=("events", "agg", "window"),
+)
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    total = F.sum("n_events").over(Window.partitionBy())
+    return agg.withColumn(
+        "share", F.col("n_events").cast("double") / total.cast("double")
+    )
+
+
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Client activity distinct counts (HPI §2F approx-distinct row; exact "
+    "variant for oracle parity — approx_count_distinct offered in bench).",
+    tags=("events", "distinct"),
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id,
+           CAST(sum(brk) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Sessionization: 30-min-gap session breaks per client via lag + "
+    "running count (HPI 'slow-scan sessions' analog). One shuffle on user_id.",
+    tags=("events", "window", "sessionize"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    epoch = F.col("ts").cast("long")
+    brk = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("brk") + F.lit(1)).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "asof_correlate",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             max(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ep
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN click_ep IS NOT NULL AND ep - click_ep <= 3600
+                THEN ep - click_ep END AS elapsed_s,
+           CASE WHEN click_ep IS NOT NULL AND ep - click_ep <= 3600
+                THEN 'correlated' ELSE 'unknown' END AS status
+    FROM t WHERE event_type = 'purchase'
+    """,
+    doc="Request↔response AS-OF correlation (SURVEY.md §2 B6/B7/B9/B10): each "
+    "'purchase' matches the nearest PRIOR 'click' of the same user within a "
+    "3600s TTL, else method='unknown' — the exact semantics HPI applies to "
+    "RPC call_id reuse + state expiry. Implemented without a join: running "
+    "max of the tagged timestamp over an event-ordered window (the timestamp "
+    "is monotone in the window order, so max == last). Single shuffle on the "
+    "correlation key; no join explosion at scale.",
+    tags=("events", "asof", "correlation"),
+)
+def asof_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ep = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ep = F.max(F.when(F.col("event_type") == "click", ep)).over(w)
+    # NB: the final select must reference the materialized columns (F.col),
+    # not the window expression objects — re-using the expressions after the
+    # filter would re-evaluate the window over purchase-only rows.
+    matched = F.col("click_ep").isNotNull() & (
+        (F.col("ep") - F.col("click_ep")) <= 3600
+    )
+    return (
+        ev.withColumn("ep", ep)
+        .withColumn("click_ep", click_ep)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(matched, F.col("ep") - F.col("click_ep")).alias("elapsed_s"),
+            F.when(matched, F.lit("correlated")).otherwise("unknown").alias("status"),
+        )
+    )
+
+
+@register(
+    "scanner_enrich",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             max(CASE WHEN event_type = 'signup'
+                      THEN event_id * 1000 + CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS packed
+      FROM events
+    )
+    SELECT event_id, user_id,
+           packed % 1000 AS session_key,
+           CAST(floor(packed / 1000) AS BIGINT) AS from_event
+    FROM t WHERE event_type = 'purchase'
+    """,
+    doc="Scanner-session enrichment (SURVEY.md §2 B8 batch analog): later "
+    "events inherit attributes of the session-opening event — here each "
+    "'purchase' inherits k from the user's last prior 'signup'. Arg-max via "
+    "a packed (event_id*1000+k) running max: the portable, single-window "
+    "form of last(col, ignorenulls) when the order key is monotone.",
+    tags=("events", "state-machine", "window"),
+)
+def scanner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = F.max(
+        F.when(F.col("event_type") == "signup", F.col("event_id") * 1000 + k)
+    ).over(w)
+    return (
+        ev.withColumn("packed", packed)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("packed") % 1000).alias("session_key"),
+            F.floor(F.col("packed") / 1000).cast("long").alias("from_event"),
+        )
+    )
+
+
+@register(
+    "json_props_bucket",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured extraction (HPI Kafka-JSON sink analog, §2 D9/E6): "
+    "parse the JSON props payload JVM-side and aggregate.",
+    tags=("events", "json"),
+)
+def json_props_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / (F.count("*") * 100)).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Fixed-width histogram of message sizes (HPI traffic distribution).",
+    tags=("events", "agg"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "rolling_avg_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / (count(*) OVER w * 100) AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-client rolling mean over the last 10 events (frame-spec window; "
+    "HPI 'slow-scan sessions' row of §2F). Exact integer-cents sum over the "
+    "frame, one final division — engine-independent doubles.",
+    tags=("events", "window", "frame"),
+)
+def rolling_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-9, 0)
+    s = F.sum(_cents(F.col("value"))).over(w)
+    n = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (s.cast("double") / (n * 100)).alias("rolling_avg"),
+    )

@@ -1,0 +1,386 @@
+"""Relational SQL surface: the query features HPI delegates wholesale to H2
+(SURVEY.md §2F — filters, equi/theta joins, hash aggregation, grouping sets,
+window functions, top-k, set ops, scalar functions), demonstrated on the
+driver's TPC-H-ish tables.
+
+Spark-first notes baked into each query:
+- dimension tables (region/nation/supplier/part/customer at these scales)
+  are explicitly broadcast — no shuffle on the big fact side;
+- aggregations are partial+final hash aggs (map-side combine) for free;
+- top-k is orderBy+limit => TakeOrderedAndProject, never a full sort;
+- filters sit directly on the scan so Catalyst pushes them into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..sources.tables import load_table
+from .num import cents as _cents
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tune_session(spark)
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _revenue_expr():
+    """sum(extendedprice * (1-discount)) in exact integer cents*bp, one final
+    double division (see plans.num)."""
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    return F.sum(price_c * (100 - disc_c)).cast("double") / 10000
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000
+             AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: scan-filter + hash agg with compound "
+    "expressions. Filter sits on the scan (parquet pushdown). All measures "
+    "are exact integer-cents sums with one final double division.",
+    tags=("tpch", "agg"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    tax_c = _cents(F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double") / 1000000).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / (n * 100)).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / (n * 100)).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / (n * 100)).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-style shipping priority: selective dim filter -> broadcast "
+    "join into the fact chain -> agg -> top-k. Customer side broadcast; "
+    "TakeOrderedAndProject for the limit.",
+    tags=("tpch", "join", "topk"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = cust.where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(_revenue_expr().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style local-supplier volume: 6-table star join. All "
+    "dimensions broadcast; the only shuffle is the final small agg.",
+    tags=("tpch", "join", "star"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    region = region.where(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _revenue_expr().alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "customer_geo_rollup",
+    """
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Grouping sets: ROLLUP over the geo hierarchy (HPI §2F grouping-sets "
+    "row). NULL super-aggregate markers match across engines.",
+    tags=("tpch", "rollup"),
+)
+def customer_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "priority_top_orders",
+    """
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 5
+    """,
+    doc="Ranking window: top 5 orders per priority class via rank() — the "
+    "partitioned top-k pattern (no global sort).",
+    tags=("tpch", "window", "rank"),
+)
+def priority_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.round(F.col("o_totalprice"), 2)), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "parts_never_returned",
+    """
+    SELECT l_partkey, l_suppkey FROM lineitem
+    EXCEPT
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="Set operation (EXCEPT DISTINCT): (part, supplier) pairs that were "
+    "shipped but never returned (HPI §2F set-ops row).",
+    tags=("tpch", "setop"),
+)
+def parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # DataFrame.subtract == SQL EXCEPT (distinct semantics)
+    return li.select("l_partkey", "l_suppkey").subtract(
+        li.where(F.col("l_returnflag") == "R").select("l_partkey", "l_suppkey")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Anti join: customers with no URGENT order. Spark LEFT ANTI "
+    "(broadcast); oracle NOT EXISTS.",
+    tags=("tpch", "antijoin"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return cust.join(
+        urgent, cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "brand_supplier_volume",
+    """
+    SELECT p_brand, s_name,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand, s_name
+    """,
+    doc="TPC-H Q9-style product/supplier profit rollup: two broadcast joins "
+    "into the fact table, single agg shuffle.",
+    tags=("tpch", "join", "agg"),
+)
+def brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+            _revenue_expr().alias("revenue"),
+        )
+    )
+
+
+@register(
+    "orders_by_month",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+           CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total,
+           CAST(sum(length(o_orderpriority)) AS DOUBLE) / count(*) AS avg_prio_len,
+           upper(min(o_orderpriority)) AS min_prio_upper
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Scalar-function surface (HPI §2F scalar row): date part extraction, "
+    "string length/upper, aggregation over expressions.",
+    tags=("tpch", "scalar"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100).alias("total"),
+            (F.sum(F.length("o_orderpriority")).cast("double") / F.count("*")).alias("avg_prio_len"),
+            F.upper(F.min("o_orderpriority")).alias("min_prio_upper"),
+        )
+    )
+
+
+@register(
+    "acctbal_deciles",
+    """
+    WITH d AS (
+      SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile, count(*) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100) AS avg_bal
+    FROM d GROUP BY decile
+    """,
+    doc="Distribution analysis: ntile decile bucketing + per-bucket stats. "
+    "Global ntile is bounded by customer cardinality; for 100 TB facts the "
+    "same shape runs on pre-aggregated keys.",
+    tags=("tpch", "window", "ntile"),
+)
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            (F.sum(_cents(F.col("c_acctbal"))).cast("double") / (F.count("*") * 100)).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "order_lineitem_counts",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS total_items,
+           CAST(sum(n_items) AS DOUBLE) / count(*) AS avg_items
+    FROM (
+      SELECT o.o_orderkey, o.o_orderstatus, count(l.l_orderkey) AS n_items
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderstatus
+    ) GROUP BY o_orderstatus
+    """,
+    doc="Left outer join + two-level aggregation (order fan-out stats); "
+    "exercises join null-handling and re-aggregation.",
+    tags=("tpch", "outerjoin", "agg"),
+)
+def order_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy(orders.o_orderkey, "o_orderstatus")
+        .agg(F.count(li.l_orderkey).alias("n_items"))
+    )
+    return (
+        per_order.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_items").cast("long").alias("total_items"),
+            (F.sum("n_items").cast("double") / F.count("*")).alias("avg_items"),
+        )
+    )
