@@ -1,0 +1,175 @@
+"""Driver-checkable queries that run the REAL pipeline operators
+(operators.pipeline) on an rpc-shaped stream derived deterministically from
+the ``events`` table, with the reference semantics re-implemented in ANSI SQL
+as the oracle. This puts the actual correlation / scanner-state code under
+the DuckDB gate, not just a query-shaped imitation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pipeline import correlate, scanner_enrich
+from ..session import tune_session
+from ..sources.tables import load_table
+from .registry import register
+
+_HOUR_MS = 3_600_000
+_WEEK_MS = 7 * 24 * 3_600_000
+
+
+def _null(dtype: str):
+    return F.lit(None).cast(dtype)
+
+
+def _derive_rpc(ev: DataFrame) -> DataFrame:
+    """Map events -> the rpc_events shape (deterministic, same as the SQL
+    CTE in the oracles below)."""
+    return ev.select(
+        "event_id",
+        "ts",
+        (F.col("event_id") % 2 == 0).alias("inbound"),
+        F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string")).alias("client"),
+        (F.lit(40000) + F.col("user_id") % 8).cast("int").alias("port"),
+        F.lit("s1").alias("server"),
+        (F.col("event_id") % 97).cast("int").alias("call_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type")).alias("method"),
+        (F.col("value") * 100).cast("int").alias("size"),
+        _null("string").alias("table"),
+        _null("string").alias("region"),
+        _null("string").alias("row"),
+        _null("string").alias("stoprow"),
+        _null("int").alias("cells"),
+        _null("string").alias("durability"),
+        _null("bigint").alias("scanner"),
+        _null("int").alias("caching"),
+        _null("string").alias("error"),
+        _null(
+            "array<struct<method:string,table:string,region:string,row:string,cells:int,durability:string>>"
+        ).alias("actions"),
+        _null(
+            "array<struct<method:string,table:string,region:string,row:string,cells:int,durability:string,error:string>>"
+        ).alias("results"),
+    )
+
+
+@register(
+    "rpc_correlate",
+    """
+    WITH rpc AS (
+      SELECT event_id, ts,
+             (event_id % 2 = 0) AS inbound,
+             'c' || CAST(user_id % 50 AS VARCHAR) AS client,
+             CAST(40000 + user_id % 8 AS INTEGER) AS port,
+             CAST(event_id % 97 AS INTEGER) AS call_id,
+             CASE WHEN event_id % 2 = 0 THEN event_type END AS method
+      FROM events
+    ), x AS (
+      SELECT *,
+             lag(inbound) OVER w AS prev_in,
+             lag(method) OVER w AS prev_method,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+      FROM rpc
+      WINDOW w AS (PARTITION BY client, port, call_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           CASE WHEN prev_in AND gap_ms <= 3600000 THEN prev_method
+                ELSE 'unknown' END AS method,
+           CASE WHEN prev_in AND gap_ms <= 3600000
+                THEN CAST(gap_ms AS INTEGER) END AS elapsed
+    FROM x WHERE NOT inbound
+    """,
+    doc="The REAL operators.pipeline.correlate() under the oracle gate: "
+    "as-of request<->response matching with hash-overwrite/consume semantics "
+    "and a 1h TTL, on an rpc stream derived from events (SURVEY.md §2 B6/B7/"
+    "B9/B10). The oracle re-implements the per-key lag semantics in SQL.",
+    tags=("pipeline", "asof", "correlation"),
+)
+def rpc_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    rpc = _derive_rpc(load_table(spark, sf_dir, "events"))
+    out = correlate(rpc, ttl_ms=_HOUR_MS)
+    return out.where(~F.col("inbound")).select("event_id", "method", "elapsed")
+
+
+@register(
+    "rpc_scanner_state",
+    """
+    WITH rpc AS (
+      SELECT event_id, ts,
+             (event_type = 'error') AS inbound,
+             CASE event_type WHEN 'signup' THEN 'open-scanner'
+                             WHEN 'error'  THEN 'close-scanner'
+                             ELSE 'next-rows' END AS method,
+             's' || CAST(user_id % 4 AS VARCHAR) AS server,
+             user_id % 20 AS scanner,
+             CASE WHEN event_type = 'signup'
+                  THEN 'T' || CAST(user_id AS VARCHAR) END AS tbl,
+             CASE WHEN event_type = 'signup'
+                  THEN 'R' || CAST(user_id AS VARCHAR) END AS reg
+      FROM events
+    ), s AS (
+      SELECT *,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY server, scanner ORDER BY ts, event_id)
+                  > 604800000 THEN 1 ELSE 0 END AS brk
+      FROM rpc
+    ), g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY server, scanner
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session
+      FROM s
+    ), e AS (
+      SELECT *,
+             last_value(CASE WHEN method = 'open-scanner' AND NOT inbound THEN tbl
+                             WHEN method = 'close-scanner' AND inbound THEN '' END
+                        IGNORE NULLS)
+               OVER (PARTITION BY server, scanner, session ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS st,
+             last_value(CASE WHEN method = 'open-scanner' AND NOT inbound THEN reg
+                             WHEN method = 'close-scanner' AND inbound THEN '' END
+                        IGNORE NULLS)
+               OVER (PARTITION BY server, scanner, session ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sr
+      FROM g
+    )
+    SELECT event_id,
+           coalesce(tbl, nullif(st, '')) AS table_name,
+           coalesce(reg, nullif(sr, '')) AS region_name
+    FROM e
+    """,
+    doc="The REAL operators.pipeline.scanner_enrich() under the oracle gate "
+    "(SURVEY.md §2 B8): open-scanner responses install {table, region} state "
+    "under the scanner id, next-rows inherit it, close-scanner tombstones, "
+    "week-long TTL sessions. Oracle: sessionized last_value IGNORE NULLS.",
+    tags=("pipeline", "state-machine"),
+)
+def rpc_scanner_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rpc = ev.select(
+        "event_id",
+        "ts",
+        (F.col("event_type") == "error").alias("inbound"),
+        F.when(F.col("event_type") == "signup", F.lit("open-scanner"))
+        .when(F.col("event_type") == "error", F.lit("close-scanner"))
+        .otherwise(F.lit("next-rows"))
+        .alias("method"),
+        F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string")).alias("server"),
+        (F.col("user_id") % 20).alias("scanner"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit("T"), F.col("user_id").cast("string")),
+        ).alias("table"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit("R"), F.col("user_id").cast("string")),
+        ).alias("region"),
+    )
+    out = scanner_enrich(rpc, ttl_ms=_WEEK_MS)
+    return out.select(
+        "event_id",
+        F.col("table").alias("table_name"),
+        F.col("region").alias("region_name"),
+    )
