@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data curation: language ID
+(marker-word heuristic), quality scoring, token counting, fingerprinting.
+
+Everything is pure Column expressions (codegen, no UDFs). A real deployment
+would swap the marker tables for fastText-style models via a Pandas UDF; the
+Spark-side shape (per-doc scoring, groupBy source rollups) stays identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker word -> language, deterministic priority order for ties
+LANG_MARKERS = [
+    ("en", "the"),
+    ("es", "data"),
+    ("de", "table"),
+    ("fr", "row"),
+    ("zh", "key"),
+]
+
+STOPWORDS = ("the", "a")
+
+
+def _tok(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _count_token(text_col: str, word: str) -> Column:
+    return F.size(F.filter(_tok(text_col), lambda x: x == word))
+
+
+def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax of marker-word counts with fixed priority tie-break."""
+    counts = [_count_token(text_col, w).alias(f"_c_{lang}") for lang, w in LANG_MARKERS]
+    df = docs.select("*", *counts)
+    pred = None
+    for lang, _ in LANG_MARKERS:
+        cond = F.lit(True)
+        for other, _ in LANG_MARKERS:
+            if other != lang:
+                # strictly-greater for languages later in priority order,
+                # >= for earlier ones => first maximum wins
+                later = [x for x, _ in LANG_MARKERS].index(other) > [
+                    x for x, _ in LANG_MARKERS
+                ].index(lang)
+                c = (
+                    F.col(f"_c_{lang}") >= F.col(f"_c_{other}")
+                    if later
+                    else F.col(f"_c_{lang}") > F.col(f"_c_{other}")
+                )
+                cond = cond & c
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    return df.withColumn("predicted_lang", pred).drop(
+        *[f"_c_{lang}" for lang, _ in LANG_MARKERS]
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     nchars_col: str = "n_chars") -> DataFrame:
+    """Length/stopword/word-shape features + a deterministic quality score."""
+    n_words = F.size(_tok(text_col))
+    n_stop = F.size(F.filter(_tok(text_col), lambda x: x.isin(*STOPWORDS)))
+    avg_word_len = (
+        (F.col(nchars_col) - (n_words - 1)).cast("double") / n_words.cast("double")
+    )
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        # toy quality score: long-enough docs with moderate stopword rate
+        (
+            F.when(n_words >= 20, F.lit(1)).otherwise(0)
+            + F.when(stop_ratio <= 0.2, F.lit(1)).otherwise(0)
+        ).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, regex word tokens (BPE-ish pre-tokenizer), and
+    distinct-token counts."""
+    return docs.select(
+        "doc_id",
+        F.size(_tok(text_col)).alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all({text_col}, '[a-z0-9]+', 0))").alias("re_tokens"),
+        F.size(F.array_distinct(_tok(text_col))).alias("distinct_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized md5 fingerprint: whitespace-collapsed, lowercased, trimmed
+    — the canonical near-exact-dup key."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def rolling_hash(docs: DataFrame, text_col: str = "text",
+                 base: int = 31, mod: int = 1_000_000_007) -> DataFrame:
+    """Karp-Rabin polynomial rolling hash over the character stream — a
+    higher-order aggregate, order-sensitive (unlike md5 of the whole string,
+    prefix-extendable at scale)."""
+    h = F.aggregate(
+        F.split(F.col(text_col), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.coalesce(F.ascii(c), F.lit(0))) % mod,
+    )
+    return docs.select("doc_id", h.alias("rhash"))

@@ -1,0 +1,335 @@
+"""Training-data pipeline queries: dedup (exact / n-gram Jaccard /
+MinHash+LSH / SimHash), similarity search (brute-force + IVF-pruned cosine
+top-k), and text analysis (lang-ID, quality, tokens, fingerprints) — each
+running the real operators from ``operators.dedup`` / ``operators.similarity``
+/ ``operators.text`` under the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..session import tune_session
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# Shared oracle CTE: distinct char-4-gram shingles per doc.
+_SH_CTE = """
+    idx AS (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i
+            FROM documents WHERE length(text) >= 4),
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 4) AS shingle
+           FROM idx)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, md5(text) AS text_hash,
+           count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
+           count(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+    FROM documents
+    """,
+    doc="Exact dedup: hash-group on md5(text), keep = min doc_id. One "
+    "shuffle on the hash; at 100 TB this is the cheap first pass before "
+    "near-dup.",
+    tags=("dataprep", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+    doc="Normalized document fingerprint (whitespace-collapse + lower + md5).",
+    tags=("dataprep", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.40
+    """,
+    doc="Exact pairwise char-4-gram Jaccard >= 0.40 via shingle self-join — "
+    "the quadratic baseline the LSH variant approximates (jaccard emitted as "
+    "an exact integer ratio, engine-independent).",
+    tags=("dataprep", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.char_shingles(_docs(spark, sf_dir))
+    return D.pairwise_jaccard(sh, min_jaccard=0.40)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_CTE},
+    seeds AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed),
+    sigs AS (SELECT doc_id, seed,
+                    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+             FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig,
+                                    ',' ORDER BY seed)) AS band_key
+              FROM sigs GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    p AS (SELECT c.d1, c.d2, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.35
+    """,
+    doc="MinHash(16 md5 permutations) + LSH(4 bands x 4 rows) candidate "
+    "generation, then exact-Jaccard verification >= 0.35 on candidates only "
+    "— the linear-time near-dup scale path (Broder-style resemblance "
+    "sketches). md5-based min-hashing keeps every stage oracle-checkable.",
+    tags=("dataprep", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.35)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n           ".join(
+        f"sum((ascii(substr(md5(shingle), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    v AS (SELECT doc_id,
+           {votes}
+          FROM sh GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash FROM v
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="16-bit SimHash per doc: per-bit majority vote over shingle md5 "
+    "digests (portable bit extraction via hex-digit parity). Near-dups "
+    "differ in O(1) bits -> groupable/bucketable at scale.",
+    tags=("dataprep", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'the' OR x = 'a')) AS INTEGER) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_words,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.2 THEN 1 ELSE 0 END)
+             AS quality_score
+    FROM t
+    """,
+    doc="Per-doc quality features: word count, avg word length, stopword "
+    "ratio, composite score. Pure column expressions (codegen).",
+    tags=("dataprep", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_features(_docs(spark, sf_dir))
+
+
+def _langid_oracle() -> str:
+    langs = [lang for lang, _ in X.LANG_MARKERS]
+    counts = ",\n             ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{w}')) AS INTEGER) AS c_{lang}"
+        for lang, w in X.LANG_MARKERS
+    )
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"c_{lang} {op} c_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang,
+             {counts}
+           FROM documents)
+    SELECT doc_id, lang, {case} AS predicted_lang,
+           lang = ({case}) AS correct
+    FROM t
+    """
+
+
+@register(
+    "lang_id",
+    _langid_oracle(),
+    doc="Marker-word language-ID heuristic with deterministic argmax "
+    "tie-break, compared against the labeled lang column. (A production "
+    "pipeline swaps the marker table for a fastText Pandas UDF; the Spark "
+    "shape is identical.)",
+    tags=("dataprep", "text", "langid"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = X.predict_lang(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        "lang",
+        "predicted_lang",
+        (F.col("lang") == F.col("predicted_lang")).alias("correct"),
+    )
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace split, regex pre-tokenizer, distinct "
+    "vocabulary size per doc.",
+    tags=("dataprep", "text", "tokens"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_counts(_docs(spark, sf_dir))
+
+
+_COS_CTE = """
+    e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings),
+    nrm AS (SELECT vec_id, sum(v * v) AS sq FROM e GROUP BY vec_id)
+"""
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH {_COS_CTE},
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+          FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-5 for a query subset (vec_id % 25 = 0): "
+    "broadcast query set, JVM-side zip_with/aggregate dot products, "
+    "partitioned rank. The exact-ANN baseline.",
+    tags=("dataprep", "similarity", "ann"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.cosine_topk(emb, qs, k=5)
+
+
+@register(
+    "ivf_topk_by_label",
+    f"""
+    WITH {_COS_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+          FROM e q
+          JOIN lab ql ON ql.vec_id = q.vec_id
+          JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          JOIN lab bl ON bl.vec_id = b.vec_id AND bl.label = ql.label
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="IVF-style pruned ANN: candidates restricted to the query's cell "
+    "(label = coarse-quantizer assignment) — candidate set shrinks by "
+    "~#cells; the distributed ANN scale path.",
+    tags=("dataprep", "similarity", "ann", "ivf"),
+)
+def ivf_topk_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return S.cosine_topk(emb, qs, k=3, same_cell_col="label")
+
+
+@register(
+    "embedding_norms",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id)
+    SELECT label, count(*) AS n_vecs,
+           round(avg(norm), 4) AS avg_norm,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm
+    FROM embeddings JOIN n USING (vec_id) GROUP BY label
+    """,
+    doc="Per-cell embedding norm statistics (array aggregate + rollup) — "
+    "the sanity diagnostic before similarity search.",
+    tags=("dataprep", "similarity"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.norm_stats(_emb(spark, sf_dir))

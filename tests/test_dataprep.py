@@ -1,0 +1,107 @@
+"""Unit tests for the training-data operators on hand-built corpora with
+known duplicate structure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import dedup as D
+from hbase_packet_inspector_spark.operators import similarity as S
+from hbase_packet_inspector_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near dup of 0
+        (3, "completely different text with nothing shared here", "en", "s", 50),
+        (4, "short one", "en", "s", 9),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r for r in D.exact_dup_groups(docs).collect()}
+    assert out[0].is_dup and out[1].is_dup
+    assert out[0].keep_doc_id == 0 and out[1].keep_doc_id == 0
+    assert not out[2].is_dup and not out[3].is_dup
+
+
+def test_pairwise_jaccard_finds_near_dup(docs):
+    sh = D.char_shingles(docs)
+    pairs = {(r.d1, r.d2): r.jaccard for r in D.pairwise_jaccard(sh, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert 0.7 < pairs[(0, 2)] < 1.0  # near dup (one word differs)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recalls_dups(docs):
+    out = {(r.d1, r.d2): r.jaccard for r in
+           D.minhash_lsh_dedup(docs, min_jaccard=0.5).collect()}
+    # identical docs always collide in every band; near-dup at j~0.8 is
+    # recalled with 4x4 bands with overwhelming probability
+    assert (0, 1) in out and out[(0, 1)] == 1.0
+    assert (0, 2) in out
+    assert (0, 3) not in out and (1, 3) not in out
+
+
+def test_simhash_properties(docs):
+    out = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert out[0] == out[1]  # identical text -> identical signature
+    assert len(out[0]) == 16 and set(out[0]) <= {"0", "1"}
+    ham02 = sum(a != b for a, b in zip(out[0], out[2]))
+    ham03 = sum(a != b for a, b in zip(out[0], out[3]))
+    assert ham02 <= ham03  # near-dup at least as close as unrelated
+
+
+def test_quality_and_tokens(docs):
+    q = {r.doc_id: r for r in X.quality_features(docs).collect()}
+    assert q[0].n_words == 9
+    assert abs(q[0].stop_ratio - 2 / 9) < 1e-12
+    t = {r.doc_id: r for r in X.token_counts(docs).collect()}
+    assert t[0].ws_tokens == 9 and t[0].distinct_tokens == 8  # 'the' twice
+    assert t[4].ws_tokens == 2
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "ba"), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.rhash for r in X.rolling_hash(df).collect()}
+    assert out[0] == out[2] and out[0] != out[1]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [-1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = [r.neighbor_id for r in
+           S.cosine_topk(emb, qs, k=3).orderBy("rnk").collect()]
+    assert out == [1, 2, 3]  # descending cosine: ~0.995, 0, -1
+
+
+def test_ivf_prunes_to_cell(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 1),  # closest overall but other cell
+        (2, [0.5, 0.5], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    out = [r.neighbor_id for r in
+           S.cosine_topk(emb, qs, k=3, same_cell_col="label").collect()]
+    assert out == [2]  # vec 1 pruned away despite higher cosine
