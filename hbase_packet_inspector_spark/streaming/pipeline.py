@@ -1,0 +1,164 @@
+"""Structured Streaming parity for the HPI pipeline (SURVEY.md §7 Phase 3).
+
+Live/Kafka mode (reference §3.2/3.3) maps to: readStream -> stateful
+correlation keyed (client, port) -> foreachBatch fan-out to the four tables
+and/or the JSON sink. The per-connection hash-map state of the reference's
+single handler thread (core.clj:156-207) becomes ``applyInPandasWithState``
+state: pending requests keyed by call_id, expired by event-time TTL against
+the connection's latest packet timestamp — the reference's exact expiry rule
+(core.clj:285-296: event time, not wall clock).
+
+Batch/stream parity: tests/test_streaming.py replays the same fixture
+workloads through this operator and asserts the outputs match
+operators.pipeline.correlate.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schema import RPC_EVENT_SCHEMA, STATE_EXPIRATION_MS
+
+# Request attributes carried across to the matched response (hbase.clj:74-84).
+_MERGE_FIELDS = (
+    "method", "table", "region", "row", "stoprow", "durability", "caching",
+)
+
+# Output: the correlated event stream (requests unchanged; responses merged,
+# with elapsed; unknown responses flagged) — scanner enrichment and routing
+# run downstream in foreachBatch via the batch operators.
+CORRELATED_SCHEMA = T.StructType(
+    [f for f in RPC_EVENT_SCHEMA.fields if f.name not in ("actions", "results")]
+    + [
+        T.StructField("elapsed", T.IntegerType()),
+        # event_id of the matched request: lets the downstream batch rejoin
+        # the request's array columns (actions) without carrying arrays
+        # through the Arrow state boundary
+        T.StructField("req_event_id", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("pending", T.StringType())])
+
+
+def _correlate_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful handler for one (client, port) connection.
+
+    State: JSON map call_id -> {ts_ms, merge fields}. Semantics mirror the
+    reference: request stores/overwrites, response consumes+deletes, entries
+    older than the TTL relative to the latest seen packet are expired
+    (core.clj:195-207, 285-296).
+    """
+    pending: dict[str, dict[str, Any]] = (
+        json.loads(state.get[0]) if state.exists else {}
+    )
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out_rows = []
+        for row in pdf.to_dict("records"):
+            row.pop("actions", None)
+            row.pop("results", None)
+            ts_ms = int(row["ts"].value // 1_000_000)  # pandas ns -> ms
+            # event-time TTL expiry against the latest packet on this key
+            expired = [
+                cid for cid, req in pending.items()
+                if ts_ms - req["ts_ms"] > STATE_EXPIRATION_MS
+            ]
+            for cid in expired:
+                del pending[cid]
+
+            cid = str(row["call_id"])
+            row["req_event_id"] = None
+            if row["inbound"]:
+                pending[cid] = {
+                    "ts_ms": ts_ms,
+                    "event_id": int(row["event_id"]),
+                    **{f: row.get(f) for f in _MERGE_FIELDS},
+                }
+                row["elapsed"] = None
+            else:
+                req = pending.pop(cid, None)
+                if req is None:
+                    row["method"] = "unknown"
+                    row["elapsed"] = None
+                else:
+                    for f in _MERGE_FIELDS:
+                        if row.get(f) is None:
+                            row[f] = req[f]
+                    row["elapsed"] = ts_ms - req["ts_ms"]
+                    row["req_event_id"] = req["event_id"]
+            out_rows.append(row)
+        yield pd.DataFrame(out_rows, columns=[f.name for f in CORRELATED_SCHEMA])
+
+    state.update((json.dumps(pending),))
+
+
+def stream_correlate(events: DataFrame) -> DataFrame:
+    """Streaming as-of correlation keyed by connection. One shuffle on
+    (client, port); state is per-connection and bounded by the TTL."""
+    return events.groupBy("client", "port").applyInPandasWithState(
+        _correlate_group,
+        outputStructType=CORRELATED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_pipeline_available_now(
+    spark, source_dir: str, sink_tables: dict[str, list]
+) -> None:
+    """File-replay mode: stream the rpc_events parquet directory through the
+    stateful correlation, fan out per micro-batch into the four public
+    tables (collected into ``sink_tables`` for tests; a deployment writes
+    Delta/parquet instead). Mirrors reference file mode with the streaming
+    engine (trigger=availableNow, graceful stop)."""
+    from ..operators.pipeline import finalize_and_route, scanner_enrich
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
+    correlated = stream_correlate(events)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        # re-attach array columns dropped by the Arrow state boundary:
+        # own results by event_id; the matched REQUEST's actions by
+        # req_event_id (responses) / event_id (requests)
+        src = spark.read.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
+        acts = src.select(F.col("event_id").alias("_aid"), F.col("actions").alias("_a"))
+        ress = src.select(F.col("event_id").alias("_rid"), F.col("results").alias("_r"))
+        full = (
+            batch_df.withColumn(
+                "_aid",
+                F.when(F.col("inbound"), F.col("event_id")).otherwise(
+                    F.col("req_event_id")
+                ),
+            )
+            .withColumn("_rid", F.col("event_id"))
+            .join(acts, "_aid", "left")
+            .join(ress, "_rid", "left")
+            .withColumn("actions", F.col("_a"))
+            .withColumn("results", F.col("_r"))
+            .drop("_aid", "_rid", "_a", "_r", "req_event_id")
+        )
+        enriched = scanner_enrich(full)
+        for name, df in finalize_and_route(enriched).items():
+            sink_tables.setdefault(name, []).extend(df.collect())
+
+    q = (
+        correlated.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", source_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,96 @@
+"""Streaming parity tests: the stateful correlation must produce the same
+outputs as the batch operator on the same fixture workloads
+(SURVEY.md §7 Phase 3), and the JSON sink must match the reference payload
+shape (kafka_test.clj:9-73)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import build_tables
+from hbase_packet_inspector_spark.sources import fixtures as fx
+from hbase_packet_inspector_spark.streaming import (
+    run_pipeline_available_now,
+    to_kafka_records,
+)
+from hbase_packet_inspector_spark.streaming.sink import parse_kafka_spec
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rows = []
+    offset = 0
+    for gen in (fx.random_read, fx.scan, fx.ttl_expiry, fx.unknown_response,
+                fx.call_id_reuse, fx.sequential_write):
+        part = gen()
+        for r in part:
+            r = dict(r)
+            r["event_id"] += offset
+            r["port"] = 40000 + (offset % 7)  # separate connections per workload
+            rows.append(r)
+        offset += 1000
+    return rows
+
+
+def test_streaming_matches_batch(spark, tmp_path, workload):
+    src = str(tmp_path / "events")
+    fx.to_df(spark, workload).write.parquet(src)
+
+    sink: dict[str, list] = {}
+    run_pipeline_available_now(spark, src, sink)
+
+    batch = {
+        name: df.collect()
+        for name, df in build_tables(fx.to_df(spark, workload)).items()
+    }
+
+    def key(rows):
+        return sorted(tuple(str(x) for x in r) for r in rows)
+
+    for name in ("requests", "responses", "actions", "results"):
+        assert key(sink.get(name, [])) == key(batch[name]), name
+
+
+def test_kafka_spec_parser():
+    # reference core_test.clj:140-155
+    s = parse_kafka_spec("b1:9092,b2:9092/t1/t2?service=x&env=prod")
+    assert s["servers"] == "b1:9092,b2:9092"
+    assert s["topic1"] == "t1" and s["topic2"] == "t2"
+    assert s["extra"] == {"service": "x", "env": "prod"}
+    s2 = parse_kafka_spec("b/t")
+    assert s2["topic1"] == s2["topic2"] == "t"
+    with pytest.raises(ValueError):
+        parse_kafka_spec("no-topic")
+
+
+def test_json_sink_shape(spark):
+    df = fx.to_df(spark, fx.call_id_reuse()).drop("actions", "results")
+    out = to_kafka_records(df, "reqs", "resps", extra={"service": "x"}).collect()
+    assert {r.topic for r in out} == {"reqs", "resps"}
+    rec = json.loads([r.value for r in out if r.topic == "reqs"][0])
+    assert isinstance(rec["ts"], int)  # epoch millis
+    assert rec["hostname"] == "localhost" and rec["service"] == "x"
+    assert "error" not in rec  # nulls dropped (sparse JSON)
+    assert rec["method"] in ("get", "put")
+
+
+def test_json_sink_empty_topic_drops_side(spark):
+    df = fx.to_df(spark, fx.call_id_reuse()).drop("actions", "results")
+    out = to_kafka_records(df, "reqs", "").collect()
+    assert {r.topic for r in out} == {"reqs"}
+    assert len(out) == 2  # only the 2 requests survive
+
+
+def test_streaming_ttl_and_unknown(spark, tmp_path):
+    rows = fx.ttl_expiry() + [
+        dict(r, event_id=r["event_id"] + 100, port=40001)
+        for r in fx.unknown_response()
+    ]
+    src = str(tmp_path / "ttl")
+    fx.to_df(spark, rows).write.parquet(src)
+    sink: dict[str, list] = {}
+    run_pipeline_available_now(spark, src, sink)
+    res = sink["responses"]
+    assert len(res) == 2
+    assert all(r.method == "unknown" and r.elapsed is None for r in res)
