@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: schemas, mapInPandas batch shape, deterministic
+byte features, metadata-only frame sampling, stubbed codec gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = M.synthesize_media(spark, 30)
+    df.cache().count()
+    return df
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "payload", "meta",
+    ]
+    assert {r.kind for r in media.select("kind").distinct().collect()} == {
+        "image", "audio", "video",
+    }
+
+
+def test_synthesis_deterministic(spark, media):
+    again = {r.media_id: bytes(r.payload) for r in
+             M.synthesize_media(spark, 30).collect()}
+    first = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert first == again
+    # payload = md5(id) hex decoded, repeated (id % 7 + 1) times
+    assert len(first[0]) == 16 and len(first[6]) == 16 * 7
+
+
+def test_extract_features(media):
+    feats = {r.media_id: r for r in M.extract_features(media).collect()}
+    assert len(feats) == 30
+    f0 = feats[0]
+    assert f0.n_bytes == 16
+    assert 0 <= f0.mean_byte <= 255
+    assert 0 < f0.byte_entropy <= 8.0
+    # repeated payloads share byte stats but not length
+    assert feats[6].n_bytes == 112
+    assert abs(feats[6].byte_entropy) > 0
+
+
+def test_frame_sampling_metadata_only(media):
+    frames = M.sample_frames(media, fps=2.0)
+    rows = frames.collect()
+    vids = media.where(F.col("kind") == "video").collect()
+    assert len(rows) > 0
+    for v in vids:
+        expect = max(int(v.meta.duration_ms / 1000 * 2.0), 1)
+        got = [r for r in rows if r.media_id == v.media_id]
+        assert len(got) == expect
+        assert all(r.frame_ts_ms == r.frame_idx * 500 for r in got)
+    # no payload column in the sampled plan (decode deferred)
+    assert "payload" not in frames.columns
+
+
+def test_resize_stub_contract(media):
+    out = M.resize_stub(media, 64, 64)
+    rows = {r.media_id: r for r in out.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    for mid, r in rows.items():
+        assert r.meta.width == 64 and r.meta.height == 64
+        assert 1 <= len(r.payload) <= len(orig[mid].payload)
+        assert r.meta.format == orig[mid].meta.format
+
+
+def test_codec_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        M.decode_image_batch(b"\x89PNG", "png")
