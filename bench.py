@@ -39,6 +39,17 @@ HEADLINE = [
     "parts_never_returned",
     "brand_supplier_volume",
     "order_lineitem_counts",
+    "rpc_correlate",
+    "rpc_scanner_state",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "lang_id",
+    "token_count",
+    "cosine_topk",
+    "ivf_topk_by_label",
+    "embedding_norms",
 ]
 
 

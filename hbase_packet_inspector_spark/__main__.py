@@ -1,0 +1,60 @@
+"""CLI: the file-mode analog of the reference jar.
+
+    python -m hbase_packet_inspector_spark --events events.parquet \
+        --sql "SELECT method, count(*) FROM requests GROUP BY method"
+
+Without --sql, drops into a minimal SQL prompt over the four views
+(the H2 shell analog, reference db.clj:101-104).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .engine import Engine
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hbase_packet_inspector_spark")
+    p.add_argument("--events", required=True, help="rpc_events parquet path")
+    p.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--sql", help="query to run (else: interactive prompt)")
+    p.add_argument("--kafka", help="servers/topic1[/topic2][?k=v] -> print records")
+    p.add_argument("--limit", type=int, default=20)
+    args = p.parse_args(argv)
+
+    spark = get_spark("hpi-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark).load_events(args.events, args.format)
+
+    if args.kafka:
+        for row in eng.kafka_records(args.kafka).take(args.limit):
+            print(f"{row.topic}\t{row.value}")
+        return 0
+
+    eng.register_tables()
+    if args.sql:
+        eng.sql(args.sql).show(args.limit, truncate=False)
+        return 0
+
+    print("tables: requests responses actions results  (exit with \\q)")
+    while True:
+        try:
+            line = input("sql> ").strip()
+        except EOFError:
+            break
+        if line in ("\\q", "exit", "quit"):
+            break
+        if not line:
+            continue
+        try:
+            eng.sql(line).show(args.limit, truncate=False)
+        except Exception as e:  # keep the shell alive on bad SQL
+            print(f"error: {e}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

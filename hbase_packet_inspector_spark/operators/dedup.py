@@ -88,7 +88,8 @@ def pairwise_jaccard(shingles: DataFrame, min_jaccard: float) -> DataFrame:
 def minhash_signatures(shingles: DataFrame,
                        n_hashes: int = DEFAULT_HASHES) -> DataFrame:
     """(doc_id, seed, sig): sig = min over shingles of md5(seed || ':' || s).
-    One shuffle on (doc_id, seed)."""
+    One shuffle on (doc_id, seed). (Long-form variant; the LSH pipeline uses
+    the wide form below, which avoids the n_hashes-fold row explosion.)"""
     seeded = shingles.select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {n_hashes - 1})")).alias("seed"),
@@ -98,6 +99,61 @@ def minhash_signatures(shingles: DataFrame,
         F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
                              F.col("shingle")))).alias("sig")
     )
+
+
+def shingle_sets(docs: DataFrame, n: int = DEFAULT_SHINGLE,
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, sset, n): per-doc DISTINCT shingle array + size, computed
+    narrow (no shuffle — array_distinct inside the row). The single
+    materialization every downstream LSH stage derives from."""
+    sh = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n}))) ELSE array() END"
+    )
+    return docs.select(
+        "doc_id", sh.alias("sset")
+    ).withColumn("n", F.size("sset")).where(F.col("n") > 0)
+
+
+def minhash_signatures_wide(sets: DataFrame,
+                            n_hashes: int = DEFAULT_HASHES) -> DataFrame:
+    """One row per doc with n_hashes signature columns s0..s{n-1}, computed
+    from the per-doc shingle set via higher-order array functions — fully
+    narrow, zero shuffles.
+
+    Each md5 yields 128 bits = four independent 32-bit (8-hex-char) hash
+    values, so n_hashes signatures need only ceil(n/4) md5 evaluations per
+    shingle — ~16x less hashing than a long-form seed explosion at the same
+    statistical quality."""
+    # NB: HOF lambdas must take exactly one parameter — a second (even
+    # defaulted) parameter makes PySpark bind it to the array INDEX.
+    def _seed_mins(seed: int):
+        """ONE traversal of the shingle set per seed: md5 each shingle and
+        fold the four 8-hex-char pieces into four running mins ('g' sorts
+        above every hex digit, so it is a safe +inf sentinel)."""
+        prefix = f"{seed}:"
+        init = F.struct(*[F.lit("g").alias(f"m{p}") for p in range(4)])
+
+        def step(acc, s):
+            h = F.md5(F.concat(F.lit(prefix), s))
+            return F.struct(
+                *[
+                    F.least(acc[f"m{p}"], F.substring(h, p * 8 + 1, 8)).alias(f"m{p}")
+                    for p in range(4)
+                ]
+            )
+
+        return F.aggregate(F.col("sset"), init, step)
+
+    out = sets
+    n_seeds = (n_hashes + 3) // 4
+    for seed in range(n_seeds):
+        out = out.withColumn(f"_m{seed}", _seed_mins(seed))
+    for j in range(n_hashes):
+        seed, piece = divmod(j, 4)
+        out = out.withColumn(f"s{j}", F.col(f"_m{seed}")[f"m{piece}"])
+    return out.drop(*[f"_m{s}" for s in range(n_seeds)])
 
 
 def lsh_band_keys(signatures: DataFrame, n_hashes: int = DEFAULT_HASHES,
@@ -129,39 +185,101 @@ def lsh_candidates(band_keys: DataFrame) -> DataFrame:
     )
 
 
-def verify_candidates(candidates: DataFrame, shingles: DataFrame,
-                      min_jaccard: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (the cheap post-LSH pass)."""
-    sa = shingles.selectExpr("doc_id AS d1", "shingle")
-    sb = shingles.selectExpr("doc_id AS d2", "shingle")
-    inter = (
-        candidates.join(sa, "d1").join(sb, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz = shingle_sizes(shingles)
+def verify_candidates(candidates: DataFrame, sets: DataFrame,
+                      min_jaccard: float,
+                      broadcast_threshold: int = 500_000) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the cheap post-LSH pass).
+
+    Computes intersections via array_intersect over per-doc shingle SETS
+    (one row per doc, from shingle_sets()), not an explode-join — each pair
+    costs one JVM set intersection instead of |shingles| join rows, which is
+    what keeps verification linear in candidates on shingle-dense corpora.
+    The set frame is broadcast when small enough (aggregated frames have no
+    stats, so Catalyst can't make this call on its own); above the threshold
+    it falls back to shuffle joins on doc_id."""
+    try:
+        small = sets.count() <= broadcast_threshold
+    except Exception:
+        small = False
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("sset").alias("set1"),
+                     F.col("n").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("sset").alias("set2"),
+                     F.col("n").alias("n2"))
+    if small:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     j = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     ).cast("double")
     return (
-        inter.join(sz.selectExpr("doc_id AS d1", "n_shingles AS n1"), "d1")
-        .join(sz.selectExpr("doc_id AS d2", "n_shingles AS n2"), "d2")
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("set1", "set2")))
         .withColumn("jaccard", j)
         .where(F.col("jaccard") >= min_jaccard)
         .select("d1", "d2", "jaccard")
     )
 
 
+def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
+                        n_bands: int = DEFAULT_BANDS,
+                        min_est: float = 0.4) -> DataFrame:
+    """Candidate pairs from wide signatures: per-band key self-joins, then a
+    minhash-ESTIMATE prefilter (fraction of agreeing signatures) so only
+    plausibly-similar pairs reach exact verification.
+
+    The estimate costs O(candidates) column compares — it's what keeps the
+    expensive exact-Jaccard join linear in true near-dups rather than in
+    band collisions (critical on self-similar corpora where band buckets
+    are crowded)."""
+    rows = n_hashes // n_bands
+    keyed = sigs
+    for b in range(n_bands):
+        cols = [F.col(f"s{j}") for j in range(b * rows, (b + 1) * rows)]
+        keyed = keyed.withColumn(f"b{b}", F.md5(F.concat_ws(",", *cols)))
+
+    cand = None
+    left = keyed.select(F.col("doc_id").alias("d1"),
+                        *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)],
+                        *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
+    right = keyed.select(F.col("doc_id").alias("d2"),
+                         *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)],
+                         *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    for b in range(n_bands):
+        pairs = left.join(
+            right,
+            (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2")),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    est = sum(
+        F.when(F.col(f"l{j}") == F.col(f"r{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    return (
+        cand.select("d1", "d2", est.alias("est"))
+        .where(F.col("est") >= min_est)
+        .groupBy("d1", "d2")
+        .agg(F.first("est").alias("est"))
+        .select("d1", "d2")
+    )
+
+
 def minhash_lsh_dedup(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
                       n_hashes: int = DEFAULT_HASHES,
                       n_bands: int = DEFAULT_BANDS,
+                      min_est: float = 0.4,
                       min_jaccard: float = 0.35) -> DataFrame:
-    """Full near-dup pipeline: shingle -> minhash -> LSH buckets -> verified
-    pairs with exact Jaccard >= min_jaccard."""
-    sh = char_shingles(docs, n)
-    sigs = minhash_signatures(sh, n_hashes)
-    cands = lsh_candidates(lsh_band_keys(sigs, n_hashes, n_bands))
-    return verify_candidates(cands, sh, min_jaccard)
+    """Full near-dup pipeline: shingle sets -> wide minhash (narrow) -> LSH
+    buckets -> estimate prefilter -> verified pairs with exact Jaccard >=
+    min_jaccard. Shuffle count: band self-joins + the two verify joins —
+    the shingle/signature computation itself never shuffles."""
+    sets = shingle_sets(docs, n)
+    # one materialization feeds the band joins, the estimate prefilter AND
+    # the exact verification — without it every branch would re-derive the
+    # shingle/md5 arrays from the raw text
+    sigs = minhash_signatures_wide(sets, n_hashes).persist()
+    cands = lsh_candidates_wide(sigs, n_hashes, n_bands, min_est)
+    return verify_candidates(cands, sigs.select("doc_id", "sset", "n"), min_jaccard)
 
 
 def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,

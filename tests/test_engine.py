@@ -1,0 +1,45 @@
+"""Engine facade tests: file-mode load -> register -> SQL over the 4 views
+(the reference's H2-shell workflow end-to-end)."""
+
+from hbase_packet_inspector_spark.engine import Engine
+from hbase_packet_inspector_spark.sources import fixtures as fx
+
+
+def test_file_mode_sql(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    fx.to_df(spark, fx.random_read() + [
+        dict(r, event_id=r["event_id"] + 500, port=41000) for r in fx.scan()
+    ]).write.parquet(path)
+
+    eng = Engine(spark).load_events(path).register_tables()
+    # the canonical join from the reference README (:133-135)
+    out = eng.sql(
+        """
+        SELECT r.method, count(*) AS n, avg(s.elapsed) AS avg_elapsed
+        FROM requests r
+        JOIN responses s USING (client, port, call_id)
+        GROUP BY r.method ORDER BY n DESC
+        """
+    ).collect()
+    methods = {r.method: r.n for r in out}
+    assert methods["multi"] == 5
+    assert all(r.avg_elapsed is not None for r in out if r.method == "multi")
+
+
+def test_kafka_mode_records(spark):
+    eng = Engine(spark).load_events(fx.to_df(spark, fx.call_id_reuse()))
+    recs = eng.kafka_records("b:9092/t1/t2?service=hpi").collect()
+    assert {r.topic for r in recs} == {"t1", "t2"}
+    assert all('"service":"hpi"' in r.value for r in recs)
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    # drive the CLI main() as a user would (single-query mode)
+    path = str(tmp_path / "cli_ev")
+    fx.to_df(spark, fx.sequential_write()).write.parquet(path)
+    from hbase_packet_inspector_spark.__main__ import main
+
+    rc = main(["--events", path, "--sql",
+               "SELECT method, batch FROM requests"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "multi" in out and "100" in out
