@@ -111,7 +111,17 @@ def shingle_sets(docs: DataFrame, n: int = DEFAULT_SHINGLE,
         f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}), "
         f"i -> substring({text_col}, i, {n}))) ELSE array() END"
     )
-    return docs.select(
+    # The raw text scan is tiny in bytes but every downstream stage is
+    # CPU-bound (per-shingle md5s), so file-size-based split planning
+    # under-parallelizes badly — a 5 MB corpus arrives as ONE partition and
+    # signature hashing runs on one core. Redistribute by doc_id first; the
+    # shuffle moves only raw text, orders of magnitude cheaper than the
+    # hashing it parallelizes.
+    # NB: the partition count must be EXPLICIT — with only a column given,
+    # AQE re-coalesces the exchange by byte size and serializes the CPU work
+    # again.
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(nparts, "doc_id").select(
         "doc_id", sh.alias("sset")
     ).withColumn("n", F.size("sset")).where(F.col("n") > 0)
 
@@ -207,6 +217,14 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
                      F.col("n").alias("n2"))
     if small:
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
+        # with both set sides broadcast the plan is narrow end-to-end, so it
+        # inherits the candidate frame's partitioning — which AQE will have
+        # coalesced to a handful of partitions (candidate rows are small in
+        # BYTES but each costs an array_intersect over the full shingle
+        # sets). Spread the CPU work back out — explicit count, or AQE
+        # re-coalesces the exchange.
+        nparts = int(sets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        candidates = candidates.repartition(nparts, "d1")
     j = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     ).cast("double")
@@ -222,7 +240,8 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
 
 def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
                         n_bands: int = DEFAULT_BANDS,
-                        min_est: float = 0.4) -> DataFrame:
+                        min_est: float = 0.4,
+                        broadcast_threshold: int = 500_000) -> DataFrame:
     """Candidate pairs from wide signatures: per-band key self-joins, then a
     minhash-ESTIMATE prefilter (fraction of agreeing signatures) so only
     plausibly-similar pairs reach exact verification.
@@ -244,6 +263,16 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
     right = keyed.select(F.col("doc_id").alias("d2"),
                          *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)],
                          *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    # signatures are ~140 bytes/doc, so up to the threshold the whole frame
+    # broadcasts in ~100 MB and all band joins go hash-broadcast with zero
+    # shuffle (Catalyst can't infer this: aggregated frames carry no stats).
+    # Past it, plain shuffle joins on the band keys — which is also the
+    # right plan at 10^9 docs.
+    try:
+        if sigs.count() <= broadcast_threshold:
+            right = F.broadcast(right)
+    except Exception:
+        pass
     for b in range(n_bands):
         pairs = left.join(
             right,

@@ -73,6 +73,59 @@ def cosine_topk(
     )
 
 
+def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
+                      min_cos: float = 0.45, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-bit LSH.
+
+    Signature = sign bits of the first ``bits`` vector components
+    (axis-aligned sign-random-projection: P[bit match] = 1 - angle/pi, the
+    SRP/SimHash guarantee — Charikar 2002), split into ``n_bands`` bands;
+    candidate pairs agree on at least one whole band; candidates are then
+    verified with the exact cosine and kept at >= ``min_cos``.
+
+    Scale shape: the band self-joins shuffle on short string keys (bucket
+    sizes ~ n / 2^band_bits per band), and exact cosine touches only
+    colliding pairs — never the O(n^2) cross join. Deterministic (no RNG):
+    the hyperplanes are the coordinate axes, so the same signature is
+    computable by any engine.
+    """
+    band_bits = bits // n_bands
+    v = emb.withColumn("_v", _as_double(F.col(vec_col)))
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "",
+            *[
+                # element_at is 1-based, matching SQL array indexing
+                F.when(F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
+                       F.lit("1")).otherwise(F.lit("0"))
+                for j in range(band_bits)
+            ],
+        )
+        v = v.withColumn(f"b{b}", key)
+
+    left = v.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"),
+                    *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
+    right = v.select(F.col(id_col).alias("d2"), F.col("_v").alias("v2"),
+                     *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    cand = None
+    for b in range(n_bands):
+        pairs = left.join(
+            right, (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2"))
+        ).select("d1", "d2", "v1", "v2")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["d1", "d2"])
+
+    cos = dot(F.col("v1"), F.col("v2")) / (
+        F.sqrt(sq_norm(F.col("v1"))) * F.sqrt(sq_norm(F.col("v2")))
+    )
+    return (
+        cand.withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= min_cos)
+        .select("d1", "d2", "cos")
+    )
+
+
 def norm_stats(emb: DataFrame, by: str = "label",
                vec_col: str = "embedding") -> DataFrame:
     norm = F.sqrt(sq_norm(_as_double(F.col(vec_col))))

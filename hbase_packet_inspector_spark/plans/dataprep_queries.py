@@ -342,6 +342,53 @@ def ivf_topk_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, qs, k=3, same_cell_col="label")
 
 
+def _srp_oracle(bits: int = 16, n_bands: int = 4, min_cos: float = 0.45) -> str:
+    band_bits = bits // n_bands
+    band_cols = ", ".join(
+        " || ".join(
+            f"CASE WHEN embedding[{b * band_bits + j + 1}] > 0 THEN '1' ELSE '0' END"
+            for j in range(band_bits)
+        )
+        + f" AS b{b}"
+        for b in range(n_bands)
+    )
+    band_joins = "\n      UNION ALL ".join(
+        f"SELECT a.vec_id AS d1, b.vec_id AS d2\n"
+        f"       FROM s a JOIN s b ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, {band_cols} FROM embeddings),
+    cand AS (SELECT DISTINCT d1, d2 FROM ({band_joins})),
+    e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    d AS (SELECT c.d1, c.d2, sum(x.v * y.v) AS dp
+          FROM cand c
+          JOIN e x ON x.vec_id = c.d1
+          JOIN e y ON y.vec_id = c.d2 AND y.i = x.i
+          GROUP BY 1, 2)
+    SELECT d1, d2, round(dp / (nx.nrm * ny.nrm), 6) AS cos
+    FROM d JOIN n nx ON nx.vec_id = d1 JOIN n ny ON ny.vec_id = d2
+    WHERE round(dp / (nx.nrm * ny.nrm), 6) >= {min_cos}
+    """
+
+
+@register(
+    "dedup_embedding",
+    _srp_oracle(),
+    doc="Embedding-cosine near-dup pairs via banded sign-bit LSH (SRP / "
+    "Charikar hyperplane rounding with axis-aligned planes, 4 bands x 4 "
+    "bits): candidates agree on >= 1 whole band, then exact cosine >= 0.45 "
+    "verification on candidates only — never the O(n^2) cross join. "
+    "Deterministic (no RNG), so every stage is oracle-checkable.",
+    tags=("dataprep", "dedup", "similarity", "lsh"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_neardup(_emb(spark, sf_dir), min_cos=0.45)
+
+
 @register(
     "embedding_norms",
     f"""
