@@ -50,6 +50,10 @@ HEADLINE = [
     "cosine_topk",
     "ivf_topk_by_label",
     "embedding_norms",
+    "dedup_embedding",
+    "quantity_outliers",
+    "user_event_pivot",
+    "approx_distinct_users",
 ]
 
 

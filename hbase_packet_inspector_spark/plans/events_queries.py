@@ -372,3 +372,64 @@ def rolling_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (s.cast("double") / (n * 100)).alias("rolling_avg"),
     )
+
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "user_event_pivot",
+    f"""
+    SELECT user_id % 100 AS cohort,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _ETYPES)}
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot / crosstab: per-cohort event-type counts as columns "
+    "(Spark groupBy().pivot() with an explicit value list — one shuffle, "
+    "no second pass to discover distinct keys; ANSI equivalent is "
+    "count(*) FILTER per column).",
+    tags=("events", "pivot", "agg"),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy((F.col("user_id") % 100).alias("cohort"))
+        .pivot("event_type", list(_ETYPES))
+        .count()
+        .na.fill(0, list(_ETYPES))
+    )
+
+
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HLL++) vs exact distinct (HPI §2F "
+    "client-activity row). Sketch values are engine-specific, so the "
+    "oracle-checked output is the exact count plus the assertion that "
+    "Spark's HLL estimate (rsd=0.02) lands within 5% of it — the sketch is "
+    "deterministic for fixed data, so this is a stable contract. At 100 TB "
+    "the approx path is the one that avoids the distinct shuffle blowup.",
+    tags=("events", "distinct", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+    )

@@ -384,3 +384,140 @@ def order_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_items").cast("double") / F.count("*")).alias("avg_items"),
         )
     )
+
+
+@register(
+    "parts_both_flags_intersect",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    doc="INTERSECT set op (HPI §2F set-ops row): parts that appear both "
+    "returned and accepted. Complements the EXCEPT in parts_never_returned; "
+    "Spark plans it as a left-semi hash join over distinct keys.",
+    tags=("tpch", "setop", "intersect"),
+)
+def parts_both_flags_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersect(a)
+
+
+@register(
+    "lineitem_status_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets: all 2^2 aggregation granularities in one pass "
+    "(partial aggregation expands grouping sets map-side; one shuffle). "
+    "NULL marks the rolled-up dimensions, as in ANSI CUBE.",
+    tags=("tpch", "rollup", "cube"),
+)
+def lineitem_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+             lag(CAST(epoch(o_orderdate) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_epoch,
+             lead(o_orderkey)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_orderkey
+      FROM orders)
+    SELECT o_custkey, o_orderkey, order_epoch, prev_epoch, next_orderkey,
+           CAST((order_epoch - prev_epoch) // 86400 AS BIGINT) AS gap_days
+    FROM seq WHERE prev_epoch IS NOT NULL AND o_custkey % 50 = 0
+    """,
+    doc="lead/lag analytic windows (HPI §2F window row): per-customer order "
+    "sequence with inter-order gap in whole days. One shuffle on the window "
+    "partition key; epochs as bigint so output is timezone-independent.",
+    tags=("tpch", "window", "lag"),
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    epoch = F.unix_timestamp("o_orderdate")
+    out = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            epoch.alias("order_epoch"),
+            F.lag(epoch).over(w).alias("prev_epoch"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+    )
+    return (
+        out.where(F.col("prev_epoch").isNotNull() & (F.col("o_custkey") % 50 == 0))
+        .withColumn(
+            "gap_days",
+            ((F.col("order_epoch") - F.col("prev_epoch")) / 86400).cast("long"),
+        )
+    )
+
+
+@register(
+    "quantity_outliers",
+    """
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+    FROM lineitem l
+    WHERE 10 * CAST(round(l.l_quantity * 100) AS BIGINT)
+          * (SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+        > 18 * (SELECT sum(CAST(round(i.l_quantity * 100) AS BIGINT))
+                FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape — correlated scalar subquery against a per-part "
+    "average. Spark side is written DECORRELATED by hand (per-part agg + "
+    "broadcast-eligible equi join), which is also what Catalyst rewrites "
+    "correlated subqueries into; the oracle keeps the correlated form to "
+    "prove equivalence. The comparison (qty > 1.8 * avg) runs in exact "
+    "cross-multiplied integer math, so no engine disagrees on ties.",
+    tags=("tpch", "subquery", "join"),
+)
+def quantity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.count("*").alias("n_items"), F.sum(qty_c).alias("sum_qty_c")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.p_key)
+        .where(10 * qty_c * F.col("n_items") > 18 * F.col("sum_qty_c"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@register(
+    "big_ticket_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="EXISTS semi-join (complement of the anti-join in "
+    "customers_without_orders): customers with at least one 400k+ order. "
+    "Spark: filter pushed to the orders scan, then LeftSemi hash join — "
+    "probe side never duplicates customer rows.",
+    tags=("tpch", "semijoin", "subquery"),
+)
+def big_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
