@@ -2,6 +2,7 @@
 
     python -m hbase_packet_inspector_spark --events events.parquet \
         --sql "SELECT method, count(*) FROM requests GROUP BY method"
+    python -m hbase_packet_inspector_spark --pcap dump.pcap --port 16020
 
 Without --sql, drops into a minimal SQL prompt over the four views
 (the H2 shell analog, reference db.clj:101-104).
@@ -18,8 +19,13 @@ from .session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hbase_packet_inspector_spark")
-    p.add_argument("--events", required=True, help="rpc_events parquet path")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--events", help="rpc_events parquet path")
+    src.add_argument("--pcap", help="pcap capture file/glob (file-mode analog)")
     p.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--port", type=int, action="append",
+                   help="monitored RPC port(s); default 16020 + 60020 "
+                   "(reference core.clj:65-67)")
     p.add_argument("--sql", help="query to run (else: interactive prompt)")
     p.add_argument("--kafka", help="servers/topic1[/topic2][?k=v] -> print records")
     p.add_argument("--limit", type=int, default=20)
@@ -27,7 +33,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("hpi-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    eng = Engine(spark).load_events(args.events, args.format)
+    eng = Engine(spark)
+    if args.pcap:
+        eng.load_pcap(args.pcap, ports=tuple(args.port or (16020, 60020)))
+    else:
+        eng.load_events(args.events, args.format)
 
     if args.kafka:
         for row in eng.kafka_records(args.kafka).take(args.limit):

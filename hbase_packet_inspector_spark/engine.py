@@ -18,13 +18,67 @@ latency percentiles, hot tables...) runs verbatim.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.pipeline import build_tables
 from .operators.reassembly import reassemble
-from .schema import RPC_EVENT_SCHEMA, TCP_CHUNK_SCHEMA
+from .schema import ACTION_STRUCT, RESULT_STRUCT, RPC_EVENT_SCHEMA, TCP_CHUNK_SCHEMA
 from .session import tune_session
 from .streaming.sink import parse_kafka_spec, to_kafka_records
+
+# Framed-message body schema for the JSON decode seam: the per-method
+# columns the reference's protobuf decoders extract (hbase.clj:110-245,
+# SURVEY.md §2 C1-C13). A production HBase deployment swaps ``from_json``
+# for a protobuf-decoding Pandas UDF with this same output schema — the
+# seam (framed bytes in, wide event columns out) is identical.
+MESSAGE_BODY_SCHEMA = T.StructType(
+    [
+        T.StructField("call_id", T.IntegerType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("row", T.StringType()),
+        T.StructField("stoprow", T.StringType()),
+        T.StructField("cells", T.IntegerType()),
+        T.StructField("durability", T.StringType()),
+        T.StructField("scanner", T.LongType()),
+        T.StructField("caching", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("actions", T.ArrayType(ACTION_STRUCT)),
+        T.StructField("results", T.ArrayType(RESULT_STRUCT)),
+    ]
+)
+
+
+def decode_json_messages(messages: DataFrame) -> DataFrame:
+    """Reassembled framed messages -> RPC_EVENT_SCHEMA rows.
+
+    ``size`` is the framed payload's byte length (the reference stores the
+    RPC message size, hbase.clj:224-227); ``event_id`` is the per-connection
+    message sequence — correlation only uses it as an intra-connection
+    order tie-break after ``ts``.
+    """
+    body = F.from_json(F.col("data").cast("string"), MESSAGE_BODY_SCHEMA)
+    cols = [
+        F.col("msg_seq").alias("event_id"),
+        "ts",
+        "inbound",
+        "client",
+        "port",
+        "server",
+        F.col("j.call_id").alias("call_id"),
+        F.col("j.method").alias("method"),
+        F.octet_length("data").alias("size"),
+        *[F.col(f"j.{c}").alias(c) for c in (
+            "table", "region", "row", "stoprow", "cells", "durability",
+            "scanner", "caching", "error", "actions", "results",
+        )],
+    ]
+    return messages.withColumn("j", body).select(*cols)
 
 
 class Engine:
@@ -46,6 +100,26 @@ class Engine:
             self._events = self.spark.read.schema(RPC_EVENT_SCHEMA).json(source)
         else:
             raise ValueError(f"unsupported format: {fmt}")
+        return self
+
+    def load_pcap(
+        self,
+        path: str,
+        ports: Sequence[int] = (16020, 60020),
+        decode: str = "json",
+    ) -> "Engine":
+        """File mode from raw capture bytes (``hpi dump.pcap`` analog):
+        binaryFile scan -> packet decode -> direction/port tagging -> TCP
+        reassembly -> framed-message decode -> rpc_events. ``decode='json'``
+        parses framed payloads as JSON event bodies (the protobuf decoder's
+        seam; see MESSAGE_BODY_SCHEMA)."""
+        from .sources import pcap as P
+
+        if decode != "json":
+            raise ValueError(f"unsupported decoder: {decode}")
+        packets = P.read_pcap(self.spark, path)
+        messages = reassemble(P.packets_to_chunks(packets, ports))
+        self._events = decode_json_messages(messages)
         return self
 
     def load_tcp_chunks(self, source: str | DataFrame) -> DataFrame:

@@ -29,6 +29,7 @@ MESSAGE_SCHEMA = T.StructType(
         T.StructField("client", T.StringType()),
         T.StructField("port", T.IntegerType()),
         T.StructField("server", T.StringType()),
+        T.StructField("inbound", T.BooleanType()),
         T.StructField("ts", T.TimestampType()),
         T.StructField("msg_seq", T.LongType()),
         T.StructField("data", T.BinaryType()),
@@ -47,6 +48,10 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     client = pdf["client"].iloc[0]
     port = int(pdf["port"].iloc[0])
     server = pdf["server"].iloc[0]
+    # `port` is the CLIENT's port by construction, so a chunk whose source
+    # port equals it was sent by the client — an inbound request. (Same
+    # client-side keying as the reference, core.clj:182-191.)
+    inbound = bool(int(pdf["src_port"].iloc[0]) == port)
 
     out_ts, out_seq, out_data = [], [], []
     buf = bytearray()
@@ -76,6 +81,7 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "client": client,
             "port": port,
             "server": server,
+            "inbound": inbound,
             "ts": out_ts,
             "msg_seq": out_seq,
             "data": out_data,
@@ -84,8 +90,15 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def reassemble(chunks: DataFrame) -> DataFrame:
-    """tcp_chunks (schema.TCP_CHUNK_SCHEMA) -> one row per framed message."""
+    """tcp_chunks (schema.TCP_CHUNK_SCHEMA) -> one row per framed message.
+
+    Grouping includes ``src_port`` so the two directions of one TCP
+    connection (client->server requests, server->client responses) keep
+    SEPARATE framing buffers — interleaving them would corrupt the length
+    prefixes. The reference gets this for free by framing each packet's
+    payload against its own direction's stream (core.clj:192-194, 226-254).
+    """
     return (
-        chunks.groupBy("client", "port")
+        chunks.groupBy("client", "port", "src_port")
         .applyInPandas(_reassemble_group, MESSAGE_SCHEMA)
     )

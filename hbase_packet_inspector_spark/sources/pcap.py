@@ -1,0 +1,209 @@
+"""Pcap file source — the batch analog of the reference's file mode
+(``hpi dump.pcap``; reference pcap.clj:35-55, core.clj:416-420).
+
+Spark has no native pcap reader, so this is the one genuinely imperative
+edge adapter (SURVEY.md §2 A3/A4, §7 Phase 4): ``spark.read.format
+("binaryFile")`` brings each capture file in as one row, and an
+Arrow-batched ``mapInPandas`` walks the classic-pcap framing to emit one
+row per IPv4/TCP payload packet. Everything downstream (direction tagging,
+port filter, reassembly, decode, correlation) is the same column logic the
+parquet fixtures use.
+
+Scale shape: pcap files don't split (packet records are sequentially
+framed, like gzip), so parallelism = number of files — which is how
+captures arrive from a fleet anyway (one file per host per rotation
+interval). A 100 TB corpus of ~1 GB rotated captures distributes evenly;
+`binaryFile` prunes on path globs and the per-file work is a single pass.
+
+Format notes (all public: the libpcap file format):
+- global header: magic(4) ver(2+2) thiszone(4) sigfigs(4) snaplen(4)
+  network(4); magic 0xa1b2c3d4 = microsecond ts, 0xa1b23c4d = nanosecond,
+  either endianness.
+- per packet: ts_sec(4) ts_frac(4) incl_len(4) orig_len(4) + data.
+- link types handled: 1 (Ethernet, incl. 802.1Q VLAN tag skip) and
+  101 (raw IP). Non-IPv4/non-TCP/empty-payload packets are dropped, as in
+  the reference (pcap.clj:44-55 returns nil for those).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC_US = 0xA1B2C3D4
+MAGIC_NS = 0xA1B23C4D
+
+LINKTYPE_ETHERNET = 1
+LINKTYPE_RAW_IP = 101
+
+PACKET_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("pkt_index", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("src_addr", T.StringType()),
+        T.StructField("src_port", T.IntegerType()),
+        T.StructField("dst_addr", T.StringType()),
+        T.StructField("dst_port", T.IntegerType()),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def _parse_pcap_bytes(path: str, blob: bytes) -> Iterator[dict]:
+    """Yield one dict per IPv4/TCP payload packet in a classic-pcap blob."""
+    if len(blob) < 24:
+        return
+    magic_le = struct.unpack_from("<I", blob, 0)[0]
+    magic_be = struct.unpack_from(">I", blob, 0)[0]
+    if magic_le in (MAGIC_US, MAGIC_NS):
+        end, magic = "<", magic_le
+    elif magic_be in (MAGIC_US, MAGIC_NS):
+        end, magic = ">", magic_be
+    else:
+        return  # not a pcap file
+    ts_div = 1e6 if magic == MAGIC_US else 1e9
+    linktype = struct.unpack_from(end + "I", blob, 20)[0]
+
+    off = 24
+    idx = 0
+    n = len(blob)
+    while off + 16 <= n:
+        ts_sec, ts_frac, incl, _orig = struct.unpack_from(end + "IIII", blob, off)
+        off += 16
+        if incl <= 0 or off + incl > n:
+            break  # truncated capture tail
+        frame = blob[off : off + incl]
+        off += incl
+        pkt_idx = idx
+        idx += 1
+
+        # link layer -> IP offset
+        if linktype == LINKTYPE_ETHERNET:
+            if len(frame) < 14:
+                continue
+            ethertype = struct.unpack_from(">H", frame, 12)[0]
+            ip_off = 14
+            if ethertype == 0x8100 and len(frame) >= 18:  # 802.1Q VLAN
+                ethertype = struct.unpack_from(">H", frame, 16)[0]
+                ip_off = 18
+            if ethertype != 0x0800:  # IPv4 only (reference pcap.clj:44-49)
+                continue
+        elif linktype == LINKTYPE_RAW_IP:
+            ip_off = 0
+        else:
+            continue
+
+        if len(frame) < ip_off + 20:
+            continue
+        ver_ihl = frame[ip_off]
+        if ver_ihl >> 4 != 4:
+            continue
+        ihl = (ver_ihl & 0x0F) * 4
+        proto = frame[ip_off + 9]
+        if proto != 6:  # TCP only
+            continue
+        src_ip = ".".join(str(b) for b in frame[ip_off + 12 : ip_off + 16])
+        dst_ip = ".".join(str(b) for b in frame[ip_off + 16 : ip_off + 20])
+
+        tcp_off = ip_off + ihl
+        if len(frame) < tcp_off + 20:
+            continue
+        src_port, dst_port = struct.unpack_from(">HH", frame, tcp_off)
+        data_off = tcp_off + ((frame[tcp_off + 12] >> 4) * 4)
+        payload = frame[data_off:]
+        if not payload:  # drop no-payload packets (pcap.clj:50-55)
+            continue
+
+        yield {
+            "path": path,
+            "pkt_index": pkt_idx,
+            "ts": pd.Timestamp(ts_sec, unit="s") + pd.Timedelta(ts_frac / ts_div, unit="s"),
+            "src_addr": src_ip,
+            "src_port": src_port,
+            "dst_addr": dst_ip,
+            "dst_port": dst_port,
+            "length": len(payload),
+            "data": payload,
+        }
+
+
+def _decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[dict] = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            rows.extend(_parse_pcap_bytes(path, bytes(blob)))
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in PACKET_SCHEMA.fields],
+        )
+
+
+def read_pcap(spark: SparkSession, path: str) -> DataFrame:
+    """Pcap file(s)/glob -> one row per IPv4/TCP payload packet
+    (PACKET_SCHEMA). A4 packet->map projection, batch form."""
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(_decode_files, PACKET_SCHEMA)
+
+
+def packets_to_chunks(packets: DataFrame, ports: Sequence[int] = (16020, 60020)) -> DataFrame:
+    """Direction tagging + port filter (B1/B2, core.clj:182-191, 221-223):
+    keep packets touching the monitored ports, derive (client, port, server)
+    from the direction, and emit the reassembly operator's chunk schema.
+    Pure column expressions — Catalyst pushes the port filter below the
+    projection."""
+    inbound = F.col("dst_port").isin(*ports)
+    keep = inbound | F.col("src_port").isin(*ports)
+    return (
+        packets.where(keep)
+        .select(
+            # per-file packet index orders chunks within a connection; ts
+            # breaks ties across files (reassembly sorts by (ts, event_id))
+            F.col("pkt_index").alias("event_id"),
+            "ts",
+            F.when(inbound, F.col("src_addr")).otherwise(F.col("dst_addr")).alias("client"),
+            F.when(inbound, F.col("src_port")).otherwise(F.col("dst_port")).alias("port"),
+            F.when(inbound, F.col("dst_addr")).otherwise(F.col("src_addr")).alias("server"),
+            "src_port",
+            "dst_port",
+            "data",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Writer (test/round-trip utility; also how users can synthesize captures)
+# ---------------------------------------------------------------------------
+
+def build_pcap(
+    packets: Sequence[tuple[float, str, int, str, int, bytes]],
+    *,
+    linktype: int = LINKTYPE_ETHERNET,
+    nanos: bool = False,
+) -> bytes:
+    """Serialize (ts_epoch_sec, src_ip, src_port, dst_ip, dst_port, payload)
+    tuples into a classic-pcap byte string (Ethernet or raw-IP framing,
+    zeroed checksums — parsers don't verify them)."""
+    magic = MAGIC_NS if nanos else MAGIC_US
+    out = bytearray(struct.pack("<IHHiIII", magic, 2, 4, 0, 0, 65535, linktype))
+    for ts, src_ip, sport, dst_ip, dport, payload in packets:
+        ip_src = bytes(int(x) for x in src_ip.split("."))
+        ip_dst = bytes(int(x) for x in dst_ip.split("."))
+        tcp = struct.pack(">HHIIBBHHH", sport, dport, 0, 0, 5 << 4, 0x18, 65535, 0, 0)
+        total = 20 + len(tcp) + len(payload)
+        ip = struct.pack(">BBHHHBBH", 0x45, 0, total, 0, 0, 64, 6, 0) + ip_src + ip_dst
+        frame = ip + tcp + bytes(payload)
+        if linktype == LINKTYPE_ETHERNET:
+            frame = b"\x02" * 6 + b"\x04" * 6 + struct.pack(">H", 0x0800) + frame
+        frac = round((ts - int(ts)) * (1e9 if nanos else 1e6))
+        out += struct.pack("<IIII", int(ts), int(frac), len(frame), len(frame))
+        out += frame
+    return bytes(out)

@@ -1,0 +1,110 @@
+"""Pcap file-mode tests: binary capture bytes -> packets -> chunks ->
+reassembled messages -> rpc_events -> the 4 SQL views, mirroring the
+reference's end-to-end fixture tests (core_test.clj:248-377) with a
+synthesized capture instead of dev-resources/*.pcap."""
+
+import json
+import struct
+
+from hbase_packet_inspector_spark.engine import Engine
+from hbase_packet_inspector_spark.sources import pcap as P
+
+CLIENT = "10.0.0.7"
+SERVER = "10.0.0.1"
+CPORT = 40123
+SPORT = 16020
+
+
+def frame(obj: dict) -> bytes:
+    body = json.dumps(obj).encode()
+    return struct.pack(">i", len(body)) + body
+
+
+def req(call_id, method="get", **kw):
+    return frame({"call_id": call_id, "method": method, "table": "t1", **kw})
+
+
+def res(call_id, elapsed_src=None, **kw):
+    return frame({"call_id": call_id, **kw})
+
+
+def write_capture(tmp_path, packets, **kwargs):
+    p = tmp_path / "cap.pcap"
+    p.write_bytes(P.build_pcap(packets, **kwargs))
+    return str(p)
+
+
+def test_packet_decode(spark, tmp_path):
+    path = write_capture(
+        tmp_path,
+        [
+            (1000.0, CLIENT, CPORT, SERVER, SPORT, b"abc"),
+            (1000.5, SERVER, SPORT, CLIENT, CPORT, b"defg"),
+            # non-monitored traffic is decoded here, filtered later
+            (1001.0, "10.0.0.9", 5555, "10.0.0.10", 80, b"x"),
+        ],
+    )
+    rows = P.read_pcap(spark, path).orderBy("pkt_index").collect()
+    assert [(r.src_addr, r.src_port, r.dst_port, r.length) for r in rows] == [
+        (CLIENT, CPORT, SPORT, 3),
+        (SERVER, SPORT, CPORT, 4),
+        ("10.0.0.9", 5555, 80, 1),
+    ]
+    assert rows[0].data == b"abc"
+    assert rows[0].ts.microsecond == 0 and rows[1].ts.microsecond == 500000
+
+
+def test_raw_ip_and_nanos_variants(spark, tmp_path):
+    path = write_capture(
+        tmp_path,
+        [(1000.0, CLIENT, CPORT, SERVER, SPORT, b"zz")],
+        linktype=P.LINKTYPE_RAW_IP,
+        nanos=True,
+    )
+    rows = P.read_pcap(spark, path).collect()
+    assert len(rows) == 1 and rows[0].data == b"zz"
+
+
+def test_port_filter_and_direction(spark, tmp_path):
+    path = write_capture(
+        tmp_path,
+        [
+            (1000.0, CLIENT, CPORT, SERVER, SPORT, b"req"),
+            (1000.5, SERVER, SPORT, CLIENT, CPORT, b"res"),
+            (1001.0, "10.0.0.9", 5555, "10.0.0.10", 80, b"skip"),
+        ],
+    )
+    chunks = P.packets_to_chunks(P.read_pcap(spark, path)).collect()
+    assert len(chunks) == 2  # B2: non-HBase ports dropped
+    assert all(c.client == CLIENT and c.port == CPORT and c.server == SERVER
+               for c in chunks)
+
+
+def test_pcap_to_sql_end_to_end(spark, tmp_path):
+    # two request/response pairs; the response to call 1 is fragmented
+    # across two packets and call 2's request shares a packet with call 1's
+    # (Nagle), exercising B4/B5 on real framing
+    r2 = res(2, cells=1)
+    packets = [
+        (1000.0, CLIENT, CPORT, SERVER, SPORT, req(1, "get", row="r1")),
+        (1000.2, CLIENT, CPORT, SERVER, SPORT, req(2, "put", cells=2, durability="use_default")),
+        (1000.6, SERVER, SPORT, CLIENT, CPORT, res(1, cells=3)[:7]),
+        (1000.8, SERVER, SPORT, CLIENT, CPORT, res(1, cells=3)[7:] + r2[:5]),
+        (1001.0, SERVER, SPORT, CLIENT, CPORT, r2[5:]),
+    ]
+    eng = Engine(spark).load_pcap(write_capture(tmp_path, packets))
+    eng.register_tables()
+
+    reqs = {r.call_id: r for r in eng.sql("SELECT * FROM requests").collect()}
+    assert set(reqs) == {1, 2}
+    assert reqs[1].method == "get" and reqs[1].row == "r1"
+    assert reqs[2].method == "put" and reqs[2].cells == 2
+
+    resp = {r.call_id: r for r in eng.sql(
+        "SELECT * FROM responses ORDER BY call_id").collect()}
+    assert set(resp) == {1, 2}
+    # correlation fills method from the request; elapsed = res.ts - req.ts
+    assert resp[1].method == "get" and resp[1].cells == 3
+    assert resp[1].elapsed == 800  # 1000.8 (completion packet) - 1000.0
+    assert resp[2].method == "put"
+    assert resp[2].elapsed == 800  # 1001.0 - 1000.2
