@@ -48,8 +48,15 @@ def cosine_topk(
     both sides must carry it and candidates are restricted to the query's
     cell (IVF-style pruning).
     """
-    base = emb.withColumn("_v", _as_double(F.col(vec_col)))
-    qs = queries.withColumn("_qv", _as_double(F.col("q_emb")))
+    # norms are per-VECTOR, so hoist them out of the pair loop: computing
+    # them inside the join would redo an O(dim) aggregate per PAIR — at
+    # n_base x n_query pairs that triples the hot-loop work for nothing
+    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
+        "_n", F.sqrt(sq_norm(F.col("_v")))
+    )
+    qs = queries.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
+        "_qn", F.sqrt(sq_norm(F.col("_qv")))
+    )
 
     cond = F.col("q_id") != F.col(id_col)
     if same_cell_col is not None:
@@ -57,9 +64,7 @@ def cosine_topk(
         cond = (F.col(f"q_{same_cell_col}") == F.col(same_cell_col)) & cond
     pairs = base.join(F.broadcast(qs), cond)
 
-    cos = dot(F.col("_v"), F.col("_qv")) / (
-        F.sqrt(sq_norm(F.col("_v"))) * F.sqrt(sq_norm(F.col("_qv")))
-    )
+    cos = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
@@ -91,36 +96,55 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     computable by any engine.
     """
     band_bits = bits // n_bands
-    v = emb.withColumn("_v", _as_double(F.col(vec_col)))
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "",
-            *[
-                # element_at is 1-based, matching SQL array indexing
-                F.when(F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
-                       F.lit("1")).otherwise(F.lit("0"))
-                for j in range(band_bits)
-            ],
-        )
-        v = v.withColumn(f"b{b}", key)
+    keyed = emb.select(
+        F.col(id_col),
+        *[
+            F.concat_ws(
+                "",
+                *[
+                    # element_at is 1-based, matching SQL array indexing
+                    F.when(
+                        F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0"))
+                    for j in range(band_bits)
+                ],
+            ).alias(f"b{b}")
+            for b in range(n_bands)
+        ],
+    )
 
-    left = v.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"),
-                    *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
-    right = v.select(F.col(id_col).alias("d2"), F.col("_v").alias("v2"),
-                     *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    # band joins carry ONLY (id, band key): at 2^band_bits buckets the raw
+    # collision set can be orders of magnitude larger than the verified
+    # output, and dragging the vectors through those joins + the dedup
+    # shuffle would dominate the whole operator. Vectors (with norms
+    # precomputed once per vector) are joined back onto the deduped pairs.
+    left = keyed.select(F.col(id_col).alias("d1"),
+                        *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
+    right = keyed.select(F.col(id_col).alias("d2"),
+                         *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
     cand = None
     for b in range(n_bands):
         pairs = left.join(
-            right, (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2"))
-        ).select("d1", "d2", "v1", "v2")
+            F.broadcast(right),
+            (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2")),
+        ).select("d1", "d2")
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.dropDuplicates(["d1", "d2"])
+    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(nparts, "d1")  # spread the cosine CPU work
 
-    cos = dot(F.col("v1"), F.col("v2")) / (
-        F.sqrt(sq_norm(F.col("v1"))) * F.sqrt(sq_norm(F.col("v2")))
-    )
+    vv = emb.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
+    v1 = F.broadcast(vv.select(F.col("_id").alias("d1"), F.col("_v").alias("v1"),
+                               F.col("_n").alias("n1")))
+    v2 = F.broadcast(vv.select(F.col("_id").alias("d2"), F.col("_v").alias("v2"),
+                               F.col("_n").alias("n2")))
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
-        cand.withColumn("cos", F.round(cos, 6))
+        cand.join(v1, "d1").join(v2, "d2")
+        .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= min_cos)
         .select("d1", "d2", "cos")
     )

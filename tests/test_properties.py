@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) on the pure-Python operator cores.
+
+The reference's tests are example-based (SURVEY.md §5); these go further on
+the imperative edges where Spark can't help with correctness: arbitrary TCP
+fragmentation/coalescing must not change reassembly output, and the pcap
+writer/parser must round-trip arbitrary packets. Pure functions only — no
+Spark jobs — so hypothesis can run hundreds of cases in seconds.
+"""
+
+import struct
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hbase_packet_inspector_spark.operators.reassembly import _reassemble_group
+from hbase_packet_inspector_spark.sources.pcap import (
+    LINKTYPE_ETHERNET,
+    LINKTYPE_RAW_IP,
+    _parse_pcap_bytes,
+    build_pcap,
+)
+from hbase_packet_inspector_spark.functions.scalar import _to_string_binary_py
+
+
+# --- reassembly: fragmentation invariance ----------------------------------
+
+messages = st.lists(st.binary(min_size=1, max_size=64), min_size=1, max_size=8)
+
+
+def fragment(stream: bytes, cuts: list[int]) -> list[bytes]:
+    points = sorted({c % (len(stream) + 1) for c in cuts}) if cuts else []
+    chunks, prev = [], 0
+    for p in points:
+        if p > prev:
+            chunks.append(stream[prev:p])
+            prev = p
+    if prev < len(stream):
+        chunks.append(stream[prev:])
+    return chunks or [stream]
+
+
+@given(messages, st.lists(st.integers(min_value=0, max_value=10_000), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_reassembly_invariant_under_fragmentation(msgs, cuts):
+    """However the framed byte stream is cut into packets, reassembly yields
+    exactly the original messages, in order (B4/B5)."""
+    stream = b"".join(struct.pack(">i", len(m)) + m for m in msgs)
+    chunks = fragment(stream, cuts)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(chunks)),
+            "ts": pd.to_datetime([1_700_000_000 + i for i in range(len(chunks))], unit="s"),
+            "client": "c",
+            "port": 40000,
+            "server": "s",
+            "src_port": 40000,
+            "dst_port": 16020,
+            "data": chunks,
+        }
+    )
+    out = _reassemble_group(pdf)
+    assert list(out["data"]) == msgs
+    assert list(out["msg_seq"]) == list(range(len(msgs)))
+    assert bool(out["inbound"].iloc[0]) is True
+
+
+@given(st.binary(min_size=5, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_reassembly_drops_invalid_framing(garbage):
+    """A stream whose 4-byte prefix is not a valid length never emits a
+    message longer than the buffer and never raises (B3/B14)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0],
+            "ts": pd.to_datetime([1_700_000_000], unit="s"),
+            "client": "c",
+            "port": 40000,
+            "server": "s",
+            "src_port": 16020,
+            "dst_port": 40000,
+            "data": [garbage],
+        }
+    )
+    out = _reassemble_group(pdf)
+    (n,) = struct.unpack_from(">i", garbage, 0)
+    if not (0 < n < 256 * 1024 * 1024):
+        assert len(out) == 0  # framing rejected, buffer dropped
+    for m in out["data"]:
+        assert len(m) <= len(garbage) - 4
+
+
+# --- pcap writer/parser round-trip -----------------------------------------
+
+ip_octet = st.integers(min_value=0, max_value=255)
+ips = st.tuples(ip_octet, ip_octet, ip_octet, ip_octet).map(
+    lambda t: ".".join(map(str, t))
+)
+ports = st.integers(min_value=1, max_value=65535)
+packets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**31 - 1),  # ts seconds
+        ips, ports, ips, ports,
+        st.binary(min_size=1, max_size=128),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(packets, st.sampled_from([LINKTYPE_ETHERNET, LINKTYPE_RAW_IP]),
+       st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_pcap_roundtrip(pkts, linktype, nanos):
+    pkts = [(float(ts), s, sp, d, dp, data) for ts, s, sp, d, dp, data in pkts]
+    blob = build_pcap(pkts, linktype=linktype, nanos=nanos)
+    parsed = list(_parse_pcap_bytes("p", blob))
+    assert len(parsed) == len(pkts)
+    for got, (ts, src, sport, dst, dport, data) in zip(parsed, pkts):
+        assert (got["src_addr"], got["src_port"]) == (src, sport)
+        assert (got["dst_addr"], got["dst_port"]) == (dst, dport)
+        assert got["data"] == data
+        assert abs(got["ts"].timestamp() - ts) < 1e-3
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_pcap_parser_never_raises_on_garbage(blob):
+    list(_parse_pcap_bytes("p", blob))  # must not raise, may yield nothing
+
+
+# --- toStringBinary (C9/E1) -------------------------------------------------
+
+@given(st.binary(max_size=128))
+@settings(max_examples=200, deadline=None)
+def test_to_string_binary_spec(data):
+    """Printable ASCII passes through; everything else becomes \\xNN — the
+    reference's escaping contract (hbase_test.clj:40-43)."""
+    s = _to_string_binary_py(data)
+    assert s == "".join(
+        chr(b) if 32 <= b < 127 else f"\\x{b:02X}" for b in data
+    )
+    # like HBase's toStringBinary, the escape format is NOT injective for
+    # inputs containing a literal backslash; for backslash-free inputs the
+    # escaped form must decode back to the original bytes
+    if b"\\" not in data:
+        out, i = bytearray(), 0
+        while i < len(s):
+            if s[i] == "\\" and i + 3 < len(s) and s[i + 1] == "x":
+                out.append(int(s[i + 2 : i + 4], 16))
+                i += 4
+            else:
+                out.append(ord(s[i]))
+                i += 1
+        assert bytes(out) == data
