@@ -54,14 +54,24 @@ def _correlate_group(
 ) -> Iterator[pd.DataFrame]:
     """Stateful handler for one (client, port) connection.
 
-    State: JSON map call_id -> {ts_ms, merge fields}. Semantics mirror the
-    reference: request stores/overwrites, response consumes+deletes, entries
-    older than the TTL relative to the latest seen packet are expired
-    (core.clj:195-207, 285-296).
+    State: JSON {"pending": {call_id -> {ts_ms, merge fields}},
+    "scanners": {scanner_id -> {table, region, ts_ms}}}. Semantics mirror
+    the reference's single state map: request stores/overwrites, response
+    consumes+deletes (core.clj:195-207); the scanner-session machine runs
+    in the same pass — open-scanner RESPONSE installs {table, region} under
+    the server-assigned scanner id (the rekeying step, core.clj:117-122),
+    next-rows events are enriched from it and refresh its ts, close-scanner
+    and small-scan responses delete it (core.clj:102-139). Both maps expire
+    by event-time TTL against the latest packet on the connection
+    (core.clj:285-296: event time, not wall clock). Keying scanner state
+    inside the connection group relies on scanner RPCs staying on the
+    connection that opened the scanner — which HBase clients guarantee; the
+    batch operator's (server, scanner) windows make the same assumption in
+    reverse.
     """
-    pending: dict[str, dict[str, Any]] = (
-        json.loads(state.get[0]) if state.exists else {}
-    )
+    st: dict[str, dict] = json.loads(state.get[0]) if state.exists else {}
+    pending: dict[str, dict[str, Any]] = st.get("pending", {})
+    scanners: dict[str, dict[str, Any]] = st.get("scanners", {})
 
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
@@ -71,12 +81,10 @@ def _correlate_group(
             row.pop("results", None)
             ts_ms = int(row["ts"].value // 1_000_000)  # pandas ns -> ms
             # event-time TTL expiry against the latest packet on this key
-            expired = [
-                cid for cid, req in pending.items()
-                if ts_ms - req["ts_ms"] > STATE_EXPIRATION_MS
-            ]
-            for cid in expired:
-                del pending[cid]
+            for d in (pending, scanners):
+                for k in [k for k, v in d.items()
+                          if ts_ms - v["ts_ms"] > STATE_EXPIRATION_MS]:
+                    del d[k]
 
             cid = str(row["call_id"])
             row["req_event_id"] = None
@@ -98,10 +106,39 @@ def _correlate_group(
                             row[f] = req[f]
                     row["elapsed"] = ts_ms - req["ts_ms"]
                     row["req_event_id"] = req["event_id"]
+
+            # scanner-session transitions (B8), post-merge so the open
+            # response already carries the request's table/region
+            sid = row.get("scanner")
+            if sid is not None and not pd.isna(sid):
+                sid, method = str(int(sid)), row.get("method")
+                if method == "open-scanner" and not row["inbound"]:
+                    scanners[sid] = {
+                        "table": row.get("table"),
+                        "region": row.get("region"),
+                        "ts_ms": ts_ms,
+                    }
+                else:
+                    sess = scanners.get(sid)
+                    if sess is not None:
+                        # every session row is enriched — including the
+                        # close-scanner request itself (deletion below takes
+                        # effect for LATER rows, matching the batch
+                        # operator's preceding-rows window)
+                        if row.get("table") is None:
+                            row["table"] = sess["table"]
+                        if row.get("region") is None:
+                            row["region"] = sess["region"]
+                        if method == "next-rows":
+                            sess["ts_ms"] = ts_ms
+                    if (method == "close-scanner" and row["inbound"]) or (
+                        method == "small-scan" and not row["inbound"]
+                    ):
+                        scanners.pop(sid, None)
             out_rows.append(row)
         yield pd.DataFrame(out_rows, columns=[f.name for f in CORRELATED_SCHEMA])
 
-    state.update((json.dumps(pending),))
+    state.update((json.dumps({"pending": pending, "scanners": scanners}),))
 
 
 def stream_correlate(events: DataFrame) -> DataFrame:
@@ -117,17 +154,23 @@ def stream_correlate(events: DataFrame) -> DataFrame:
 
 
 def run_pipeline_available_now(
-    spark, source_dir: str, sink_tables: dict[str, list]
+    spark, source_dir: str, sink_tables: dict[str, list],
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """File-replay mode: stream the rpc_events parquet directory through the
-    stateful correlation, fan out per micro-batch into the four public
-    tables (collected into ``sink_tables`` for tests; a deployment writes
-    Delta/parquet instead). Mirrors reference file mode with the streaming
-    engine (trigger=availableNow, graceful stop)."""
-    from ..operators.pipeline import finalize_and_route, scanner_enrich
+    stateful correlation + scanner machine, fan out per micro-batch into the
+    four public tables (collected into ``sink_tables`` for tests; a
+    deployment writes Delta/parquet instead). Mirrors reference file mode
+    with the streaming engine (trigger=availableNow, graceful stop).
+    ``max_files_per_trigger`` forces multi-micro-batch execution — tests use
+    it to prove state survives batch boundaries."""
+    from ..operators.pipeline import finalize_and_route
     from pyspark.sql import functions as F
 
-    events = spark.readStream.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(source_dir)
     correlated = stream_correlate(events)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -151,8 +194,9 @@ def run_pipeline_available_now(
             .withColumn("results", F.col("_r"))
             .drop("_aid", "_rid", "_a", "_r", "req_event_id")
         )
-        enriched = scanner_enrich(full)
-        for name, df in finalize_and_route(enriched).items():
+        # scanner enrichment already happened statefully upstream (cross-
+        # batch correct); only finalization + routing remain per batch
+        for name, df in finalize_and_route(full).items():
             sink_tables.setdefault(name, []).extend(df.collect())
 
     q = (

@@ -94,3 +94,28 @@ def test_streaming_ttl_and_unknown(spark, tmp_path):
     res = sink["responses"]
     assert len(res) == 2
     assert all(r.method == "unknown" and r.elapsed is None for r in res)
+
+
+def test_scanner_state_survives_micro_batches(spark, tmp_path):
+    """A scanner session opened in one micro-batch must keep enriching
+    next-rows events in later micro-batches (B8 cross-batch state): the
+    open/response pair lands in file 1, the next-rows in file 2, with
+    maxFilesPerTrigger=1 forcing separate batches."""
+    rows = fx.scan()
+    early = [r for r in rows if r["event_id"] < 2]   # open-scanner req+res
+    late = [r for r in rows if r["event_id"] >= 2]   # next-rows..close
+    src = str(tmp_path / "events")
+    fx.to_df(spark, early).coalesce(1).write.parquet(src)
+    import time
+    time.sleep(1.1)  # file source orders micro-batches by mod time
+    fx.to_df(spark, late).coalesce(1).write.mode("append").parquet(src)
+
+    sink: dict[str, list] = {}
+    run_pipeline_available_now(spark, src, sink, max_files_per_trigger=1)
+
+    next_reqs = [r for r in sink["requests"] if r.method == "next-rows"]
+    assert len(next_reqs) == 5
+    # table/region learned from the open-scanner session in the EARLIER batch
+    assert all(r.table == fx.TABLE and r.region == fx.REGION for r in next_reqs)
+    next_ress = [r for r in sink["responses"] if r.method == "next-rows"]
+    assert len(next_ress) == 5 and all(r.table == fx.TABLE for r in next_ress)
