@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, action="append",
                    help="monitored RPC port(s); default 16020 + 60020 "
                    "(reference core.clj:65-67)")
+    p.add_argument("--count", type=int, help="stop after N events (ref -c)")
+    p.add_argument("--duration", type=float,
+                   help="stop after S seconds of event time (ref -d)")
     p.add_argument("--sql", help="query to run (else: interactive prompt)")
     p.add_argument("--kafka", help="servers/topic1[/topic2][?k=v] -> print records")
     p.add_argument("--limit", type=int, default=20)
@@ -38,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
         eng.load_pcap(args.pcap, ports=tuple(args.port or (16020, 60020)))
     else:
         eng.load_events(args.events, args.format)
+    if args.count is not None or args.duration is not None:
+        eng.bound(args.count, args.duration)
 
     if args.kafka:
         for row in eng.kafka_records(args.kafka).take(args.limit):

@@ -134,6 +134,28 @@ class Engine:
 
     # -- file mode ------------------------------------------------------
 
+    def bound(self, count: int | None = None,
+              duration_s: float | None = None) -> "Engine":
+        """Bounded capture (B13, reference core.clj:384-392): keep only the
+        first ``count`` events and/or the first ``duration_s`` seconds of
+        EVENT time (relative to the earliest loaded event, like the
+        reference's `sub-ts latest first` — not wall clock)."""
+        if self._events is None:
+            raise RuntimeError("load events first")
+        ev = self._events
+        if duration_s is not None:
+            first = ev.agg(F.min("ts").alias("t0"))
+            ev = ev.join(F.broadcast(first)).where(
+                F.col("ts") <= F.timestamp_add(
+                    "SECOND", F.lit(int(duration_s)), F.col("t0"))
+            ).drop("t0")
+        if count is not None:
+            # capture order = (ts, event_id); limit after a sort is a TopK
+            # (TakeOrderedAndProject), not a full sort
+            ev = ev.orderBy("ts", "event_id").limit(count)
+        self._events = ev
+        return self
+
     def register_tables(self, ttl_ms: int | None = None) -> "Engine":
         if self._events is None:
             raise RuntimeError("call load_events() first")
@@ -141,6 +163,27 @@ class Engine:
         self.tables = build_tables(self._events, **kwargs)
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
+        return self
+
+    def persist_tables(self, path: str, buckets: int = 16) -> "Engine":
+        """Write the four tables bucketed + sorted on (client, port, call_id)
+        — the Spark analog of the reference's index on the same key
+        (db.clj:65-66). Subsequent joins between the persisted tables on the
+        documented join key need NO shuffle on either side (both scans
+        already hash-partitioned by bucket): at 100 TB this turns every
+        repeated request<->response analysis join from two full shuffles
+        into a zipped scan. Registers each as ``hpi_<name>``."""
+        if not self.tables:
+            raise RuntimeError("call register_tables() first")
+        key = ["client", "port", "call_id"]
+        for name, df in self.tables.items():
+            (
+                df.write.mode("overwrite")
+                .option("path", f"{path}/{name}")
+                .bucketBy(buckets, *key)
+                .sortBy(*key)
+                .saveAsTable(f"hpi_{name}")
+            )
         return self
 
     def sql(self, query: str) -> DataFrame:

@@ -43,3 +43,45 @@ def test_cli_sql(spark, tmp_path, capsys):
                "SELECT method, batch FROM requests"])
     out = capsys.readouterr().out
     assert rc == 0 and "multi" in out and "100" in out
+
+
+def test_bounded_capture(spark):
+    # B13: count and event-time duration bounds (reference core.clj:384-392)
+    rows = fx.sequential_write() + fx.scan()
+    for i, r in enumerate(rows):
+        r["event_id"] = i
+    eng = Engine(spark).load_events(fx.to_df(spark, rows))
+    assert eng.bound(count=3)._events.count() == 3
+
+    eng2 = Engine(spark).load_events(fx.to_df(spark, rows))
+    ev = eng2.bound(duration_s=0)._events.collect()  # only t0-second events
+    t0 = min(r["ts"] for r in rows)
+    assert all(e.ts <= t0.replace(microsecond=0) or e.ts.second == t0.second
+               for e in ev) and len(ev) >= 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    # D5 analog: bucketBy(client, port, call_id) = the reference's index —
+    # the canonical correlation join must plan with NO Exchange on either
+    # side once both tables are bucketed on the join key.
+    rows = fx.random_read()
+    eng = Engine(spark).load_events(fx.to_df(spark, rows)).register_tables()
+    eng.persist_tables(str(tmp_path / "warehouse"), buckets=4)
+
+    # at test scale Spark would broadcast instead (also shuffle-free, but it
+    # hides the bucketed path a 100 TB join takes) — force the merge join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = eng.sql(
+            """
+            SELECT r.method, s.elapsed FROM hpi_requests r
+            JOIN hpi_responses s USING (client, port, call_id)
+            """
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
