@@ -206,3 +206,28 @@ def run_pipeline_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_windowed_counts(
+    events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Per-window per-method traffic counts with a late-data watermark —
+    the streaming form of the §2F time-series query, and the watermark
+    analog of the reference's event-time TTL (B10): events arriving later
+    than ``watermark`` behind the max seen ts are dropped, the same
+    drop-dangling-state semantics as core.clj:285-296 (the reference then
+    emits method=unknown for the orphaned response; here the orphan simply
+    doesn't count). Append mode emits each window once, when the watermark
+    passes its end — at 100 TB this is what bounds the agg state."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "method")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "method",
+            "n",
+        )
+    )

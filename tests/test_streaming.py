@@ -119,3 +119,53 @@ def test_scanner_state_survives_micro_batches(spark, tmp_path):
     assert all(r.table == fx.TABLE and r.region == fx.REGION for r in next_reqs)
     next_ress = [r for r in sink["responses"] if r.method == "next-rows"]
     assert len(next_ress) == 5 and all(r.table == fx.TABLE for r in next_ress)
+
+
+def test_watermark_finalizes_windows_exactly_once(spark, tmp_path):
+    """§2F time series, streaming form: append mode emits each window
+    exactly once when the watermark (2 min) passes it, and an event
+    arriving AFTER its window was emitted can never reopen it — the
+    guaranteed side of the watermark contract (within-threshold data is
+    guaranteed aggregated; the reference analog is TTL-dropped dangling
+    state, core.clj:285-296)."""
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        stream_windowed_counts,
+    )
+    import time
+
+    def ev(eid, minute, method="get"):
+        return fx._ev(eid, minute * 60_000, True, 100 + eid, method)
+
+    src = str(tmp_path / "events")
+    batches = [
+        [ev(0, 1), ev(1, 1), ev(2, 1), ev(3, 30)],  # watermark -> 28
+        [ev(4, 60)],            # minute-1 window (end 2 < 28) emits: n=3
+        [ev(10, 1), ev(5, 90)],  # minute-1 arrives AFTER emission -> dropped
+        [ev(6, 120)],           # flush minute-90
+    ]
+    for i, rows in enumerate(batches):
+        fx.to_df(spark, rows).coalesce(1).write.mode(
+            "append" if i else "error").parquet(src)
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    events = (
+        spark.readStream.schema(fx.RPC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_windowed_counts(events)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    t0 = int(fx._ms(0).timestamp())
+    rows = [r for r in spark.sql(
+        "SELECT * FROM win_counts WHERE method = 'get'").collect()]
+    minute1 = [r.n for r in rows if r.window_start == t0 + 60]
+    assert minute1 == [3]  # emitted once, never reopened by the straggler
+    assert [r.n for r in rows if r.window_start == t0 + 30 * 60] == [1]
