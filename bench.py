@@ -54,6 +54,7 @@ HEADLINE = [
     "quantity_outliers",
     "user_event_pivot",
     "approx_distinct_users",
+    "multimodal_byte_features",
 ]
 
 

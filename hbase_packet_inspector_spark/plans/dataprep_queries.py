@@ -407,3 +407,53 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.norm_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "multimodal_byte_features",
+    """
+    WITH m AS (
+      SELECT id AS media_id,
+             CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             repeat(md5(CAST(id AS VARCHAR)), CAST(id % 7 + 1 AS INT)) AS hx
+      FROM range(64) t(id)),
+    b AS (SELECT media_id, CAST(unnest(range(1, length(hx), 2)) AS INTEGER) AS i, hx
+          FROM m),
+    v AS (SELECT media_id,
+                 instr('123456789abcdef', substr(hx, i, 1)) * 16
+                 + instr('123456789abcdef', substr(hx, i + 1, 1)) AS byte
+          FROM b),
+    c AS (SELECT media_id, byte, count(*) AS cnt FROM v GROUP BY 1, 2),
+    n AS (SELECT media_id, CAST(count(*) AS INTEGER) AS n_bytes,
+                 sum(byte) AS total
+          FROM v GROUP BY 1)
+    SELECT c.media_id, max(m.kind) AS kind, max(n.n_bytes) AS n_bytes,
+           CAST(max(n.total) AS DOUBLE) / max(n.n_bytes) AS mean_byte,
+           round(-sum((CAST(cnt AS DOUBLE) / n.n_bytes)
+                      * log2(CAST(cnt AS DOUBLE) / n.n_bytes)), 4)
+             AS byte_entropy
+    FROM c JOIN n USING (media_id) JOIN m USING (media_id)
+    GROUP BY 1
+    """,
+    doc="Multimodal binary columns: codec-free byte-level feature extraction "
+    "(size, exact mean byte, distribution entropy) over an Arrow-batched "
+    "mapInPandas stage — payloads never leave the executors. The corpus is "
+    "the deterministic synthesized media table (payload = repeated md5 of "
+    "the id), which is what lets DuckDB reproduce the byte stream and "
+    "oracle-check a binary-column pipeline end-to-end; mean_byte is an "
+    "exact int/int division, entropy rounds to 4.",
+    tags=("dataprep", "multimodal", "binary"),
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    feats = M.extract_features(M.synthesize_media(spark, 64))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "mean_byte",
+        F.round("byte_entropy", 4).alias("byte_entropy"),
+    )
