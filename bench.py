@@ -55,6 +55,8 @@ HEADLINE = [
     "user_event_pivot",
     "approx_distinct_users",
     "multimodal_byte_features",
+    "rolling_fingerprint",
+    "dedup_word_ngram",
 ]
 
 

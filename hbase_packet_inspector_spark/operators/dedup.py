@@ -45,6 +45,14 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Explicit-count repartition by doc_id: a small text scan plans one
+    partition and AQE won't widen byte-small exchanges, which serializes
+    every CPU-dense shingle/hash stage downstream (see shingle_sets)."""
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(nparts, "doc_id")
+
+
 def char_shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE,
                   text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct char n-grams. flatMap — no shuffle until
@@ -54,7 +62,23 @@ def char_shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE,
         f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}), "
         f"i -> substring({text_col}, i, {n}))) ELSE array() END"
     )
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return _spread(docs).select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): DISTINCT word n-grams per doc — the standard text
+    near-dup unit (char shingles catch edits; word shingles catch passage
+    reuse). Narrow after the spread: split + in-row transform."""
+    grams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        _spread(docs)
+        .where(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
 
 
 def shingle_sizes(shingles: DataFrame) -> DataFrame:
@@ -117,11 +141,7 @@ def shingle_sets(docs: DataFrame, n: int = DEFAULT_SHINGLE,
     # signature hashing runs on one core. Redistribute by doc_id first; the
     # shuffle moves only raw text, orders of magnitude cheaper than the
     # hashing it parallelizes.
-    # NB: the partition count must be EXPLICIT — with only a column given,
-    # AQE re-coalesces the exchange by byte size and serializes the CPU work
-    # again.
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return docs.repartition(nparts, "doc_id").select(
+    return _spread(docs).select(
         "doc_id", sh.alias("sset")
     ).withColumn("n", F.size("sset")).where(F.col("n") > 0)
 

@@ -457,3 +457,54 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_byte",
         F.round("byte_entropy", 4).alias("byte_entropy"),
     )
+
+
+@register(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(text, '.'),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+    FROM documents
+    """,
+    doc="Karp-Rabin polynomial rolling hash over the character stream "
+    "(base 31 mod 1e9+7) as a higher-order fold — order-sensitive and "
+    "prefix-extendable, the primitive under content-defined chunking for "
+    "incremental dedup at scale. Fully narrow (one fold per row, no "
+    "shuffle).",
+    tags=("dataprep", "fingerprint", "rolling-hash"),
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.rolling_hash(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_word_ngram",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+    """,
+    doc="Word-trigram Jaccard >= 0.8 — passage-reuse near-dup detection "
+    "(char shingles catch edits, word shingles catch copied text; this "
+    "corpus contains true passage-level duplicates at j~0.99). Same "
+    "shingle-join shape as the char variant; jaccard is an exact integer "
+    "ratio.",
+    tags=("dataprep", "dedup", "jaccard", "word-ngram"),
+)
+def dedup_word_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    return D.pairwise_jaccard(sh, min_jaccard=0.8)
