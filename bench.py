@@ -57,6 +57,7 @@ HEADLINE = [
     "multimodal_byte_features",
     "rolling_fingerprint",
     "dedup_word_ngram",
+    "asof_last_click",
 ]
 
 

@@ -433,3 +433,50 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_5pct"),
         )
     )
+
+
+@register(
+    "asof_last_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts,
+                 CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           c.click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="Generic backward as-of join (operators.asof.asof_join, the "
+    "reusable form of the B6 correlation primitive): each purchase joined "
+    "to the user's most recent prior-or-equal click. Spark plans the "
+    "union-and-window shape — ONE shuffle, no join node, no pair blowup on "
+    "duplicate timestamps; DuckDB validates with its native ASOF JOIN. "
+    "Clicks are pre-deduped per (user, ts) so the tie pick is "
+    "deterministic in both engines.",
+    tags=("events", "asof", "join"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg((F.max(_cents(F.col("value"))).cast("double") / 100).alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"],
+                    value_cols=["click_value"], suffix="_click")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_epoch"),
+        F.col("ts_click").cast("long").alias("click_epoch"),
+        F.col("click_value_click").alias("click_value"),
+    )
