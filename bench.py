@@ -58,6 +58,7 @@ HEADLINE = [
     "rolling_fingerprint",
     "dedup_word_ngram",
     "asof_last_click",
+    "conversion_funnel",
 ]
 
 

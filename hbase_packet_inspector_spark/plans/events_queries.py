@@ -480,3 +480,60 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_click").cast("long").alias("click_epoch"),
         F.col("click_value_click").alias("click_value"),
     )
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id)
+    SELECT count(v.user_id) AS n_viewed,
+           count(c.user_id) AS n_clicked_after_view,
+           count(p.user_id) AS n_purchased_after_click,
+           CAST(count(p.user_id) AS DOUBLE) / count(v.user_id) AS conversion
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase): each stage's "
+    "earliest qualifying event must follow the previous stage's. Stage "
+    "frames are per-user aggregates joined on user_id — partial+final aggs, "
+    "joins on the same key reuse the partitioning; the final rollup is one "
+    "row. The order-sensitive analytics shape a log-analytics engine exists "
+    "for.",
+    tags=("events", "funnel", "join", "agg"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def stage(etype, prev, prev_ts):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") >= F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{etype}"))
+        )
+
+    v = stage("view", None, None)
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_viewed"),
+            F.count("t_click").alias("n_clicked_after_view"),
+            F.count("t_purchase").alias("n_purchased_after_click"),
+            (F.count("t_purchase").cast("double") / F.count("t_view")).alias("conversion"),
+        )
+    )
