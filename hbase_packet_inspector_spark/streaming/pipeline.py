@@ -156,6 +156,7 @@ def stream_correlate(events: DataFrame) -> DataFrame:
 def run_pipeline_available_now(
     spark, source_dir: str, sink_tables: dict[str, list],
     max_files_per_trigger: int | None = None,
+    rocksdb_state: bool = False,
 ) -> None:
     """File-replay mode: stream the rpc_events parquet directory through the
     stateful correlation + scanner machine, fan out per micro-batch into the
@@ -167,6 +168,14 @@ def run_pipeline_available_now(
     from ..operators.pipeline import finalize_and_route
     from pyspark.sql import functions as F
 
+    if rocksdb_state:
+        # off-heap spillable state — the memory-pressure answer the
+        # reference solves by DROPPING state (B11); Spark spills instead
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

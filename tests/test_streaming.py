@@ -169,3 +169,22 @@ def test_watermark_finalizes_windows_exactly_once(spark, tmp_path):
     minute1 = [r.n for r in rows if r.window_start == t0 + 60]
     assert minute1 == [3]  # emitted once, never reopened by the straggler
     assert [r.n for r in rows if r.window_start == t0 + 30 * 60] == [1]
+
+
+def test_rocksdb_state_store(spark, tmp_path):
+    """B11 analog: the stateful pipeline runs unchanged on the RocksDB
+    state store (off-heap, spillable) — Spark's answer to the reference's
+    memory-pressure state dropping."""
+    src = str(tmp_path / "events")
+    fx.to_df(spark, fx.random_read()).write.parquet(src)
+    sink: dict[str, list] = {}
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        run_pipeline_available_now(spark, src, sink, rocksdb_state=True)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert len(sink["requests"]) == 5 and len(sink["responses"]) == 5
+    assert all(r.elapsed is not None for r in sink["responses"])
