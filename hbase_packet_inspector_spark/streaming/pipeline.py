@@ -74,69 +74,7 @@ def _correlate_group(
     scanners: dict[str, dict[str, Any]] = st.get("scanners", {})
 
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        out_rows = []
-        for row in pdf.to_dict("records"):
-            row.pop("actions", None)
-            row.pop("results", None)
-            ts_ms = int(row["ts"].value // 1_000_000)  # pandas ns -> ms
-            # event-time TTL expiry against the latest packet on this key
-            for d in (pending, scanners):
-                for k in [k for k, v in d.items()
-                          if ts_ms - v["ts_ms"] > STATE_EXPIRATION_MS]:
-                    del d[k]
-
-            cid = str(row["call_id"])
-            row["req_event_id"] = None
-            if row["inbound"]:
-                pending[cid] = {
-                    "ts_ms": ts_ms,
-                    "event_id": int(row["event_id"]),
-                    **{f: row.get(f) for f in _MERGE_FIELDS},
-                }
-                row["elapsed"] = None
-            else:
-                req = pending.pop(cid, None)
-                if req is None:
-                    row["method"] = "unknown"
-                    row["elapsed"] = None
-                else:
-                    for f in _MERGE_FIELDS:
-                        if row.get(f) is None:
-                            row[f] = req[f]
-                    row["elapsed"] = ts_ms - req["ts_ms"]
-                    row["req_event_id"] = req["event_id"]
-
-            # scanner-session transitions (B8), post-merge so the open
-            # response already carries the request's table/region
-            sid = row.get("scanner")
-            if sid is not None and not pd.isna(sid):
-                sid, method = str(int(sid)), row.get("method")
-                if method == "open-scanner" and not row["inbound"]:
-                    scanners[sid] = {
-                        "table": row.get("table"),
-                        "region": row.get("region"),
-                        "ts_ms": ts_ms,
-                    }
-                else:
-                    sess = scanners.get(sid)
-                    if sess is not None:
-                        # every session row is enriched — including the
-                        # close-scanner request itself (deletion below takes
-                        # effect for LATER rows, matching the batch
-                        # operator's preceding-rows window)
-                        if row.get("table") is None:
-                            row["table"] = sess["table"]
-                        if row.get("region") is None:
-                            row["region"] = sess["region"]
-                        if method == "next-rows":
-                            sess["ts_ms"] = ts_ms
-                    if (method == "close-scanner" and row["inbound"]) or (
-                        method == "small-scan" and not row["inbound"]
-                    ):
-                        scanners.pop(sid, None)
-            out_rows.append(row)
-        yield pd.DataFrame(out_rows, columns=[f.name for f in CORRELATED_SCHEMA])
+        yield _correlate_rows(pending, scanners, pdf)
 
     state.update((json.dumps({"pending": pending, "scanners": scanners}),))
 
@@ -239,4 +177,103 @@ def stream_windowed_counts(
             "method",
             "n",
         )
+    )
+
+
+def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.DataFrame:
+    """The pure per-batch correlation + scanner-machine step shared by the
+    applyInPandasWithState handler above and the transformWithState
+    processor below (single source of truth for the semantics)."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    out_rows = []
+    for row in pdf.to_dict("records"):
+        row.pop("actions", None)
+        row.pop("results", None)
+        ts_ms = int(row["ts"].value // 1_000_000)
+        for d in (pending, scanners):
+            for k in [k for k, v in d.items()
+                      if ts_ms - v["ts_ms"] > STATE_EXPIRATION_MS]:
+                del d[k]
+        cid = str(row["call_id"])
+        row["req_event_id"] = None
+        if row["inbound"]:
+            pending[cid] = {
+                "ts_ms": ts_ms,
+                "event_id": int(row["event_id"]),
+                **{f: row.get(f) for f in _MERGE_FIELDS},
+            }
+            row["elapsed"] = None
+        else:
+            req = pending.pop(cid, None)
+            if req is None:
+                row["method"] = "unknown"
+                row["elapsed"] = None
+            else:
+                for f in _MERGE_FIELDS:
+                    if row.get(f) is None:
+                        row[f] = req[f]
+                row["elapsed"] = ts_ms - req["ts_ms"]
+                row["req_event_id"] = req["event_id"]
+        sid = row.get("scanner")
+        if sid is not None and not pd.isna(sid):
+            sid, method = str(int(sid)), row.get("method")
+            if method == "open-scanner" and not row["inbound"]:
+                scanners[sid] = {"table": row.get("table"),
+                                 "region": row.get("region"), "ts_ms": ts_ms}
+            else:
+                sess = scanners.get(sid)
+                if sess is not None:
+                    if row.get("table") is None:
+                        row["table"] = sess["table"]
+                    if row.get("region") is None:
+                        row["region"] = sess["region"]
+                    if method == "next-rows":
+                        sess["ts_ms"] = ts_ms
+                if (method == "close-scanner" and row["inbound"]) or (
+                    method == "small-scan" and not row["inbound"]
+                ):
+                    scanners.pop(sid, None)
+        out_rows.append(row)
+    return pd.DataFrame(out_rows, columns=[f.name for f in CORRELATED_SCHEMA])
+
+
+def stream_correlate_tws(events: DataFrame) -> DataFrame:
+    """Correlation on ``transformWithStateInPandas`` — the Spark 4 successor
+    of applyInPandasWithState (typed state handles, timer support, RocksDB
+    required). Same semantics as stream_correlate (both call
+    _correlate_rows); kept as a parallel implementation so the engine can
+    migrate when the older API is retired.
+
+    Runtime requirements beyond stream_correlate: the RocksDB state store
+    AND the ``google.protobuf`` Python package (the TWS state-server
+    protocol uses it; absent in codec-free containers — the equivalence
+    test importorskips on it)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CorrelateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("correlate_state", "blob STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            blob = self._state.get()
+            st = json.loads(blob[0]) if blob else {}
+            pending = st.get("pending", {})
+            scanners = st.get("scanners", {})
+            for pdf in rows:
+                yield _correlate_rows(pending, scanners, pdf)
+            self._state.update(
+                (json.dumps({"pending": pending, "scanners": scanners}),)
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("client", "port").transformWithStateInPandas(
+        CorrelateProcessor(),
+        outputStructType=CORRELATED_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )

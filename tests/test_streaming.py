@@ -188,3 +188,46 @@ def test_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert len(sink["requests"]) == 5 and len(sink["responses"]) == 5
     assert all(r.elapsed is not None for r in sink["responses"])
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path, workload):
+    """The transformWithStateInPandas implementation must produce exactly
+    the applyInPandasWithState outputs (both share _correlate_rows; this
+    pins the state plumbing). TWS requires the RocksDB state store and the
+    protobuf wheel (its state-server wire protocol)."""
+    pytest.importorskip("google.protobuf")
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        stream_correlate,
+        stream_correlate_tws,
+    )
+
+    src = str(tmp_path / "events")
+    fx.to_df(spark, workload).write.parquet(src)
+
+    def run(factory, ckpt):
+        events = spark.readStream.schema(fx.RPC_EVENT_SCHEMA).parquet(src)
+        out: list = []
+        q = (
+            factory(events)
+            .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(str(x) for x in r) for r in out)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = run(stream_correlate_tws, "ck_tws")
+        base = run(stream_correlate, "ck_apply")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert tws == base and len(tws) > 0
