@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_word_ngram",
     "asof_last_click",
     "conversion_funnel",
+    "ivf_quantized_topk",
 ]
 
 

@@ -17,7 +17,6 @@ metadata only (indices), deferring byte decode to the sampled subset.
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -85,24 +84,26 @@ def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _byte_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Codec-free per-item features over Arrow batches."""
+    """Codec-free per-item features over Arrow batches. numpy-vectorized:
+    bincount + masked log2 instead of a per-byte Python loop (the loop costs
+    ~1 µs/byte — ruinous on MB-scale payloads)."""
+    import numpy as np
+
     for pdf in batch_iter:
         rows = []
         for r in pdf.itertuples():
             data: bytes = r.payload
-            counts: dict[int, int] = {}
-            for b in data:
-                counts[b] = counts.get(b, 0) + 1
-            n = len(data) or 1
-            entropy = -sum(
-                (c / n) * math.log2(c / n) for c in counts.values()
-            )
+            arr = np.frombuffer(data, dtype=np.uint8)
+            n = len(arr) or 1
+            counts = np.bincount(arr, minlength=256)
+            p = counts[counts > 0] / n
+            entropy = float(-(p * np.log2(p)).sum())
             rows.append(
                 {
                     "media_id": r.media_id,
                     "kind": r.kind,
                     "n_bytes": len(data),
-                    "mean_byte": sum(data) / n,
+                    "mean_byte": float(arr.sum()) / n,
                     "byte_entropy": entropy,
                     "head_fp": hashlib.md5(data[:64]).hexdigest(),
                 }

@@ -150,6 +150,38 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     )
 
 
+def assign_cells(emb: DataFrame, centroids: DataFrame, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cell): IVF coarse-quantizer assignment — each vector goes to its
+    max-cosine centroid (``centroids``: (cell, c_emb), always broadcast;
+    #cells ≪ #vectors by construction). Cosines are rounded to 6 decimals
+    BEFORE ranking so the argmax tie-break (lowest cell id) is
+    engine-independent — double summation order must never pick the cell.
+
+    One broadcast nested-loop of #vectors × #cells rows and one window over
+    vec_id — at 10^9 vectors × 2^12 cells this is the standard IVF build
+    cost, embarrassingly parallel, no shuffle on the big side until the
+    per-vector argmax (which AQE plans as a partial top-1)."""
+    base = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
+    cents = F.broadcast(
+        centroids.select(
+            F.col("cell"), _as_double(F.col("c_emb")).alias("_c")
+        ).withColumn("_cn", F.sqrt(sq_norm(F.col("_c"))))
+    )
+    cos = F.round(
+        dot(F.col("_v"), F.col("_c")) / (F.col("_n") * F.col("_cn")), 6
+    )
+    scored = base.join(cents).select(id_col, "cell", cos.alias("_cos"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "cell")
+    )
+
+
 def norm_stats(emb: DataFrame, by: str = "label",
                vec_col: str = "embedding") -> DataFrame:
     norm = F.sqrt(sq_norm(_as_double(F.col(vec_col))))

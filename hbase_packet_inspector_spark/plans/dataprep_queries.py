@@ -508,3 +508,57 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_word_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(_docs(spark, sf_dir), n=3)
     return D.pairwise_jaccard(sh, min_jaccard=0.8)
+
+
+@register(
+    "ivf_quantized_topk",
+    f"""
+    WITH {_COS_CTE},
+    a AS (SELECT v.vec_id, c.vec_id AS cell,
+                 round(sum(v.v * c.v) / (sqrt(nv.sq) * sqrt(nc.sq)), 6) AS acos
+          FROM e v JOIN e c ON c.vec_id < 10 AND v.i = c.i
+          JOIN nrm nv ON nv.vec_id = v.vec_id
+          JOIN nrm nc ON nc.vec_id = c.vec_id
+          GROUP BY 1, 2, nv.sq, nc.sq),
+    cellof AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY acos DESC, cell) AS r
+                 FROM a) WHERE r = 1),
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 sum(q.v * b.v) AS dp
+          FROM e q
+          JOIN cellof ql ON ql.vec_id = q.vec_id
+          JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          JOIN cellof bl ON bl.vec_id = b.vec_id AND bl.cell = ql.cell
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="IVF with a REAL coarse quantizer (not the label stand-in): the "
+    "first 10 vectors seed the centroid table, every vector is assigned to "
+    "its max-cosine centroid (cosine rounded to 6 before the argmax so the "
+    "tie-break is engine-independent), and search prunes to the query's "
+    "cell. The full IVF build+search shape: broadcast quantizer, "
+    "per-vector argmax, cell-pruned candidate join.",
+    tags=("dataprep", "similarity", "ann", "ivf", "quantizer"),
+)
+def ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cells = S.assign_cells(emb, centroids)
+    base = emb.join(cells, "vec_id")
+    qs = base.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
