@@ -85,3 +85,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_day_partitioned_tables_prune(spark, tmp_path):
+    # partition_by_day: a date filter must reach the scan as a partition
+    # filter (planning-time pruning — zero I/O for excluded days)
+    rows = fx.random_read()
+    # spread events across two days
+    import datetime as dt
+    for i, r in enumerate(rows):
+        if i >= len(rows) // 2:
+            r["ts"] = r["ts"] + dt.timedelta(days=1)
+    eng = Engine(spark).load_events(fx.to_df(spark, rows)).register_tables()
+    eng.persist_tables(str(tmp_path / "wh"), buckets=2, partition_by_day=True)
+
+    q = eng.sql("SELECT * FROM hpi_requests WHERE day = DATE'2024-01-01'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    days = {r.day for r in q.collect()}
+    assert days == {dt.date(2024, 1, 1)}

@@ -62,9 +62,12 @@ def audit(df):
 # - cosine_topk: brute-force exact-ANN baseline IS a broadcast nested-loop
 #   (every query vector scores every base vector); the scale path is the
 #   IVF-pruned variant, which plans as an equi join.
+# - ivf_quantized_topk: quantizer assignment is definitionally
+#   vectors × centroids with the tiny centroid table broadcast.
 ALLOWED = {
     "acctbal_deciles": {"GLOBAL-WINDOW"},
     "cosine_topk": {"NESTED-LOOP-JOIN"},
+    "ivf_quantized_topk": {"NESTED-LOOP-JOIN"},
 }
 
 
