@@ -209,10 +209,13 @@ class Engine:
 
     # -- live / kafka modes --------------------------------------------
 
-    def stream(self, source_dir: str, sink_tables: dict[str, list]) -> None:
+    def stream(self, source_dir: str, sink_tables: dict[str, list],
+               **kwargs) -> None:
+        """Streaming file-replay mode; kwargs pass through to
+        run_pipeline_available_now (max_files_per_trigger, rocksdb_state)."""
         from .streaming.pipeline import run_pipeline_available_now
 
-        run_pipeline_available_now(self.spark, source_dir, sink_tables)
+        run_pipeline_available_now(self.spark, source_dir, sink_tables, **kwargs)
 
     def kafka_records(
         self, spec: str, df: DataFrame | None = None, hostname: str = "localhost"
