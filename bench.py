@@ -60,6 +60,7 @@ HEADLINE = [
     "asof_last_click",
     "conversion_funnel",
     "ivf_quantized_topk",
+    "ivf_kmeans_topk",
 ]
 
 

@@ -162,7 +162,12 @@ def assign_cells(emb: DataFrame, centroids: DataFrame, *,
     vec_id — at 10^9 vectors × 2^12 cells this is the standard IVF build
     cost, embarrassingly parallel, no shuffle on the big side until the
     per-vector argmax (which AQE plans as a partial top-1)."""
-    base = emb.select(
+    # the embeddings scan is byte-small (one partition) but the assignment
+    # is #vectors x #cells dot products — spread it before the broadcast
+    # join or the whole quantizer runs on one core (same trap as
+    # dedup._spread; explicit count so AQE can't re-coalesce)
+    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = emb.repartition(nparts, id_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
     cents = F.broadcast(

@@ -562,3 +562,84 @@ def ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("q_cell"),
     )
     return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
+
+
+@register(
+    "ivf_kmeans_topk",
+    f"""
+    WITH {_COS_CTE},
+    a AS (SELECT v.vec_id, c.vec_id AS cell,
+                 round(sum(v.v * c.v) / (sqrt(nv.sq) * sqrt(nc.sq)), 6) AS acos
+          FROM e v JOIN e c ON c.vec_id < 10 AND v.i = c.i
+          JOIN nrm nv ON nv.vec_id = v.vec_id
+          JOIN nrm nc ON nc.vec_id = c.vec_id
+          GROUP BY 1, 2, nv.sq, nc.sq),
+    cell0 AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY acos DESC, cell) AS r
+                FROM a) WHERE r = 1),
+    cent AS (SELECT c0.cell, e.i, round(avg(e.v), 6) AS cv
+             FROM e JOIN cell0 c0 USING (vec_id) GROUP BY 1, 2),
+    cnorm AS (SELECT cell, sum(cv * cv) AS sq FROM cent GROUP BY 1),
+    a1 AS (SELECT v.vec_id, c.cell,
+                  round(sum(v.v * c.cv) / (sqrt(nv.sq) * sqrt(cn.sq)), 6) AS acos
+           FROM e v JOIN cent c ON v.i = c.i
+           JOIN nrm nv ON nv.vec_id = v.vec_id
+           JOIN cnorm cn ON cn.cell = c.cell
+           GROUP BY 1, 2, nv.sq, cn.sq),
+    cell1 AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY acos DESC, cell) AS r
+                FROM a1) WHERE r = 1),
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 sum(q.v * b.v) AS dp
+          FROM e q
+          JOIN cell1 ql ON ql.vec_id = q.vec_id
+          JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          JOIN cell1 bl ON bl.vec_id = b.vec_id AND bl.cell = ql.cell
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="IVF quantizer REFINEMENT — one Lloyd/k-means iteration expressed "
+    "declaratively: seeded assignment -> per-cell elementwise mean vectors "
+    "(components rounded to 6 so cross-engine summation order can't leak "
+    "into the argmax) -> reassignment against the refined centroids -> "
+    "cell-pruned search. The iterative-algorithm shape (each iteration = "
+    "one aggregate + one broadcast assignment pass) that scales linearly "
+    "per round at 10^9 vectors.",
+    tags=("dataprep", "similarity", "ann", "ivf", "kmeans"),
+)
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double
+
+    emb = _emb(spark, sf_dir)
+    seed = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cell0 = S.assign_cells(emb, seed)
+    cent1 = (
+        emb.join(cell0, "vec_id")
+        .select("cell", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cell", F.expr("transform(pv, s -> s.v)").alias("c_emb"))
+    )
+    cell1 = S.assign_cells(emb, cent1)
+    base = emb.join(cell1, "vec_id")
+    qs = base.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
