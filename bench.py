@@ -82,6 +82,9 @@ def main() -> None:
         n = q.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop persisted frames (e.g. LSH signature caches) between queries
+        # so earlier queries' executor memory doesn't tax later ones
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
