@@ -22,7 +22,9 @@ def workload():
     rows = []
     offset = 0
     for gen in (fx.random_read, fx.scan, fx.ttl_expiry, fx.unknown_response,
-                fx.call_id_reuse, fx.sequential_write):
+                fx.call_id_reuse, fx.sequential_write, fx.small_scan,
+                fx.increments, fx.overwritten_request,
+                fx.single_action_multi):
         part = gen()
         for r in part:
             r = dict(r)
