@@ -115,6 +115,9 @@ def main():
         else:
             print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
+        # drop persisted frames between queries (mirrors bench.py: earlier
+        # queries' caches otherwise tax later ones with GC pressure)
+        spark.catalog.clearCache()
 
     print(f"\n{n_pass} passed, {n_fail} failed")
     spark.stop()

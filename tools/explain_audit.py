@@ -68,6 +68,7 @@ ALLOWED = {
     "acctbal_deciles": {"GLOBAL-WINDOW"},
     "cosine_topk": {"NESTED-LOOP-JOIN"},
     "ivf_quantized_topk": {"NESTED-LOOP-JOIN"},
+    "ivf_kmeans_topk": {"NESTED-LOOP-JOIN"},
 }
 
 
