@@ -81,13 +81,20 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     )
 
 
+# GPT-2-style pre-tokenizer segmentation, restricted to constructs with
+# identical semantics in Java regex (Spark), RE2 (DuckDB), and Python:
+# space-prefixed letter runs / digit runs / punctuation runs, bare spaces.
+BPE_SPLIT = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens, regex word tokens (BPE-ish pre-tokenizer), and
-    distinct-token counts."""
+    """Whitespace tokens, regex word tokens, GPT-style pre-tokenizer
+    segments (the unit BPE merges start from), and distinct-token counts."""
     return docs.select(
         "doc_id",
         F.size(_tok(text_col)).alias("ws_tokens"),
         F.expr(f"size(regexp_extract_all({text_col}, '[a-z0-9]+', 0))").alias("re_tokens"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{BPE_SPLIT}', 0))").alias("bpe_tokens"),
         F.size(F.array_distinct(_tok(text_col))).alias("distinct_tokens"),
     )
 

@@ -259,10 +259,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))
+                AS INTEGER) AS bpe_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens
     FROM documents
     """,
-    doc="Token counting: whitespace split, regex pre-tokenizer, distinct "
+    doc="Token counting: whitespace split, regex word tokens, GPT-style "
+    "pre-tokenizer segments (the BPE merge starting point; pattern "
+    "restricted to Java-regex/RE2-identical constructs), distinct "
     "vocabulary size per doc.",
     tags=("dataprep", "text", "tokens"),
 )
