@@ -59,3 +59,26 @@ def to_kafka_records(
         F.to_json(F.struct(*payload_cols)).alias("value"),
     )
     return out.where((F.col("topic").isNotNull()) & (F.col("topic") != ""))
+
+
+def from_kafka_records(values: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON record values (the ``to_kafka_records`` payload, or what a
+    downstream consumer reads off the topics) -> rpc_events rows.
+
+    The inverse of the sink transform: epoch-ms ``ts`` back to timestamp,
+    enrichment fields (hostname + extra pairs) ignored, absent fields null
+    (sparse JSON, §1.2). ``actions``/``results`` stay embedded arrays,
+    exactly as the reference ships them (core.clj:272-280)."""
+    from ..schema import RPC_EVENT_SCHEMA
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("ts", T.LongType())
+        if f.name == "ts"
+        else f
+        for f in RPC_EVENT_SCHEMA.fields
+    ]
+    parsed = values.select(
+        F.from_json(F.col(value_col), T.StructType(fields)).alias("j")
+    ).select("j.*")
+    return parsed.withColumn("ts", F.timestamp_millis(F.col("ts")))

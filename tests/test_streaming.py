@@ -233,3 +233,26 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path, workload)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert tws == base and len(tws) > 0
+
+
+def test_kafka_json_round_trip(spark):
+    """Sink payloads must re-ingest losslessly (the reference's fleet-wide
+    collection loop: HPI -> Kafka JSON -> downstream consumer): every
+    non-array column and the embedded actions survive the round trip."""
+    from hbase_packet_inspector_spark.streaming.sink import (
+        from_kafka_records,
+        to_kafka_records,
+    )
+
+    events = fx.to_df(spark, fx.sequential_write() + fx.unknown_response())
+    recs = to_kafka_records(events, "t1", "t2", {"service": "hpi"})
+    back = from_kafka_records(recs)
+
+    orig = {r.event_id: r for r in events.collect()}
+    rt = {r.event_id: r for r in back.collect()}
+    assert set(orig) == set(rt)
+    for eid, o in orig.items():
+        r = rt[eid]
+        assert (r.ts, r.client, r.port, r.call_id, r.method, r.batch if hasattr(r, "batch") else None) == \
+               (o.ts, o.client, o.port, o.call_id, o.method, o.batch if hasattr(o, "batch") else None)
+        assert r.actions == o.actions
