@@ -22,7 +22,7 @@ def main(argv: list[str] | None = None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--events", help="rpc_events parquet path")
     src.add_argument("--pcap", help="pcap capture file/glob (file-mode analog)")
-    p.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--format", default="parquet", choices=["parquet", "json", "kafka-json"])
     p.add_argument("--port", type=int, action="append",
                    help="monitored RPC port(s); default 16020 + 60020 "
                    "(reference core.clj:65-67)")

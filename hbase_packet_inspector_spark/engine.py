@@ -91,13 +91,21 @@ class Engine:
 
     def load_events(self, source: str | DataFrame, fmt: str = "parquet") -> "Engine":
         """Load a decoded rpc_events stream (the engine ingestion format;
-        raw pcap decode is an edge adapter, SURVEY.md §7)."""
+        raw pcap decode is an edge adapter, SURVEY.md §7). ``fmt='kafka-json'``
+        reads files of sink-payload JSON lines — what a consumer dumps from
+        the reference's Kafka topics — via the inverse sink transform."""
         if isinstance(source, DataFrame):
             self._events = source
         elif fmt == "parquet":
             self._events = self.spark.read.schema(RPC_EVENT_SCHEMA).parquet(source)
         elif fmt == "json":
             self._events = self.spark.read.schema(RPC_EVENT_SCHEMA).json(source)
+        elif fmt == "kafka-json":
+            from .streaming.sink import from_kafka_records
+
+            self._events = from_kafka_records(
+                self.spark.read.text(source), value_col="value"
+            )
         else:
             raise ValueError(f"unsupported format: {fmt}")
         return self

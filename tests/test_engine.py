@@ -104,3 +104,23 @@ def test_day_partitioned_tables_prune(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan, plan
     days = {r.day for r in q.collect()}
     assert days == {dt.date(2024, 1, 1)}
+
+
+def test_kafka_json_file_mode(spark, tmp_path):
+    # fleet-collection loop, file form: sink payload lines -> load_events
+    # (fmt='kafka-json') -> same four views
+    from hbase_packet_inspector_spark.streaming.sink import to_kafka_records
+
+    events = fx.to_df(spark, fx.random_read())
+    recs = to_kafka_records(events.drop("results"), "t1", "t2")
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(r.value for r in recs.collect()) + "\n")
+
+    eng = Engine(spark).load_events(str(p), fmt="kafka-json").register_tables()
+    out = eng.sql(
+        """
+        SELECT count(*) AS n, count(elapsed) AS matched
+        FROM responses WHERE method = 'multi'
+        """
+    ).collect()[0]
+    assert out.n == 5 and out.matched == 5
