@@ -132,3 +132,51 @@ def test_pcap_datasource_format(spark, tmp_path):
     assert sorted(
         (r.path.removeprefix("file:"), r.data) for r in alt.collect()
     ) == [(r.path, r.data) for r in rows]
+
+
+def test_volume_reassembly_end_to_end(spark, tmp_path):
+    """Thousands of packets over 50 interleaved connections with deterministic
+    random fragmentation/coalescing: every framed message must come back,
+    per connection, in order (the reference's deferredFlush workload shape
+    at 5x the packet count, core_test.clj:314-316)."""
+    import random
+    import struct as st
+
+    from hbase_packet_inspector_spark.operators.reassembly import reassemble
+
+    rng = random.Random(42)
+    packets = []
+    expected = {}
+    t = 1_000.0
+    for conn in range(50):
+        cport = 40_000 + conn
+        n_msgs = rng.randint(20, 60)
+        msgs = [
+            f"conn{conn}-msg{i}".encode() * rng.randint(1, 4)
+            for i in range(n_msgs)
+        ]
+        expected[cport] = msgs
+        stream = b"".join(st.pack(">i", len(m)) + m for m in msgs)
+        # fragment aggressively: one cut every ~10-25 bytes, so most
+        # messages span several packets and most packets carry partial
+        # frames
+        cuts = sorted(rng.sample(range(1, len(stream)), min(len(stream) - 1,
+                      max(1, len(stream) // rng.randint(10, 25)))))
+        prev = 0
+        for c in cuts + [len(stream)]:
+            packets.append((t, CLIENT, cport, SERVER, SPORT, stream[prev:c]))
+            t += 0.001
+            prev = c
+    rng.shuffle(packets)  # interleave connections; ts still orders each one
+    packets.sort(key=lambda p: p[0])
+    assert len(packets) > 3_000
+
+    path = tmp_path / "vol.pcap"
+    path.write_bytes(P.build_pcap(packets))
+    msgs = reassemble(
+        P.packets_to_chunks(P.read_pcap(spark, str(path)))
+    ).collect()
+    got = {}
+    for r in sorted(msgs, key=lambda r: (r.port, r.msg_seq)):
+        got.setdefault(r.port, []).append(r.data)
+    assert got == expected
