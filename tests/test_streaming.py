@@ -256,3 +256,39 @@ def test_kafka_json_round_trip(spark):
         assert (r.ts, r.client, r.port, r.call_id, r.method, r.batch if hasattr(r, "batch") else None) == \
                (o.ts, o.client, o.port, o.call_id, o.method, o.batch if hasattr(o, "batch") else None)
         assert r.actions == o.actions
+
+
+def test_streaming_kafka_json_consumer(spark, tmp_path):
+    """Reference §3.3 consumer side, streamed: sink-payload JSON lines (what
+    a fleet collector lands from the topics) -> readStream.text ->
+    from_kafka_records -> stateful correlation -> correlated responses.
+    Proves the whole live-mode composition runs under Structured Streaming
+    with the same operators as batch."""
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_correlate
+    from hbase_packet_inspector_spark.streaming.sink import (
+        from_kafka_records,
+        to_kafka_records,
+    )
+
+    events = fx.to_df(spark, fx.random_read())
+    recs = to_kafka_records(events.drop("results"), "t1", "t2")
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    (src / "dump.jsonl").write_text(
+        "\n".join(r.value for r in recs.collect()) + "\n"
+    )
+
+    stream = spark.readStream.text(str(src))
+    correlated = stream_correlate(from_kafka_records(stream))
+    out: list = []
+    q = (
+        correlated.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    responses = [r for r in out if not r.inbound]
+    assert len(responses) == 5
+    assert all(r.method == "multi" and r.elapsed is not None for r in responses)
