@@ -271,34 +271,36 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
     band collisions (critical on self-similar corpora where band buckets
     are crowded)."""
     rows = n_hashes // n_bands
-    keyed = sigs
-    for b in range(n_bands):
-        cols = [F.col(f"s{j}") for j in range(b * rows, (b + 1) * rows)]
-        keyed = keyed.withColumn(f"b{b}", F.md5(F.concat_ws(",", *cols)))
-
-    cand = None
-    left = keyed.select(F.col("doc_id").alias("d1"),
-                        *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)],
-                        *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
-    right = keyed.select(F.col("doc_id").alias("d2"),
-                         *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)],
-                         *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    # one row per (doc, band) with the band's bucket key — the band index
+    # is baked into the key input so buckets of different bands can never
+    # merge; a SINGLE self-join on bkey then replaces n_bands separate
+    # joins (one broadcast + one probe pass instead of four)
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(
+            ",", F.lit(str(b)),
+            *[F.col(f"s{j}") for j in range(b * rows, (b + 1) * rows)],
+        ))
+        for b in range(n_bands)
+    ])
+    keyed = sigs.select(
+        "doc_id", *[f"s{j}" for j in range(n_hashes)],
+        F.explode(band_keys).alias("bkey"),
+    )
+    left = keyed.select(F.col("doc_id").alias("d1"), "bkey",
+                        *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)])
+    right = keyed.select(F.col("doc_id").alias("d2"), "bkey",
+                         *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)])
     # signatures are ~140 bytes/doc, so up to the threshold the whole frame
-    # broadcasts in ~100 MB and all band joins go hash-broadcast with zero
-    # shuffle (Catalyst can't infer this: aggregated frames carry no stats).
-    # Past it, plain shuffle joins on the band keys — which is also the
-    # right plan at 10^9 docs.
+    # broadcasts and the band join goes hash-broadcast with zero shuffle
+    # (Catalyst can't infer this: aggregated frames carry no stats). Past
+    # it, a plain shuffle join on the band key — which is also the right
+    # plan at 10^9 docs.
     try:
         if sigs.count() <= broadcast_threshold:
             right = F.broadcast(right)
     except Exception:
         pass
-    for b in range(n_bands):
-        pairs = left.join(
-            right,
-            (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2")),
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = left.join(right, ["bkey"]).where(F.col("d1") < F.col("d2"))
 
     est = sum(
         F.when(F.col(f"l{j}") == F.col(f"r{j}"), 1).otherwise(0)
