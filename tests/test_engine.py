@@ -124,3 +124,28 @@ def test_kafka_json_file_mode(spark, tmp_path):
         """
     ).collect()[0]
     assert out.n == 5 and out.matched == 5
+
+
+def test_cli_pcap_mode(spark, tmp_path, capsys):
+    # CLI smoke for the capture file mode with count bound
+    import json as _json
+    import struct as _st
+    from hbase_packet_inspector_spark.sources import pcap as P
+    from hbase_packet_inspector_spark.__main__ import main
+
+    def fr(obj):
+        b = _json.dumps(obj).encode()
+        return _st.pack(">i", len(b)) + b
+
+    pkts = [
+        (1000.0, "10.0.0.7", 40123, "10.0.0.1", 16020,
+         fr({"call_id": 1, "method": "get", "table": "t1"})),
+        (1000.5, "10.0.0.1", 16020, "10.0.0.7", 40123, fr({"call_id": 1})),
+    ]
+    p = tmp_path / "cli.pcap"
+    p.write_bytes(P.build_pcap(pkts))
+
+    rc = main(["--pcap", str(p), "--count", "10", "--sql",
+               "SELECT method, elapsed FROM responses"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "get" in out and "500" in out
