@@ -351,3 +351,62 @@ def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
         *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise("0") for j in range(bits)]
     )
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
+    """Near-dup pairs -> clusters with a canonical keeper: ``iterations``
+    rounds of min-label propagation over the pair graph (connected
+    components, bounded form).
+
+    Each round: label(v) = min(label(v), min over neighbors' labels) — one
+    self-join + aggregate per round, so K rounds resolve components of
+    diameter <= K. Near-dup clusters are overwhelmingly small (pairs and
+    triples); K=4 covers them, and the BOUNDED form keeps the operator a
+    pure deterministic dataflow any engine reproduces — no driver-side
+    convergence loop in the correctness path. (At 10^9 docs run the same
+    rounds until a round changes nothing; each round is one shuffle on
+    doc_id.)
+
+    Output: (doc_id, cluster, keep) for every doc appearing in a pair;
+    cluster = min doc_id reachable, keep = doc is its cluster's canonical
+    representative.
+    """
+    # materialize the edge list once and every round's labels: without this
+    # each round's join re-derives the (expensive) upstream pair pipeline,
+    # and the lineage tree grows multiplicatively with iterations — the
+    # classic iterative-dataflow trap
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # the near-dup graph is normally orders of magnitude smaller than the
+    # corpus — size the per-round shuffles to IT, not to the session
+    # default, or each round pays hundreds of near-empty tasks
+    nparts = max(1, edges.count() // 100_000)
+    edges = edges.repartition(nparts, "dst")
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for i in range(iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        if i % 2 == 1:
+            # materialize every second round: cuts the doubling lineage
+            # (labels feeds both the neighbor join and the carry-through)
+            # while keeping job-scheduling barriers to a minimum
+            labels = labels.persist()
+            labels.count()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )

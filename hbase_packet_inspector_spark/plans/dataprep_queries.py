@@ -647,3 +647,55 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("q_cell"),
     )
     return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
+
+
+def _cluster_oracle(iterations: int = 4) -> str:
+    # bounded min-label propagation: l{i+1}(d) = min(l{i}(d), min l{i}(nbr))
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"l{i + 1} AS (SELECT l.doc_id,\n"
+            f"         least(l.label, coalesce(min(n.label), l.label)) AS label\n"
+            f"       FROM l{i} l LEFT JOIN edges e ON e.src = l.doc_id\n"
+            f"       LEFT JOIN l{i} n ON n.doc_id = e.dst\n"
+            f"       GROUP BY l.doc_id, l.label)"
+        )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2
+              FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+              WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+    {steps_sql}
+    SELECT doc_id, label AS cluster, doc_id = label AS keep FROM l{iterations}
+    """
+
+
+@register(
+    "dedup_clusters",
+    _cluster_oracle(),
+    doc="The dedup last mile: word-trigram near-dup pairs (Jaccard >= 0.8) "
+    "grouped into clusters with a canonical keeper via 4 rounds of "
+    "min-label propagation (bounded connected components — one self-join + "
+    "aggregate per round, each one shuffle on doc_id). The bounded form "
+    "keeps the operator a pure deterministic dataflow; at scale, run "
+    "identical rounds to a fixpoint. keep=true marks the document a "
+    "curation pipeline retains.",
+    tags=("dataprep", "dedup", "clustering", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
+    return D.dedup_clusters(pairs, iterations=4)
