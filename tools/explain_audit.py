@@ -52,6 +52,12 @@ def audit(df):
             break
     if "BatchEvalPython" in plan:
         found.append("ROW-PYTHON-UDF")
+    # a scan with data filters that pushed NONE of them into parquet:
+    # formatted explain prints both lists per scan node
+    for m in re.finditer(r"DataFilters: \[([^\]]*)\][^\n]*?PushedFilters: \[\]", plan):
+        if m.group(1).strip():
+            found.append("UNPUSHED-FILTERS")
+            break
     return plan, found
 
 
