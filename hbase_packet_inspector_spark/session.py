@@ -15,15 +15,50 @@ choices are the ones that matter at cluster scale too:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver process's cwd.
+
+    cloudpickle serializes module-level functions (the mapInPandas /
+    applyInPandas callbacks) BY REFERENCE — workers re-import
+    ``hbase_packet_inspector_spark`` by name. That import only succeeds by
+    accident when the driver's cwd is the repo root (workers inherit it on
+    sys.path); a harness importing ``__spark_entry__`` from another cwd gets
+    ModuleNotFoundError on every Arrow-batched operator. Shipping a zip of
+    the package via addPyFile fixes it for any session, local or cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_hpi_pkg_shipped", False):
+        return
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"hbase_packet_inspector_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._hpi_pkg_shipped = True
+
+
 def get_spark(app_name: str = "hpi-spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -36,6 +71,8 @@ def get_spark(app_name: str = "hpi-spark", cpus: int | None = None) -> SparkSess
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    _ship_package(spark)
+    return spark
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -49,6 +86,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
     # read as long (ns) and normalize in sources.tables.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
