@@ -80,4 +80,9 @@ class PcapDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader executes on Python workers, which re-import this module by
+    # name — ship the package so registration works from any driver cwd
+    from ..session import _ship_package
+
+    _ship_package(spark)
     spark.dataSource.register(PcapDataSource)
