@@ -14,10 +14,11 @@ Portability note: hash functions are md5 (identical in Spark and DuckDB), so
 every stage is oracle-checkable. min() over md5 hex strings is a valid
 min-hash (uniform permutation of the shingle space per seed).
 
-At 100 TB: the shingle explode is a flatMap (no shuffle); min-hash is one
-shuffle on (doc, seed); banding one shuffle on (band, key); candidate
-verification touches only bucket collisions — this is the standard
-linear-scan-free near-dup pipeline (cf. Broder 1997 resemblance sketches).
+At 100 TB: shingle sets and minhash signatures compute narrow (in-row);
+banding is one self-join on the band key; candidate verification touches
+only bucket collisions — the standard linear-scan-free near-dup pipeline
+(cf. Broder 1997 resemblance sketches). dedup_clusters turns the verified
+pairs into canonical keep-sets.
 """
 
 from __future__ import annotations
@@ -87,7 +88,7 @@ def shingle_sizes(shingles: DataFrame) -> DataFrame:
 
 def pairwise_jaccard(shingles: DataFrame, min_jaccard: float) -> DataFrame:
     """Exact pairwise Jaccard via shingle self-join. Quadratic in per-shingle
-    frequency — correct baseline; use minhash_lsh_candidates at scale."""
+    frequency — correct baseline; use minhash_lsh_dedup at scale."""
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
@@ -106,22 +107,6 @@ def pairwise_jaccard(shingles: DataFrame, min_jaccard: float) -> DataFrame:
         .withColumn("jaccard", j)
         .where(F.col("jaccard") >= min_jaccard)
         .select("d1", "d2", "jaccard")
-    )
-
-
-def minhash_signatures(shingles: DataFrame,
-                       n_hashes: int = DEFAULT_HASHES) -> DataFrame:
-    """(doc_id, seed, sig): sig = min over shingles of md5(seed || ':' || s).
-    One shuffle on (doc_id, seed). (Long-form variant; the LSH pipeline uses
-    the wide form below, which avoids the n_hashes-fold row explosion.)"""
-    seeded = shingles.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {n_hashes - 1})")).alias("seed"),
-        "shingle",
-    )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                             F.col("shingle")))).alias("sig")
     )
 
 
@@ -184,35 +169,6 @@ def minhash_signatures_wide(sets: DataFrame,
         seed, piece = divmod(j, 4)
         out = out.withColumn(f"s{j}", F.col(f"_m{seed}")[f"m{piece}"])
     return out.drop(*[f"_m{s}" for s in range(n_seeds)])
-
-
-def lsh_band_keys(signatures: DataFrame, n_hashes: int = DEFAULT_HASHES,
-                  n_bands: int = DEFAULT_BANDS) -> DataFrame:
-    """(doc_id, band, band_key): band_key = md5 of the band's seed-ordered
-    signature concat."""
-    rows_per_band = n_hashes // n_bands
-    banded = signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-    # seed-ordered concat, portable: sort zero-padded 'ss:sig' strings
-    member = F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"),
-                      F.lit(":"), F.col("sig"))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(member))))
-             .alias("band_key"))
-    )
-
-
-def lsh_candidates(band_keys: DataFrame) -> DataFrame:
-    """Distinct candidate pairs: docs sharing any band bucket."""
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
 
 
 def verify_candidates(candidates: DataFrame, sets: DataFrame,
