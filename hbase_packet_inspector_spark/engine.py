@@ -155,7 +155,8 @@ class Engine:
             first = ev.agg(F.min("ts").alias("t0"))
             ev = ev.join(F.broadcast(first)).where(
                 F.col("ts") <= F.timestamp_add(
-                    "SECOND", F.lit(int(duration_s)), F.col("t0"))
+                    "MILLISECOND", F.lit(int(round(duration_s * 1000))),
+                    F.col("t0"))
             ).drop("t0")
         if count is not None:
             # capture order = (ts, event_id); limit after a sort is a TopK
@@ -230,12 +231,21 @@ class Engine:
     ) -> DataFrame:
         """(topic, value) records per the kafka spec; feed to
         ``writeStream.format('kafka')`` with compression gzip in a real
-        deployment (reference kafka.clj:12-13)."""
+        deployment (reference kafka.clj:12-13).
+
+        The payload is the FINALIZED record stream — the reference's sink
+        receives each record only after correlation (elapsed), batch count,
+        cells rollup, singleton promotion, and child-array stamping
+        (core.clj:261-283) — so the full pipeline runs here; multi records
+        keep their stamped actions/results arrays embedded, exactly as the
+        reference ships them."""
+        from .operators.pipeline import correlate, finalize, scanner_enrich
+
         cfg = parse_kafka_spec(spec)
         src = df if df is not None else self._events
         if src is None:
             raise RuntimeError("no events loaded")
-        drop = [c for c in ("actions", "results") if c in src.columns]
+        finalized = finalize(scanner_enrich(correlate(src)))
         return to_kafka_records(
-            src.drop(*drop), cfg["topic1"], cfg["topic2"], cfg["extra"], hostname
+            finalized, cfg["topic1"], cfg["topic2"], cfg["extra"], hostname
         )

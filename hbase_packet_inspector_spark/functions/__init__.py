@@ -6,7 +6,7 @@ from .scalar import (  # noqa: F401
     to_string_binary,
 )
 from .cellmath import (  # noqa: F401
-    batch_cells_rollup,
     sum_cells_per_result,
+    sum_child_cells,
     zip_actions_results,
 )

@@ -3,10 +3,16 @@
 
 Reference semantics:
 - scan response cells = sum of cells_per_result (hbase.clj:37-41)
-- multi response: results positionally zipped with the request's actions
-  (hbase.clj:49-69) — zip MUST preserve order
-- record finalize: batch = count(actions); cells = cells or sum of non-null
-  action cells (core.clj:261-271)
+- multi response: results positionally merged over the request's actions
+  (hbase.clj:49-69, ``(map merge actions results)``): the action supplies
+  method/table/region/row/durability, the result supplies cells/error —
+  result values win even when null (the result map always carries the keys),
+  and the merged list is as long as the SHORTER side (Clojure ``map`` stops
+  at the shortest; checked mutations can return fewer results than actions,
+  hbase.clj:63-66 TODO note)
+- record finalize: batch = count(actions); cells = own cells, else sum of
+  non-null child cells — never null, ``(reduce + ())`` is 0
+  (core.clj:261-271)
 """
 
 from __future__ import annotations
@@ -24,31 +30,36 @@ def sum_cells_per_result(cells_per_result: Column) -> Column:
 
 def zip_actions_results(actions: Column, results: Column) -> Column:
     """Positionally merge a multi request's actions with the response's raw
-    results (C12): action supplies method/table/region/row/durability, result
-    supplies cells/error; result fields win where both are set."""
-    zipped = F.arrays_zip(actions.alias("a"), results.alias("r"))
+    results (C12) per ``(map merge actions results)`` (hbase.clj:68-69):
+    action fields survive only where the result map has no key — i.e. the
+    result's cells/error are taken verbatim (possibly null), everything else
+    comes from the action. Output length = min(len(actions), len(results))."""
+    zipped = F.slice(
+        F.arrays_zip(actions.alias("a"), results.alias("r")),
+        1,
+        F.least(F.size(actions), F.size(results)),
+    )
     return F.transform(
         zipped,
         lambda z: F.struct(
-            F.coalesce(z["r"]["method"], z["a"]["method"]).alias("method"),
-            F.coalesce(z["r"]["table"], z["a"]["table"]).alias("table"),
-            F.coalesce(z["r"]["region"], z["a"]["region"]).alias("region"),
-            F.coalesce(z["r"]["row"], z["a"]["row"]).alias("row"),
-            F.coalesce(z["r"]["cells"], z["a"]["cells"]).alias("cells"),
-            F.coalesce(z["r"]["durability"], z["a"]["durability"]).alias("durability"),
+            z["a"]["method"].alias("method"),
+            z["a"]["table"].alias("table"),
+            z["a"]["region"].alias("region"),
+            z["a"]["row"].alias("row"),
+            z["r"]["cells"].alias("cells"),
+            z["a"]["durability"].alias("durability"),
             z["r"]["error"].alias("error"),
         ),
     )
 
 
-def batch_cells_rollup(cells: Column, children: Column) -> Column:
-    """Record-finalize cells (D1): keep the record's own cells if set, else
-    sum the non-null cells of its child actions/results."""
-    summed = F.aggregate(
+def sum_child_cells(children: Column) -> Column:
+    """Sum of the non-null cells of a child action/result array (the
+    ``(reduce + (remove nil? (map :cells ...)))`` of send!, core.clj:269-271
+    and parse-multi-response, hbase.clj:67). Null iff ``children`` is null;
+    0 for an empty (or all-null-cells) array."""
+    return F.aggregate(
         F.filter(children, lambda a: a["cells"].isNotNull()),
         F.lit(0),
         lambda acc, a: acc + a["cells"],
-    )
-    return F.coalesce(
-        cells, F.when(children.isNotNull(), summed.cast("int"))
-    )
+    ).cast("int")

@@ -1,1 +1,8 @@
-from .pipeline import build_tables, correlate, scanner_enrich, finalize_and_route  # noqa: F401
+from .pipeline import (  # noqa: F401
+    build_tables,
+    correlate,
+    finalize,
+    finalize_and_route,
+    route,
+    scanner_enrich,
+)

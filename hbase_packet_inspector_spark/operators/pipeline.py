@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.cellmath import batch_cells_rollup, zip_actions_results
+from ..functions.cellmath import sum_child_cells, zip_actions_results
 from ..schema import (
     ACTION_COLUMNS,
     REQUEST_COLUMNS,
@@ -40,10 +40,12 @@ from ..schema import (
 )
 
 # Request attributes a response inherits on match (reference merges the
-# pending request map under the response map, hbase.clj:74-84).
+# pending request map UNDER the response map, hbase.clj:74-84 — so e.g. a
+# mutate response, whose body decodes to nothing, inherits the request's
+# cells; scan/get/multi responses carry their own non-null cells and win).
 _REQ_MERGE_COLS = (
-    "method", "table", "region", "row", "stoprow", "durability", "caching",
-    "actions",
+    "method", "table", "region", "row", "stoprow", "cells", "durability",
+    "caching", "actions",
 )
 
 
@@ -139,57 +141,100 @@ def scanner_enrich(events: DataFrame, ttl_ms: int = STATE_EXPIRATION_MS) -> Data
     return scoped.unionByName(rest)
 
 
-def finalize_and_route(events: DataFrame) -> dict[str, DataFrame]:
-    """Record finalization (D1-D3) + table routing (D4): returns the four
-    public DataFrames keyed requests/responses/actions/results."""
-    with_error = F.transform(
-        F.col("actions"),
+def _stamped(arr, with_error: bool):
+    """Child array with the parent join key stamped on every element
+    (core.clj:272-280 assoc of :client/:port/:call-id)."""
+    fields = ["method", "table", "region", "row", "cells", "durability"]
+    if with_error:
+        fields.append("error")
+    return F.transform(
+        arr,
         lambda a: F.struct(
-            a["method"].alias("method"), a["table"].alias("table"),
-            a["region"].alias("region"), a["row"].alias("row"),
-            a["cells"].alias("cells"), a["durability"].alias("durability"),
-            F.lit(None).cast("string").alias("error"),
+            F.col("client").alias("client"),
+            F.col("port").alias("port"),
+            F.col("call_id").alias("call_id"),
+            *[a[c].alias(c) for c in fields],
         ),
     )
-    children = F.when(F.col("inbound"), with_error).otherwise(
-        F.when(
-            F.col("results").isNotNull() & F.col("actions").isNotNull(),
-            zip_actions_results(F.col("actions"), F.col("results")),
-        ).otherwise(F.col("results"))
-    )
-    df = events.withColumn("_children", children)
+
+
+def finalize(events: DataFrame) -> DataFrame:
+    """Record finalization (D1-D2) — the reference's send! (core.clj:261-283)
+    as one record stream, each row being exactly the map the reference hands
+    its sink:
+
+    - ``batch`` = count of the request-side actions (``(count actions)``) —
+      0 for non-batch records, request actions having been merged onto their
+      response by correlate();
+    - singleton promotion: a 1-action multi is reported as its action — the
+      FIRST REQUEST-SIDE action for both directions (``(merge info (first
+      actions))``), the action's non-null fields winning;
+    - ``cells`` = the record's own cells (response decode / request merge),
+      else the decode-time sum over the response's results
+      (parse-multi-response, hbase.clj:67), else send!'s sum over the
+      request's actions — never null (``(reduce + ())`` is 0);
+    - multi records (batch > 1) keep their children embedded, stamped with
+      (client, port, call_id): ``actions`` on requests, the action-merged
+      ``results`` on responses; non-multi records drop both arrays (the
+      dissoc in send!).
+    """
+    merged_results = F.when(
+        F.col("results").isNotNull() & F.col("actions").isNotNull(),
+        zip_actions_results(F.col("actions"), F.col("results")),
+    ).otherwise(F.col("results"))
+    df = events.withColumn("_results", merged_results)
     df = df.withColumn(
         "batch",
-        F.when(F.col("_children").isNotNull(), F.size("_children")),
+        F.when(F.col("actions").isNotNull(), F.size("actions")).otherwise(F.lit(0)),
     )
-    df = df.withColumn("cells", batch_cells_rollup(F.col("cells"), F.col("_children")))
 
-    # Singleton promotion (D2): a 1-action multi is reported as the action.
-    single = (F.col("batch") == 1) & F.col("_children").isNotNull()
-    first = F.col("_children")[0]
-    for c in ("method", "table", "region", "row", "cells", "durability"):
-        df = df.withColumn(c, F.when(single, F.coalesce(first[c], F.col(c))).otherwise(F.col(c)))
-
-    requests = df.where(F.col("inbound")).select(*REQUEST_COLUMNS)
-    responses = df.where(~F.col("inbound")).select(*RESPONSE_COLUMNS)
-
-    # Child rows only for batch > 1 (D3), stamped with the parent join key.
-    multi = df.where(F.col("batch") > 1).select(
-        "inbound", "client", "port", "call_id", F.explode("_children").alias("a")
+    results_sum = F.when(
+        ~F.col("inbound") & F.col("_results").isNotNull(),
+        sum_child_cells(F.col("_results")),
     )
-    actions = multi.where(F.col("inbound")).select(
-        "client", "port", "call_id",
-        F.col("a.method").alias("method"), F.col("a.table").alias("table"),
-        F.col("a.region").alias("region"), F.col("a.row").alias("row"),
-        F.col("a.cells").alias("cells"), F.col("a.durability").alias("durability"),
-    ).select(*ACTION_COLUMNS)
-    results = multi.where(~F.col("inbound")).select(
-        "client", "port", "call_id",
-        F.col("a.method").alias("method"), F.col("a.table").alias("table"),
-        F.col("a.region").alias("region"), F.col("a.row").alias("row"),
-        F.col("a.cells").alias("cells"), F.col("a.durability").alias("durability"),
-        F.col("a.error").alias("error"),
-    ).select(*RESULT_COLUMNS)
+    actions_sum = F.when(
+        F.col("actions").isNotNull(), sum_child_cells(F.col("actions"))
+    )
+    df = df.withColumn(
+        "cells",
+        F.coalesce(F.col("cells"), results_sum, actions_sum, F.lit(0)).cast("int"),
+    )
+
+    single = F.col("batch") == 1
+    first = F.col("actions")[0]
+    for c in ("method", "table", "region", "row", "durability"):
+        df = df.withColumn(
+            c, F.when(single, F.coalesce(first[c], F.col(c))).otherwise(F.col(c))
+        )
+
+    multi = F.col("batch") > 1
+    df = df.withColumn(
+        "actions", F.when(multi & F.col("inbound"), _stamped(F.col("actions"), False))
+    )
+    df = df.withColumn(
+        "results", F.when(multi & ~F.col("inbound"), _stamped(F.col("_results"), True))
+    )
+    return df.drop("_results", "_matched")
+
+
+def route(finalized: DataFrame) -> dict[str, DataFrame]:
+    """Table routing (D3/D4): the finalized record stream -> the four public
+    DataFrames. Child rows exist only for batch > 1 records (finalize() has
+    already dropped the arrays of everything else) and carry the parent join
+    key from their stamp."""
+    requests = finalized.where(F.col("inbound")).select(*REQUEST_COLUMNS)
+    responses = finalized.where(~F.col("inbound")).select(*RESPONSE_COLUMNS)
+
+    actions = (
+        finalized.where(F.col("inbound") & F.col("actions").isNotNull())
+        .select(F.explode("actions").alias("a"))
+        .select(*[F.col(f"a.{c}").alias(c) for c in ACTION_COLUMNS])
+    )
+    results = (
+        finalized.where(~F.col("inbound") & F.col("results").isNotNull())
+        .select(F.explode("results").alias("a"))
+        .select(*[F.col(f"a.{c}").alias(c) for c in RESULT_COLUMNS])
+    )
 
     return {
         "requests": requests,
@@ -197,6 +242,12 @@ def finalize_and_route(events: DataFrame) -> dict[str, DataFrame]:
         "actions": actions,
         "results": results,
     }
+
+
+def finalize_and_route(events: DataFrame) -> dict[str, DataFrame]:
+    """Record finalization (D1-D3) + table routing (D4): returns the four
+    public DataFrames keyed requests/responses/actions/results."""
+    return route(finalize(events))
 
 
 def build_tables(events: DataFrame, ttl_ms: int = STATE_EXPIRATION_MS) -> dict[str, DataFrame]:

@@ -27,10 +27,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schema import RPC_EVENT_SCHEMA, STATE_EXPIRATION_MS
 
-# Request attributes carried across to the matched response (hbase.clj:74-84).
+# Request attributes carried across to the matched response (hbase.clj:74-84
+# — the request map merges UNDER the response map, so a mutate response with
+# no decoded cells inherits the request's).
 _MERGE_FIELDS = (
-    "method", "table", "region", "row", "stoprow", "durability", "caching",
+    "method", "table", "region", "row", "stoprow", "cells", "durability",
+    "caching",
 )
+
+
+def _scalar(v):
+    """pandas null-normalize: numeric nullable columns surface as NaN in
+    the Arrow batches — treat those as None so merge and JSON state behave."""
+    return None if v is None or (isinstance(v, float) and v != v) else v
 
 # Output: the correlated event stream (requests unchanged; responses merged,
 # with elapsed; unknown responses flagged) — scanner enrichment and routing
@@ -200,7 +209,7 @@ def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.Data
             pending[cid] = {
                 "ts_ms": ts_ms,
                 "event_id": int(row["event_id"]),
-                **{f: row.get(f) for f in _MERGE_FIELDS},
+                **{f: _scalar(row.get(f)) for f in _MERGE_FIELDS},
             }
             row["elapsed"] = None
         else:
@@ -210,7 +219,7 @@ def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.Data
                 row["elapsed"] = None
             else:
                 for f in _MERGE_FIELDS:
-                    if row.get(f) is None:
+                    if _scalar(row.get(f)) is None:
                         row[f] = req[f]
                 row["elapsed"] = ts_ms - req["ts_ms"]
                 row["req_event_id"] = req["event_id"]

@@ -26,10 +26,16 @@ def parse_kafka_spec(spec: str) -> dict:
                 k, _, v = pair.partition("=")
                 extra[k] = v
     parts = spec.split("/")
-    if len(parts) < 2:
+    if len(parts) < 2 or len(parts) > 3 or not parts[0]:
+        # the reference regex admits exactly servers/topic1[/topic2]
+        # (core.clj:462-470)
         raise ValueError(f"invalid kafka spec: {spec!r} (need servers/topic1)")
     servers, topic1 = parts[0], parts[1]
     topic2 = parts[2] if len(parts) > 2 else topic1
+    if not topic1 and not topic2:
+        # both sides empty would silently drop every record; the reference
+        # raises IllegalArgumentException (core.clj:468-470)
+        raise ValueError(f"invalid kafka spec: {spec!r} (both topics empty)")
     return {"servers": servers, "topic1": topic1, "topic2": topic2, "extra": extra}
 
 
