@@ -61,6 +61,10 @@ HEADLINE = [
     "conversion_funnel",
     "ivf_quantized_topk",
     "ivf_kmeans_topk",
+    "repetition_ratio",
+    "term_zipf",
+    "tfidf_top_terms",
+    "dedup_containment",
 ]
 
 

@@ -110,6 +110,30 @@ def pairwise_jaccard(shingles: DataFrame, min_jaccard: float) -> DataFrame:
     )
 
 
+def pairwise_containment(shingles: DataFrame, min_containment: float) -> DataFrame:
+    """Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — catches a
+    short doc embedded inside a long one, which Jaccard misses (the union
+    dilutes it). Same shingle self-join shape as pairwise_jaccard; at scale
+    the LSH candidate pass feeds it instead of the full self-join."""
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = shingle_sizes(shingles)
+    c = F.col("inter").cast("double") / F.least("n1", "n2").cast("double")
+    return (
+        inter.join(sz.selectExpr("doc_id AS d1", "n_shingles AS n1"), "d1")
+        .join(sz.selectExpr("doc_id AS d2", "n_shingles AS n2"), "d2")
+        .withColumn("containment", c)
+        .where(F.col("containment") >= min_containment)
+        .select("d1", "d2", "containment")
+    )
+
+
 def shingle_sets(docs: DataFrame, n: int = DEFAULT_SHINGLE,
                  text_col: str = "text") -> DataFrame:
     """(doc_id, sset, n): per-doc DISTINCT shingle array + size, computed

@@ -106,6 +106,108 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def _word_grams(text_col: str, n: int) -> Column:
+    """In-row word n-gram array (empty when the doc is shorter than n)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, fully in-row (no shuffle):
+
+    - dup_{2,3}gram_frac: fraction of word n-grams that are repeats of an
+      earlier n-gram in the same doc (1 - distinct/total) — the classic
+      within-doc repetition quality gate for LLM corpora;
+    - top_word_frac: share of the doc taken by its single most frequent word
+      (count via a nested HOF: for each distinct word, filter-count the
+      token array).
+
+    All ratios are exact int/int divisions, so they hash identically on any
+    IEEE engine. At 100 TB this is a pure narrow map over the text scan.
+    """
+    ws = _tok(text_col)
+
+    def dup_frac(n: int) -> Column:
+        g = _word_grams(text_col, n)
+        total = F.size(g)
+        return F.when(
+            total > 0,
+            (total - F.size(F.array_distinct(g))).cast("double")
+            / total.cast("double"),
+        )
+
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        (top_cnt.cast("double") / F.size(ws).cast("double")).alias("top_word_frac"),
+    )
+
+
+def term_stats(docs: DataFrame, text_col: str = "text", top: int = 50) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency, document frequency, and
+    the Zipf rank of the ``top`` most frequent terms.
+
+    One explode + one groupBy(word): partial (map-side) aggregation does the
+    heavy lifting, so the shuffle carries only per-partition (word, count)
+    pairs — at 100 TB the reducer-side volume is bounded by |vocabulary| x
+    partitions, not corpus size. The final top-k is a TakeOrdered, not a
+    full sort."""
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", F.explode(_tok(text_col)).alias("word"))
+    agg = words.groupBy("word").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # limit-after-sort plans as TakeOrderedAndProject (a distributed top-k,
+    # no global sort); the rank window then runs over only `top` rows — an
+    # unpartitioned window over the full vocabulary would funnel it through
+    # one task at corpus scale
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        agg.orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(top)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("word", "cnt", "df", "rnk")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc count, idf = ln(N/df),
+    score rounded to 6 before ranking so the argmax tie-break (score desc,
+    word asc) is engine-independent.
+
+    Shape: explode -> (doc, word) counts -> word df join (broadcastable:
+    |vocabulary| << corpus) -> per-doc rank. The per-doc rank partitions by
+    doc_id — no global sort."""
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", F.explode(_tok(text_col)).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
+    )
+
+
 def rolling_hash(docs: DataFrame, text_col: str = "text",
                  base: int = 31, mod: int = 1_000_000_007) -> DataFrame:
     """Karp-Rabin polynomial rolling hash over the character stream — a

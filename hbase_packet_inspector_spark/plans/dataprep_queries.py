@@ -649,6 +649,119 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
 
 
+@register(
+    "repetition_ratio",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws,
+                 list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                i -> ws[i] || ' ' || ws[i+1]) AS g2,
+                 list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+          FROM w)
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CASE WHEN len(g2) > 0 THEN
+             CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END
+             AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0 THEN
+             CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END
+             AS dup_3gram_frac,
+           CAST(list_max(list_transform(list_distinct(ws),
+                  w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
+             AS top_word_frac
+    FROM g
+    """,
+    doc="Gopher-style within-doc repetition gates: duplicate word-{2,3}-gram "
+    "fraction and most-frequent-word share, fully in-row (narrow map, no "
+    "shuffle) — the standard LLM-corpus quality filters. Ratios are exact "
+    "int/int divisions, so they hash identically across engines.",
+    tags=("dataprep", "text", "quality", "repetition"),
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_features(_docs(spark, sf_dir))
+
+
+@register(
+    "term_zipf",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    a AS (SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS df
+          FROM t GROUP BY word),
+    r AS (SELECT word, cnt, df,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER)
+                   AS rnk
+          FROM a)
+    SELECT word, cnt, df, rnk FROM r WHERE rnk <= 50
+    """,
+    doc="Corpus vocabulary statistics: term frequency, document frequency, "
+    "Zipf rank of the top-50 terms. Map-side partial aggregation bounds the "
+    "shuffle by |vocabulary| x partitions; the top-k is a TakeOrdered, not "
+    "a global sort.",
+    tags=("dataprep", "text", "vocabulary"),
+)
+def term_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = X.term_stats(_docs(spark, sf_dir), top=50)
+    return df.select(
+        "word", "cnt", "df", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                 round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (word) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, word) AS INTEGER) AS rnk
+          FROM s)
+    SELECT doc_id, word, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="Per-doc top-3 TF-IDF terms: explode -> (doc, word) counts -> "
+    "broadcast document-frequency join (|vocab| << corpus) -> per-doc rank "
+    "partitioned by doc_id (no global sort). Scores round to 6 BEFORE the "
+    "rank so the tie-break (score desc, word asc) is engine-independent.",
+    tags=("dataprep", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment
+    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.9
+    """,
+    doc="Asymmetric near-dup via word-trigram containment "
+    "(|A∩B| / min(|A|,|B|) >= 0.9): catches a short doc embedded in a long "
+    "one, which Jaccard's union denominator dilutes below threshold — the "
+    "complement to dedup_word_ngram in a curation pipeline.",
+    tags=("dataprep", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    return D.pairwise_containment(sh, min_containment=0.9)
+
+
 def _cluster_oracle(iterations: int = 4) -> str:
     # bounded min-label propagation: l{i+1}(d) = min(l{i}(d), min l{i}(nbr))
     steps = []

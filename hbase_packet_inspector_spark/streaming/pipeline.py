@@ -164,6 +164,65 @@ def run_pipeline_available_now(
     q.awaitTermination()
 
 
+def run_pipeline_to_parquet(
+    spark, source_dir: str, out_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming file-replay mode with a durable parquet sink — the
+    production form of run_pipeline_available_now (which collects into
+    Python lists for tests).
+
+    Exactly-once: Structured Streaming's checkpoint makes micro-batch
+    replay possible after a crash, and the sink stays correct under replay
+    because each batch writes to its own ``batch_id=N`` partition
+    directory with overwrite — re-running batch N replaces batch N's
+    files instead of appending duplicates (idempotent sink + checkpointed
+    offsets = effective exactly-once). Readers take
+    ``spark.read.parquet(out_dir + '/<table>')`` and see every batch as
+    hive partitions; a compaction job can fold old batch partitions
+    without touching the stream.
+    """
+    from ..operators.pipeline import finalize_and_route
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(source_dir)
+    correlated = stream_correlate(events)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        src = spark.read.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
+        acts = src.select(F.col("event_id").alias("_aid"), F.col("actions").alias("_a"))
+        ress = src.select(F.col("event_id").alias("_rid"), F.col("results").alias("_r"))
+        full = (
+            batch_df.withColumn(
+                "_aid",
+                F.when(F.col("inbound"), F.col("event_id")).otherwise(
+                    F.col("req_event_id")
+                ),
+            )
+            .withColumn("_rid", F.col("event_id"))
+            .join(acts, "_aid", "left")
+            .join(ress, "_rid", "left")
+            .withColumn("actions", F.col("_a"))
+            .withColumn("results", F.col("_r"))
+            .drop("_aid", "_rid", "_a", "_r", "req_event_id")
+        )
+        for name, df in finalize_and_route(full).items():
+            df.write.mode("overwrite").parquet(
+                f"{out_dir}/{name}/batch_id={batch_id}"
+            )
+
+    q = (
+        correlated.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_windowed_counts(
     events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -292,3 +292,40 @@ def test_streaming_kafka_json_consumer(spark, tmp_path):
     responses = [r for r in out if not r.inbound]
     assert len(responses) == 5
     assert all(r.method == "multi" and r.elapsed is not None for r in responses)
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path, workload):
+    # durable sink: batch_id-partitioned parquet, idempotent under replay;
+    # a restart with no new input must not duplicate rows
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        run_pipeline_to_parquet,
+    )
+
+    src = str(tmp_path / "pq_events")
+    out = str(tmp_path / "pq_out")
+    fx.to_df(spark, workload).write.parquet(src)
+
+    run_pipeline_to_parquet(spark, src, out, max_files_per_trigger=1)
+
+    batch = {
+        name: df.count()
+        for name, df in build_tables(fx.to_df(spark, workload)).items()
+    }
+    first = {
+        name: spark.read.parquet(f"{out}/{name}").count()
+        for name in batch
+    }
+    assert first == batch
+
+    # restart against the same checkpoint: no new files -> no new batches
+    run_pipeline_to_parquet(spark, src, out, max_files_per_trigger=1)
+    again = {
+        name: spark.read.parquet(f"{out}/{name}").count()
+        for name in batch
+    }
+    assert again == batch
+
+    # multiple micro-batches actually happened (batch_id partitioning real)
+    import os
+    parts = [p for p in os.listdir(f"{out}/requests") if p.startswith("batch_id=")]
+    assert len(parts) > 1
