@@ -65,6 +65,9 @@ HEADLINE = [
     "term_zipf",
     "tfidf_top_terms",
     "dedup_containment",
+    "stratified_sample",
+    "source_token_mix",
+    "ann_recall",
 ]
 
 

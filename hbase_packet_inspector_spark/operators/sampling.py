@@ -1,0 +1,61 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless in a reproducible corpus pipeline — re-runs must
+pick the SAME rows, and an auditor must be able to recompute membership from
+the row alone. So every operator here derives its coin flip from a hash of
+the row key (salted, uniform, engine-portable md5), never from an RNG:
+
+- ``hash_bucket``: key -> stable bucket 0..99 (the first 6 md5 hex chars as
+  an int, mod 100 — 16^6 values spread uniformly);
+- ``stratified_sample``: per-stratum keep rates from a (broadcastable)
+  rates dimension — the standard "X% of web, Y% of code" corpus mix;
+- ``train_test_split``: disjoint deterministic splits from the same bucket.
+
+At 100 TB all of this is a narrow map plus one broadcast hash join against
+the tiny rates table: no shuffle of the corpus, no RNG state, and the
+filter composes with parquet column pruning (only key + strata columns are
+read if the caller selects nothing else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Stable uniform bucket in [0, buckets) from an md5 of the key (salted
+    so independent sampling decisions don't correlate)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % buckets).cast("int")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    key: str = "doc_id",
+    strata: str = "source",
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's rate.
+
+    ``rates`` has columns (``strata``, rate_pct) — broadcast: a corpus mix
+    table is a few hundred rows however big the corpus is."""
+    bucket = hash_bucket(F.col(key), salt="sample:")
+    return (
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(rates), strata)
+        .where(F.col("bucket") < F.col("rate_pct"))
+    )
+
+
+def train_test_split(
+    docs: DataFrame, key: str = "doc_id", test_pct: int = 10
+) -> DataFrame:
+    """Deterministic disjoint split: adds ``split`` = 'test' for the lowest
+    ``test_pct`` buckets, 'train' otherwise. Same row -> same split on every
+    run and every engine."""
+    bucket = hash_bucket(F.col(key), salt="split:")
+    return docs.withColumn(
+        "split",
+        F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")),
+    )

@@ -200,3 +200,34 @@ def norm_stats(emb: DataFrame, by: str = "label",
             F.round(F.max("_norm"), 6).alias("max_norm"),
         )
     )
+
+
+def ann_recall(emb: DataFrame, queries: DataFrame, k: int = 3,
+               cell_col: str = "label") -> DataFrame:
+    """Recall@k of cell-pruned (IVF-style) search against the exact
+    brute-force ranking — the evaluation loop every ANN deployment needs
+    before trusting pruning at scale.
+
+    Both rankings share the deterministic tie-break (cos rounded to 6 desc,
+    neighbor_id asc), so recall is itself deterministic. Output: one row per
+    query with recall = |pruned_topk ∩ exact_topk| / k.
+
+    Scale shape: two broadcast-query passes over the base vectors (the
+    pruned one touches only the query's cell) + one tiny join on the top-k
+    frames; nothing shuffles the corpus.
+    """
+    exact = cosine_topk(emb, queries.drop(f"q_{cell_col}"), k=k)
+    pruned = cosine_topk(emb, queries, k=k, same_cell_col=cell_col)
+    hits = (
+        exact.join(pruned, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / k).alias("recall"),
+        )
+    )

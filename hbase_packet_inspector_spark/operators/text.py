@@ -219,3 +219,29 @@ def rolling_hash(docs: DataFrame, text_col: str = "text",
         lambda acc, c: (acc * base + F.coalesce(F.ascii(c), F.lit(0))) % mod,
     )
     return docs.select("doc_id", h.alias("rhash"))
+
+
+def source_token_mix(docs: DataFrame, text_col: str = "text",
+                     budget_tokens: int = 1_000_000) -> DataFrame:
+    """Per-source corpus mix accounting: docs, whitespace tokens, share of
+    the corpus, and the epoch count needed to fill ``budget_tokens`` from
+    that source alone — the bookkeeping behind training-data mixture
+    weights.
+
+    The corpus total joins back as a broadcast single-row aggregate (NOT a
+    global window, which would funnel all sources through one task)."""
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tok(text_col))).alias("tokens"),
+    )
+    total = per.agg(F.sum("tokens").alias("_total"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("_total"), 6).alias("token_share"),
+            F.ceil(F.lit(float(budget_tokens)) / F.col("tokens")).cast("int").alias("epochs_for_budget"),
+        )
+    )

@@ -762,6 +762,133 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pairwise_containment(sh, min_containment=0.9)
 
 
+def _hex6_int(expr: str) -> str:
+    """DuckDB: first 6 md5 hex chars -> integer (instr returns 0 for '0',
+    1-15 for '1'-'f' — an exact hex-digit decode)."""
+    return (
+        "("
+        + " + ".join(
+            f"instr('123456789abcdef', substr({expr}, {i + 1}, 1)) * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + ")"
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH r AS (SELECT DISTINCT source,
+                      20 + (CAST(substr(source, 4) AS INTEGER) % 4) * 20 AS rate_pct
+               FROM documents),
+    b AS (SELECT doc_id, source,
+                 CAST({_hex6_int("md5('sample:' || CAST(doc_id AS VARCHAR))")} % 100
+                      AS INTEGER) AS bucket,
+                 {_hex6_int("md5('split:' || CAST(doc_id AS VARCHAR))")} % 100
+                   AS sbucket
+          FROM documents)
+    SELECT b.doc_id, b.source, b.bucket,
+           CASE WHEN b.sbucket < 10 THEN 'test' ELSE 'train' END AS split
+    FROM b JOIN r USING (source)
+    WHERE b.bucket < r.rate_pct
+    """,
+    doc="Deterministic stratified corpus sampling + train/test split: the "
+    "keep decision is a salted md5 hash bucket of the doc key (reproducible "
+    "on any engine, no RNG state), per-source rates come from a broadcast "
+    "rates dimension (the 'X% of web, Y% of code' mix table), and the "
+    "disjoint split uses an independent salt. Narrow map + broadcast join — "
+    "the corpus never shuffles.",
+    tags=("dataprep", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    rates = docs.select("source").distinct().withColumn(
+        "rate_pct",
+        F.lit(20) + (F.expr("CAST(substring(source, 4) AS INT)") % 4) * 20,
+    )
+    sampled = SA.stratified_sample(docs, rates)
+    return SA.train_test_split(sampled).select("doc_id", "source", "bucket", "split")
+
+
+@register(
+    "source_token_mix",
+    """
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                 FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM per)
+    SELECT source, n_docs, tokens,
+           round(tokens / total, 6) AS token_share,
+           CAST(ceil(1000000.0 / tokens) AS INTEGER) AS epochs_for_budget
+    FROM per CROSS JOIN t
+    """,
+    doc="Training-mixture bookkeeping: per-source docs, whitespace tokens, "
+    "corpus token share, and epochs needed to fill a 1M-token budget from "
+    "that source alone. The corpus total re-enters as a broadcast 1-row "
+    "aggregate, not a global window.",
+    tags=("dataprep", "sampling", "mixture"),
+)
+def source_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.source_token_mix(_docs(spark, sf_dir))
+
+
+@register(
+    "ann_recall",
+    f"""
+    WITH {_COS_CTE},
+    xd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    xs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM xd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    x AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM xs) WHERE rnk <= 3),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    yd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q
+           JOIN lab ql ON ql.vec_id = q.vec_id
+           JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           JOIN lab bl ON bl.vec_id = b.vec_id AND bl.label = ql.label
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    ys AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM yd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    y AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM ys) WHERE rnk <= 3),
+    hit AS (SELECT x.q_id, count(*) AS h
+            FROM x JOIN y USING (q_id, neighbor_id) GROUP BY 1),
+    q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT q.q_id, CAST(coalesce(hit.h, 0) AS DOUBLE) / 3 AS recall
+    FROM q LEFT JOIN hit USING (q_id)
+    """,
+    doc="ANN quality evaluation: recall@3 of IVF cell-pruned search against "
+    "the exact brute-force ranking, per query — the measurement loop that "
+    "gates any pruned-index rollout. Both rankings share the deterministic "
+    "tie-break (cos rounded to 6, then neighbor id), so recall is exact and "
+    "engine-independent.",
+    tags=("dataprep", "similarity", "ann", "evaluation"),
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return S.ann_recall(emb, qs, k=3, cell_col="label")
+
+
 def _cluster_oracle(iterations: int = 4) -> str:
     # bounded min-label propagation: l{i+1}(d) = min(l{i}(d), min l{i}(nbr))
     steps = []

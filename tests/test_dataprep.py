@@ -105,3 +105,66 @@ def test_ivf_prunes_to_cell(spark):
     out = [r.neighbor_id for r in
            S.cosine_topk(emb, qs, k=3, same_cell_col="label").collect()]
     assert out == [2]  # vec 1 pruned away despite higher cosine
+
+
+def test_repetition_features(spark):
+    rows = [(0, "a a a a", "en", "s", 7), (1, "w x y z", "en", "s", 7)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in X.repetition_features(df).collect()}
+    # "a a a a": 3 bigrams all "a a" -> 2/3 duplicated; top word = 4/4
+    assert abs(out[0].dup_2gram_frac - 2 / 3) < 1e-12
+    assert out[0].top_word_frac == 1.0
+    assert out[1].dup_2gram_frac == 0.0 and out[1].top_word_frac == 0.25
+
+
+def test_term_and_tfidf(docs):
+    terms = X.term_stats(docs, top=3).collect()
+    assert [t.rnk for t in terms] == [1, 2, 3]
+    assert terms[0].word == "the" and terms[0].cnt == 6 and terms[0].df == 3
+    tfidf = X.tfidf_top_terms(docs, k=2)
+    # rare words outrank corpus-wide ones; 'the' (df=3 of 5) never tops a doc
+    top1 = {r.doc_id: r.word for r in tfidf.collect() if r.rnk == 1}
+    assert top1[3] != "the" and top1[4] != "the"
+
+
+def test_containment_vs_jaccard(spark):
+    # short doc fully inside a long one: containment 1.0, jaccard diluted
+    rows = [(0, "p q r s t", "x", "s", 9),
+            (1, "p q r s t u v w x y z a b c d e f g h i", "x", "s", 39)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sh = D.word_shingles(df, n=3)
+    cont = D.pairwise_containment(sh, min_containment=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    assert not D.pairwise_jaccard(sh, min_jaccard=0.9).collect()
+
+
+def test_stratified_sample_deterministic(docs, spark):
+    from hbase_packet_inspector_spark.operators import sampling as SA
+
+    rates = spark.createDataFrame([("s", 50)], "source string, rate_pct int")
+    a = sorted(r.doc_id for r in SA.stratified_sample(docs, rates).collect())
+    b = sorted(r.doc_id for r in SA.stratified_sample(docs, rates).collect())
+    assert a == b  # same rows every run
+    full = SA.train_test_split(docs).collect()
+    assert {r.split for r in full} <= {"train", "test"}
+    assert len(full) == 5  # split labels, never drops rows
+
+
+def test_ann_recall_bounds(spark):
+    import math
+    rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.5], i % 2)
+            for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qs = emb.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    out = {r.q_id: r.recall for r in S.ann_recall(emb, qs, k=3, cell_col="label").collect()}
+    assert set(out) == {0, 6} and all(0.0 <= v <= 1.0 for v in out.values())

@@ -70,8 +70,11 @@ def audit(df):
 #   IVF-pruned variant, which plans as an equi join.
 # - ivf_quantized_topk: quantizer assignment is definitionally
 #   vectors × centroids with the tiny centroid table broadcast.
+# - term_zipf: the rank window runs AFTER TakeOrderedAndProject(50) — it
+#   numbers 50 rows, never the vocabulary; the top-k itself is distributed.
 ALLOWED = {
     "acctbal_deciles": {"GLOBAL-WINDOW"},
+    "term_zipf": {"GLOBAL-WINDOW"},
     "cosine_topk": {"NESTED-LOOP-JOIN"},
     "ivf_quantized_topk": {"NESTED-LOOP-JOIN"},
     "ivf_kmeans_topk": {"NESTED-LOOP-JOIN"},
