@@ -68,6 +68,7 @@ HEADLINE = [
     "stratified_sample",
     "source_token_mix",
     "ann_recall",
+    "ivf_kmeans2_topk",
 ]
 
 

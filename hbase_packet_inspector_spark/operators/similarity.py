@@ -231,3 +231,47 @@ def ann_recall(emb: DataFrame, queries: DataFrame, k: int = 3,
             (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / k).alias("recall"),
         )
     )
+
+
+def centroids_from_cells(emb: DataFrame, cells: DataFrame, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-cell elementwise mean vectors (the Lloyd update step), components
+    rounded to 6 so cross-engine summation order can't leak into the next
+    assignment's argmax. One shuffle on (cell, pos), sized by
+    #cells x dim — independent of corpus size after the partial agg."""
+    return (
+        emb.join(cells, id_col)
+        .select("cell", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cell", F.expr("transform(pv, s -> s.v)").alias("c_emb"))
+    )
+
+
+def kmeans_refine(emb: DataFrame, seed_centroids: DataFrame,
+                  iterations: int = 1, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  materialize: bool = False) -> DataFrame:
+    """``iterations`` rounds of Lloyd's algorithm, fully declarative:
+    assign -> per-cell mean -> reassign. Returns the final (id, cell)
+    assignment.
+
+    Each round costs one broadcast-assignment pass over the vectors plus
+    one #cells x dim aggregate — linear per round at 10^9 vectors. Pass
+    ``materialize=True`` for many iterations: it persists each round's
+    assignment so the lineage (and recomputation) doesn't grow
+    multiplicatively — the same iterative-dataflow trap as
+    dedup.dedup_clusters. The bounded deterministic form keeps every round
+    oracle-checkable; a production run loops until an assignment round
+    changes nothing."""
+    cells = assign_cells(emb, seed_centroids, id_col=id_col, vec_col=vec_col)
+    for _ in range(iterations):
+        if materialize:
+            cells = cells.persist()
+            cells.count()
+        cents = centroids_from_cells(emb, cells, id_col=id_col, vec_col=vec_col)
+        cells = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
+    return cells

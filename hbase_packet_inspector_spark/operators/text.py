@@ -196,7 +196,11 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "word").withColumn(
+    # no broadcast hint: a forced broadcast caps the operator at
+    # driver-memory-sized vocabularies; AQE sees the df aggregate's real
+    # shuffle size at runtime and converts to broadcast-hash exactly when
+    # that's safe (both sides already shuffle on `word` otherwise)
+    scored = tf.join(df_, "word").withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )

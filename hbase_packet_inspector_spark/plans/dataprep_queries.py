@@ -623,24 +623,100 @@ def ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dataprep", "similarity", "ann", "ivf", "kmeans"),
 )
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _as_double
-
     emb = _emb(spark, sf_dir)
     seed = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    cell0 = S.assign_cells(emb, seed)
-    cent1 = (
-        emb.join(cell0, "vec_id")
-        .select("cell", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("v"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-        .select("cell", F.expr("transform(pv, s -> s.v)").alias("c_emb"))
-    )
-    cell1 = S.assign_cells(emb, cent1)
+    cell1 = S.kmeans_refine(emb, seed, iterations=1)
     base = emb.join(cell1, "vec_id")
+    qs = base.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
+
+
+def _kmeans_iter_oracle(iterations: int) -> str:
+    """Generated chained-CTE oracle for `iterations` Lloyd rounds on top of
+    the seeded assignment (mirrors ivf_kmeans_topk's SQL shape)."""
+    ctes = [
+        """a0 AS (SELECT v.vec_id, c.vec_id AS cell,
+                 round(sum(v.v * c.v) / (sqrt(nv.sq) * sqrt(nc.sq)), 6) AS acos
+          FROM e v JOIN e c ON c.vec_id < 10 AND v.i = c.i
+          JOIN nrm nv ON nv.vec_id = v.vec_id
+          JOIN nrm nc ON nc.vec_id = c.vec_id
+          GROUP BY 1, 2, nv.sq, nc.sq)""",
+        """cell0 AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY acos DESC, cell) AS r
+                FROM a0) WHERE r = 1)""",
+    ]
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""cent{it} AS (SELECT c0.cell, e.i, round(avg(e.v), 6) AS cv
+             FROM e JOIN cell{it - 1} c0 USING (vec_id) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""cnorm{it} AS (SELECT cell, sum(cv * cv) AS sq FROM cent{it} GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT v.vec_id, c.cell,
+                  round(sum(v.v * c.cv) / (sqrt(nv.sq) * sqrt(cn.sq)), 6) AS acos
+           FROM e v JOIN cent{it} c ON v.i = c.i
+           JOIN nrm nv ON nv.vec_id = v.vec_id
+           JOIN cnorm{it} cn ON cn.cell = c.cell
+           GROUP BY 1, 2, nv.sq, cn.sq)"""
+        )
+        ctes.append(
+            f"""cell{it} AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY acos DESC, cell) AS r
+                FROM a{it}) WHERE r = 1)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_COS_CTE},
+    {body},
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 sum(q.v * b.v) AS dp
+          FROM e q
+          JOIN cell{iterations} ql ON ql.vec_id = q.vec_id
+          JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          JOIN cell{iterations} bl ON bl.vec_id = b.vec_id AND bl.cell = ql.cell
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+    """
+
+
+@register(
+    "ivf_kmeans2_topk",
+    _kmeans_iter_oracle(2),
+    doc="Multi-round k-means refinement: TWO Lloyd iterations (assign -> "
+    "per-cell mean -> reassign, twice) before the cell-pruned search — the "
+    "operators.similarity.kmeans_refine loop with a generated chained-CTE "
+    "oracle pinning every round. Each round is one broadcast assignment "
+    "pass + one #cells x dim aggregate, linear at 10^9 vectors; the bounded "
+    "deterministic form is what stays oracle-checkable (production loops "
+    "until an assignment round is a fixpoint).",
+    tags=("dataprep", "similarity", "ann", "ivf", "kmeans", "iterative"),
+)
+def ivf_kmeans2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    seed = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cell2 = S.kmeans_refine(emb, seed, iterations=2, materialize=True)
+    base = emb.join(cell2, "vec_id")
     qs = base.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
