@@ -22,6 +22,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -244,6 +245,54 @@ def stream_windowed_counts(
             F.unix_timestamp("w.start").alias("window_start"),
             "method",
             "n",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], ts_col: str = "ts",
+                 delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first-ARRIVING record per key (not
+    the earliest event time — arrival order, like any streaming dedup),
+    dropping any duplicate that arrives within ``delay`` of it
+    (``dropDuplicatesWithinWatermark`` — the streaming form of
+    dedup_exact's hash-groupBy).
+
+    The watermark is what makes this run forever: per-key state is evicted
+    once the event-time watermark passes key_first_seen + delay, so state
+    is bounded by the key arrival rate x delay window, not the stream's
+    history — the difference between a dedup that survives at 100 TB/day
+    and one that OOMs. Guarantee: duplicates arriving within the delay ARE
+    dropped; a duplicate arriving later than the delay may be emitted again
+    (by then the original is outside the dedup contract)."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_sessionize(events: DataFrame, key: str = "client",
+                      gap: str = "30 minutes", ts_col: str = "ts",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows: per-key activity sessions that close after
+    ``gap`` of silence (``session_window`` — the streaming analog of the
+    batch sessionize query's lag-based break detection, with the engine
+    merging windows incrementally instead of a global per-key sort).
+
+    Append mode emits a session exactly once, when the watermark passes its
+    close — which is what bounds the aggregation state on an unbounded
+    stream."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
         )
     )
 

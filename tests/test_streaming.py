@@ -329,3 +329,68 @@ def test_parquet_sink_exactly_once(spark, tmp_path, workload):
     import os
     parts = [p for p in os.listdir(f"{out}/requests") if p.startswith("batch_id=")]
     assert len(parts) > 1
+
+
+def _replay(spark, df, transform, src_dir, schema=None):
+    # file-replay a DataFrame through a streaming transform, collect output
+    df.write.parquet(src_dir)
+    reader = spark.readStream.schema(schema or df.schema).parquet(src_dir)
+    out: list = []
+    q = (
+        transform(reader)
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src_dir + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_dedup
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + dt.timedelta(seconds=5), "a-dup"),       # dup within delay
+        (2, t0 + dt.timedelta(seconds=10), "b"),
+        (1, t0 + dt.timedelta(seconds=20), "a-dup2"),     # still within delay
+        (3, t0 + dt.timedelta(minutes=1), "c"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+    out = _replay(spark, df, lambda s: stream_dedup(s, ["k"], delay="10 minutes"),
+                  str(tmp_path / "dd"))
+    # exactly one survivor per key; WHICH duplicate survives is arrival
+    # order (not event time) — don't assert it
+    assert sorted(r.k for r in out) == [1, 2, 3]
+    assert len([r for r in out if r.k == 1]) == 1
+
+
+def test_stream_sessionize_gap_semantics(spark, tmp_path):
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = (
+        # client A: 3 events inside one 30-min-gap session
+        [("A", t0 + dt.timedelta(minutes=m)) for m in (0, 10, 20)]
+        # client A: a second session 3h later
+        + [("A", t0 + dt.timedelta(hours=3))]
+        # client B: single-event session
+        + [("B", t0 + dt.timedelta(minutes=5))]
+        # watermark sentinel far in the future so every session above closes
+        + [("Z", t0 + dt.timedelta(days=2))]
+    )
+    df = spark.createDataFrame(rows, "client string, ts timestamp")
+    out = _replay(
+        spark, df,
+        lambda s: stream_sessionize(s, key="client", gap="30 minutes",
+                                    watermark="1 hour"),
+        str(tmp_path / "sw"),
+    )
+    sessions = {(r.client, r.n_events) for r in out if r.client in ("A", "B")}
+    assert ("A", 3) in sessions and ("A", 1) in sessions and ("B", 1) in sessions
+    a3 = next(r for r in out if r.client == "A" and r.n_events == 3)
+    assert a3.first_ts == t0 and a3.last_ts == t0 + dt.timedelta(minutes=20)
