@@ -69,6 +69,7 @@ HEADLINE = [
     "source_token_mix",
     "ann_recall",
     "ivf_kmeans2_topk",
+    "curation_funnel",
 ]
 
 

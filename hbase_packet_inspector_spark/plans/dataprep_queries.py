@@ -838,6 +838,74 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pairwise_containment(sh, min_containment=0.9)
 
 
+@register(
+    "curation_funnel",
+    """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws, text
+               FROM documents),
+    q AS (SELECT doc_id, lang,
+                 CAST(len(ws) AS INTEGER) AS n_words,
+                 CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(ws) AS stop_ratio,
+                 CAST(len(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                      - len(list_distinct(list_transform(
+                            range(1, greatest(len(ws) - 2, 0) + 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                      AS DOUBLE)
+                   / greatest(len(ws) - 2, 1) AS dup3
+          FROM w),
+    ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM documents),
+    g AS (SELECT q.doc_id,
+                 q.n_words >= 20 AS pass_len,
+                 q.stop_ratio <= 0.2 AS pass_stop,
+                 q.dup3 < 0.9 AS pass_rep,
+                 q.lang = 'en' AS pass_lang,
+                 ex.keeper = q.doc_id AS pass_exact
+          FROM q JOIN ex USING (doc_id))
+    SELECT doc_id, pass_len, pass_stop, pass_rep, pass_lang, pass_exact,
+           pass_len AND pass_stop AND pass_rep AND pass_lang AND pass_exact
+             AS keep
+    FROM g
+    """,
+    doc="The curation decision, end to end: every gate a training-data "
+    "pipeline applies per doc — length, stopword ratio, trigram repetition, "
+    "language, exact-dup keeper — as one row of booleans plus the final "
+    "keep verdict, so drop REASONS are auditable (why did we lose 40% of "
+    "source X?). One narrow pass + one hash-partition window; the gates "
+    "compose with a single corpus scan at 100 TB.",
+    tags=("dataprep", "text", "quality", "curation"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = X.quality_features(docs).select("doc_id", "n_words", "stop_ratio")
+    rep = X.repetition_features(docs).select("doc_id", "dup_3gram_frac")
+    ex = D.exact_dup_groups(docs).select("doc_id", "keep_doc_id")
+    base = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(ex, "doc_id")
+    )
+    gates = {
+        "pass_len": F.col("n_words") >= 20,
+        "pass_stop": F.col("stop_ratio") <= 0.2,
+        "pass_rep": F.coalesce(F.col("dup_3gram_frac") < 0.9, F.lit(True)),
+        "pass_lang": F.col("lang") == "en",
+        "pass_exact": F.col("keep_doc_id") == F.col("doc_id"),
+    }
+    out = base
+    for name, cond in gates.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in gates:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep).select(
+        "doc_id", *gates.keys(), "keep"
+    )
+
+
 def _hex6_int(expr: str) -> str:
     """DuckDB: first 6 md5 hex chars -> integer (instr returns 0 for '0',
     1-15 for '1'-'f' — an exact hex-digit decode)."""
