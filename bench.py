@@ -41,6 +41,7 @@ HEADLINE = [
     "order_lineitem_counts",
     "rpc_correlate",
     "rpc_scanner_state",
+    "rpc_finalize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -173,3 +173,165 @@ def rpc_scanner_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("table").alias("table_name"),
         F.col("region").alias("region_name"),
     )
+
+
+@register(
+    "rpc_finalize",
+    """
+    WITH g AS (
+      SELECT event_id AS e,
+             (event_id % 2 = 0) AS inbound,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(event_id % 5 AS INTEGER) END AS n_act,
+             CASE WHEN event_id % 3 = 0
+                  THEN CAST(event_id % 10 AS INTEGER) END AS own_cells,
+             CASE WHEN event_id % 13 = 0 THEN 'OWN' END AS own_table
+      FROM events
+    ), d AS (
+      SELECT *,
+             CASE WHEN inbound OR n_act IS NULL OR e % 11 = 0 THEN NULL
+                  ELSE CAST(greatest(n_act - CASE WHEN e % 3 = 0 THEN 1 ELSE 0 END,
+                                     0) AS INTEGER) END AS n_res,
+             CASE WHEN n_act IS NULL THEN 'get' ELSE 'multi' END AS method0
+      FROM g
+    ), x AS (
+      SELECT *,
+             CASE WHEN n_act IS NULL THEN NULL
+                  ELSE list_transform(range(1, n_act + 1),
+                         i -> CASE WHEN (i + e) % 3 = 0 THEN NULL
+                                   ELSE CAST(i AS INTEGER) END) END AS act_cells,
+             CASE WHEN n_res IS NULL THEN NULL
+                  ELSE list_transform(range(1, least(n_act, n_res) + 1),
+                         j -> CASE WHEN (j + e) % 4 = 0 THEN NULL
+                                   ELSE CAST(j * 2 AS INTEGER) END) END AS merged_cells
+      FROM d
+    ), f AS (
+      SELECT e,
+             CASE WHEN n_act IS NULL THEN 0 ELSE n_act END AS batch,
+             CAST(coalesce(
+               own_cells,
+               CASE WHEN NOT inbound AND n_res IS NOT NULL THEN
+                 CAST(coalesce(list_sum(list_filter(merged_cells,
+                                                    v -> v IS NOT NULL)), 0)
+                      AS INTEGER) END,
+               CASE WHEN n_act IS NOT NULL THEN
+                 CAST(coalesce(list_sum(list_filter(act_cells,
+                                                    v -> v IS NOT NULL)), 0)
+                      AS INTEGER) END,
+               0) AS INTEGER) AS cells,
+             CASE WHEN coalesce(n_act, 0) = 1
+                  THEN (['put','get','delete'])[CAST((1 + e) % 3 + 1 AS INTEGER)]
+                  ELSE method0 END AS method,
+             CASE WHEN coalesce(n_act, 0) = 1 THEN 'T' || CAST(e % 3 AS VARCHAR)
+                  ELSE own_table END AS tbl,
+             CASE WHEN coalesce(n_act, 0) = 1 THEN 'r1' END AS row_out,
+             CASE WHEN coalesce(n_act, 0) = 1 AND (1 + e) % 2 = 0
+                  THEN 'async_wal' END AS durability,
+             CASE WHEN coalesce(n_act, 0) > 1 AND inbound
+                  THEN n_act END AS n_act_out,
+             CASE WHEN coalesce(n_act, 0) > 1 AND NOT inbound
+                       AND n_res IS NOT NULL
+                  THEN CAST(least(n_act, n_res) AS INTEGER) END AS n_res_out
+      FROM x
+    )
+    SELECT e AS event_id, batch, cells, method, tbl, row_out, durability,
+           n_act_out, n_res_out
+    FROM f
+    """,
+    doc="The REAL operators.pipeline.finalize() (the reference's send!, "
+    "core.clj:261-283) under the oracle gate, on synthesized action/result "
+    "arrays derived deterministically from events: batch = count(actions) "
+    "with 0 for none; cells = own -> sum of non-null merged-result cells -> "
+    "sum of non-null action cells -> 0 (never null); singleton promotion "
+    "from the FIRST REQUEST-SIDE action for both directions; child arrays "
+    "kept only for batch > 1, results truncated to the shorter side of the "
+    "actions x results zip (Clojure map semantics). The oracle "
+    "re-implements the semantics over the same synthesized arrays with "
+    "DuckDB list functions.",
+    tags=("pipeline", "finalize", "send"),
+)
+def rpc_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import finalize
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    E = F.col("event_id")
+    n_act = F.when(E % 7 == 0, F.lit(None).cast("int")).otherwise(
+        (E % 5).cast("int")
+    )
+
+    def act(i):
+        return F.struct(
+            F.element_at(
+                F.array(F.lit("put"), F.lit("get"), F.lit("delete")),
+                ((i + E) % 3 + 1).cast("int"),
+            ).alias("method"),
+            F.concat(F.lit("T"), (E % 3).cast("string")).alias("table"),
+            _null("string").alias("region"),
+            F.concat(F.lit("r"), i.cast("string")).alias("row"),
+            F.when((i + E) % 3 == 0, F.lit(None).cast("int"))
+            .otherwise(i.cast("int"))
+            .alias("cells"),
+            F.when((i + E) % 2 == 0, F.lit("async_wal")).alias("durability"),
+        )
+
+    def res(j):
+        return F.struct(
+            _null("string").alias("method"),
+            _null("string").alias("table"),
+            _null("string").alias("region"),
+            _null("string").alias("row"),
+            F.when((j + E) % 4 == 0, F.lit(None).cast("int"))
+            .otherwise((j * 2).cast("int"))
+            .alias("cells"),
+            _null("string").alias("durability"),
+            F.when((j + E) % 5 == 0, F.lit("err")).alias("error"),
+        )
+
+    inbound = E % 2 == 0
+    # slice-after-fixed-transform: sequence(1, 0) would be DESCENDING [1,0],
+    # slice(…, 1, 0) is the empty array we actually want
+    actions = F.when(
+        n_act.isNotNull(),
+        F.slice(F.transform(F.sequence(F.lit(1), F.lit(4)), act), 1, n_act),
+    )
+    n_res = F.when(
+        inbound | n_act.isNull() | (E % 11 == 0), F.lit(None).cast("int")
+    ).otherwise(
+        F.greatest(
+            n_act - F.when(E % 3 == 0, F.lit(1)).otherwise(F.lit(0)), F.lit(0)
+        ).cast("int")
+    )
+    results = F.when(
+        n_res.isNotNull(),
+        F.slice(F.transform(F.sequence(F.lit(1), F.lit(4)), res), 1, n_res),
+    )
+
+    rpc = ev.select(
+        "event_id",
+        inbound.alias("inbound"),
+        F.concat(F.lit("c"), (E % 5).cast("string")).alias("client"),
+        F.lit(1).alias("port"),
+        (E % 97).cast("int").alias("call_id"),
+        F.when(n_act.isNull(), F.lit("get")).otherwise(F.lit("multi")).alias("method"),
+        F.when(E % 13 == 0, F.lit("OWN")).alias("table"),
+        _null("string").alias("region"),
+        _null("string").alias("row"),
+        _null("string").alias("stoprow"),
+        F.when(E % 3 == 0, (E % 10).cast("int")).alias("cells"),
+        _null("string").alias("durability"),
+        actions.alias("actions"),
+        results.alias("results"),
+    )
+    out = finalize(rpc)
+    return out.select(
+        "event_id",
+        "batch",
+        "cells",
+        "method",
+        F.col("table").alias("tbl"),
+        F.col("row").alias("row_out"),
+        "durability",
+        F.when(F.col("actions").isNotNull(), F.size("actions")).alias("n_act_out"),
+        F.when(F.col("results").isNotNull(), F.size("results")).alias("n_res_out"),
+    )
