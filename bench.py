@@ -42,6 +42,7 @@ HEADLINE = [
     "rpc_correlate",
     "rpc_scanner_state",
     "rpc_finalize",
+    "skew_salted_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -335,3 +335,56 @@ def rpc_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("actions").isNotNull(), F.size("actions")).alias("n_act_out"),
         F.when(F.col("results").isNotNull(), F.size("results")).alias("n_res_out"),
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH rpc AS (
+      SELECT event_id, user_id,
+             'c' || CAST(CASE WHEN user_id % 2 = 0 THEN 0
+                              ELSE user_id % 50 END AS VARCHAR) AS client
+      FROM events
+    ), dim AS (
+      SELECT DISTINCT client,
+             CASE WHEN client = 'c0' THEN 'hot' ELSE 'cold' END AS tier
+      FROM rpc
+    )
+    SELECT d.tier, count(*) AS n_events,
+           count(DISTINCT r.user_id) AS n_users
+    FROM rpc r JOIN dim d USING (client)
+    GROUP BY d.tier
+    """,
+    doc="Skew-mitigated join under the oracle gate: the big side is "
+    "deliberately skewed (half of all events land on client c0), joined "
+    "against a small tier dimension via operators.skew.salted_join — the "
+    "hot key's rows spread across 8 salt buckets with the dim replicated "
+    "per bucket, and the results are EXACTLY those of the plain join the "
+    "oracle runs. The pattern for 1%-of-keys-carry-50%-of-rows joins that "
+    "AQE's runtime splitting can't fix for broadcast-ineligible sides.",
+    tags=("pipeline", "join", "skew"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rpc = ev.select(
+        "event_id",
+        "user_id",
+        F.concat(
+            F.lit("c"),
+            F.when(F.col("user_id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("user_id") % 50)
+            .cast("string"),
+        ).alias("client"),
+    )
+    dim = rpc.select("client").distinct().withColumn(
+        "tier",
+        F.when(F.col("client") == "c0", F.lit("hot")).otherwise(F.lit("cold")),
+    )
+    joined = salted_join(rpc, dim, ["client"], salt=8)
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
