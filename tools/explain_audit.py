@@ -72,9 +72,18 @@ def audit(df):
 #   vectors × centroids with the tiny centroid table broadcast.
 # - term_zipf: the rank window runs AFTER TakeOrderedAndProject(50) — it
 #   numbers 50 rows, never the vocabulary; the top-k itself is distributed.
+# - ivf_kmeans2_topk: same quantizer-assignment NLJ as ivf_kmeans_topk,
+#   twice (one per Lloyd round).
+# - source_token_mix: the corpus total re-enters as a broadcast ONE-ROW
+#   aggregate — a 1-row nested loop by construction.
+# - ann_recall: contains the brute-force exact baseline (cosine_topk's
+#   rationale); the pruned side plans as an equi join.
 ALLOWED = {
     "acctbal_deciles": {"GLOBAL-WINDOW"},
     "term_zipf": {"GLOBAL-WINDOW"},
+    "ivf_kmeans2_topk": {"NESTED-LOOP-JOIN"},
+    "source_token_mix": {"NESTED-LOOP-JOIN"},
+    "ann_recall": {"NESTED-LOOP-JOIN"},
     "cosine_topk": {"NESTED-LOOP-JOIN"},
     "ivf_quantized_topk": {"NESTED-LOOP-JOIN"},
     "ivf_kmeans_topk": {"NESTED-LOOP-JOIN"},
