@@ -268,10 +268,17 @@ def kmeans_refine(emb: DataFrame, seed_centroids: DataFrame,
     oracle-checkable; a production run loops until an assignment round
     changes nothing."""
     cells = assign_cells(emb, seed_centroids, id_col=id_col, vec_col=vec_col)
+    prev = None
     for _ in range(iterations):
         if materialize:
             cells = cells.persist()
             cells.count()
+            if prev is not None:
+                # drop the previous round's cache once this round is
+                # materialized — otherwise a long refinement loop pins one
+                # full assignment per iteration in executor storage
+                prev.unpersist()
+            prev = cells
         cents = centroids_from_cells(emb, cells, id_col=id_col, vec_col=vec_col)
         cells = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
     return cells

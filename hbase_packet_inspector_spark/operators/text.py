@@ -107,10 +107,16 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _word_grams(text_col: str, n: int) -> Column:
-    """In-row word n-gram array (empty when the doc is shorter than n)."""
+    """In-row word n-gram array (empty when the doc is shorter than n).
+
+    The short-doc case needs an explicit branch: sequence(1, 0) yields the
+    DESCENDING array [1, 0] — the transform would then call slice(ws, 0, n),
+    which throws INVALID_PARAMETER_VALUE.START at runtime."""
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+        f"ELSE array() END"
     )
 
 
@@ -121,8 +127,11 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
       earlier n-gram in the same doc (1 - distinct/total) — the classic
       within-doc repetition quality gate for LLM corpora;
     - top_word_frac: share of the doc taken by its single most frequent word
-      (count via a nested HOF: for each distinct word, filter-count the
-      token array).
+      — the max multiplicity is the longest run in the SORTED token array,
+      found with one O(n log n) sort + one linear fold (a distinct×filter
+      nested loop would be O(n²) per doc: one 100k-word doc would stall its
+      partition for minutes, exactly the in-row skew these gates exist to
+      catch).
 
     All ratios are exact int/int divisions, so they hash identically on any
     IEEE engine. At 100 TB this is a pure narrow map over the text scan.
@@ -138,11 +147,22 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             / total.cast("double"),
         )
 
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def longest_run_step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_cnt = F.aggregate(
+        F.array_sort(ws), init, longest_run_step, lambda acc: acc["best"]
     )
     return docs.select(
         "doc_id",
@@ -195,14 +215,21 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     words = docs.select("doc_id", F.explode(_tok(text_col)).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    # no broadcast hint: a forced broadcast caps the operator at
+    # N joins in as a broadcast one-row aggregate so it stays inside the
+    # lazy plan — an eager docs.count() here would scan the corpus just to
+    # CONSTRUCT the frame, before any action on the result
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
+    # no broadcast hint on df_: a forced broadcast caps the operator at
     # driver-memory-sized vocabularies; AQE sees the df aggregate's real
     # shuffle size at runtime and converts to broadcast-hash exactly when
     # that's safe (both sides already shuffle on `word` otherwise)
-    scored = tf.join(df_, "word").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return (

@@ -101,6 +101,40 @@ def stream_correlate(events: DataFrame) -> DataFrame:
     )
 
 
+def _reattach_arrays(spark, source_dir: str, batch_df: DataFrame) -> DataFrame:
+    """Re-attach the array columns the Arrow state boundary dropped: own
+    results by event_id; the matched REQUEST's actions by req_event_id
+    (responses) / event_id (requests).
+
+    The source scan is pruned to the batch's event_id RANGE (req_event_id
+    <= event_id always — a request precedes its response), which parquet
+    row-group min/max stats turn into real IO pruning. Without it every
+    micro-batch re-reads the WHOLE source: replaying F files one per
+    trigger would cost O(F²) file reads."""
+    keyed = batch_df.withColumn(
+        "_aid",
+        F.when(F.col("inbound"), F.col("event_id")).otherwise(
+            F.col("req_event_id")
+        ),
+    ).withColumn("_rid", F.col("event_id"))
+    bounds = keyed.agg(
+        F.least(F.min("_aid"), F.min("_rid")).alias("lo"),
+        F.greatest(F.max("_aid"), F.max("_rid")).alias("hi"),
+    ).collect()[0]
+    src = spark.read.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
+    if bounds.lo is not None:
+        src = src.where(F.col("event_id").between(bounds.lo, bounds.hi))
+    acts = src.select(F.col("event_id").alias("_aid"), F.col("actions").alias("_a"))
+    ress = src.select(F.col("event_id").alias("_rid"), F.col("results").alias("_r"))
+    return (
+        keyed.join(acts, "_aid", "left")
+        .join(ress, "_rid", "left")
+        .withColumn("actions", F.col("_a"))
+        .withColumn("results", F.col("_r"))
+        .drop("_aid", "_rid", "_a", "_r", "req_event_id")
+    )
+
+
 def run_pipeline_available_now(
     spark, source_dir: str, sink_tables: dict[str, list],
     max_files_per_trigger: int | None = None,
@@ -114,7 +148,6 @@ def run_pipeline_available_now(
     ``max_files_per_trigger`` forces multi-micro-batch execution — tests use
     it to prove state survives batch boundaries."""
     from ..operators.pipeline import finalize_and_route
-    from pyspark.sql import functions as F
 
     if rocksdb_state:
         # off-heap spillable state — the memory-pressure answer the
@@ -131,26 +164,7 @@ def run_pipeline_available_now(
     correlated = stream_correlate(events)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        # re-attach array columns dropped by the Arrow state boundary:
-        # own results by event_id; the matched REQUEST's actions by
-        # req_event_id (responses) / event_id (requests)
-        src = spark.read.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
-        acts = src.select(F.col("event_id").alias("_aid"), F.col("actions").alias("_a"))
-        ress = src.select(F.col("event_id").alias("_rid"), F.col("results").alias("_r"))
-        full = (
-            batch_df.withColumn(
-                "_aid",
-                F.when(F.col("inbound"), F.col("event_id")).otherwise(
-                    F.col("req_event_id")
-                ),
-            )
-            .withColumn("_rid", F.col("event_id"))
-            .join(acts, "_aid", "left")
-            .join(ress, "_rid", "left")
-            .withColumn("actions", F.col("_a"))
-            .withColumn("results", F.col("_r"))
-            .drop("_aid", "_rid", "_a", "_r", "req_event_id")
-        )
+        full = _reattach_arrays(spark, source_dir, batch_df)
         # scanner enrichment already happened statefully upstream (cross-
         # batch correct); only finalization + routing remain per batch
         for name, df in finalize_and_route(full).items():
@@ -184,7 +198,6 @@ def run_pipeline_to_parquet(
     without touching the stream.
     """
     from ..operators.pipeline import finalize_and_route
-    from pyspark.sql import functions as F
 
     reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
     if max_files_per_trigger:
@@ -193,23 +206,7 @@ def run_pipeline_to_parquet(
     correlated = stream_correlate(events)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        src = spark.read.schema(RPC_EVENT_SCHEMA).parquet(source_dir)
-        acts = src.select(F.col("event_id").alias("_aid"), F.col("actions").alias("_a"))
-        ress = src.select(F.col("event_id").alias("_rid"), F.col("results").alias("_r"))
-        full = (
-            batch_df.withColumn(
-                "_aid",
-                F.when(F.col("inbound"), F.col("event_id")).otherwise(
-                    F.col("req_event_id")
-                ),
-            )
-            .withColumn("_rid", F.col("event_id"))
-            .join(acts, "_aid", "left")
-            .join(ress, "_rid", "left")
-            .withColumn("actions", F.col("_a"))
-            .withColumn("results", F.col("_r"))
-            .drop("_aid", "_rid", "_a", "_r", "req_event_id")
-        )
+        full = _reattach_arrays(spark, source_dir, batch_df)
         for name, df in finalize_and_route(full).items():
             df.write.mode("overwrite").parquet(
                 f"{out_dir}/{name}/batch_id={batch_id}"

@@ -168,3 +168,15 @@ def test_ann_recall_bounds(spark):
     )
     out = {r.q_id: r.recall for r in S.ann_recall(emb, qs, k=3, cell_col="label").collect()}
     assert set(out) == {0, 6} and all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_repetition_short_docs_no_crash(spark):
+    # sequence(1, 0) is DESCENDING [1,0]: without the length guard the
+    # n-gram transform calls slice(ws, 0, n) and throws at runtime
+    rows = [(0, "one", "en", "s", 3), (1, "two words", "en", "s", 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in X.repetition_features(df).collect()}
+    assert out[0].dup_2gram_frac is None and out[0].top_word_frac == 1.0
+    assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac is None

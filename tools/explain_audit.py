@@ -78,7 +78,10 @@ def audit(df):
 #   aggregate — a 1-row nested loop by construction.
 # - ann_recall: contains the brute-force exact baseline (cosine_topk's
 #   rationale); the pruned side plans as an equi join.
+# - tfidf_top_terms: N(docs) joins in as a broadcast ONE-ROW aggregate (the
+#   lazy alternative to an eager docs.count()) — a 1-row nested loop.
 ALLOWED = {
+    "tfidf_top_terms": {"NESTED-LOOP-JOIN"},
     "acctbal_deciles": {"GLOBAL-WINDOW"},
     "term_zipf": {"GLOBAL-WINDOW"},
     "ivf_kmeans2_topk": {"NESTED-LOOP-JOIN"},
