@@ -197,7 +197,7 @@ def minhash_signatures_wide(sets: DataFrame,
 
 def verify_candidates(candidates: DataFrame, sets: DataFrame,
                       min_jaccard: float,
-                      broadcast_threshold: int = 500_000) -> DataFrame:
+                      broadcast_bytes: int = 128 << 20) -> DataFrame:
     """Exact Jaccard on candidate pairs only (the cheap post-LSH pass).
 
     Computes intersections via array_intersect over per-doc shingle SETS
@@ -206,9 +206,17 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
     what keeps verification linear in candidates on shingle-dense corpora.
     The set frame is broadcast when small enough (aggregated frames have no
     stats, so Catalyst can't make this call on its own); above the threshold
-    it falls back to shuffle joins on doc_id."""
+    it falls back to shuffle joins on doc_id. The threshold is in estimated
+    BYTES, not rows — the frame carries the full shingle arrays, and this
+    join broadcasts it twice (two keys, no exchange reuse), so a row-count
+    threshold melts down exactly when the corpus grows (~12 B/shingle in
+    UnsafeRow form + per-row overhead)."""
     try:
-        small = sets.count() <= broadcast_threshold
+        st = sets.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        small = (st.s * 12 + st.c * 64) <= broadcast_bytes
     except Exception:
         small = False
     s1 = sets.select(F.col("doc_id").alias("d1"), F.col("sset").alias("set1"),
