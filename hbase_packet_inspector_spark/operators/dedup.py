@@ -249,7 +249,7 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
 def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
                         n_bands: int = DEFAULT_BANDS,
                         min_est: float = 0.4,
-                        broadcast_threshold: int = 500_000) -> DataFrame:
+                        broadcast_bytes: int = 128 << 20) -> DataFrame:
     """Candidate pairs from wide signatures: per-band key self-joins, then a
     minhash-ESTIMATE prefilter (fraction of agreeing signatures) so only
     plausibly-similar pairs reach exact verification.
@@ -278,13 +278,15 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
                         *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)])
     right = keyed.select(F.col("doc_id").alias("d2"), "bkey",
                          *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)])
-    # signatures are ~140 bytes/doc, so up to the threshold the whole frame
-    # broadcasts and the band join goes hash-broadcast with zero shuffle
-    # (Catalyst can't infer this: aggregated frames carry no stats). Past
-    # it, a plain shuffle join on the band key — which is also the right
-    # plan at 10^9 docs.
+    # up to the byte cap the whole frame broadcasts and the band join goes
+    # hash-broadcast with zero shuffle (Catalyst can't infer this:
+    # aggregated frames carry no stats). The estimate prices the EXPLODED
+    # frame — one row per (doc, band), each carrying all n_hashes 8-hex
+    # signature pieces. Past the cap, a plain shuffle join on the band key
+    # — which is also the right plan at 10^9 docs.
     try:
-        if sigs.count() <= broadcast_threshold:
+        row_bytes = n_bands * (n_hashes * 9 + 48)
+        if sigs.count() * row_bytes <= broadcast_bytes:
             right = F.broadcast(right)
     except Exception:
         pass

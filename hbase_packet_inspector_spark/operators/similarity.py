@@ -119,14 +119,30 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     # output, and dragging the vectors through those joins + the dedup
     # shuffle would dominate the whole operator. Vectors (with norms
     # precomputed once per vector) are joined back onto the deduped pairs.
+    # Broadcast decisions are BYTE-aware (vectors are ~dim x 8 B/row — a
+    # row-count rule melts down right when the corpus grows); above the cap
+    # every join falls back to shuffle, the plan that's also correct at
+    # 10^9 vectors.
+    try:
+        st = emb.agg(
+            F.count("*").alias("c"),
+            F.max(F.size(vec_col)).alias("d"),
+        ).collect()[0]
+        vec_small = st.c * ((st.d or 0) * 8 + 48) <= (128 << 20)
+        band_small = st.c * 64 <= (128 << 20)
+    except Exception:
+        vec_small = band_small = False
+
     left = keyed.select(F.col(id_col).alias("d1"),
                         *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
     right = keyed.select(F.col(id_col).alias("d2"),
                          *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    if band_small:
+        right = F.broadcast(right)
     cand = None
     for b in range(n_bands):
         pairs = left.join(
-            F.broadcast(right),
+            right,
             (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2")),
         ).select("d1", "d2")
         cand = pairs if cand is None else cand.unionByName(pairs)
@@ -137,10 +153,12 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     vv = emb.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
-    v1 = F.broadcast(vv.select(F.col("_id").alias("d1"), F.col("_v").alias("v1"),
-                               F.col("_n").alias("n1")))
-    v2 = F.broadcast(vv.select(F.col("_id").alias("d2"), F.col("_v").alias("v2"),
-                               F.col("_n").alias("n2")))
+    v1 = vv.select(F.col("_id").alias("d1"), F.col("_v").alias("v1"),
+                   F.col("_n").alias("n1"))
+    v2 = vv.select(F.col("_id").alias("d2"), F.col("_v").alias("v2"),
+                   F.col("_n").alias("n2"))
+    if vec_small:
+        v1, v2 = F.broadcast(v1), F.broadcast(v2)
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
         cand.join(v1, "d1").join(v2, "d2")
