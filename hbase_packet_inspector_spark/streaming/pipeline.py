@@ -221,6 +221,41 @@ def run_pipeline_to_parquet(
     q.awaitTermination()
 
 
+def run_pipeline_to_kafka(
+    spark, source_dir: str, spec: str, records_out: list | None = None,
+    max_files_per_trigger: int | None = None, hostname: str = "localhost",
+) -> None:
+    """The reference's kafka mode as a stream: stateful correlation ->
+    finalize (the send! record) -> JSON (topic, value) routing per the
+    kafka spec, per micro-batch. With a broker, swap the collect for
+    ``batch.write.format('kafka')`` (compression gzip per the reference);
+    ``records_out`` collects the records for tests/offline dumps."""
+    from ..operators.pipeline import finalize
+    from .sink import parse_kafka_spec, to_kafka_records
+
+    cfg = parse_kafka_spec(spec)
+    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    correlated = stream_correlate(reader.parquet(source_dir))
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        full = _reattach_arrays(spark, source_dir, batch_df)
+        recs = to_kafka_records(
+            finalize(full), cfg["topic1"], cfg["topic2"], cfg["extra"], hostname
+        )
+        if records_out is not None:
+            records_out.extend(recs.collect())
+
+    q = (
+        correlated.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", source_dir + "/_kafka_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_windowed_counts(
     events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -394,3 +394,34 @@ def test_stream_sessionize_gap_semantics(spark, tmp_path):
     assert ("A", 3) in sessions and ("A", 1) in sessions and ("B", 1) in sessions
     a3 = next(r for r in out if r.client == "A" and r.n_events == 3)
     assert a3.first_ts == t0 and a3.last_ts == t0 + dt.timedelta(minutes=20)
+
+
+def test_streaming_kafka_mode_finalized_payload(spark, tmp_path, workload):
+    # reference kafka mode end-to-end as a stream: records are the
+    # FINALIZED send! maps (elapsed, batch, cells, embedded stamped
+    # children for multi), routed by direction
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        run_pipeline_to_kafka,
+    )
+
+    src = str(tmp_path / "kf_events")
+    fx.to_df(spark, workload).write.parquet(src)
+    recs: list = []
+    run_pipeline_to_kafka(spark, src, "b:9092/req/resp?service=hpi",
+                          records_out=recs, max_files_per_trigger=1)
+    assert {r.topic for r in recs} == {"req", "resp"}
+    payloads = [json.loads(r.value) for r in recs]
+    assert all(p["hostname"] == "localhost" and p["service"] == "hpi"
+               for p in payloads)
+    multi_req = [p for p in payloads if p.get("batch", 0) > 1
+                 and p.get("inbound")]
+    assert multi_req and all(
+        len(p["actions"]) == p["batch"]
+        and all(a["call_id"] == p["call_id"] for a in p["actions"])
+        for p in multi_req
+    )
+    # every record carries a numeric cells (send! coerces nil -> 0)
+    assert all(isinstance(p.get("cells"), int) for p in payloads)
+    # matched responses carry elapsed; correlated method propagated
+    resp = [p for p in payloads if not p.get("inbound")]
+    assert any("elapsed" in p for p in resp)
