@@ -165,7 +165,10 @@ def finalize(events: DataFrame) -> DataFrame:
 
     - ``batch`` = count of the request-side actions (``(count actions)``) —
       0 for non-batch records, request actions having been merged onto their
-      response by correlate();
+      response by correlate(). (The reference README.md:123 documents batch
+      as "Null if not a batch request", but the CODE stores 0: send! assocs
+      ``(count nil)`` and the H2 inserter writes whatever the map holds,
+      db.clj:79-87 — we follow the code);
     - singleton promotion: a 1-action multi is reported as its action — the
       FIRST REQUEST-SIDE action for both directions (``(merge info (first
       actions))``), the action's non-null fields winning;
