@@ -180,3 +180,49 @@ def test_repetition_short_docs_no_crash(spark):
     out = {r.doc_id: r for r in X.repetition_features(df).collect()}
     assert out[0].dup_2gram_frac is None and out[0].top_word_frac == 1.0
     assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac is None
+
+
+def test_repetition_differential_random_docs(spark):
+    # differential test vs a naive Python implementation on one batch of
+    # seeded random docs (single Spark job — no per-example round trips)
+    import random
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff", "g"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))),
+         "en", "s", 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in X.repetition_features(df).collect()}
+
+    def naive(text):
+        ws = text.split(" ")
+        def frac(n):
+            g = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            return (len(g) - len(set(g))) / len(g) if g else None
+        top = max(ws.count(w) for w in set(ws)) / len(ws)
+        return len(ws), frac(2), frac(3), top
+
+    for i, text, *_ in rows:
+        n, f2, f3, top = naive(text)
+        r = out[i]
+        assert r.n_words == n
+        assert r.dup_2gram_frac == f2 and r.dup_3gram_frac == f3
+        assert r.top_word_frac == top, (text, r.top_word_frac, top)
+
+
+def test_hash_bucket_differential(spark):
+    # hash_bucket must equal the Python md5 computation exactly
+    import hashlib
+    from hbase_packet_inspector_spark.operators.sampling import hash_bucket
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    out = {r.k: r.b for r in df.select(
+        "k", hash_bucket(F.col("k"), salt="sample:").alias("b")).collect()}
+    for k in range(500):
+        expect = int(hashlib.md5(f"sample:{k}".encode()).hexdigest()[:6], 16) % 100
+        assert out[k] == expect
+    assert 0 <= min(out.values()) and max(out.values()) <= 99
