@@ -715,7 +715,10 @@ def ivf_kmeans2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    cell2 = S.kmeans_refine(emb, seed, iterations=2, materialize=True)
+    # materialize=False: at 2 iterations the lineage is still shallow and a
+    # persist+count barrier costs more than the recomputation it avoids —
+    # flip it on for long refinement loops (see kmeans_refine's docstring)
+    cell2 = S.kmeans_refine(emb, seed, iterations=2, materialize=False)
     base = emb.join(cell2, "vec_id")
     qs = base.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"),
