@@ -197,7 +197,7 @@ def minhash_signatures_wide(sets: DataFrame,
 
 def verify_candidates(candidates: DataFrame, sets: DataFrame,
                       min_jaccard: float,
-                      broadcast_bytes: int = 128 << 20) -> DataFrame:
+                      broadcast_bytes: int = 256 << 20) -> DataFrame:
     """Exact Jaccard on candidate pairs only (the cheap post-LSH pass).
 
     Computes intersections via array_intersect over per-doc shingle SETS
@@ -208,15 +208,16 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
     stats, so Catalyst can't make this call on its own); above the threshold
     it falls back to shuffle joins on doc_id. The threshold is in estimated
     BYTES, not rows — the frame carries the full shingle arrays, and this
-    join broadcasts it twice (two keys, no exchange reuse), so a row-count
-    threshold melts down exactly when the corpus grows (~12 B/shingle in
-    UnsafeRow form + per-row overhead)."""
+    join broadcasts it TWICE (two keys, no exchange reuse), so the estimate
+    prices both copies at UnsafeRow cost (~16 B/shingle: an 8-byte
+    offset/length slot plus 8-byte-aligned data); a row-count threshold
+    melts down exactly when the corpus grows."""
     try:
         st = sets.agg(
             F.count("*").alias("c"),
             F.coalesce(F.sum("n"), F.lit(0)).alias("s"),
         ).collect()[0]
-        small = (st.s * 12 + st.c * 64) <= broadcast_bytes
+        small = 2 * (st.s * 16 + st.c * 64) <= broadcast_bytes
     except Exception:
         small = False
     s1 = sets.select(F.col("doc_id").alias("d1"), F.col("sset").alias("set1"),
@@ -285,7 +286,9 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
     # signature pieces. Past the cap, a plain shuffle join on the band key
     # — which is also the right plan at 10^9 docs.
     try:
-        row_bytes = n_bands * (n_hashes * 9 + 48)
+        # 16 B per 8-hex signature piece in UnsafeRow form (offset/length
+        # slot + aligned data), one exploded row per (doc, band)
+        row_bytes = n_bands * (n_hashes * 16 + 48)
         if sigs.count() * row_bytes <= broadcast_bytes:
             right = F.broadcast(right)
     except Exception:

@@ -96,57 +96,57 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     computable by any engine.
     """
     band_bits = bits // n_bands
-    keyed = emb.select(
-        F.col(id_col),
-        *[
-            F.concat_ws(
-                "",
-                *[
-                    # element_at is 1-based, matching SQL array indexing
-                    F.when(
-                        F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
-                        F.lit("1"),
-                    ).otherwise(F.lit("0"))
-                    for j in range(band_bits)
-                ],
-            ).alias(f"b{b}")
-            for b in range(n_bands)
-        ],
-    )
+    # one row per (vector, band) with the band index BAKED into the key so
+    # buckets of different bands can never merge — a SINGLE self-join on
+    # bkey replaces n_bands separate joins (each of which would shuffle the
+    # whole frame again on the non-broadcast path: 2*n_bands full-frame
+    # shuffles vs one), the same shape as dedup.lsh_candidates_wide
+    band_keys = F.array(*[
+        F.concat_ws(
+            "",
+            F.lit(str(b)), F.lit(":"),
+            *[
+                # element_at is 1-based, matching SQL array indexing
+                F.when(
+                    F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for j in range(band_bits)
+            ],
+        )
+        for b in range(n_bands)
+    ])
+    keyed = emb.select(F.col(id_col), F.explode(band_keys).alias("bkey"))
 
     # band joins carry ONLY (id, band key): at 2^band_bits buckets the raw
     # collision set can be orders of magnitude larger than the verified
     # output, and dragging the vectors through those joins + the dedup
     # shuffle would dominate the whole operator. Vectors (with norms
     # precomputed once per vector) are joined back onto the deduped pairs.
-    # Broadcast decisions are BYTE-aware (vectors are ~dim x 8 B/row — a
-    # row-count rule melts down right when the corpus grows); above the cap
-    # every join falls back to shuffle, the plan that's also correct at
-    # 10^9 vectors.
+    # Broadcast decisions are BYTE-aware at UnsafeRow cost (vectors are
+    # ~dim x 8 B/row and the vector frame broadcasts TWICE; the band frame
+    # explodes to n_bands rows/vector of band_bits-char keys); above the
+    # cap every join falls back to shuffle, the plan that's also correct
+    # at 10^9 vectors. Sizing reads the dim from ONE row — never a full
+    # scan just to price a broadcast.
     try:
-        st = emb.agg(
-            F.count("*").alias("c"),
-            F.max(F.size(vec_col)).alias("d"),
-        ).collect()[0]
-        vec_small = st.c * ((st.d or 0) * 8 + 48) <= (128 << 20)
-        band_small = st.c * 64 <= (128 << 20)
+        n_vec = emb.count()
+        first_dim = emb.select(F.size(vec_col).alias("d")).first()
+        dim = (first_dim.d if first_dim else 0) or 0
+        vec_small = 2 * n_vec * (dim * 8 + 48) <= (128 << 20)
+        band_small = n_vec * n_bands * (band_bits + 56) <= (128 << 20)
     except Exception:
         vec_small = band_small = False
 
-    left = keyed.select(F.col(id_col).alias("d1"),
-                        *[F.col(f"b{b}").alias(f"lb{b}") for b in range(n_bands)])
-    right = keyed.select(F.col(id_col).alias("d2"),
-                         *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)])
+    left = keyed.select(F.col(id_col).alias("d1"), "bkey")
+    right = keyed.select(F.col(id_col).alias("d2"), "bkey")
     if band_small:
         right = F.broadcast(right)
-    cand = None
-    for b in range(n_bands):
-        pairs = left.join(
-            right,
-            (F.col(f"lb{b}") == F.col(f"rb{b}")) & (F.col("d1") < F.col("d2")),
-        ).select("d1", "d2")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["d1", "d2"])
+    cand = (
+        left.join(right, "bkey")
+        .where(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
     nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = cand.repartition(nparts, "d1")  # spread the cosine CPU work
 

@@ -135,6 +135,27 @@ def _reattach_arrays(spark, source_dir: str, batch_df: DataFrame) -> DataFrame:
     )
 
 
+def _run_correlated_stream(
+    spark, source_dir: str, sink_fn, checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Shared runner for the file-replay modes: schema'd streaming reader ->
+    stateful correlation -> foreachBatch(sink_fn) with availableNow + the
+    given checkpoint. Every mode keys its OWN checkpoint: a shared one would
+    make a second run see all files committed and silently emit nothing."""
+    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    correlated = stream_correlate(reader.parquet(source_dir))
+    q = (
+        correlated.writeStream.foreachBatch(sink_fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_pipeline_available_now(
     spark, source_dir: str, sink_tables: dict[str, list],
     max_files_per_trigger: int | None = None,
@@ -157,11 +178,6 @@ def run_pipeline_available_now(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.parquet(source_dir)
-    correlated = stream_correlate(events)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         full = _reattach_arrays(spark, source_dir, batch_df)
@@ -170,13 +186,10 @@ def run_pipeline_available_now(
         for name, df in finalize_and_route(full).items():
             sink_tables.setdefault(name, []).extend(df.collect())
 
-    q = (
-        correlated.writeStream.foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", source_dir + "/_checkpoint")
-        .start()
+    _run_correlated_stream(
+        spark, source_dir, _sink, source_dir + "/_checkpoint",
+        max_files_per_trigger,
     )
-    q.awaitTermination()
 
 
 def run_pipeline_to_parquet(
@@ -199,12 +212,6 @@ def run_pipeline_to_parquet(
     """
     from ..operators.pipeline import finalize_and_route
 
-    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.parquet(source_dir)
-    correlated = stream_correlate(events)
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         full = _reattach_arrays(spark, source_dir, batch_df)
         for name, df in finalize_and_route(full).items():
@@ -212,32 +219,36 @@ def run_pipeline_to_parquet(
                 f"{out_dir}/{name}/batch_id={batch_id}"
             )
 
-    q = (
-        correlated.writeStream.foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", out_dir + "/_checkpoint")
-        .start()
+    _run_correlated_stream(
+        spark, source_dir, _sink, out_dir + "/_checkpoint",
+        max_files_per_trigger,
     )
-    q.awaitTermination()
 
 
 def run_pipeline_to_kafka(
     spark, source_dir: str, spec: str, records_out: list | None = None,
     max_files_per_trigger: int | None = None, hostname: str = "localhost",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """The reference's kafka mode as a stream: stateful correlation ->
     finalize (the send! record) -> JSON (topic, value) routing per the
     kafka spec, per micro-batch. With a broker, swap the collect for
     ``batch.write.format('kafka')`` (compression gzip per the reference);
-    ``records_out`` collects the records for tests/offline dumps."""
+    ``records_out`` collects the records for tests/offline dumps.
+
+    The default checkpoint is keyed by the SPEC (the analog of the output
+    destination): re-running the same capture with a different spec must
+    not see the first run's committed offsets and silently emit nothing.
+    Pass ``checkpoint_dir`` to resume a specific run instead."""
+    import hashlib
+
     from ..operators.pipeline import finalize
     from .sink import parse_kafka_spec, to_kafka_records
 
     cfg = parse_kafka_spec(spec)
-    reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    correlated = stream_correlate(reader.parquet(source_dir))
+    if checkpoint_dir is None:
+        tag = hashlib.md5(spec.encode()).hexdigest()[:8]
+        checkpoint_dir = f"{source_dir}/_kafka_checkpoint_{tag}"
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         full = _reattach_arrays(spark, source_dir, batch_df)
@@ -247,13 +258,9 @@ def run_pipeline_to_kafka(
         if records_out is not None:
             records_out.extend(recs.collect())
 
-    q = (
-        correlated.writeStream.foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", source_dir + "/_kafka_checkpoint")
-        .start()
+    _run_correlated_stream(
+        spark, source_dir, _sink, checkpoint_dir, max_files_per_trigger
     )
-    q.awaitTermination()
 
 
 def stream_windowed_counts(
