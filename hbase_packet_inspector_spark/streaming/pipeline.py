@@ -385,9 +385,12 @@ def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.Data
                         row["region"] = sess["region"]
                     if method == "next-rows":
                         sess["ts_ms"] = ts_ms
-                if (method == "close-scanner" and row["inbound"]) or (
-                    method == "small-scan" and not row["inbound"]
-                ):
+                # only close-scanner REQUESTS tombstone scanner-id state
+                # (core.clj:131-133); a small-scan response discards its
+                # call-id-keyed PRE-state, never the scanner-id map
+                # (core.clj:135-138) — popping here would kill a live
+                # scanner whose id collides with the small-scan response's
+                if method == "close-scanner" and row["inbound"]:
                     scanners.pop(sid, None)
         out_rows.append(row)
     return pd.DataFrame(out_rows, columns=[f.name for f in CORRELATED_SCHEMA])

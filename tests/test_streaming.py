@@ -425,3 +425,26 @@ def test_streaming_kafka_mode_finalized_payload(spark, tmp_path, workload):
     # matched responses carry elapsed; correlated method propagated
     resp = [p for p in payloads if not p.get("inbound")]
     assert any("elapsed" in p for p in resp)
+
+
+def test_small_scan_does_not_kill_open_scanner_state(spark, tmp_path):
+    # core.clj:135-138: a small-scan response discards only its call-id
+    # pre-state — a scanner-id collision must NOT tombstone a live scanner
+    sid = 77
+    rows = [
+        fx._ev(0, 0, True, 30, "open-scanner", table=fx.TABLE,
+               region=fx.REGION, scanner=None),
+        fx._ev(1, 10, False, 30, None, scanner=sid),
+        # small-scan on the same connection whose response reuses sid
+        fx._ev(2, 20, True, 31, "small-scan", table="other", scanner=None),
+        fx._ev(3, 30, False, 31, None, scanner=sid, cells=5),
+        # the open scanner must still enrich next-rows afterwards
+        fx._ev(4, 40, True, 32, "next-rows", scanner=sid),
+        fx._ev(5, 50, False, 32, None, scanner=sid, cells=20),
+    ]
+    src = str(tmp_path / "ss_events")
+    fx.to_df(spark, rows).write.parquet(src)
+    sink: dict[str, list] = {}
+    run_pipeline_available_now(spark, src, sink)
+    nr = [r for r in sink["requests"] if r.method == "next-rows"]
+    assert len(nr) == 1 and nr[0].table == fx.TABLE and nr[0].region == fx.REGION
