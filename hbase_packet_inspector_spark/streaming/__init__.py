@@ -1,2 +1,10 @@
-from .pipeline import stream_correlate, run_pipeline_available_now  # noqa: F401
+from .pipeline import (  # noqa: F401
+    run_pipeline_available_now,
+    run_pipeline_to_kafka,
+    run_pipeline_to_parquet,
+    stream_correlate,
+    stream_dedup,
+    stream_sessionize,
+    stream_windowed_counts,
+)
 from .sink import from_kafka_records, to_kafka_records  # noqa: F401
