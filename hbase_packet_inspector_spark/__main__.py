@@ -22,6 +22,9 @@ def main(argv: list[str] | None = None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--events", help="rpc_events parquet path")
     src.add_argument("--pcap", help="pcap capture file/glob (file-mode analog)")
+    p.add_argument("--decode", default="hbase", choices=["hbase", "json"],
+                   help="pcap payload decoder: real HBase RPC protobuf "
+                   "(default) or the JSON-framed synthetic seam")
     p.add_argument("--format", default="parquet", choices=["parquet", "json", "kafka-json"])
     p.add_argument("--port", type=int, action="append",
                    help="monitored RPC port(s); default 16020 + 60020 "
@@ -38,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     eng = Engine(spark)
     if args.pcap:
-        eng.load_pcap(args.pcap, ports=tuple(args.port or (16020, 60020)))
+        eng.load_pcap(args.pcap, ports=tuple(args.port or (16020, 60020)),
+                      decode=args.decode)
     else:
         eng.load_events(args.events, args.format)
     if args.count is not None or args.duration is not None:

@@ -114,20 +114,29 @@ class Engine:
         self,
         path: str,
         ports: Sequence[int] = (16020, 60020),
-        decode: str = "json",
+        decode: str = "hbase",
     ) -> "Engine":
         """File mode from raw capture bytes (``hpi dump.pcap`` analog):
         binaryFile scan -> packet decode -> direction/port tagging -> TCP
-        reassembly -> framed-message decode -> rpc_events. ``decode='json'``
-        parses framed payloads as JSON event bodies (the protobuf decoder's
-        seam; see MESSAGE_BODY_SCHEMA)."""
+        reassembly -> framed-message decode -> rpc_events.
+
+        ``decode='hbase'`` (default) runs the real HBase RPC protobuf
+        decoder (``sources.hbase_decode`` — pure-Python wire format, no
+        google.protobuf), validated against the reference's own pcap
+        fixtures; ``decode='json'`` parses framed payloads as JSON event
+        bodies (the synthetic-capture seam; see MESSAGE_BODY_SCHEMA)."""
         from .sources import pcap as P
 
-        if decode != "json":
-            raise ValueError(f"unsupported decoder: {decode}")
         packets = P.read_pcap(self.spark, path)
         messages = reassemble(P.packets_to_chunks(packets, ports))
-        self._events = decode_json_messages(messages)
+        if decode == "hbase":
+            from .sources.hbase_decode import decode_hbase_frames
+
+            self._events = decode_hbase_frames(messages)
+        elif decode == "json":
+            self._events = decode_json_messages(messages)
+        else:
+            raise ValueError(f"unsupported decoder: {decode}")
         return self
 
     def load_tcp_chunks(self, source: str | DataFrame) -> DataFrame:

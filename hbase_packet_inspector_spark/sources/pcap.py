@@ -123,10 +123,15 @@ def _parse_pcap_bytes(path: str, blob: bytes) -> Iterator[dict]:
         if not payload:  # drop no-payload packets (pcap.clj:50-55)
             continue
 
+        # truncate to whole microseconds: Spark timestamps are µs and the
+        # Arrow serializer REFUSES a lossy ns -> µs cast, so a nanosecond
+        # capture (magic 0xa1b23c4d) would otherwise abort the decode stage
+        frac_us = int(ts_frac / ts_div * 1e6)
         yield {
             "path": path,
             "pkt_index": pkt_idx,
-            "ts": pd.Timestamp(ts_sec, unit="s") + pd.Timedelta(ts_frac / ts_div, unit="s"),
+            "ts": pd.Timestamp(ts_sec, unit="s")
+            + pd.Timedelta(frac_us, unit="us"),
             "src_addr": src_ip,
             "src_port": src_port,
             "dst_addr": dst_ip,

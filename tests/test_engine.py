@@ -145,7 +145,7 @@ def test_cli_pcap_mode(spark, tmp_path, capsys):
     p = tmp_path / "cli.pcap"
     p.write_bytes(P.build_pcap(pkts))
 
-    rc = main(["--pcap", str(p), "--count", "10", "--sql",
+    rc = main(["--pcap", str(p), "--decode", "json", "--count", "10", "--sql",
                "SELECT method, elapsed FROM responses"])
     out = capsys.readouterr().out
     assert rc == 0 and "get" in out and "500" in out

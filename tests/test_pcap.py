@@ -92,7 +92,7 @@ def test_pcap_to_sql_end_to_end(spark, tmp_path):
         (1000.8, SERVER, SPORT, CLIENT, CPORT, res(1, cells=3)[7:] + r2[:5]),
         (1001.0, SERVER, SPORT, CLIENT, CPORT, r2[5:]),
     ]
-    eng = Engine(spark).load_pcap(write_capture(tmp_path, packets))
+    eng = Engine(spark).load_pcap(write_capture(tmp_path, packets), decode="json")
     eng.register_tables()
 
     reqs = {r.call_id: r for r in eng.sql("SELECT * FROM requests").collect()}
