@@ -43,6 +43,7 @@ HEADLINE = [
     "rpc_scanner_state",
     "rpc_finalize",
     "skew_salted_join",
+    "hbase_pcap_decode",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

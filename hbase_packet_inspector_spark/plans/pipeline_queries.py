@@ -388,3 +388,66 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_HBASE_FIXDIR = "/root/reference/dev-resources"
+
+
+@register(
+    "hbase_pcap_decode",
+    None,  # raw capture bytes — no SQL-expressible oracle (rows-only check);
+    # tests/test_hbase_pcap.py asserts the reference's own end-to-end
+    # invariants on these fixtures instead
+    doc="The full capture pipeline on REAL HBase 1.2.6 RPC traffic (the "
+    "reference's own pcap fixtures): binary scan -> packet decode -> TCP "
+    "reassembly -> pure-Python protobuf decode (sources.hbase_wire) -> "
+    "correlation -> per-method traffic/latency rollup. Falls back to the "
+    "deterministic synthetic JSON capture when the reference fixtures "
+    "aren't present.",
+    tags=("pipeline", "pcap", "protobuf", "decode"),
+)
+def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    if os.path.isdir(_HBASE_FIXDIR):
+        eng.load_pcap(
+            f"{_HBASE_FIXDIR}/{{sequentialWrite,randomRead,scan}}.pcap",
+            ports=(16201,),
+        )
+    else:  # pragma: no cover - fixture-less deployment
+        from ..sources import pcap as P
+        from ..sources.fixtures import random_read, to_df
+        import json as _json
+        import struct as _st
+
+        rows = random_read()
+        pkts = []
+        for r in rows:
+            body = {k: v for k, v in r.items()
+                    if k in ("call_id", "method", "table", "cells") and v is not None}
+            b = _json.dumps(body).encode()
+            frame = _st.pack(">i", len(b)) + b
+            if r["inbound"]:
+                pkts.append((r["ts"].timestamp(), r["client"], r["port"],
+                             r["server"], 16020, frame))
+            else:
+                pkts.append((r["ts"].timestamp(), r["server"], 16020,
+                             r["client"], r["port"], frame))
+        tmp = "/tmp/_hpi_synth.pcap"
+        with open(tmp, "wb") as f:
+            f.write(P.build_pcap(pkts))
+        eng.load_pcap(tmp, ports=(16020,), decode="json")
+    t = eng.register_tables().tables
+    return (
+        t["responses"]
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cells").alias("total_cells"),
+            F.count("elapsed").alias("n_matched"),
+        )
+        .orderBy("method")
+    )

@@ -153,3 +153,32 @@ def test_to_string_binary_spec(data):
                 out.append(ord(s[i]))
                 i += 1
         assert bytes(out) == data
+
+
+# --- HBase protobuf wire decoder (sources.hbase_wire) ------------------------
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_wire_parser_never_raises_unexpected(blob):
+    # garbage bytes either parse or raise WireError — nothing else escapes
+    from hbase_packet_inspector_spark.sources import hbase_wire as W
+
+    for fn in (W.fields, W.parse_request_frame,
+               lambda b: W.parse_response_frame(b, "multi")):
+        try:
+            fn(blob)
+        except W.WireError:
+            pass
+
+
+def test_wire_varint_and_packed():
+    from hbase_packet_inspector_spark.sources import hbase_wire as W
+
+    # field 1 varint 300; field 2 packed varints [1, 2, 300]
+    msg = bytes([0x08, 0xAC, 0x02, 0x12, 0x04, 0x01, 0x02, 0xAC, 0x02])
+    d = W.fields(msg)
+    assert d[1] == [300]
+    assert W._varints(d[2]) == [1, 2, 300]
+    # unpacked form of the same repeated field merges identically
+    unpacked = bytes([0x10, 0x01, 0x10, 0x02, 0x10, 0xAC, 0x02])
+    assert W._varints(W.fields(unpacked)[2]) == [1, 2, 300]
