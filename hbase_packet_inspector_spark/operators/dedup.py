@@ -82,6 +82,50 @@ def word_shingles(docs: DataFrame, n: int = 3,
     )
 
 
+def decontaminate(train_docs: DataFrame, eval_docs: DataFrame, *,
+                  n: int = 3, text_col: str = "text") -> DataFrame:
+    """Eval-set decontamination: flag every training doc sharing at least
+    one word ``n``-gram with any held-out eval doc — the overlap gate run
+    before training so benchmark text can't leak into the corpus.
+
+    Output per train doc: ``n_shared_grams`` (Σ over eval docs of distinct
+    shared grams — pair-counted, so one gram hit by 3 eval docs counts 3),
+    ``n_eval_docs`` (distinct eval docs hit), ``contaminated``.
+
+    Scale shape: both sides flatMap to DISTINCT per-doc grams (narrow), one
+    shuffled join on the gram string, one partial+final agg on train
+    doc_id, and a left join back to keep clean docs with zero counts. The
+    eval side is benchmark-sized (thousands of docs), so AQE converts its
+    post-shuffle side to a broadcast at runtime; the train corpus never
+    collapses to the driver. Gram-frequency skew (stop-phrase grams hitting
+    everything) is the classic hazard — real deployments drop grams above a
+    document-frequency cap first; at this corpus size the join is
+    uniform."""
+    tr = word_shingles(train_docs, n=n, text_col=text_col)
+    ev = (
+        word_shingles(eval_docs, n=n, text_col=text_col)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+    )
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+    return (
+        train_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            (F.coalesce("n_eval_docs", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def shingle_sizes(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
@@ -398,6 +442,74 @@ def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
             # while keeping job-scheduling barriers to a minimum
             labels = labels.persist()
             labels.count()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+def dedup_clusters_fixpoint(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components run to CONVERGENCE — the unbounded form of
+    ``dedup_clusters`` for graphs whose diameter isn't known in advance
+    (chained near-dups: A~B~C~...~Z collapses to one cluster however long
+    the chain).
+
+    Each round halves the worst-case remaining diameter's contribution no
+    better than by 1 (plain label propagation is O(diameter) rounds, not
+    O(log n) — pointer-jumping would be the log form); the loop stops at
+    the first round that changes NOTHING, detected with a 1-row existence
+    probe (``limit(1)`` on the changed-set — a cheap action, no full
+    count). Every round materializes: the iteration is driver-ORCHESTRATED
+    but each step is one distributed join+agg shuffle on doc_id; nothing
+    rides the driver but the loop condition.
+
+    Oracle-checkable: the result equals DuckDB's ``WITH RECURSIVE``
+    transitive min-label closure on the same edges.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nparts = max(1, edges.count() // 100_000)
+    edges = edges.repartition(nparts, "dst")
+    # each round must CUT its lineage, not just cache: labels feeds two
+    # operators per round, so the uncut logical plan doubles every
+    # iteration — by ~10 rounds even *rendering* the plan overflows the
+    # heap. localCheckpoint truncates to the materialized partitions (on a
+    # real cluster, checkpoint() to reliable storage if executor loss
+    # mid-loop must be survivable).
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        nxt = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = nxt.where("_changed").limit(1).count() == 0
+        labels = nxt.drop("_changed")
+        if converged:
+            break
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster"),

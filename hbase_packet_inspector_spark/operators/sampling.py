@@ -48,6 +48,54 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    key: str = "doc_id",
+    strata: str = "source",
+    text_col: str = "text",
+    shards: int = 8,
+) -> DataFrame:
+    """Sequence-packing accounting: assign docs to fixed token-budget chunks
+    (the unit a trainer concatenates into one context window) and report the
+    packing efficiency per chunk.
+
+    Docs are first sharded by a salted hash (each shard is one output-file
+    stream, the way real packers parallelize), then packed *sequentially
+    within the shard* in ``key`` order: a doc starts a new chunk when the
+    running token total before it has crossed the chunk boundary. The rule
+    ``chunk = floor(cum_tokens_before / budget)`` is deterministic, order-
+    stable, and engine-portable.
+
+    Scale shape: one shuffle to (strata, shard) — the window runs per shard,
+    so parallelism = |sources| x shards (tune ``shards`` to the cluster, the
+    chunk streams are independent). No global sort, no driver loop. Chunk
+    stats aggregate map-side on the same partitioning, so the window's
+    exchange is reused."""
+    from pyspark.sql import Window
+
+    tokens = F.size(F.split(F.col(text_col), " "))
+    shard = hash_bucket(F.col(key), salt="pack:", buckets=shards)
+    w = (
+        Window.partitionBy(strata, "shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        docs.select(F.col(strata), F.col(key), tokens.alias("tokens"))
+        .withColumn("shard", shard)
+        .withColumn("cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0)))
+        .withColumn("chunk_id", F.floor(F.col("cum_before") / budget))
+    )
+    return staged.groupBy(strata, "shard", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("chunk_tokens"),
+        F.round(F.sum("tokens").cast("double") / budget, 6).alias("fill_ratio"),
+        F.min(key).alias("first_doc"),
+        F.max(key).alias("last_doc"),
+    )
+
+
 def train_test_split(
     docs: DataFrame, key: str = "doc_id", test_pct: int = 10
 ) -> DataFrame:

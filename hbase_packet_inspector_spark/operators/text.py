@@ -239,6 +239,39 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     )
 
 
+# PII patterns restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, +, {m,}, alternation-free.
+# Order matters: URLs are scrubbed first so an address embedded in a URL
+# query string is consumed by the URL token, as a real scrubber would.
+PII_PATTERNS = [
+    ("url", r"https?://[a-z0-9./_%@-]+", "<URL>"),
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"555-[0-9]{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing gate: per-doc match counts for each pattern class
+    plus the scrubbed text with matches replaced by typed placeholder
+    tokens — the standard pre-training redaction pass.
+
+    Patterns are passed as Column literals (never through SQL string
+    parsing, where ``\\b`` would become backspace). Pure regexp codegen —
+    a narrow map over the text scan, no shuffle, at any corpus size. A
+    production deployment swaps the pattern table for a larger vetted set
+    (NER-model scrubbing would ride the same shape via a Pandas UDF)."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, F.lit(pat), F.lit(token))
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
 def rolling_hash(docs: DataFrame, text_col: str = "text",
                  base: int = 31, mod: int = 1_000_000_007) -> DataFrame:
     """Karp-Rabin polynomial rolling hash over the character stream — a

@@ -1086,3 +1086,171 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(_docs(spark, sf_dir), n=3)
     pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
     return D.dedup_clusters(pairs, iterations=4)
+
+
+_PII_URL = r"https?://[a-z0-9./_%@-]+"
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH s AS (SELECT doc_id,
+                      text || ' contact u' || CAST(doc_id AS VARCHAR)
+                           || '@mail.example.com via https://h'
+                           || CAST(doc_id AS VARCHAR) || '.example.org/p or 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+               FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_URL}')) AS n_url,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_URL}', '<URL>', 'g'),
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_fp
+    FROM s
+    """,
+    doc="PII/URL scrubbing gate (operators/text.py::scrub_pii): per-doc "
+    "match counts + md5 of the text with URL/email/phone matches replaced "
+    "by typed placeholder tokens. The corpus contains no organic PII, so "
+    "the query first injects a synthetic deterministic address/URL/phone "
+    "derived from doc_id — identically on both engines — making every "
+    "count and the scrubbed fingerprint non-degenerate. Patterns restrict "
+    "to the Java-regex/RE2 common subset; pure regexp codegen, narrow map, "
+    "no shuffle.",
+    tags=("dataprep", "scrub", "pii"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via https://h"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.org/p or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return X.scrub_pii(salted).select(
+        "doc_id", "n_url", "n_email", "n_phone",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT source, doc_id,
+                      len(string_split(text, ' ')) AS tokens,
+                      CAST({_hex6_int("md5('pack:' || CAST(doc_id AS VARCHAR))")} % 8
+                           AS INTEGER) AS shard
+               FROM documents),
+    c AS (SELECT source, shard, doc_id, tokens,
+                 coalesce(sum(tokens) OVER (PARTITION BY source, shard
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_before
+          FROM t)
+    SELECT source, shard, CAST(floor(cum_before / 512.0) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS chunk_tokens,
+           round(sum(tokens) / 512.0, 6) AS fill_ratio,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2, 3
+    """,
+    doc="Sequence-packing accounting (operators/sampling.py::pack_sequences): "
+    "docs sharded by salted hash (each shard = one packer output stream), "
+    "packed sequentially within the shard into 512-token chunks via a "
+    "running-total window; per-chunk doc count, token total and fill ratio. "
+    "Parallelism = |sources| x shards — the window never sees more than one "
+    "shard, and the chunk aggregation reuses the window's exchange. The "
+    "512 divisor is a power of two, so fill_ratio is IEEE-exact on both "
+    "engines.",
+    tags=("dataprep", "packing", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    return SA.pack_sequences(_docs(spark, sf_dir), budget=512, shards=8)
+
+
+@register(
+    "decontaminate",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, source, ws,
+                   CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    hits AS (SELECT t.doc_id, count(*) AS n_shared_grams,
+                    count(DISTINCT e.doc_id) AS n_eval_docs
+             FROM sh t JOIN sh e ON t.shingle = e.shingle
+                  AND e.source = 'src0' AND t.source <> 'src0'
+             GROUP BY 1)
+    SELECT d.doc_id, coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+           coalesce(h.n_eval_docs, 0) AS n_eval_docs,
+           coalesce(h.n_eval_docs, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    doc="Eval-set decontamination (operators/dedup.py::decontaminate): "
+    "treating source 'src0' as the held-out benchmark, flag every training "
+    "doc sharing a word trigram with any eval doc. Distinct per-doc grams "
+    "on both sides (narrow), one shuffled gram join (the benchmark side is "
+    "small -> AQE broadcasts it at runtime), partial+final agg, left join "
+    "back to keep clean docs at zero.",
+    tags=("dataprep", "dedup", "decontamination"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("source") == "src0")
+    tr = docs.where(F.col("source") != "src0")
+    return D.decontaminate(tr, ev, n=3)
+
+
+@register(
+    "dedup_clusters_converged",
+    """
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2
+              FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+              WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    walk(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, k.label FROM edges e JOIN walk k ON k.doc_id = e.dst
+    )
+    SELECT doc_id, min(label) AS cluster, doc_id = min(label) AS keep
+    FROM walk GROUP BY doc_id
+    """,
+    doc="Connected components run to CONVERGENCE "
+    "(operators/dedup.py::dedup_clusters_fixpoint): min-label propagation "
+    "with a driver-orchestrated loop that stops at the first no-change "
+    "round (1-row existence probe, not a count) — the unbounded companion "
+    "to dedup_clusters for chains longer than the fixed round budget. The "
+    "oracle is DuckDB's WITH RECURSIVE transitive closure over the same "
+    "word-trigram near-dup edges.",
+    tags=("dataprep", "dedup", "clustering", "graph", "iterative"),
+)
+def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
+    return D.dedup_clusters_fixpoint(pairs)

@@ -537,3 +537,36 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("t_purchase").cast("double") / F.count("t_view")).alias("conversion"),
         )
     )
+
+
+@register(
+    "range_join_counts",
+    """
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, count(c.ts) AS n_nearby_clicks
+    FROM p LEFT JOIN c ON abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 600000
+    GROUP BY p.event_id
+    """,
+    doc="Time-range join with NO equality key: clicks within +-10 min of "
+    "each purchase, by any user. The oracle states it as the O(|L|x|R|) "
+    "inequality join; the Spark plan is the bucket-and-filter scale path "
+    "(operators/ranged.py): bucket both sides by the window width, explode "
+    "the smaller side to its 3 candidate buckets, one shuffled EQUI-join, "
+    "exact |dt| filter — never a BroadcastNestedLoopJoin.",
+    tags=("events", "range-join", "join"),
+)
+def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranged import range_join
+
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        "ts", F.col("event_id").alias("click_id")
+    )
+    j = range_join(p, c, on="ts", window_s=600, value_cols=["click_id"])
+    agg = j.groupBy("event_id").agg(F.count("*").alias("n_nearby_clicks"))
+    return p.join(agg, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+    )

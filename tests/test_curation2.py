@@ -1,0 +1,153 @@
+"""Unit tests for the round-2 curation operators: PII scrubbing, sequence
+packing, decontamination, the fixpoint cluster closure, and the bucketed
+time-range join — each checked against an independently-computed expectation
+(naive pair enumeration, hand-packed chunks, known graph shapes)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import dedup as D
+from hbase_packet_inspector_spark.operators import sampling as SA
+from hbase_packet_inspector_spark.operators import text as X
+from hbase_packet_inspector_spark.operators.ranged import range_join
+
+
+def test_scrub_pii_counts_and_tokens(spark):
+    rows = [
+        (0, "mail me at bob@x.io or alice@y.co.uk thanks"),
+        (1, "see https://a.example.org/path and http://b.io/q call 555-1234"),
+        (2, "no pii here at all"),
+        (3, "dial 555-0000 then 555-9999 twice"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.scrub_pii(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_url"], out[0]["n_phone"]) == (2, 0, 0)
+    assert (out[1]["n_email"], out[1]["n_url"], out[1]["n_phone"]) == (0, 2, 1)
+    assert (out[2]["n_email"], out[2]["n_url"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["n_phone"] == 2
+    assert out[0]["clean_text"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[1]["clean_text"] == "see <URL> and <URL> call <PHONE>"
+    assert out[2]["clean_text"] == "no pii here at all"
+    # an email inside a URL query string is consumed by the URL token
+    one = spark.createDataFrame(
+        [(9, "https://t.example/q%40z@e.com x")], "doc_id long, text string"
+    )
+    r = X.scrub_pii(one).collect()[0]
+    assert "<URL>" in r["clean_text"] and "@" not in r["clean_text"]
+
+
+def test_pack_sequences_chunks_and_conservation(spark):
+    # one source, shards=1 -> fully sequential packing in doc_id order
+    rows = [(i, " ".join(["w"] * t), "s") for i, t in enumerate([5, 5, 5, 5, 5])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = SA.pack_sequences(docs, budget=10, shards=1).orderBy("chunk_id").collect()
+    # cum_before: 0,5,10,15,20 -> chunks 0,0,1,1,2
+    assert [(r["chunk_id"], r["n_docs"], r["chunk_tokens"]) for r in out] == [
+        (0, 2, 10),
+        (1, 2, 10),
+        (2, 1, 5),
+    ]
+    assert out[0]["fill_ratio"] == 1.0 and out[2]["fill_ratio"] == 0.5
+    assert (out[0]["first_doc"], out[0]["last_doc"]) == (0, 1)
+    # conservation across arbitrary sharding: every doc in exactly one chunk
+    big = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7)), f"src{i % 3}") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    packed = SA.pack_sequences(big, budget=16, shards=4)
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("chunk_tokens").alias("toks")
+    ).collect()[0]
+    want = big.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert agg["docs"] == 200 and agg["toks"] == want
+    # no chunk except possibly a shard's last can sit under half-full:
+    # a chunk only closes because the running total crossed the budget
+    assert packed.where("chunk_tokens > 16 + 7").count() == 0
+
+
+def test_decontaminate_flags_overlap(spark):
+    tr = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),  # shares 'alpha beta gamma' with eval 100
+            (1, "nothing in common here"),
+            (2, "zz alpha beta gamma"),  # same gram, same eval doc
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon"), (101, "alpha beta gamma zeta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.decontaminate(tr, ev, n=3).collect()}
+    assert out[0]["contaminated"] and out[2]["contaminated"]
+    assert not out[1]["contaminated"] and out[1]["n_shared_grams"] == 0
+    # doc 0 shares 'alpha beta gamma' with BOTH eval docs -> pair-counted 2
+    assert out[0]["n_shared_grams"] == 2 and out[0]["n_eval_docs"] == 2
+
+
+def test_fixpoint_closes_long_chains(spark):
+    # path graph 0-1-2-...-9: diameter 9 > the bounded form's 4 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "d1 long, d2 long"
+    )
+    out = D.dedup_clusters_fixpoint(pairs).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert sorted(r["doc_id"] for r in out) == list(range(10))
+    assert [r["doc_id"] for r in out if r["keep"]] == [0]
+    # the bounded 4-round form provably does NOT close this chain
+    bounded = D.dedup_clusters(pairs, iterations=4).collect()
+    assert {r["cluster"] for r in bounded} != {0}
+
+
+def test_range_join_matches_naive(spark):
+    base = datetime.datetime(2024, 1, 1)
+    lrows = [
+        (i, base + datetime.timedelta(seconds=37 * i + (i % 5))) for i in range(40)
+    ]
+    rrows = [
+        (100 + i, base + datetime.timedelta(seconds=11 * i + (i % 7)))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, ts timestamp")
+    got = {
+        (r["event_id"], r["rid_r"])
+        for r in range_join(
+            left, right, on="ts", window_s=30, value_cols=["rid"]
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lts in lrows
+        for rid, rts in rrows
+        if abs((lts - rts).total_seconds()) <= 30
+    }
+    assert got == want and len(want) > 50
+    # window boundary is inclusive on exact millisecond equality
+    l1 = spark.createDataFrame([(1, base)], "event_id long, ts timestamp")
+    r1 = spark.createDataFrame(
+        [(7, base + datetime.timedelta(seconds=30)),
+         (8, base + datetime.timedelta(seconds=30, milliseconds=1))],
+        "rid long, ts timestamp",
+    )
+    hits = range_join(l1, r1, on="ts", window_s=30, value_cols=["rid"]).collect()
+    assert [h["rid_r"] for h in hits] == [7]
+
+
+def test_range_join_with_by_keys(spark):
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "a", base), (2, "b", base)], "event_id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", base + datetime.timedelta(seconds=5), 10),
+         ("b", base + datetime.timedelta(seconds=500), 20)],
+        "k string, ts timestamp, payload long",
+    )
+    got = range_join(
+        left, right, on="ts", window_s=60, by=["k"], value_cols=["payload"]
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["event_id"] == 1 and got[0]["payload_r"] == 10
