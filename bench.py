@@ -73,6 +73,10 @@ HEADLINE = [
     "ann_recall",
     "ivf_kmeans2_topk",
     "curation_funnel",
+    "range_join_counts",
+    "pii_scrub",
+    "pack_sequences",
+    "decontaminate",
 ]
 
 
