@@ -77,6 +77,7 @@ HEADLINE = [
     "pii_scrub",
     "pack_sequences",
     "decontaminate",
+    "logreg2",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Declarative model training: batch-gradient-descent logistic regression
+expressed as DataFrame aggregations — the "train a quality classifier on
+doc features" loop of a curation pipeline, with the same execution shape
+the k-means refinement uses (operators/similarity.py::kmeans_refine).
+
+Why this shape scales: each round is ONE distributed aggregation — every
+row computes its per-row gradient contribution narrow (sigmoid + a few
+multiplies, all codegen), and partial aggregation reduces it map-side, so
+the shuffle carries #partitions × (#features+1) doubles regardless of
+corpus size. The weight vector (tiny) rides the driver between rounds and
+re-enters as literals — a broadcast of ~bytes. At 10^12 rows the cost is
+#rounds scans; a real deployment would mini-batch by sampling partitions,
+same plan shape.
+
+Determinism discipline (the oracle gate's float rules): the gradient is an
+order-dependent double sum, so weights are round()-ed after every update —
+cross-engine drift (~1e-13 relative) is annihilated at 1e-6 — and the
+logit is clamped to ±30 BEFORE exp so no input can overflow to inf (which
+would poison the hash on both engines in different ways).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_CLAMP = 30.0
+
+
+def _sigmoid(z: Column) -> Column:
+    zc = F.greatest(F.least(z, F.lit(Z_CLAMP)), F.lit(-Z_CLAMP))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+
+
+def _logit(weights: Sequence[float], feature_cols: Sequence[str]) -> Column:
+    z = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(float(w)) * F.col(c).cast("double")
+    return z
+
+
+def logreg_step(
+    feats: DataFrame,
+    weights: Sequence[float],
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    lr: float = 0.5,
+    round_to: int = 6,
+) -> list[float]:
+    """One batch-gradient-descent update. ``weights`` = [bias, w_1..w_k].
+
+    grad_j = avg((sigmoid(w·x) - y) * x_j); returns round(w - lr*grad, 6).
+    One aggregation job: per-row work is codegen, the reduce is
+    partial+final over (#features+1) running means."""
+    p = _sigmoid(_logit(weights, feature_cols))
+    err = p - F.col(label_col).cast("double")
+    aggs = [F.avg(err).alias("g0")] + [
+        F.avg(err * F.col(c).cast("double")).alias(f"g{i + 1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    g = feats.agg(*aggs).collect()[0]
+    return [
+        round(float(w) - lr * float(g[f"g{j}"]), round_to)
+        for j, w in enumerate(weights)
+    ]
+
+
+def logreg_fit(
+    feats: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    lr: float = 0.5,
+    rounds: int = 2,
+    round_to: int = 6,
+) -> tuple[list[float], DataFrame]:
+    """``rounds`` gradient steps from w=0, then one evaluation pass.
+
+    Returns (final_weights, metrics): a one-row DataFrame with the learned
+    weights, the mean log-loss at those weights, and the correct-prediction
+    count (p >= 0.5 decision) — the fit AND its quality in one place.
+    Each round is one scan; the loop is driver-orchestrated exactly like
+    kmeans_refine, with only the (tiny) weight vector off-cluster."""
+    weights = [0.0] * (len(feature_cols) + 1)
+    for _ in range(rounds):
+        weights = logreg_step(
+            feats, weights, feature_cols, label_col, lr=lr, round_to=round_to
+        )
+    p = _sigmoid(_logit(weights, feature_cols))
+    y = F.col(label_col).cast("double")
+    logloss = F.round(
+        F.avg(-(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))), round_to
+    ).alias("logloss")
+    correct = F.sum(
+        ((p >= 0.5).cast("double") == y).cast("long")
+    ).alias("n_correct")
+    metrics = feats.agg(logloss, correct).select(
+        *[
+            F.lit(w).alias(name)
+            for w, name in zip(
+                weights, ["w_bias"] + [f"w_{c}" for c in feature_cols]
+            )
+        ],
+        "logloss",
+        "n_correct",
+    )
+    return weights, metrics

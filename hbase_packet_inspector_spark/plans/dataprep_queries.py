@@ -1254,3 +1254,75 @@ def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(_docs(spark, sf_dir), n=3)
     pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
     return D.dedup_clusters_fixpoint(pairs)
+
+
+def _logreg_oracle(rounds: int = 2, lr: float = 0.5) -> str:
+    # chained-CTE batch gradient descent; weights re-rounded each step like
+    # the Spark driver loop (operators/learn.py::logreg_fit)
+    def p(w: str) -> str:  # sigmoid of the clamped logit at weight-CTE w
+        z = f"{w}.b + {w}.wa * f.awl + {w}.ws * f.sr"
+        return f"1.0 / (1.0 + exp(-greatest(least({z}, 30.0), -30.0)))"
+
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f"g{i + 1} AS (SELECT avg({p(f'w{i}')} - f.y) AS gb,\n"
+            f"        avg(({p(f'w{i}')} - f.y) * f.awl) AS ga,\n"
+            f"        avg(({p(f'w{i}')} - f.y) * f.sr) AS gs\n"
+            f"       FROM f CROSS JOIN w{i}),\n"
+            f"w{i + 1} AS (SELECT round(b - {lr} * gb, 6) AS b,\n"
+            f"        round(wa - {lr} * ga, 6) AS wa,\n"
+            f"        round(ws - {lr} * gs, 6) AS ws\n"
+            f"       FROM w{i} CROSS JOIN g{i + 1})"
+        )
+    steps_sql = ",\n    ".join(steps)
+    pf = p(f"w{rounds}")
+    return f"""
+    WITH f AS (SELECT
+        CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS awl,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS sr,
+        CAST(lang = 'en' AS INTEGER) AS y
+      FROM documents),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS ws),
+    {steps_sql}
+    SELECT w{rounds}.b AS w_bias, w{rounds}.wa AS w_awl, w{rounds}.ws AS w_sr,
+           round(avg(-(f.y * ln({pf}) + (1 - f.y) * ln(1.0 - {pf}))), 6)
+               AS logloss,
+           CAST(sum(CASE WHEN (CASE WHEN {pf} >= 0.5 THEN 1.0 ELSE 0.0 END)
+                              = f.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM f CROSS JOIN w{rounds}
+    GROUP BY w{rounds}.b, w{rounds}.wa, w{rounds}.ws
+    """
+
+
+@register(
+    "logreg2",
+    _logreg_oracle(rounds=2, lr=0.5),
+    doc="Declarative classifier training (operators/learn.py::logreg_fit): "
+    "2 batch-gradient-descent rounds of logistic regression predicting "
+    "lang='en' from (avg word length, stopword ratio), then one evaluation "
+    "pass — learned weights, mean log-loss, correct-prediction count. Each "
+    "round is ONE partial+final aggregation (per-row sigmoid is codegen); "
+    "only the 3-float weight vector rides the driver between rounds, "
+    "rounded to 6 so the order-dependent gradient sums hash identically "
+    "on any engine; the logit clamps to +-30 so exp can never overflow. "
+    "The oracle replays the identical schedule as chained CTEs.",
+    tags=("dataprep", "ml", "iterative"),
+)
+def logreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import learn as L
+
+    docs = _docs(spark, sf_dir)
+    nw = F.size(F.split(F.col("text"), " "))
+    nstop = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda x: x.isin("the", "a")))
+    feats = docs.select(
+        ((F.col("n_chars") - (nw - 1)).cast("double") / nw).alias("awl"),
+        (nstop.cast("double") / nw).alias("sr"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    _, metrics = L.logreg_fit(feats, ["awl", "sr"], "y", lr=0.5, rounds=2)
+    return metrics

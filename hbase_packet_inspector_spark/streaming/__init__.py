@@ -4,6 +4,7 @@ from .pipeline import (  # noqa: F401
     run_pipeline_to_parquet,
     stream_correlate,
     stream_dedup,
+    stream_range_join,
     stream_sessionize,
     stream_windowed_counts,
 )

@@ -336,6 +336,66 @@ def stream_sessionize(events: DataFrame, key: str = "client",
     )
 
 
+def stream_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    window_s: float = 600.0,
+    watermark: str = "20 minutes",
+    value_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream time-range join: every left row paired with the right
+    rows within ``window_s`` of it — the streaming form of
+    ``operators/ranged.py::range_join``, built on Spark's watermarked
+    interval join.
+
+    Spark refuses a stream-stream join with no equality predicate (state
+    for a pure theta join would be unbounded and unpartitionable), so this
+    uses the same bucket-and-filter shape as the batch operator: both sides
+    keyed by ``floor(epoch_ms / window_ms)``, the left exploded to its
+    bucket ± 1, one stateful EQUI-join, exact |Δt| filter. The bucket key
+    also gives the join a shuffle partitioning, so state distributes
+    across executors like any keyed state.
+
+    Both sides carry a watermark and the join condition additionally
+    bounds the event-time gap in BOTH directions, which is what lets the
+    engine evict buffered rows: a right row can be dropped once the left
+    watermark passes ``right.ts + window_s`` (and symmetrically). The
+    interval condition isn't an optimization hint — it IS the state
+    eviction contract; state per side ≈ rate x (watermark + window),
+    however long the stream runs.
+
+    Boundary semantics: raw timestamp comparison (microsecond precision),
+    inclusive at exactly ``window_s`` — the batch form compares
+    millisecond-truncated epochs, identical on any input with >= 1 ms
+    resolution."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on]
+    ms = int(round(window_s * 1000))
+    lb = F.floor(F.unix_millis(F.col(on)) / ms)
+    l = left.withWatermark(on, watermark).withColumn(
+        "_bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = (
+        right.select(
+            F.col(on).alias(f"{on}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        )
+        .withWatermark(f"{on}{suffix}", watermark)
+        .withColumn("_bucket", F.floor(F.unix_millis(F.col(f"{on}{suffix}")) / ms))
+    )
+    lo = F.col(on) - F.expr(f"INTERVAL {ms} MILLISECONDS")
+    hi = F.col(on) + F.expr(f"INTERVAL {ms} MILLISECONDS")
+    cond = (
+        (l["_bucket"] == r["_bucket"])
+        & (F.col(f"{on}{suffix}") >= lo)
+        & (F.col(f"{on}{suffix}") <= hi)
+    )
+    return l.join(r, cond, "inner").drop("_bucket")
+
+
 def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.DataFrame:
     """The pure per-batch correlation + scanner-machine step shared by the
     applyInPandasWithState handler above and the transformWithState

@@ -151,3 +151,35 @@ def test_range_join_with_by_keys(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["event_id"] == 1 and got[0]["payload_r"] == 10
+
+
+def test_logreg_matches_numpy_and_learns(spark):
+    import numpy as np
+    from hbase_packet_inspector_spark.operators import learn as L
+
+    rng = [(float(i % 13) / 3.0, float((i * 7) % 5) / 5.0) for i in range(300)]
+    rows = [
+        (x1, x2, 1 if (1.5 * x1 - 2.0 * x2 - 2.0) > 0 else 0) for x1, x2 in rng
+    ]
+    feats = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+    w, metrics = L.logreg_fit(feats, ["x1", "x2"], "y", lr=0.5, rounds=3)
+
+    # numpy replica of the exact schedule (clamp, lr, per-round rounding)
+    X = np.array([(1.0, r[0], r[1]) for r in rows])
+    y = np.array([r[2] for r in rows], dtype=float)
+    wn = np.zeros(3)
+    for _ in range(3):
+        z = np.clip(X @ wn, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = ((p - y)[:, None] * X).mean(axis=0)
+        wn = np.round(wn - 0.5 * g, 6)
+    assert w == [round(v, 6) for v in wn]
+
+    m = metrics.collect()[0]
+    z = np.clip(X @ np.array(w), -30.0, 30.0)
+    p = 1.0 / (1.0 + np.exp(-z))
+    want_loss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    assert abs(m["logloss"] - round(want_loss, 6)) <= 1e-6
+    assert m["n_correct"] == int(((p >= 0.5) == (y == 1.0)).sum())
+    # training actually moved the needle vs the w=0 coin-flip loss ln(2)
+    assert m["logloss"] < 0.6931

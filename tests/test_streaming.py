@@ -448,3 +448,37 @@ def test_small_scan_does_not_kill_open_scanner_state(spark, tmp_path):
     run_pipeline_available_now(spark, src, sink)
     nr = [r for r in sink["requests"] if r.method == "next-rows"]
     assert len(nr) == 1 and nr[0].table == fx.TABLE and nr[0].region == fx.REGION
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    from hbase_packet_inspector_spark.operators.ranged import range_join
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_range_join
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, base + dt.timedelta(seconds=45 * i)) for i in range(30)]
+    rrows = [(100 + i, base + dt.timedelta(seconds=13 * i)) for i in range(100)]
+    ldf = spark.createDataFrame(lrows, "event_id long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, ts timestamp")
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+
+    ls = spark.readStream.schema(ldf.schema).parquet(str(tmp_path / "l"))
+    rs = spark.readStream.schema(rdf.schema).parquet(str(tmp_path / "r"))
+    out: list = []
+    q = (
+        stream_range_join(ls, rs, on="ts", window_s=30, watermark="5 minutes")
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.event_id, r.rid_r) for r in out}
+    want = {
+        (r["event_id"], r["rid_r"])
+        for r in range_join(ldf, rdf, on="ts", window_s=30,
+                            value_cols=["rid"]).collect()
+    }
+    assert got == want and len(want) > 30
