@@ -183,3 +183,71 @@ def test_logreg_matches_numpy_and_learns(spark):
     assert m["n_correct"] == int(((p >= 0.5) == (y == 1.0)).sum())
     # training actually moved the needle vs the w=0 coin-flip loss ln(2)
     assert m["logloss"] < 0.6931
+
+
+def test_scrub_pii_differential_random_docs(spark):
+    # differential vs Python re on one batch of seeded random PII-ish text
+    # (single Spark job); patterns live in the Java/RE2/Python common subset
+    import random
+    import re
+    from hbase_packet_inspector_spark.operators.text import PII_PATTERNS
+
+    rng = random.Random(7)
+    frags = [
+        "plain", "words", "x@y.io", "a.b@mail.example.org", "@", "http://",
+        "https://h5.example/p_q", "http://x.io/%7e", "555-1234", "555-12",
+        "1555-99999", "a@b", "u_1%2@ex.co", ".com", "a@-", "://x",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12))))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from hbase_packet_inspector_spark.operators.text import scrub_pii
+
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    for i, text in rows:
+        clean = text
+        for _, pat, token in PII_PATTERNS:
+            clean = re.sub(pat, token, clean)
+        r = out[i]
+        assert r.clean_text == clean, (text, r.clean_text, clean)
+        for name, pat, _ in PII_PATTERNS:
+            assert r[f"n_{name}"] == len(re.findall(pat, text)), (name, text)
+
+
+def test_pack_sequences_differential(spark):
+    # differential vs a pure-Python replica of the shard+pack schedule
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 40))), f"s{i % 2}")
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from hbase_packet_inspector_spark.operators.sampling import pack_sequences
+
+    got = {
+        (r.source, r.shard, r.chunk_id): (r.n_docs, r.chunk_tokens, r.first_doc,
+                                          r.last_doc)
+        for r in pack_sequences(docs, budget=32, shards=4).collect()
+    }
+
+    def shard_of(doc_id):
+        return int(hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:6], 16) % 4
+
+    streams: dict = {}
+    for i, text, src in rows:
+        streams.setdefault((src, shard_of(i)), []).append((i, len(text.split(" "))))
+    want = {}
+    for (src, sh), docs_in in streams.items():
+        cum = 0
+        for doc_id, toks in sorted(docs_in):
+            chunk = cum // 32
+            key = (src, sh, chunk)
+            n, t, first, last = want.get(key, (0, 0, doc_id, doc_id))
+            want[key] = (n + 1, t + toks, min(first, doc_id), max(last, doc_id))
+            cum += toks
+    assert got == want
