@@ -78,6 +78,7 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate",
     "logreg2",
+    "pq_adc_topk",
 ]
 
 

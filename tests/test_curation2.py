@@ -251,3 +251,51 @@ def test_pack_sequences_differential(spark):
             want[key] = (n + 1, t + toks, min(first, doc_id), max(last, doc_id))
             cum += toks
     assert got == want
+
+
+def test_pq_codes_and_adc_match_numpy(spark):
+    import numpy as np
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, sub_d, n_codes = 2, 4, 4
+
+    cb = S.pq_codebook(emb, m=m, sub_dim=sub_d, n_codes=n_codes)
+    codes = S.pq_codes(emb, cb, m=m, sub_dim=sub_d)
+    got = {(r.vec_id, r.j): r.code for r in codes.collect()}
+
+    V = vecs.astype("float64")
+    want = {}
+    for i in range(40):
+        for j in range(m):
+            sub = V[i, j * sub_d:(j + 1) * sub_d]
+            d2 = [
+                round(float(((sub - V[c, j * sub_d:(j + 1) * sub_d]) ** 2).sum()), 6)
+                for c in range(n_codes)
+            ]
+            want[(i, j)] = int(np.lexsort((np.arange(n_codes), d2))[0])
+    assert got == want
+
+    qs = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = S.pq_adc_topk(codes, cb, qs, m=m, sub_dim=sub_d, k=2).collect()
+    # ADC distance must equal the sum of per-subspace table entries
+    for r in out:
+        table = 0.0
+        for j in range(m):
+            qsub = V[r.q_id, j * sub_d:(j + 1) * sub_d]
+            c = want[(r.neighbor_id, j)]
+            table += round(float(((qsub - V[c, j * sub_d:(j + 1) * sub_d]) ** 2).sum()), 6)
+        assert abs(r.adist - round(table, 6)) <= 1e-9
+    # every query got exactly k ranked neighbors, best-first
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append((r.rnk, r.adist))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == [1, 2]
+        assert lst[0][1] <= lst[1][1]
