@@ -79,6 +79,7 @@ HEADLINE = [
     "decontaminate",
     "logreg2",
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 

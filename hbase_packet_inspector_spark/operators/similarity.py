@@ -369,7 +369,9 @@ def pq_codes(emb: DataFrame, codebook: DataFrame, *, m: int = 4,
 
 def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
                 *, m: int = 4, sub_dim: int = 16, k: int = 3,
-                vec_col: str = "q_emb", id_col: str = "q_id") -> DataFrame:
+                vec_col: str = "q_emb", id_col: str = "q_id",
+                base_cells: DataFrame | None = None,
+                query_cells: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: each query precomputes its
     distance TABLE (query subvector -> every centroid, m x n_codes rounded
     entries), then every encoded base vector's approximate distance is the
@@ -380,7 +382,12 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     encoded corpus is on (j, code) — tiny key space, perfectly balanced —
     followed by a partial+final sum and a per-query top-k window. The
     raw-vector scan happens ONCE (at encode time), which is the entire
-    point of PQ at 10^9+ vectors."""
+    point of PQ at 10^9+ vectors.
+
+    Pass ``base_cells``/``query_cells`` ((vec_id, cell) / (q_id, cell))
+    to restrict candidates to the query's IVF cell — the IVF-PQ
+    composite: the coarse quantizer prunes ~#cells-fold, the fine
+    quantizer scans the survivors as codes."""
     qsubs = queries.select(
         F.col(id_col).alias("q_id"),
         F.explode(_sub_slices(F.col(vec_col), m, sub_dim)).alias("s"),
@@ -389,9 +396,20 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
         "q_id", "j", "code",
         F.round(_sq_l2(F.col("qsub"), F.col("csub")), 6).alias("qd2"),
     )
+    base = codes
+    if base_cells is not None:
+        base = base.join(base_cells.select("vec_id", "cell"), "vec_id")
+        qtable = qtable.join(
+            F.broadcast(
+                query_cells.select("q_id", F.col("cell").alias("_qcell"))
+            ),
+            "q_id",
+        )
+    pairs = base.join(F.broadcast(qtable), ["j", "code"])
+    if base_cells is not None:
+        pairs = pairs.where(F.col("cell") == F.col("_qcell"))
     adc = (
-        codes.join(F.broadcast(qtable), ["j", "code"])
-        .where(F.col("vec_id") != F.col("q_id"))
+        pairs.where(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("qd2"), 6).alias("adist"))
     )

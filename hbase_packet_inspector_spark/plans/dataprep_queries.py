@@ -1381,3 +1381,77 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return S.pq_adc_topk(codes, cb, qs, m=4, sub_dim=16, k=3)
+
+
+@register(
+    "ivfpq_topk",
+    f"""
+    WITH {_COS_CTE},
+    a AS (SELECT v.vec_id, c.vec_id AS cell,
+                 round(sum(v.v * c.v) / (sqrt(nv.sq) * sqrt(nc.sq)), 6) AS acos
+          FROM e v JOIN e c ON c.vec_id < 10 AND v.i = c.i
+          JOIN nrm nv ON nv.vec_id = v.vec_id
+          JOIN nrm nc ON nc.vec_id = c.vec_id
+          GROUP BY 1, 2, nv.sq, nc.sq),
+    cellof AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY acos DESC, cell) AS r
+                 FROM a) WHERE r = 1),
+    es AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS INTEGER) AS j,
+                  (i - 1) % 16 AS si, v
+           FROM e),
+    cb AS (SELECT vec_id AS code, j, si, v FROM es WHERE vec_id < 8),
+    d2 AS (SELECT s.vec_id, s.j, c.code,
+                  round(sum((s.v - c.v) * (s.v - c.v)), 6) AS d2
+           FROM es s JOIN cb c ON s.j = c.j AND s.si = c.si
+           GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2 ASC, code ASC) AS r
+                FROM d2) WHERE r = 1),
+    qt AS (SELECT s.vec_id AS q_id, s.j, c.code,
+                  round(sum((s.v - c.v) * (s.v - c.v)), 6) AS qd2
+           FROM es s JOIN cb c ON s.j = c.j AND s.si = c.si
+           WHERE s.vec_id % 25 = 0
+           GROUP BY 1, 2, 3),
+    adc AS (SELECT qt.q_id, codes.vec_id AS neighbor_id,
+                   round(sum(qt.qd2), 6) AS adist
+            FROM codes JOIN qt ON qt.j = codes.j AND qt.code = codes.code
+            JOIN cellof bl ON bl.vec_id = codes.vec_id
+            JOIN cellof ql ON ql.vec_id = qt.q_id AND ql.cell = bl.cell
+            WHERE codes.vec_id <> qt.q_id
+            GROUP BY 1, 2),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY adist ASC, neighbor_id ASC) AS rnk
+          FROM adc)
+    SELECT q_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="The IVF-PQ composite — the production large-scale ANN layout: a "
+    "10-centroid coarse quantizer prunes candidates to the query's cell "
+    "(assign_cells), and the survivors are ranked by PQ asymmetric "
+    "distance over their 4 codes (pq_adc_topk with cell restriction) — "
+    "the corpus is touched as (cell, codes) only. Both quantizers use the "
+    "round-before-argmin discipline so every assignment and ranking is "
+    "engine-exact.",
+    tags=("dataprep", "similarity", "ann", "ivf", "pq"),
+)
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cells = S.assign_cells(emb, centroids)
+    cb = S.pq_codebook(emb, m=4, sub_dim=16, n_codes=8)
+    codes = S.pq_codes(emb, cb, m=4, sub_dim=16)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = cells.select(F.col("vec_id").alias("q_id"), "cell").join(
+        qs.select("q_id"), "q_id"
+    )
+    return S.pq_adc_topk(
+        codes, cb, qs, m=4, sub_dim=16, k=3,
+        base_cells=cells, query_cells=qcells,
+    )

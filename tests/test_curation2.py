@@ -299,3 +299,35 @@ def test_pq_codes_and_adc_match_numpy(spark):
         lst.sort()
         assert [rk for rk, _ in lst] == [1, 2]
         assert lst[0][1] <= lst[1][1]
+
+
+def test_ivfpq_prunes_to_cell(spark):
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    import numpy as np
+    rng = np.random.RandomState(5)
+    # two well-separated blobs so the coarse quantizer has real structure
+    blob = np.vstack([rng.rand(30, 8), rng.rand(30, 8) + 5.0]).astype("float32")
+    rows = [(i, [float(x) for x in blob[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = emb.where(F.col("vec_id").isin(0, 30)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cells = S.assign_cells(emb, cents)
+    cb = S.pq_codebook(emb, m=2, sub_dim=4, n_codes=4)
+    codes = S.pq_codes(emb, cb, m=2, sub_dim=4)
+    qs = emb.where(F.col("vec_id").isin(5, 35)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = cells.select(F.col("vec_id").alias("q_id"), "cell").join(
+        qs.select("q_id"), "q_id"
+    )
+    pruned = S.pq_adc_topk(codes, cb, qs, m=2, sub_dim=4, k=60,
+                           base_cells=cells, query_cells=qcells).collect()
+    full = S.pq_adc_topk(codes, cb, qs, m=2, sub_dim=4, k=60).collect()
+    # pruning must restrict the candidate set to the query's blob
+    assert 0 < len(pruned) < len(full)
+    cell_of = {r.vec_id: r.cell for r in cells.collect()}
+    for r in pruned:
+        assert cell_of[r.neighbor_id] == cell_of[r.q_id]

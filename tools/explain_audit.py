@@ -90,6 +90,9 @@ ALLOWED = {
     "cosine_topk": {"NESTED-LOOP-JOIN"},
     "ivf_quantized_topk": {"NESTED-LOOP-JOIN"},
     "ivf_kmeans_topk": {"NESTED-LOOP-JOIN"},
+    # assign_cells' broadcast quantizer pass (#vectors x #cells), same as
+    # the other IVF variants; the ADC search itself is an equi join
+    "ivfpq_topk": {"NESTED-LOOP-JOIN"},
 }
 
 
