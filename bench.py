@@ -80,6 +80,7 @@ HEADLINE = [
     "logreg2",
     "pq_adc_topk",
     "ivfpq_topk",
+    "pq_recall",
 ]
 
 

@@ -420,3 +420,61 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
         .where(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "adist", "rnk")
     )
+
+
+def l2_topk(emb: DataFrame, queries: DataFrame, k: int = 3, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id: str = "q_id", q_vec: str = "q_emb") -> DataFrame:
+    """Exact squared-L2 top-k (the metric PQ approximates — the right
+    baseline for PQ recall, where cosine_topk is the baseline for the
+    cosine-pruned paths). Same broadcast-queries shape as cosine_topk."""
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_b"),
+    )
+    qs = F.broadcast(
+        queries.select(F.col(q_id), _as_double(F.col(q_vec)).alias("_q"))
+    )
+    d = (
+        base.join(qs)
+        .where(F.col("neighbor_id") != F.col(q_id))
+        .select(
+            q_id, "neighbor_id",
+            F.round(_sq_l2(F.col("_q"), F.col("_b")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("d2").asc(),
+                                         F.col("neighbor_id").asc())
+    return (
+        d.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, "neighbor_id", "d2", "rnk")
+    )
+
+
+def pq_recall(emb: DataFrame, queries: DataFrame, *, k: int = 3, m: int = 4,
+              sub_dim: int = 16, n_codes: int = 8) -> DataFrame:
+    """Recall@k of PQ/ADC ranking against the exact squared-L2 ranking —
+    the codebook-quality measurement that gates any PQ rollout (too few
+    codes per subspace => recall collapses; this query IS that dial).
+
+    Both rankings use round-6 + neighbor-id tie-breaks, so recall is
+    deterministic. One exact broadcast pass + one codes-only ADC pass +
+    a tiny top-k join; the corpus is never shuffled."""
+    cb = pq_codebook(emb, m=m, sub_dim=sub_dim, n_codes=n_codes)
+    codes = pq_codes(emb, cb, m=m, sub_dim=sub_dim)
+    approx = pq_adc_topk(codes, cb, queries, m=m, sub_dim=sub_dim, k=k)
+    exact = l2_topk(emb, queries, k=k)
+    hits = (
+        exact.join(approx, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / k).alias("recall"),
+        )
+    )

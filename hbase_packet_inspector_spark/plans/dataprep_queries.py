@@ -1455,3 +1455,67 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, cb, qs, m=4, sub_dim=16, k=3,
         base_cells=cells, query_cells=qcells,
     )
+
+
+@register(
+    "pq_recall",
+    """
+    WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings),
+    es AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS INTEGER) AS j,
+                  (i - 1) % 16 AS si, v
+           FROM e),
+    cb AS (SELECT vec_id AS code, j, si, v FROM es WHERE vec_id < 8),
+    d2 AS (SELECT s.vec_id, s.j, c.code,
+                  round(sum((s.v - c.v) * (s.v - c.v)), 6) AS d2
+           FROM es s JOIN cb c ON s.j = c.j AND s.si = c.si
+           GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2 ASC, code ASC) AS r
+                FROM d2) WHERE r = 1),
+    qt AS (SELECT s.vec_id AS q_id, s.j, c.code,
+                  round(sum((s.v - c.v) * (s.v - c.v)), 6) AS qd2
+           FROM es s JOIN cb c ON s.j = c.j AND s.si = c.si
+           WHERE s.vec_id % 25 = 0
+           GROUP BY 1, 2, 3),
+    adc AS (SELECT qt.q_id, codes.vec_id AS neighbor_id,
+                   round(sum(qt.qd2), 6) AS adist
+            FROM codes JOIN qt ON qt.j = codes.j AND qt.code = codes.code
+            WHERE codes.vec_id <> qt.q_id
+            GROUP BY 1, 2),
+    ax AS (SELECT q_id, neighbor_id FROM (
+             SELECT *, rank() OVER (PARTITION BY q_id
+                                    ORDER BY adist ASC, neighbor_id ASC) AS rnk
+             FROM adc) WHERE rnk <= 3),
+    xd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  round(sum((q.v - b.v) * (q.v - b.v)), 6) AS dd
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    x AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY dd ASC, neighbor_id ASC) AS rnk
+            FROM xd) WHERE rnk <= 3),
+    hit AS (SELECT x.q_id, count(*) AS h
+            FROM x JOIN ax USING (q_id, neighbor_id) GROUP BY 1),
+    q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT q.q_id, CAST(coalesce(hit.h, 0) AS DOUBLE) / 3 AS recall
+    FROM q LEFT JOIN hit USING (q_id)
+    """,
+    doc="PQ index-quality evaluation (operators/similarity.py::pq_recall): "
+    "recall@3 of the ADC ranking against the exact squared-L2 ranking — "
+    "the codebook-size dial every PQ deployment tunes (ann_recall is the "
+    "same loop for the cosine/IVF path). Both rankings use round-6 + "
+    "neighbor-id tie-breaks, so recall is deterministic; the exact pass "
+    "broadcasts only the query set, the ADC pass touches only codes.",
+    tags=("dataprep", "similarity", "ann", "pq", "evaluation"),
+)
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.pq_recall(emb, qs, k=3, m=4, sub_dim=16, n_codes=8)

@@ -93,6 +93,9 @@ ALLOWED = {
     # assign_cells' broadcast quantizer pass (#vectors x #cells), same as
     # the other IVF variants; the ADC search itself is an equi join
     "ivfpq_topk": {"NESTED-LOOP-JOIN"},
+    # the exact-L2 baseline half (ann_recall's rationale); the ADC half
+    # plans as an equi join over codes
+    "pq_recall": {"NESTED-LOOP-JOIN"},
 }
 
 
