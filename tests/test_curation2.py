@@ -331,3 +331,27 @@ def test_ivfpq_prunes_to_cell(spark):
     cell_of = {r.vec_id: r.cell for r in cells.collect()}
     for r in pruned:
         assert cell_of[r.neighbor_id] == cell_of[r.q_id]
+
+
+def test_pq_recall_improves_with_codebook_size(spark):
+    import numpy as np
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    rng = np.random.RandomState(9)
+    # clustered data: 8 tight blobs in 8-dim space
+    centers = rng.rand(8, 8) * 10
+    pts = np.vstack([c + 0.1 * rng.rand(10, 8) for c in centers]).astype("float32")
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") % 16 == 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def mean_recall(n_codes):
+        out = S.pq_recall(emb, qs, k=3, m=2, sub_dim=4, n_codes=n_codes).collect()
+        return sum(r.recall for r in out) / len(out)
+
+    # more codes per subspace => finer quantization => recall must not drop
+    lo, hi = mean_recall(2), mean_recall(16)
+    assert hi >= lo
+    assert hi > 0.3  # 16 codes on 8 tight blobs resolves most neighbors
