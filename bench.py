@@ -81,6 +81,7 @@ HEADLINE = [
     "pq_adc_topk",
     "ivfpq_topk",
     "pq_recall",
+    "top_event_paths",
 ]
 
 

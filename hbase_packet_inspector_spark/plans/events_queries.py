@@ -570,3 +570,51 @@ def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
     )
+
+
+@register(
+    "top_event_paths",
+    """
+    WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    p AS (SELECT user_id,
+                 string_agg(event_type, '->' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id),
+    c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+    SELECT path, n_users FROM c
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+    doc="Behavioral path mining: each user's first-3-event journey "
+    "(ts + event_id tie-break makes the sequence deterministic) as a "
+    "'view->click->purchase' path string, then the 10 most common paths. "
+    "Ordered sequence assembly is sort_array(collect_list(struct)) — "
+    "collect_list alone has NO order guarantee across partitions; the "
+    "struct sort pins it. One shuffle on user_id, one on path (both "
+    "partial+final), top-k as TakeOrdered — no global sort.",
+    tags=("events", "sequence", "path", "agg"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "->",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )
