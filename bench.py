@@ -82,6 +82,7 @@ HEADLINE = [
     "ivfpq_topk",
     "pq_recall",
     "top_event_paths",
+    "doc_chunks",
 ]
 
 

@@ -285,6 +285,52 @@ def rolling_hash(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", h.alias("rhash"))
 
 
+def chunk_text(docs: DataFrame, *, chunk_tokens: int = 64, stride: int = 48,
+               text_col: str = "text") -> DataFrame:
+    """Split each doc into overlapping token-window chunks (size
+    ``chunk_tokens``, step ``stride``) — the context-window chunker that
+    turns long documents into trainable/embeddable units, with
+    ``chunk_tokens - stride`` tokens of overlap so no boundary context is
+    lost.
+
+    Fully declarative: an in-row ``sequence`` of chunk starts, ``slice`` +
+    ``concat_ws`` per chunk, one ``explode`` — a narrow flatMap, no
+    Python, no shuffle; the expensive part (the explode fan-out) is
+    exactly the output size. Emits (doc_id, chunk_idx, chunk_start,
+    n_chunk_tokens, chunk_text). Every doc yields >= 1 chunk (a short doc
+    is its own chunk); the final chunk is the remainder, never dropped."""
+    ws = _tok(text_col)
+    n = F.size(ws)
+    # chunk starts: 1, 1+stride, ... while start <= n (so the tail tokens
+    # always land in a final, possibly short, chunk)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - chunk_tokens).cast("double") / stride).cast("int") + 1
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride + 1
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("chunk_start"),
+            F.slice(ws, s, chunk_tokens).alias("_toks"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx"),
+            F.col("c.chunk_start"),
+            F.size("c._toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"),
+        )
+    )
+
+
 def source_token_mix(docs: DataFrame, text_col: str = "text",
                      budget_tokens: int = 1_000_000) -> DataFrame:
     """Per-source corpus mix accounting: docs, whitespace tokens, share of

@@ -1519,3 +1519,36 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return S.pq_recall(emb, qs, k=3, m=4, sub_dim=16, n_codes=8)
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    k AS (SELECT doc_id, ws, n,
+                 CASE WHEN n <= 16 THEN 1
+                      ELSE CAST(ceil((n - 16) / 12.0) AS INTEGER) + 1
+                 END AS n_chunks
+          FROM n),
+    c AS (SELECT doc_id, ws, n,
+                 CAST(unnest(range(0, n_chunks)) AS INTEGER) AS i
+          FROM k)
+    SELECT doc_id, i AS chunk_idx,
+           CAST(i * 12 + 1 AS INTEGER) AS chunk_start,
+           CAST(len(list_slice(ws, i * 12 + 1, i * 12 + 16)) AS INTEGER)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(ws, i * 12 + 1, i * 12 + 16), ' ')
+               AS chunk_text
+    FROM c
+    """,
+    doc="Context-window chunking (operators/text.py::chunk_text): each doc "
+    "split into overlapping 16-token windows with stride 12 (4 tokens of "
+    "overlap) — the unit a training or embedding pipeline feeds its "
+    "context windows from; the tail remainder is always emitted, short "
+    "docs are their own chunk. Fully declarative in-row sequence + slice "
+    "+ explode: a narrow flatMap, no Python, no shuffle.",
+    tags=("dataprep", "chunking", "text"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_text(_docs(spark, sf_dir), chunk_tokens=16, stride=12)

@@ -1,4 +1,5 @@
 from .pipeline import (  # noqa: F401
+    compact_batches,
     run_pipeline_available_now,
     run_pipeline_to_kafka,
     run_pipeline_to_parquet,

@@ -225,6 +225,35 @@ def run_pipeline_to_parquet(
     )
 
 
+def compact_batches(spark, table_dir: str, out_dir: str,
+                    target_partitions: int | None = None) -> int:
+    """Fold a ``batch_id=N``-partitioned sink table into a compacted copy —
+    the maintenance job the parquet sink's design anticipates: micro-batch
+    sinks accrete many small files (one dir per trigger), and small files
+    are the classic death-by-metadata at scale (every reader lists and
+    footer-reads each one).
+
+    Reads every batch partition present at call time, drops the batch_id
+    axis, and rewrites ``out_dir`` with ``target_partitions`` files
+    (default: one per shuffle partition). Returns the highest batch id
+    folded in, so the caller can delete ``batch_id<=N`` dirs from the live
+    sink afterwards; the stream keeps appending new batch ids untouched —
+    compaction never races the writer because it only reads completed
+    partitions and writes elsewhere."""
+    df = spark.read.parquet(table_dir)
+    if "batch_id" not in df.columns:
+        raise ValueError(f"{table_dir} is not a batch_id-partitioned sink")
+    max_batch = df.agg(F.max("batch_id")).collect()[0][0]
+    if max_batch is None:
+        return -1
+    folded = df.where(F.col("batch_id") <= max_batch).drop("batch_id")
+    n = target_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    folded.repartition(n).write.mode("overwrite").parquet(out_dir)
+    return int(max_batch)
+
+
 def run_pipeline_to_kafka(
     spark, source_dir: str, spec: str, records_out: list | None = None,
     max_files_per_trigger: int | None = None, hostname: str = "localhost",

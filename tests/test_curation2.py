@@ -355,3 +355,60 @@ def test_pq_recall_improves_with_codebook_size(spark):
     lo, hi = mean_recall(2), mean_recall(16)
     assert hi >= lo
     assert hi > 0.3  # 16 codes on 8 tight blobs resolves most neighbors
+
+
+def test_quality_gates_batch_stream_parity(spark, tmp_path):
+    # the per-doc curation gates are pure narrow column exprs, so the SAME
+    # operator code must run unchanged on a stream — micro-batch output
+    # rows == batch output rows
+    from hbase_packet_inspector_spark.operators import text as XX
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    batch = {tuple(r) for r in XX.quality_features(spark.read.parquet(src)).collect()}
+    out: list = []
+    q = (
+        XX.quality_features(spark.readStream.schema(docs.schema).parquet(src))
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+    assert {tuple(r) for r in out} == batch and len(batch) > 0
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    from hbase_packet_inspector_spark.operators.text import chunk_text
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+        (1, "one two three"),                        # shorter than a chunk
+        (2, " ".join(f"u{i}" for i in range(64))),   # exactly one chunk
+        (3, " ".join(f"v{i}" for i in range(65))),   # one token of tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_text(docs, chunk_tokens=64, stride=48).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_idx)
+
+    assert [r.n_chunk_tokens for r in by_doc[0]] == [64, 52]
+    assert [r.chunk_start for r in by_doc[0]] == [1, 49]
+    # overlap: chunk 1 re-covers tokens 49..64 of chunk 0
+    assert by_doc[0][1].chunk_text.split(" ")[0] == "t48"
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "one two three"
+    assert [r.n_chunk_tokens for r in by_doc[2]] == [64]
+    assert [r.n_chunk_tokens for r in by_doc[3]] == [64, 17]
+    # reconstruction: stripping the overlap from every later chunk and
+    # concatenating must reproduce the original token stream exactly
+    for i, text in rows:
+        toks = []
+        for r in by_doc[i]:
+            parts = r.chunk_text.split(" ")
+            toks.extend(parts if r.chunk_idx == 0 else parts[64 - 48:])
+        assert " ".join(toks) == text

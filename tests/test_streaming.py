@@ -537,3 +537,35 @@ def test_stream_range_join_survives_restart(spark, tmp_path):
     wave2_l = {i for i, _ in l2}
     wave2_r = {i for i, _ in r2}
     assert any((l in wave2_l) != (r in wave2_r) for l, r in got)
+
+
+def test_compact_batches_preserves_rows(spark, tmp_path, workload):
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        compact_batches,
+        run_pipeline_to_parquet,
+    )
+
+    src = str(tmp_path / "cp_events")
+    out = str(tmp_path / "cp_out")
+    fx.to_df(spark, workload).write.parquet(src)
+    run_pipeline_to_parquet(spark, src, out, max_files_per_trigger=1)
+
+    sink = spark.read.parquet(f"{out}/requests")
+    assert "batch_id" in sink.columns and sink.select("batch_id").distinct().count() > 1
+
+    max_b = compact_batches(spark, f"{out}/requests", str(tmp_path / "compact"),
+                            target_partitions=2)
+    compacted = spark.read.parquet(str(tmp_path / "compact"))
+    assert max_b == sink.agg(F.max("batch_id")).collect()[0][0]
+    assert "batch_id" not in compacted.columns
+    key = ["client", "port", "call_id"]
+    assert (
+        sorted(tuple(r) for r in compacted.select(*key).collect())
+        == sorted(tuple(r) for r in sink.select(*key).collect())
+    )
+    # a fresh empty dir is rejected as not-a-sink, not silently compacted
+    import pytest as _pytest
+    plain = str(tmp_path / "plain")
+    compacted.limit(1).write.parquet(plain)
+    with _pytest.raises(ValueError):
+        compact_batches(spark, plain, str(tmp_path / "x"))
