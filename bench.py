@@ -83,6 +83,7 @@ HEADLINE = [
     "pq_recall",
     "top_event_paths",
     "doc_chunks",
+    "chunk_dedup",
 ]
 
 

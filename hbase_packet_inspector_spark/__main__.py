@@ -22,6 +22,11 @@ def main(argv: list[str] | None = None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--events", help="rpc_events parquet path")
     src.add_argument("--pcap", help="pcap capture file/glob (file-mode analog)")
+    src.add_argument("--dataprep", metavar="QUERY",
+                     help="run a registered analytics query from the "
+                     "oracle-checked library against --sf-dir")
+    src.add_argument("--list-queries", action="store_true",
+                     help="list the registered analytics queries and exit")
     p.add_argument("--decode", default="hbase", choices=["hbase", "json"],
                    help="pcap payload decoder: real HBase RPC protobuf "
                    "(default) or the JSON-framed synthetic seam")
@@ -34,11 +39,33 @@ def main(argv: list[str] | None = None) -> int:
                    help="stop after S seconds of event time (ref -d)")
     p.add_argument("--sql", help="query to run (else: interactive prompt)")
     p.add_argument("--kafka", help="servers/topic1[/topic2][?k=v] -> print records")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory for --dataprep queries")
     p.add_argument("--limit", type=int, default=20)
     args = p.parse_args(argv)
 
+    if args.list_queries:
+        from . import plans
+
+        for name, q in sorted(plans.QUERIES.items()):
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{name}\t{kind}\t{q.doc.split('.')[0][:90]}")
+        return 0
+
     spark = get_spark("hpi-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.dataprep:
+        from . import plans
+
+        q = plans.QUERIES.get(args.dataprep)
+        if q is None:
+            print(f"unknown query: {args.dataprep} (see --list-queries)",
+                  file=sys.stderr)
+            return 2
+        q.fn(spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
     eng = Engine(spark)
     if args.pcap:
         eng.load_pcap(args.pcap, ports=tuple(args.port or (16020, 60020)),

@@ -1552,3 +1552,49 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_text(_docs(spark, sf_dir), chunk_tokens=16, stride=12)
+
+
+@register(
+    "chunk_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    k AS (SELECT doc_id, ws, n,
+                 CASE WHEN n <= 16 THEN 1
+                      ELSE CAST(ceil((n - 16) / 12.0) AS INTEGER) + 1
+                 END AS n_chunks
+          FROM n),
+    c AS (SELECT doc_id,
+                 array_to_string(list_slice(ws, i.i * 12 + 1, i.i * 12 + 16), ' ')
+                     AS chunk_text
+          FROM k, LATERAL (SELECT CAST(unnest(range(0, n_chunks)) AS INTEGER) AS i) i),
+    g AS (SELECT chunk_text, count(*) AS cnt FROM c GROUP BY 1)
+    SELECT c.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+           round(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM c JOIN g USING (chunk_text)
+    GROUP BY c.doc_id
+    """,
+    doc="Chunk-granularity dedup — how passage dedup actually runs in "
+    "production: documents are chunked (chunk_text, 16-token windows, "
+    "stride 12) and each doc reports what fraction of its chunks occur "
+    "anywhere else in the corpus. Composition of chunk_text + the exact "
+    "hash-group pattern: narrow chunk explode, one shuffle on the chunk "
+    "string (hash it at 100 TB), partial+final per-doc agg.",
+    tags=("dataprep", "dedup", "chunking"),
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = X.chunk_text(_docs(spark, sf_dir), chunk_tokens=16, stride=12)
+    g = ch.groupBy("chunk_text").agg(F.count("*").alias("cnt"))
+    dup = (F.col("cnt") > 1).cast("int")
+    return (
+        ch.join(g, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("dup_chunks"),
+            F.round(F.sum(dup) / F.count("*").cast("double"), 6).alias("dup_frac"),
+        )
+    )

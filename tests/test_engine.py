@@ -149,3 +149,19 @@ def test_cli_pcap_mode(spark, tmp_path, capsys):
                "SELECT method, elapsed FROM responses"])
     out = capsys.readouterr().out
     assert rc == 0 and "get" in out and "500" in out
+
+
+def test_cli_dataprep_and_list(capsys):
+    from hbase_packet_inspector_spark.__main__ import main
+
+    rc = main(["--list-queries"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "dedup_exact\toracle" in out and "chunk_dedup" in out
+
+    rc = main(["--dataprep", "source_token_mix",
+               "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "token_share" in out
+
+    rc = main(["--dataprep", "no_such_query"])
+    assert rc == 2
