@@ -84,6 +84,7 @@ HEADLINE = [
     "top_event_paths",
     "doc_chunks",
     "chunk_dedup",
+    "cohort_retention",
 ]
 
 

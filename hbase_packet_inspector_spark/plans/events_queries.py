@@ -618,3 +618,45 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id,
+                      min(date_trunc('week', ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT CAST(floor(epoch(f.cohort)) AS BIGINT) AS cohort_week,
+           CAST((floor(epoch(a.wk)) - floor(epoch(f.cohort))) / 604800
+                AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen ISO week, "
+    "counted in every later week they return — the week_offset derives "
+    "from epoch arithmetic (exact integer division by 604800) so both "
+    "engines agree without calendar-API drift. Two shuffles (first-seen "
+    "agg, matrix agg), both partial+final; distinct-count per cell rides "
+    "the same exchange.",
+    tags=("events", "cohort", "retention", "agg"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort").alias("cohort_week"),
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

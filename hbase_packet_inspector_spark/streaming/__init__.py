@@ -8,5 +8,6 @@ from .pipeline import (  # noqa: F401
     stream_range_join,
     stream_sessionize,
     stream_windowed_counts,
+    stream_windowed_distinct,
 )
 from .sink import from_kafka_records, to_kafka_records  # noqa: F401

@@ -317,6 +317,25 @@ def stream_windowed_counts(
     )
 
 
+def stream_windowed_distinct(
+    events: DataFrame, key: str = "client", window: str = "1 minute",
+    watermark: str = "2 minutes", ts_col: str = "ts", rsd: float = 0.02,
+) -> DataFrame:
+    """Per-window distinct-key cardinality on an unbounded stream via
+    HLL++ (``approx_count_distinct``) — exact streaming distinct would
+    need per-window state proportional to the number of distinct keys;
+    the sketch caps it at ~1.5 KB per window whatever the cardinality,
+    which is the only form that survives at fleet scale. Append mode
+    emits each window once at watermark passage; accuracy is the HLL
+    bound (``rsd``), asserted against the exact batch count in tests."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.approx_count_distinct(key, rsd).alias("n_distinct"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n_distinct")
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str], ts_col: str = "ts",
                  delay: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: keep the first-ARRIVING record per key (not

@@ -569,3 +569,33 @@ def test_compact_batches_preserves_rows(spark, tmp_path, workload):
     compacted.limit(1).write.parquet(plain)
     with _pytest.raises(ValueError):
         compact_batches(spark, plain, str(tmp_path / "x"))
+
+
+def test_stream_windowed_distinct_within_hll_bound(spark, tmp_path):
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        stream_windowed_distinct,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (f"c{i % 37}", t0 + dt.timedelta(seconds=(i * 7) % 120)) for i in range(400)
+    ] + [("zz", t0 + dt.timedelta(hours=2))]  # watermark sentinel
+    df = spark.createDataFrame(rows, "client string, ts timestamp")
+    out = _replay(
+        spark, df,
+        lambda s: stream_windowed_distinct(s, key="client", window="1 minute",
+                                           watermark="30 seconds"),
+        str(tmp_path / "wd"),
+    )
+    got = {r.window_start: r.n_distinct for r in out}
+    exact = {
+        r.window_start: r.n
+        for r in df.groupBy(
+            F.unix_timestamp(F.window("ts", "1 minute").start).alias("window_start")
+        ).agg(F.countDistinct("client").alias("n")).collect()
+    }
+    # every closed window emitted once, within the HLL error bound
+    for ws, n in got.items():
+        assert abs(n - exact[ws]) <= max(2, 0.1 * exact[ws])
+    assert len(got) >= 2
