@@ -451,3 +451,42 @@ def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@register(
+    "hbase_pcap_tables",
+    None,  # raw capture bytes — rows-only check, like hbase_pcap_decode;
+    # the per-table invariants are asserted in tests/test_hbase_pcap.py
+    doc="Per-TABLE rollup of the real-capture decode: request counts, "
+    "batch/multi sizes, and cell totals grouped by the HBase table each "
+    "RPC addresses (the region-name decode exercised end-to-end on real "
+    "1.2.6 traffic, incl. the scanner-state table inheritance for "
+    "next-rows calls that don't carry a region). Same pipeline as "
+    "hbase_pcap_decode, different projection axis.",
+    tags=("pipeline", "pcap", "protobuf", "decode", "table"),
+)
+def hbase_pcap_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    if os.path.isdir(_HBASE_FIXDIR):
+        eng.load_pcap(
+            f"{_HBASE_FIXDIR}/{{sequentialWrite,randomRead,scan}}.pcap",
+            ports=(16201,),
+        )
+    else:  # pragma: no cover - fixture-less deployment
+        return hbase_pcap_decode(spark, sf_dir)
+    t = eng.register_tables().tables
+    return (
+        t["requests"]
+        .groupBy("table")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.countDistinct("method").alias("n_methods"),
+            F.sum("batch").alias("total_batch"),
+            F.sum("cells").alias("total_cells"),
+        )
+        .orderBy("table")
+    )
