@@ -49,7 +49,8 @@ def main(argv: list[str] | None = None) -> int:
 
         for name, q in sorted(plans.QUERIES.items()):
             kind = "oracle" if q.oracle else "rows-only"
-            print(f"{name}\t{kind}\t{q.doc.split('.')[0][:90]}")
+            # '. ' not '.': docs lead with module paths like operators/x.py
+            print(f"{name}\t{kind}\t{q.doc.split('. ')[0][:90]}")
         return 0
 
     spark = get_spark("hpi-cli")

@@ -412,36 +412,65 @@ def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
     # each round's join re-derives the (expensive) upstream pair pipeline,
     # and the lineage tree grows multiplicatively with iterations — the
     # classic iterative-dataflow trap
-    edges = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    # the near-dup graph is normally orders of magnitude smaller than the
-    # corpus — size the per-round shuffles to IT, not to the session
-    # default, or each round pays hundreds of near-empty tasks
-    nparts = max(1, edges.count() // 100_000)
-    edges = edges.repartition(nparts, "dst")
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    )
+    edges, labels = _cluster_graph(pairs)
     for i in range(iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-        )
+        labels = _propagate_round(edges, labels)
         if i % 2 == 1:
             # materialize every second round: cuts the doubling lineage
             # (labels feeds both the neighbor join and the carry-through)
             # while keeping job-scheduling barriers to a minimum
             labels = labels.persist()
             labels.count()
+    return _cluster_output(labels)
+
+
+def _cluster_graph(pairs: DataFrame):
+    """Shared prologue of both clustering forms: symmetric deduped edge
+    list (persisted — both loops re-read it every round) + identity label
+    frame, with per-round shuffles sized to the near-dup GRAPH, not the
+    session default (the graph is normally orders of magnitude smaller
+    than the corpus; default-sized rounds pay hundreds of near-empty
+    tasks)."""
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nparts = max(1, edges.count() // 100_000)
+    edges = edges.repartition(nparts, "dst")
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    return edges, labels
+
+
+def _propagate_round(edges: DataFrame, labels: DataFrame,
+                     with_changed: bool = False) -> DataFrame:
+    """One min-label propagation round: label(v) = min(label(v),
+    min(label(neighbors))). With ``with_changed``, adds a ``_changed``
+    flag for the fixpoint convergence probe."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.doc_id)
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("label").alias("nmin"))
+    )
+    cols = [
+        "doc_id",
+        F.least(
+            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+        ).alias("label"),
+    ]
+    if with_changed:
+        cols.append(
+            (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                "_changed"
+            )
+        )
+    return labels.join(neighbor_min, "doc_id", "left").select(*cols)
+
+
+def _cluster_output(labels: DataFrame) -> DataFrame:
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster"),
@@ -455,63 +484,33 @@ def dedup_clusters_fixpoint(pairs: DataFrame, max_rounds: int = 64) -> DataFrame
     (chained near-dups: A~B~C~...~Z collapses to one cluster however long
     the chain).
 
-    Each round halves the worst-case remaining diameter's contribution no
-    better than by 1 (plain label propagation is O(diameter) rounds, not
+    Plain label propagation advances one hop per round (O(diameter), not
     O(log n) — pointer-jumping would be the log form); the loop stops at
     the first round that changes NOTHING, detected with a 1-row existence
     probe (``limit(1)`` on the changed-set — a cheap action, no full
-    count). Every round materializes: the iteration is driver-ORCHESTRATED
-    but each step is one distributed join+agg shuffle on doc_id; nothing
-    rides the driver but the loop condition.
+    count), and RAISES if ``max_rounds`` is exhausted first — returning
+    silently-unconverged clusters would let duplicates survive dedup with
+    no signal. Every round materializes via localCheckpoint: the frame
+    feeds two operators per round, so an uncut logical plan doubles each
+    iteration and planning itself OOMs long before data does (on a real
+    cluster, checkpoint() to reliable storage if executor loss mid-loop
+    must be survivable). Nothing rides the driver but the loop condition.
 
     Oracle-checkable: the result equals DuckDB's ``WITH RECURSIVE``
     transitive min-label closure on the same edges.
     """
-    edges = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    nparts = max(1, edges.count() // 100_000)
-    edges = edges.repartition(nparts, "dst")
-    # each round must CUT its lineage, not just cache: labels feeds two
-    # operators per round, so the uncut logical plan doubles every
-    # iteration — by ~10 rounds even *rendering* the plan overflows the
-    # heap. localCheckpoint truncates to the materialized partitions (on a
-    # real cluster, checkpoint() to reliable storage if executor loss
-    # mid-loop must be survivable).
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    edges, labels = _cluster_graph(pairs)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        nxt = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "_changed"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        nxt = _propagate_round(edges, labels, with_changed=True).localCheckpoint(
+            eager=True
         )
         converged = nxt.where("_changed").limit(1).count() == 0
         labels = nxt.drop("_changed")
         if converged:
-            break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster"),
-        (F.col("doc_id") == F.col("label")).alias("keep"),
+            return _cluster_output(labels)
+    raise RuntimeError(
+        f"label propagation did not converge within {max_rounds} rounds — "
+        "the near-dup graph has a longer chain than expected; raise "
+        "max_rounds (cost is one join+agg shuffle per round)"
     )

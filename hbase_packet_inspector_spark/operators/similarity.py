@@ -396,6 +396,11 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
         "q_id", "j", "code",
         F.round(_sq_l2(F.col("qsub"), F.col("csub")), 6).alias("qd2"),
     )
+    if (base_cells is None) != (query_cells is None):
+        raise ValueError(
+            "cell pruning needs BOTH base_cells and query_cells — one side "
+            "alone can't define the cell restriction"
+        )
     base = codes
     if base_cells is not None:
         base = base.join(base_cells.select("vec_id", "cell"), "vec_id")

@@ -406,7 +406,13 @@ _HBASE_FIXDIR = "/root/reference/dev-resources"
     "aren't present.",
     tags=("pipeline", "pcap", "protobuf", "decode"),
 )
-def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _load_hbase_capture(spark: SparkSession):
+    """Shared capture loader for the real-pcap queries: the reference's own
+    fixtures when present, else a deterministic synthetic JSON-framed
+    capture built from the fixture generator — either way the SAME
+    pipeline (pcap scan -> reassembly -> decode -> correlation) runs and
+    the same four tables register, so every projection keeps its schema
+    on fixture-less deployments."""
     import os
 
     from ..engine import Engine
@@ -419,7 +425,7 @@ def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:  # pragma: no cover - fixture-less deployment
         from ..sources import pcap as P
-        from ..sources.fixtures import random_read, to_df
+        from ..sources.fixtures import random_read
         import json as _json
         import struct as _st
 
@@ -440,7 +446,11 @@ def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(tmp, "wb") as f:
             f.write(P.build_pcap(pkts))
         eng.load_pcap(tmp, ports=(16020,), decode="json")
-    t = eng.register_tables().tables
+    return eng.register_tables().tables
+
+
+def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _load_hbase_capture(spark)
     return (
         t["responses"]
         .groupBy("method")
@@ -466,19 +476,7 @@ def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "pcap", "protobuf", "decode", "table"),
 )
 def hbase_pcap_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from ..engine import Engine
-
-    eng = Engine(spark)
-    if os.path.isdir(_HBASE_FIXDIR):
-        eng.load_pcap(
-            f"{_HBASE_FIXDIR}/{{sequentialWrite,randomRead,scan}}.pcap",
-            ports=(16201,),
-        )
-    else:  # pragma: no cover - fixture-less deployment
-        return hbase_pcap_decode(spark, sf_dir)
-    t = eng.register_tables().tables
+    t = _load_hbase_capture(spark)
     return (
         t["requests"]
         .groupBy("table")

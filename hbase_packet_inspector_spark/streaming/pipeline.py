@@ -233,20 +233,36 @@ def compact_batches(spark, table_dir: str, out_dir: str,
     are the classic death-by-metadata at scale (every reader lists and
     footer-reads each one).
 
-    Reads every batch partition present at call time, drops the batch_id
-    axis, and rewrites ``out_dir`` with ``target_partitions`` files
-    (default: one per shuffle partition). Returns the highest batch id
-    folded in, so the caller can delete ``batch_id<=N`` dirs from the live
-    sink afterwards; the stream keeps appending new batch ids untouched —
-    compaction never races the writer because it only reads completed
-    partitions and writes elsewhere."""
-    df = spark.read.parquet(table_dir)
-    if "batch_id" not in df.columns:
+    Folds only batch partitions carrying a ``_SUCCESS`` marker (the job
+    commit Spark writes last): a batch the stream is writing — or
+    re-writing after a crash, since the idempotent sink OVERWRITES the
+    batch dir on replay — has no marker yet, so listing mid-commit can
+    never capture a partial batch and then tell the caller to delete it.
+    Drops the batch_id axis and rewrites ``out_dir`` with
+    ``target_partitions`` files (default: one per shuffle partition).
+    Returns the highest batch id folded in, so the caller can delete
+    ``batch_id<=N`` COMMITTED dirs from the live sink afterwards; newer
+    ids keep appending untouched."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"{table_dir} does not exist")
+    committed = []
+    saw_batch_dir = False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            saw_batch_dir = True
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                committed.append(int(name.split("=", 1)[1]))
+    if not saw_batch_dir:
         raise ValueError(f"{table_dir} is not a batch_id-partitioned sink")
-    max_batch = df.agg(F.max("batch_id")).collect()[0][0]
-    if max_batch is None:
+    if not committed:
         return -1
-    folded = df.where(F.col("batch_id") <= max_batch).drop("batch_id")
+    max_batch = max(committed)
+    df = spark.read.parquet(table_dir)
+    folded = df.where(F.col("batch_id").isin(committed)).drop("batch_id")
     n = target_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )

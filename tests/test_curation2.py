@@ -412,3 +412,86 @@ def test_chunk_text_coverage_and_overlap(spark):
             parts = r.chunk_text.split(" ")
             toks.extend(parts if r.chunk_idx == 0 else parts[64 - 48:])
         assert " ".join(toks) == text
+
+
+def test_pairwise_jaccard_differential_random_docs(spark):
+    # the shingle-join jaccard underpins 5 oracle queries — guard it with
+    # a randomized differential against plain Python set math (one job)
+    import random
+
+    rng = random.Random(23)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    rows = [
+        (i, "".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("s"), "n_chars": F.length("text")}
+    )
+    sh = D.char_shingles(docs, n=4)
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in D.pairwise_jaccard(sh, min_jaccard=0.3).collect()
+    }
+
+    def shingles(t):
+        return {t[i:i + 4] for i in range(len(t) - 3)} if len(t) >= 4 else set()
+
+    want = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i < j:
+                a, b = shingles(ti), shingles(tj)
+                if a and b:
+                    jac = len(a & b) / len(a | b)
+                    if jac >= 0.3:
+                        want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+def test_asof_join_differential_pandas(spark):
+    import pandas as pd
+    from hbase_packet_inspector_spark.operators.asof import asof_join
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [("k%d" % (i % 3), base + dt.timedelta(seconds=17 * i), i)
+             for i in range(50)]
+    rrows = [("k%d" % (i % 3), base + dt.timedelta(seconds=11 * i), 100 + i)
+             for i in range(70)]
+    left = spark.createDataFrame(lrows, "k string, ts timestamp, lv long")
+    right = spark.createDataFrame(rrows, "k string, ts timestamp, rv long")
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["rv"]).collect()
+    got = {(r.k, r.lv): r.rv_right for r in out}
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        (r.k, r.lv): (None if pd.isna(r.rv) else int(r.rv))
+        for r in m.itertuples()
+    }
+    assert got == want and any(v is not None for v in want.values())
+
+
+def test_fixpoint_raises_when_rounds_exhausted(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "d1 long, d2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters_fixpoint(pairs, max_rounds=2)
+
+
+def test_pq_cell_pruning_requires_both_sides(spark):
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = S.pq_codebook(emb, m=1, sub_dim=4, n_codes=4)
+    codes = S.pq_codes(emb, cb, m=1, sub_dim=4)
+    qs = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cells = codes.select("vec_id", F.lit(0).alias("cell")).distinct()
+    with pytest.raises(ValueError, match="BOTH"):
+        S.pq_adc_topk(codes, cb, qs, m=1, sub_dim=4, base_cells=cells)
