@@ -495,3 +495,36 @@ def test_pq_cell_pruning_requires_both_sides(spark):
     cells = codes.select("vec_id", F.lit(0).alias("cell")).distinct()
     with pytest.raises(ValueError, match="BOTH"):
         S.pq_adc_topk(codes, cb, qs, m=1, sub_dim=4, base_cells=cells)
+
+
+def test_chunk_text_randomized_reconstruction(spark):
+    # randomized guard over parameter combinations: every doc's token
+    # stream must be exactly reconstructable from its chunks
+    import random
+
+    rng = random.Random(31)
+    for chunk_tokens, stride in [(8, 8), (8, 5), (16, 12), (5, 1)]:
+        from hbase_packet_inspector_spark.operators.text import chunk_text
+
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 40))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_text(docs, chunk_tokens=chunk_tokens, stride=stride).collect()
+        by_doc: dict = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        overlap = chunk_tokens - stride
+        for i, text in rows:
+            rs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+            toks = []
+            for r in rs:
+                parts = r.chunk_text.split(" ")
+                toks.extend(parts if r.chunk_idx == 0 else parts[overlap:])
+            assert " ".join(toks) == text, (chunk_tokens, stride, i)
+            # starts advance by exactly stride; sizes are full except the tail
+            assert [r.chunk_start for r in rs] == [
+                k * stride + 1 for k in range(len(rs))
+            ]
+            assert all(r.n_chunk_tokens == chunk_tokens for r in rs[:-1])
