@@ -393,19 +393,6 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HBASE_FIXDIR = "/root/reference/dev-resources"
 
 
-@register(
-    "hbase_pcap_decode",
-    None,  # raw capture bytes — no SQL-expressible oracle (rows-only check);
-    # tests/test_hbase_pcap.py asserts the reference's own end-to-end
-    # invariants on these fixtures instead
-    doc="The full capture pipeline on REAL HBase 1.2.6 RPC traffic (the "
-    "reference's own pcap fixtures): binary scan -> packet decode -> TCP "
-    "reassembly -> pure-Python protobuf decode (sources.hbase_wire) -> "
-    "correlation -> per-method traffic/latency rollup. Falls back to the "
-    "deterministic synthetic JSON capture when the reference fixtures "
-    "aren't present.",
-    tags=("pipeline", "pcap", "protobuf", "decode"),
-)
 def _load_hbase_capture(spark: SparkSession):
     """Shared capture loader for the real-pcap queries: the reference's own
     fixtures when present, else a deterministic synthetic JSON-framed
@@ -449,6 +436,19 @@ def _load_hbase_capture(spark: SparkSession):
     return eng.register_tables().tables
 
 
+@register(
+    "hbase_pcap_decode",
+    None,  # raw capture bytes — no SQL-expressible oracle (rows-only check);
+    # tests/test_hbase_pcap.py asserts the reference's own end-to-end
+    # invariants on these fixtures instead
+    doc="The full capture pipeline on REAL HBase 1.2.6 RPC traffic (the "
+    "reference's own pcap fixtures): binary scan -> packet decode -> TCP "
+    "reassembly -> pure-Python protobuf decode (sources.hbase_wire) -> "
+    "correlation -> per-method traffic/latency rollup. Falls back to the "
+    "deterministic synthetic JSON capture when the reference fixtures "
+    "aren't present.",
+    tags=("pipeline", "pcap", "protobuf", "decode"),
+)
 def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _load_hbase_capture(spark)
     return (
