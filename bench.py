@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_chunks",
     "chunk_dedup",
     "cohort_retention",
+    "winnow_fingerprints",
 ]
 
 

@@ -285,6 +285,56 @@ def rolling_hash(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", h.alias("rhash"))
 
 
+def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every char ``k``-gram, then from each
+    sliding window of ``window`` consecutive hashes keep the minimum
+    (rightmost on ties), and emit the distinct selected (position, hash)
+    pairs.
+
+    The guarantee that makes this THE fingerprint sampler for
+    plagiarism/reuse detection: any shared substring of length
+    >= ``window + k - 1`` is caught by at least one shared fingerprint,
+    while storage drops to ~2/(window+1) of all grams. Docs shorter than
+    one window keep their global minimum, so every non-empty doc emits
+    >= 1 fingerprint.
+
+    Fully in-row (hash array -> window minima via slice + array_min over
+    (hash, -pos) structs -> array_distinct -> explode): a narrow flatMap,
+    no shuffle; the md5-derived hash keeps it oracle-portable."""
+    n = F.length(F.col(text_col)) - F.lit(k - 1)  # number of k-grams
+    # (hash, -pos) structs: struct ordering gives min hash, rightmost tie.
+    # The hash array MUST materialize as a named column before the window
+    # pass: referenced inline inside the per-window lambda, the expression
+    # tree re-computes every gram md5 for EVERY window — O(n^2) hashing
+    # per doc (measured ~80 s vs ~1 s at sf0.01).
+    H = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)), "
+        f"i -> struct(CAST(conv(substring(md5(substring({text_col}, i, {k})), 1, 8), "
+        f"16, 10) AS BIGINT) AS h, -i AS negpos))"
+    )
+    wsize = F.least(F.lit(window), n)
+    m = n - wsize + 1
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_m")),
+            lambda j: F.array_min(F.slice(F.col("_H"), j, window)),
+        )
+    )
+    return (
+        docs.where(n >= 1)
+        .select("doc_id", H.alias("_H"), m.alias("_m"))
+        .select("doc_id", F.explode(mins).alias("f"))
+        .select(
+            "doc_id",
+            (-F.col("f.negpos")).alias("pos"),
+            F.col("f.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def chunk_text(docs: DataFrame, *, chunk_tokens: int = 64, stride: int = 48,
                text_col: str = "text") -> DataFrame:
     """Split each doc into overlapping token-window chunks (size

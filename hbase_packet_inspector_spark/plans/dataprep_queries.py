@@ -1598,3 +1598,50 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count("*").cast("double"), 6).alias("dup_frac"),
         )
     )
+
+
+def _hex8_bigint(expr: str) -> str:
+    """DuckDB: first 8 md5 hex chars -> BIGINT (instr decode, like
+    _hex6_int but 8 digits — matches Spark's conv(substr(md5, 1, 8))."""
+    return (
+        "("
+        + " + ".join(
+            f"instr('123456789abcdef', substr({expr}, {i + 1}, 1)) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) - 4 AS n FROM documents
+               WHERE length(text) >= 5),
+    g AS (SELECT doc_id, n, CAST(i.i AS INTEGER) AS pos,
+                 CAST({_hex8_bigint("md5(substr(text, CAST(i.i AS INTEGER), 5))")}
+                      AS BIGINT) AS h
+          FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS i) i),
+    win AS (SELECT doc_id, n,
+                   CASE WHEN n <= 4 THEN n ELSE 4 END AS wsize,
+                   CAST(j.j AS INTEGER) AS j
+            FROM d, LATERAL (SELECT unnest(range(1,
+                     (CASE WHEN n <= 4 THEN 1 ELSE n - 3 END) + 1)) AS j) j),
+    sel AS (SELECT g.doc_id, win.j, g.pos, g.h,
+                   row_number() OVER (PARTITION BY g.doc_id, win.j
+                                      ORDER BY g.h ASC, g.pos DESC) AS r
+            FROM win JOIN g ON g.doc_id = win.doc_id
+                 AND g.pos BETWEEN win.j AND win.j + win.wsize - 1)
+    SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE r = 1
+    """,
+    doc="Winnowing fingerprints (operators/text.py::winnow_fingerprints — "
+    "the MOSS algorithm): min-hash-per-sliding-window sampling of char "
+    "5-gram hashes, rightmost on ties; any shared substring of length >= "
+    "window+k-1 shares a fingerprint while storage drops to "
+    "~2/(window+1) of all grams. The Spark form is fully in-row (hash "
+    "array -> slice minima -> distinct -> explode, no shuffle); the "
+    "oracle states the same selection relationally.",
+    tags=("dataprep", "fingerprint", "winnowing"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)

@@ -528,3 +528,34 @@ def test_chunk_text_randomized_reconstruction(spark):
                 k * stride + 1 for k in range(len(rs))
             ]
             assert all(r.n_chunk_tokens == chunk_tokens for r in rs[:-1])
+
+
+def test_winnowing_guarantee_and_density(spark):
+    from hbase_packet_inspector_spark.operators.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "thequickbrownfoxjumps"  # len 21 >= w + k - 1 = 8
+    rows = [
+        (0, "aaa" + shared + "zzz"),
+        (1, "mmmm" + shared + "qq"),
+        (2, "completely unrelated content here"),
+        (3, "abc"),   # shorter than k -> no grams, no rows
+        (4, "abcde"), # exactly one gram -> one fingerprint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=k, window=w).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # the winnowing guarantee: docs sharing a substring of length >= w+k-1
+    # share at least one fingerprint VALUE
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[2] & by_doc[0])
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    # density: fingerprints ≪ grams (sampling, not the full gram set)
+    n_grams0 = len(rows[0][1]) - k + 1
+    assert len(by_doc[0]) < n_grams0
+    # positions are valid gram starts
+    for r in out:
+        assert 1 <= r.pos <= len(rows[r.doc_id][1]) - k + 1
