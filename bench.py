@@ -86,6 +86,7 @@ HEADLINE = [
     "chunk_dedup",
     "cohort_retention",
     "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 

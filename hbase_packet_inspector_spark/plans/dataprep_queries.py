@@ -1645,3 +1645,65 @@ def _hex8_bigint(expr: str) -> str:
 )
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
+
+
+@register(
+    "winnow_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) - 4 AS n FROM documents
+               WHERE length(text) >= 5),
+    g AS (SELECT doc_id, n, CAST(i.i AS INTEGER) AS pos,
+                 CAST({_hex8_bigint("md5(substr(text, CAST(i.i AS INTEGER), 5))")}
+                      AS BIGINT) AS h
+          FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS i) i),
+    win AS (SELECT doc_id, n,
+                   CASE WHEN n <= 4 THEN n ELSE 4 END AS wsize,
+                   CAST(j.j AS INTEGER) AS j
+            FROM d, LATERAL (SELECT unnest(range(1,
+                     (CASE WHEN n <= 4 THEN 1 ELSE n - 3 END) + 1)) AS j) j),
+    sel AS (SELECT g.doc_id, win.j, g.pos, g.h,
+                   row_number() OVER (PARTITION BY g.doc_id, win.j
+                                      ORDER BY g.h ASC, g.pos DESC) AS r
+            FROM win JOIN g ON g.doc_id = win.doc_id
+                 AND g.pos BETWEEN win.j AND win.j + win.wsize - 1),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE r = 1),
+    fn AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fps
+          FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, shared_fps,
+           round(CAST(shared_fps AS DOUBLE) / least(x.nf, y.nf), 6)
+               AS containment
+    FROM p JOIN fn x ON d1 = x.doc_id JOIN fn y ON d2 = y.doc_id
+    WHERE CAST(shared_fps AS DOUBLE) / least(x.nf, y.nf) >= 0.9
+    """,
+    doc="Winnowing-based reuse detection: doc pairs whose selected-"
+    "fingerprint CONTAINMENT (shared / min set size, rounded before the "
+    "threshold) reaches 0.9 — the plagiarism/passage-reuse detector the "
+    "fingerprints exist for, at ~2/(w+1) of the gram self-join's cost "
+    "(same bucket-join shape as LSH banding, keyed on sampled hashes). "
+    "An absolute shared-count threshold is NOT selective on a small-"
+    "vocabulary corpus (median pair here shares 23 values); containment "
+    "normalizes it away.",
+    tags=("dataprep", "fingerprint", "winnowing", "dedup"),
+)
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = X.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4).select(
+        "doc_id", "fp"
+    ).distinct()
+    fn = fp.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    cont = F.col("shared_fps").cast("double") / F.least("n1", "n2")
+    return (
+        pairs.join(fn.selectExpr("doc_id AS d1", "nf AS n1"), "d1")
+        .join(fn.selectExpr("doc_id AS d2", "nf AS n2"), "d2")
+        .where(cont >= 0.9)
+        .select("d1", "d2", "shared_fps", F.round(cont, 6).alias("containment"))
+    )
