@@ -83,7 +83,8 @@ def word_shingles(docs: DataFrame, n: int = 3,
 
 
 def decontaminate(train_docs: DataFrame, eval_docs: DataFrame, *,
-                  n: int = 3, text_col: str = "text") -> DataFrame:
+                  n: int = 3, text_col: str = "text",
+                  max_gram_df: int | None = None) -> DataFrame:
     """Eval-set decontamination: flag every training doc sharing at least
     one word ``n``-gram with any held-out eval doc — the overlap gate run
     before training so benchmark text can't leak into the corpus.
@@ -97,15 +98,32 @@ def decontaminate(train_docs: DataFrame, eval_docs: DataFrame, *,
     doc_id, and a left join back to keep clean docs with zero counts. The
     eval side is benchmark-sized (thousands of docs), so AQE converts its
     post-shuffle side to a broadcast at runtime; the train corpus never
-    collapses to the driver. Gram-frequency skew (stop-phrase grams hitting
-    everything) is the classic hazard — real deployments drop grams above a
-    document-frequency cap first; at this corpus size the join is
-    uniform."""
+    collapses to the driver.
+
+    Gram-frequency skew (stop-phrase grams hitting everything) is the
+    classic hazard: a gram in t train docs and e eval docs emits t*e join
+    rows, so one boilerplate phrase can dominate the whole shuffle while
+    signalling nothing. ``max_gram_df`` drops grams whose document
+    frequency across train+eval exceeds the cap BEFORE the join (the
+    standard stop-gram filter). Dropping them from the train side alone is
+    sufficient — a gram absent from one side produces no hits — and the
+    hot-gram set is by construction tiny (only grams above the cap), so
+    the anti-join broadcasts."""
     tr = word_shingles(train_docs, n=n, text_col=text_col)
     ev = (
         word_shingles(eval_docs, n=n, text_col=text_col)
         .withColumnRenamed("doc_id", "eval_doc_id")
     )
+    if max_gram_df is not None:
+        hot = (
+            tr.select("shingle")
+            .unionAll(ev.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_gram_df)
+            .select("shingle")
+        )
+        tr = tr.join(F.broadcast(hot), "shingle", "left_anti")
     hits = (
         tr.join(ev, "shingle")
         .groupBy("doc_id")

@@ -123,20 +123,23 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     # output, and dragging the vectors through those joins + the dedup
     # shuffle would dominate the whole operator. Vectors (with norms
     # precomputed once per vector) are joined back onto the deduped pairs.
-    # Broadcast decisions are BYTE-aware at UnsafeRow cost (vectors are
-    # ~dim x 8 B/row and the vector frame broadcasts TWICE; the band frame
-    # explodes to n_bands rows/vector of band_bits-char keys); above the
-    # cap every join falls back to shuffle, the plan that's also correct
-    # at 10^9 vectors. Sizing reads the dim from ONE row — never a full
-    # scan just to price a broadcast.
+    # Broadcast decisions are BYTE-aware but must cost ZERO Spark jobs at
+    # plan-construction time: the size comes from Catalyst's driver-side
+    # statistics (file-size metadata for scans), never a count()/first()
+    # probe — building this frame and then not executing it must launch
+    # nothing. Parquet float arrays compress ~1:1 and UnsafeRow adds
+    # per-row overhead (and the vector frame broadcasts TWICE), so the
+    # stat gets 4x headroom; the exploded band frame (n_bands short keys
+    # per vector) is bounded by the same budget. Unknown stats (no file
+    # source under the plan) => conservative shuffle path, the plan
+    # that's also correct at 10^9 vectors.
     try:
-        n_vec = emb.count()
-        first_dim = emb.select(F.size(vec_col).alias("d")).first()
-        dim = (first_dim.d if first_dim else 0) or 0
-        vec_small = 2 * n_vec * (dim * 8 + 48) <= (128 << 20)
-        band_small = n_vec * n_bands * (band_bits + 56) <= (128 << 20)
+        size_b = int(
+            emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
     except Exception:
-        vec_small = band_small = False
+        size_b = 1 << 62
+    vec_small = band_small = 4 * size_b <= (128 << 20)
 
     left = keyed.select(F.col(id_col).alias("d1"), "bkey")
     right = keyed.select(F.col(id_col).alias("d2"), "bkey")
@@ -299,7 +302,13 @@ def kmeans_refine(emb: DataFrame, seed_centroids: DataFrame,
             prev = cells
         cents = centroids_from_cells(emb, cells, id_col=id_col, vec_col=vec_col)
         cells = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
-    return cells
+    # The RETURNED assignment is always cut, independent of `materialize`
+    # (which governs the per-round barriers of long loops): every IVF
+    # consumer reads it at least twice (base-side join + query-side
+    # derivation), and without a persist each consumer re-runs the whole
+    # refine lineage — one broadcast corpus pass per round per consumer
+    # (measured 3.3x on ivf_kmeans_topk). The frame is (id, cell), tiny.
+    return cells.persist()
 
 
 def _sub_slices(vec: Column, m: int, sub_dim: int) -> Column:

@@ -286,7 +286,8 @@ def rolling_hash(docs: DataFrame, text_col: str = "text",
 
 
 def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        positions: bool = True) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every char ``k``-gram, then from each
     sliding window of ``window`` consecutive hashes keep the minimum
@@ -302,7 +303,14 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
 
     Fully in-row (hash array -> window minima via slice + array_min over
     (hash, -pos) structs -> array_distinct -> explode): a narrow flatMap,
-    no shuffle; the md5-derived hash keeps it oracle-portable."""
+    no shuffle; the md5-derived hash keeps it oracle-portable.
+
+    ``positions=False`` emits (doc_id, fp) only, with the distinct taken
+    IN-ROW over the hash values (doc_id is part of the key, so the per-doc
+    array_distinct IS the global distinct) — zero shuffle, and the form
+    pair-detection consumers want: the (doc_id, pos, fp) output needs a
+    cross-partition ``.distinct()`` because one hash can be selected at
+    several positions."""
     n = F.length(F.col(text_col)) - F.lit(k - 1)  # number of k-grams
     # (hash, -pos) structs: struct ordering gives min hash, rightmost tie.
     # The hash array MUST materialize as a named column before the window
@@ -322,9 +330,16 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
             lambda j: F.array_min(F.slice(F.col("_H"), j, window)),
         )
     )
+    hashed = docs.where(n >= 1).select("doc_id", H.alias("_H"), m.alias("_m"))
+    if not positions:
+        return hashed.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(mins, lambda s: s["h"]))
+            ).alias("fp"),
+        )
     return (
-        docs.where(n >= 1)
-        .select("doc_id", H.alias("_H"), m.alias("_m"))
+        hashed
         .select("doc_id", F.explode(mins).alias("f"))
         .select(
             "doc_id",

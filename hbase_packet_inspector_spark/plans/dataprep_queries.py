@@ -7,7 +7,7 @@ running the real operators from ``operators.dedup`` / ``operators.similarity``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -558,7 +558,10 @@ def ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    cells = S.assign_cells(emb, centroids)
+    # the assignment feeds base AND qs (and cosine_topk reads base twice):
+    # persist or the quantizer pass (corpus x centroids) re-runs per
+    # consumer — measured 2.7x on this query before the cut
+    cells = S.assign_cells(emb, centroids).persist()
     base = emb.join(cells, "vec_id")
     qs = base.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -1178,9 +1181,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.pack_sequences(_docs(spark, sf_dir), budget=512, shards=8)
 
 
+# Stop-gram document-frequency cap for decontaminate: word n-grams held by
+# more than this many docs (train+eval combined) are boilerplate, not
+# benchmark leakage — and each emits t*e join rows.
+_DECON_MAX_DF = 20
+
+
 @register(
     "decontaminate",
-    """
+    f"""
     WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
     idx AS (SELECT doc_id, source, ws,
                    CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
@@ -1188,10 +1197,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT DISTINCT doc_id, source,
                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
            FROM idx),
+    hot AS (SELECT shingle FROM sh GROUP BY 1
+            HAVING count(*) > {_DECON_MAX_DF}),
     hits AS (SELECT t.doc_id, count(*) AS n_shared_grams,
                     count(DISTINCT e.doc_id) AS n_eval_docs
              FROM sh t JOIN sh e ON t.shingle = e.shingle
                   AND e.source = 'src0' AND t.source <> 'src0'
+             WHERE t.shingle NOT IN (SELECT shingle FROM hot)
              GROUP BY 1)
     SELECT d.doc_id, coalesce(h.n_shared_grams, 0) AS n_shared_grams,
            coalesce(h.n_eval_docs, 0) AS n_eval_docs,
@@ -1204,14 +1216,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc sharing a word trigram with any eval doc. Distinct per-doc grams "
     "on both sides (narrow), one shuffled gram join (the benchmark side is "
     "small -> AQE broadcasts it at runtime), partial+final agg, left join "
-    "back to keep clean docs at zero.",
+    "back to keep clean docs at zero. Grams above a document-frequency "
+    f"cap ({_DECON_MAX_DF} across train+eval) are dropped before the join "
+    "— a stop-phrase gram in t train and e eval docs emits t*e rows while "
+    "signalling nothing; the cap bounds the join's per-key fanout. The "
+    "oracle applies the identical cap.",
     tags=("dataprep", "dedup", "decontamination"),
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("source") == "src0")
     tr = docs.where(F.col("source") != "src0")
-    return D.decontaminate(tr, ev, n=3)
+    return D.decontaminate(tr, ev, n=3, max_gram_df=_DECON_MAX_DF)
 
 
 @register(
@@ -1647,6 +1663,17 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
 
 
+# Stop-fingerprint document-frequency cap for winnow_pairs: fingerprints
+# held by more docs than this are dropped before the pair self-join (each
+# contributes df^2 candidate pairs and no discriminative signal).
+_WINNOW_MAX_DF = 50
+# Minimum shared retained fingerprints for a reported pair: with hot
+# fingerprints capped away, a doc retaining only 1-2 rare hashes would hit
+# 0.9 containment on a single coincidental collision (30175 of 30192 pairs
+# at sf0.1 share <= 2) — MOSS-style reporting requires multiple matches.
+_WINNOW_MIN_SHARED = 3
+
+
 @register(
     "winnow_pairs",
     f"""
@@ -1667,33 +1694,50 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM win JOIN g ON g.doc_id = win.doc_id
                  AND g.pos BETWEEN win.j AND win.j + win.wsize - 1),
     fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE r = 1),
-    fn AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+    kept AS (SELECT doc_id, h FROM (
+                 SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+                 FROM fp)
+             WHERE df <= {_WINNOW_MAX_DF}),
+    fn AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY 1),
     p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fps
-          FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
     SELECT d1, d2, shared_fps,
            round(CAST(shared_fps AS DOUBLE) / least(x.nf, y.nf), 6)
                AS containment
     FROM p JOIN fn x ON d1 = x.doc_id JOIN fn y ON d2 = y.doc_id
     WHERE CAST(shared_fps AS DOUBLE) / least(x.nf, y.nf) >= 0.9
+      AND shared_fps >= {_WINNOW_MIN_SHARED}
     """,
     doc="Winnowing-based reuse detection: doc pairs whose selected-"
-    "fingerprint CONTAINMENT (shared / min set size, rounded before the "
-    "threshold) reaches 0.9 — the plagiarism/passage-reuse detector the "
-    "fingerprints exist for, at ~2/(w+1) of the gram self-join's cost "
-    "(same bucket-join shape as LSH banding, keyed on sampled hashes). "
-    "An absolute shared-count threshold is NOT selective on a small-"
-    "vocabulary corpus (median pair here shares 23 values); containment "
-    "normalizes it away.",
+    "fingerprint CONTAINMENT (shared / min set size over the RETAINED "
+    "fingerprints, rounded before the threshold) reaches 0.9 — the "
+    "plagiarism/passage-reuse detector the fingerprints exist for. Two "
+    "scale guards make the self-join survivable: (a) the fingerprint "
+    f"frame is persisted once (it feeds both join sides AND the per-doc "
+    "counts — unpersisted, the O(n*w) md5 extraction re-runs per "
+    "consumer), and (b) the standard stop-fingerprint filter drops any "
+    f"fingerprint held by more than {_WINNOW_MAX_DF} docs BEFORE the "
+    "join: a fingerprint shared by m docs emits m^2 candidate pairs, so "
+    "ubiquitous hashes (boilerplate, common phrases) are pure quadratic "
+    "cost carrying zero discriminative signal — on this small-vocabulary "
+    "corpus the uncapped join is 590M rows, capped it is 87k. The oracle "
+    "applies the identical cap in its CTE.",
     tags=("dataprep", "fingerprint", "winnowing", "dedup"),
 )
 def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = X.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4).select(
-        "doc_id", "fp"
-    ).distinct()
-    fn = fp.groupBy("doc_id").agg(F.count("*").alias("nf"))
-    a = fp.alias("a")
-    b = fp.alias("b")
+    fp = X.winnow_fingerprints(
+        _docs(spark, sf_dir), k=5, window=4, positions=False
+    )
+    kept = (
+        fp.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("_df") <= _WINNOW_MAX_DF)
+        .drop("_df")
+        .persist()
+    )
+    fn = kept.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1704,6 +1748,6 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(fn.selectExpr("doc_id AS d1", "nf AS n1"), "d1")
         .join(fn.selectExpr("doc_id AS d2", "nf AS n2"), "d2")
-        .where(cont >= 0.9)
+        .where((cont >= 0.9) & (F.col("shared_fps") >= _WINNOW_MIN_SHARED))
         .select("d1", "d2", "shared_fps", F.round(cont, 6).alias("containment"))
     )

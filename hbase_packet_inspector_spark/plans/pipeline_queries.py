@@ -93,6 +93,84 @@ def rpc_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(~F.col("inbound")).select("event_id", "method", "elapsed")
 
 
+_ERROR_NAMES = (
+    "RegionTooBusyException",
+    "NotServingRegionException",
+    "CallTimeoutException",
+)
+
+
+@register(
+    "error_analysis",
+    """
+    WITH rpc AS (
+      SELECT event_id, ts,
+             (event_id % 2 = 0) AS inbound,
+             'c' || CAST(user_id % 50 AS VARCHAR) AS client,
+             CAST(40000 + user_id % 8 AS INTEGER) AS port,
+             CAST(event_id % 97 AS INTEGER) AS call_id,
+             CASE WHEN event_id % 2 = 0 THEN event_type END AS method,
+             CASE WHEN event_id % 2 <> 0 AND event_id % 13 = 0 THEN
+               CASE CAST(event_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'RegionTooBusyException'
+                    WHEN 1 THEN 'NotServingRegionException'
+                    ELSE 'CallTimeoutException' END
+             END AS error
+      FROM events
+    ), x AS (
+      SELECT *,
+             lag(inbound) OVER w AS prev_in,
+             lag(method) OVER w AS prev_method,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+      FROM rpc
+      WINDOW w AS (PARTITION BY client, port, call_id ORDER BY ts, event_id)
+    ), resp AS (
+      SELECT CASE WHEN prev_in AND gap_ms <= 3600000 THEN prev_method
+                  ELSE 'unknown' END AS method,
+             CASE WHEN prev_in AND gap_ms <= 3600000
+                  THEN CAST(gap_ms AS INTEGER) END AS elapsed,
+             error
+      FROM x WHERE NOT inbound AND error IS NOT NULL
+    )
+    SELECT error, method, count(*) AS n_errors,
+           count(elapsed) AS n_matched,
+           round(avg(elapsed), 3) AS avg_elapsed_ms
+    FROM resp GROUP BY error, method
+    """,
+    doc="The incident-triage query the reference's README walks operators "
+    "through first (README.md:133-169; the error column is db.clj:33-35 / "
+    "SURVEY.md §2 F row 6): responses WHERE error IS NOT NULL grouped by "
+    "error x originating method, with match counts and mean latency. Runs "
+    "the REAL correlate() so unmatched errored responses surface as "
+    "method='unknown' — exactly the rows an on-call needs to see. One "
+    "window + one partial+final agg; at 100 TB the error filter prunes "
+    "upstream of the agg shuffle.",
+    tags=("pipeline", "errors", "analysis"),
+)
+def error_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    rpc = _derive_rpc(load_table(spark, sf_dir, "events")).withColumn(
+        "error",
+        F.when(
+            (F.col("event_id") % 2 != 0) & (F.col("event_id") % 13 == 0),
+            F.element_at(
+                F.array(*[F.lit(e) for e in _ERROR_NAMES]),
+                (F.col("event_id") % 3).cast("int") + 1,
+            ),
+        ),
+    )
+    out = correlate(rpc, ttl_ms=_HOUR_MS)
+    return (
+        out.where(~F.col("inbound") & F.col("error").isNotNull())
+        .groupBy("error", "method")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.count("elapsed").alias("n_matched"),
+            F.round(F.avg("elapsed"), 3).alias("avg_elapsed_ms"),
+        )
+    )
+
+
 @register(
     "rpc_scanner_state",
     """

@@ -87,6 +87,38 @@ def test_decontaminate_flags_overlap(spark):
     assert out[0]["n_shared_grams"] == 2 and out[0]["n_eval_docs"] == 2
 
 
+def test_decontaminate_gram_df_cap_prunes_stop_phrase(spark):
+    # 'per our terms of' is boilerplate in EVERY doc (df = 6 > cap 4);
+    # only doc 0 shares a RARE gram ('alpha beta gamma') with the eval set
+    stop = "per our terms of"
+    tr = spark.createDataFrame(
+        [
+            (0, f"{stop} alpha beta gamma"),
+            (1, f"{stop} nothing shared here"),
+            (2, f"{stop} also clean text"),
+            (3, f"{stop} more clean words"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"{stop} alpha beta gamma"), (101, f"{stop} unrelated eval doc")],
+        "doc_id long, text string",
+    )
+    capped = {
+        r["doc_id"]: r
+        for r in D.decontaminate(tr, ev, n=4, max_gram_df=4).collect()
+    }
+    # the stop gram is pruned: docs 1-3 come out clean, doc 0 is flagged
+    # only through its rare gram hit against eval doc 100
+    assert capped[0]["contaminated"] and capped[0]["n_eval_docs"] == 1
+    assert all(not capped[i]["contaminated"] for i in (1, 2, 3))
+    # uncapped, the boilerplate gram "contaminates" every train doc
+    uncapped = {
+        r["doc_id"]: r for r in D.decontaminate(tr, ev, n=4).collect()
+    }
+    assert all(uncapped[i]["contaminated"] for i in (0, 1, 2, 3))
+
+
 def test_fixpoint_closes_long_chains(spark):
     # path graph 0-1-2-...-9: diameter 9 > the bounded form's 4 rounds
     pairs = spark.createDataFrame(
