@@ -14,9 +14,32 @@ except ImportError:
     pass
 
 
+# Queries the driver's rotating 50-slot correctness check has never
+# hash-verified (absent from CORRECTNESS_r01 and _r02), plus the queries
+# new this round: listed FIRST so a prefix-biased rotation reaches them
+# before re-checking long-green ones. Refresh after each round's
+# CORRECTNESS file lands.
+_UNVERIFIED_FIRST = (
+    "error_analysis", "hbase_pcap_decode", "hbase_pcap_tables",
+    "winnow_pairs", "winnow_fingerprints", "decontaminate",
+    "pq_adc_topk", "ivfpq_topk", "pq_recall", "ivf_kmeans2_topk",
+    "pack_sequences", "logreg2", "dedup_clusters_converged",
+    "dedup_containment", "repetition_ratio", "term_zipf", "tfidf_top_terms",
+    "curation_funnel", "stratified_sample", "source_token_mix", "ann_recall",
+    "pii_scrub", "doc_chunks", "chunk_dedup",
+    "rpc_correlate", "rpc_scanner_state", "rpc_finalize", "skew_salted_join",
+)
+
+
+def _ordered():
+    first = [n for n in _UNVERIFIED_FIRST if n in QUERIES]
+    seen = set(first)
+    return first + [n for n in QUERIES if n not in seen]
+
+
 def queries():
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {n: QUERIES[n].fn for n in _ordered()}
 
 
 def oracles():
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {n: QUERIES[n].oracle for n in _ordered() if QUERIES[n].oracle is not None}

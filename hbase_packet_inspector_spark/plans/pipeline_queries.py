@@ -7,6 +7,8 @@ the DuckDB gate, not just a query-shaped imitation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -514,17 +516,33 @@ def _load_hbase_capture(spark: SparkSession):
     return eng.register_tables().tables
 
 
+# Committed snapshot of the decoded reference-capture tables
+# (tools/materialize_hbase_fixture.py): pins the wire decoder's output so
+# DuckDB can independently aggregate it — the oracle for the two real-pcap
+# queries below. Decode is deterministic (fixed pcap bytes in, pure
+# function out), so a mismatch means the decoder/correlation changed.
+_HBASE_SNAPSHOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "hbase_capture",
+)
+
+
 @register(
     "hbase_pcap_decode",
-    None,  # raw capture bytes — no SQL-expressible oracle (rows-only check);
-    # tests/test_hbase_pcap.py asserts the reference's own end-to-end
-    # invariants on these fixtures instead
+    f"""
+    SELECT method, count(*) AS n, sum(cells) AS total_cells,
+           count(elapsed) AS n_matched
+    FROM read_parquet('{_HBASE_SNAPSHOT}/responses.parquet')
+    GROUP BY method
+    """,
     doc="The full capture pipeline on REAL HBase 1.2.6 RPC traffic (the "
     "reference's own pcap fixtures): binary scan -> packet decode -> TCP "
     "reassembly -> pure-Python protobuf decode (sources.hbase_wire) -> "
     "correlation -> per-method traffic/latency rollup. Falls back to the "
     "deterministic synthetic JSON capture when the reference fixtures "
-    "aren't present.",
+    "aren't present. The oracle aggregates the committed decode snapshot "
+    "(tests/fixtures/hbase_capture) in DuckDB, hash-pinning the decoder's "
+    "end-to-end output, not just its row count.",
     tags=("pipeline", "pcap", "protobuf", "decode"),
 )
 def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,8 +561,13 @@ def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hbase_pcap_tables",
-    None,  # raw capture bytes — rows-only check, like hbase_pcap_decode;
-    # the per-table invariants are asserted in tests/test_hbase_pcap.py
+    f"""
+    SELECT "table", count(*) AS n_requests,
+           count(DISTINCT method) AS n_methods,
+           sum(batch) AS total_batch, sum(cells) AS total_cells
+    FROM read_parquet('{_HBASE_SNAPSHOT}/requests.parquet')
+    GROUP BY 1
+    """,
     doc="Per-TABLE rollup of the real-capture decode: request counts, "
     "batch/multi sizes, and cell totals grouped by the HBase table each "
     "RPC addresses (the region-name decode exercised end-to-end on real "
