@@ -87,6 +87,10 @@ HEADLINE = [
     "cohort_retention",
     "winnow_fingerprints",
     "winnow_pairs",
+    "error_analysis",
+    "hbase_pcap_tables",
+    "dedup_keep_best",
+    "cdc_chunks",
 ]
 
 

@@ -442,6 +442,44 @@ def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
     return _cluster_output(labels)
 
 
+def keep_best(scored: DataFrame, clusters: DataFrame, *,
+              quality_col: str = "quality",
+              id_col: str = "doc_id") -> DataFrame:
+    """Cluster-representative selection — the step a production dedup
+    pipeline actually ships: given per-doc quality scores and near-dup
+    cluster assignments, keep the highest-quality member of each cluster
+    (tie-break: lowest id) and mark everything else a drop.
+
+    Docs absent from ``clusters`` (never matched any pair — the
+    overwhelming majority of a real corpus) are their own singleton
+    cluster and always kept.
+
+    Scale shape: the argmax is a struct-max AGGREGATE (partial+final),
+    not a per-cluster sort window — a pathological mega-cluster (the
+    classic boilerplate blob) reduces map-side to one struct per
+    partition instead of funnelling every member through a single task's
+    sort. One shuffle on cluster for the agg, one for the join back;
+    the cluster frame is graph-sized, orders of magnitude under the
+    corpus."""
+    base = (
+        scored.join(clusters.select(id_col, "cluster"), id_col, "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+    )
+    best = base.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg")
+            )
+        ).alias("_b")
+    )
+    is_best = (F.col(quality_col) == F.col("_b.q")) & (
+        F.col(id_col) == -F.col("_b.neg")
+    )
+    return base.join(best, "cluster").select(
+        id_col, "cluster", quality_col, is_best.alias("keep")
+    )
+
+
 def _cluster_graph(pairs: DataFrame):
     """Shared prologue of both clustering forms: symmetric deduped edge
     list (persisted — both loops re-read it every round) + identity label

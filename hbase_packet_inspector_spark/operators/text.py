@@ -330,7 +330,13 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
             lambda j: F.array_min(F.slice(F.col("_H"), j, window)),
         )
     )
-    hashed = docs.where(n >= 1).select("doc_id", H.alias("_H"), m.alias("_m"))
+    # the text scan is byte-small (often 1 partition) and AQE won't widen
+    # byte-small exchanges, so without an explicit spread the whole O(n*w)
+    # md5 pipeline runs on ONE core (same trap as dedup._spread; measured
+    # 15s -> ~1s at sf0.1 on 32 cores)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spread = docs.where(n >= 1).repartition(nparts, "doc_id")
+    hashed = spread.select("doc_id", H.alias("_H"), m.alias("_m"))
     if not positions:
         return hashed.select(
             "doc_id",
@@ -347,6 +353,69 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
             F.col("f.h").alias("fp"),
         )
         .distinct()
+    )
+
+
+def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
+               text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family): slide a
+    ``window``-char polynomial hash over the text and cut a chunk boundary
+    wherever ``hash % divisor == 0``. Unlike fixed-stride chunking, an
+    insertion early in a document shifts only the ONE chunk it lands in —
+    every later boundary re-synchronizes on content — which is what makes
+    chunk-hash dedup robust to edits (expected chunk length = divisor).
+
+    The window hash is the first 8 hex chars of md5 of the window text —
+    uniform mod any divisor and portable (a polynomial char hash is NOT:
+    e.g. 31^2 = 1 mod 64, so base-31 mod a power of two collapses to a
+    2-term character sum that finds no boundaries in ordinary prose).
+
+    Fully in-row after an explicit spread: boundary scan -> starts array ->
+    per-chunk explode, a narrow O(n*window) flatMap with no shuffle; output
+    is (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) where
+    chunk_md5 is the dedup key downstream consumers hash-group on."""
+    wh = (
+        f"CAST(conv(substring(md5(substring({text_col}, i, {window})), 1, 8), "
+        f"16, 10) AS BIGINT)"
+    )
+    cuts = (
+        f"transform(filter("
+        f"CASE WHEN length({text_col}) >= {window} "
+        f"THEN sequence(1, length({text_col}) - {window - 1}) "
+        f"ELSE array() END, "
+        f"i -> {wh} % {divisor} = 0), i -> CAST(i + {window} AS INT))"
+    )
+    starts = (
+        f"array_sort(array_distinct(concat(array(1), "
+        f"filter({cuts}, s -> s <= length({text_col})))))"
+    )
+    # starts MUST materialize as a named column before the per-chunk pass —
+    # referenced inline it would re-run the whole boundary scan for every
+    # chunk (the same O(n^2) trap as winnow_fingerprints' hash array)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    based = (
+        docs.where(F.length(F.col(text_col)) >= 1)
+        .repartition(nparts, "doc_id")
+        .select("doc_id", F.col(text_col).alias("_t"), F.expr(starts).alias("_S"))
+    )
+    chunk = F.expr(
+        "transform(sequence(1, size(_S)), ix -> struct("
+        "CAST(ix - 1 AS INT) AS chunk_idx, "
+        "element_at(_S, ix) AS chunk_start, "
+        "CAST(coalesce(try_element_at(_S, ix + 1), length(_t) + 1) "
+        "- element_at(_S, ix) AS INT) AS chunk_len))"
+    )
+    return (
+        based.select("doc_id", "_t", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.md5(
+                F.expr("substring(_t, c.chunk_start, c.chunk_len)")
+            ).alias("chunk_md5"),
+        )
     )
 
 

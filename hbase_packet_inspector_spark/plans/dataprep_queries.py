@@ -1039,7 +1039,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(emb, qs, k=3, cell_col="label")
 
 
-def _cluster_oracle(iterations: int = 4) -> str:
+def _cluster_oracle(iterations: int = 4, tail: str | None = None) -> str:
     # bounded min-label propagation: l{i+1}(d) = min(l{i}(d), min l{i}(nbr))
     steps = []
     for i in range(iterations):
@@ -1051,6 +1051,11 @@ def _cluster_oracle(iterations: int = 4) -> str:
             f"       GROUP BY l.doc_id, l.label)"
         )
     steps_sql = ",\n    ".join(steps)
+    if tail is None:
+        tail = (
+            f"\n    SELECT doc_id, label AS cluster, doc_id = label AS keep"
+            f" FROM l{iterations}\n    "
+        )
     return f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     idx AS (SELECT doc_id, ws, CAST(unnest(range(1, len(ws) - 1)) AS INTEGER) AS i
@@ -1068,9 +1073,7 @@ def _cluster_oracle(iterations: int = 4) -> str:
     edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
               UNION SELECT d2, d1 FROM pairs),
     l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
-    {steps_sql}
-    SELECT doc_id, label AS cluster, doc_id = label AS keep FROM l{iterations}
-    """
+    {steps_sql}{tail}"""
 
 
 @register(
@@ -1089,6 +1092,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(_docs(spark, sf_dir), n=3)
     pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
     return D.dedup_clusters(pairs, iterations=4)
+
+
+@register(
+    "dedup_keep_best",
+    _cluster_oracle(
+        4,
+        tail=""",
+    cl AS (SELECT doc_id, label AS cluster FROM l4),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+            FROM documents),
+    base AS (SELECT t.doc_id, coalesce(c.cluster, t.doc_id) AS cluster,
+                    t.n_tokens
+             FROM tok t LEFT JOIN cl c USING (doc_id))
+    SELECT doc_id, cluster, n_tokens,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
+    FROM base
+    """,
+    ),
+    doc="Cluster-representative selection (operators/dedup.py::keep_best) "
+    "— the decision a production dedup pipeline actually ships: every doc "
+    "joins its near-dup cluster (word-trigram Jaccard >= 0.8 pairs -> "
+    "4-round min-label propagation; unmatched docs are singleton "
+    "clusters), scores on token count, and only the highest-quality "
+    "member per cluster (tie-break lowest doc_id) survives. The argmax is "
+    "a struct-max partial+final AGGREGATE, not a per-cluster sort window "
+    "— a pathological boilerplate mega-cluster reduces map-side instead "
+    "of funnelling through one task; the oracle states the same argmax "
+    "relationally via row_number.",
+    tags=("dataprep", "dedup", "clustering", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.word_shingles(docs, n=3)
+    pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
+    clusters = D.dedup_clusters(pairs, iterations=4)
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+    )
+    return D.keep_best(scored, clusters, quality_col="n_tokens")
 
 
 _PII_URL = r"https?://[a-z0-9./_%@-]+"
@@ -1627,6 +1672,57 @@ def _hex8_bigint(expr: str) -> str:
         )
         + ")"
     )
+
+
+def _cdc_oracle(window: int = 8, divisor: int = 64) -> str:
+    wh = _hex8_bigint(f"md5(substr(text, CAST(i AS INTEGER), {window}))")
+    return f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 1),
+    st AS (SELECT doc_id, text, n,
+                  list_sort(list_distinct([CAST(1 AS INTEGER)] ||
+                      list_transform(
+                          list_filter(
+                              CASE WHEN n >= {window}
+                                   THEN range(1, n - {window} + 2)
+                                   ELSE [] END,
+                              i -> {wh} % {divisor} = 0),
+                          i -> CAST(i + {window} AS INTEGER))))
+                  AS starts
+           FROM d),
+    fs AS (SELECT doc_id, text, n,
+                  list_filter(starts, s -> s <= n) AS starts
+           FROM st),
+    ch AS (SELECT doc_id, text, n,
+                  CAST(ix.ix - 1 AS INTEGER) AS chunk_idx,
+                  starts[CAST(ix.ix AS INTEGER)] AS chunk_start,
+                  CAST(coalesce(starts[CAST(ix.ix AS INTEGER) + 1], n + 1)
+                       - starts[CAST(ix.ix AS INTEGER)] AS INTEGER)
+                      AS chunk_len
+           FROM fs, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS ix) ix)
+    SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+           md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
+    FROM ch
+    """
+
+
+@register(
+    "cdc_chunks",
+    _cdc_oracle(),
+    doc="Content-defined chunking (operators/text.py::cdc_chunks — the "
+    "rsync/LBFS/FastCDC boundary rule): cut wherever the 8-char base-31 "
+    "polynomial hash is 0 mod 64, so an edit shifts only the chunk it "
+    "lands in and every later boundary re-synchronizes on content — the "
+    "property fixed-stride chunking lacks and chunk-hash dedup at 100 TB "
+    "needs. In-row boundary scan + starts array + per-chunk explode "
+    "(narrow, no shuffle, after the explicit CPU spread); emits the "
+    "chunk_md5 dedup key per chunk. The window hash is md5-derived "
+    "(uniform mod any divisor and portable), so the oracle states the "
+    "identical cut rule in exact integer arithmetic.",
+    tags=("dataprep", "chunking", "cdc", "dedup"),
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.cdc_chunks(_docs(spark, sf_dir), window=8, divisor=64)
 
 
 @register(

@@ -591,3 +591,58 @@ def test_winnowing_guarantee_and_density(spark):
     # positions are valid gram starts
     for r in out:
         assert 1 <= r.pos <= len(rows[r.doc_id][1]) - k + 1
+
+
+def test_keep_best_picks_highest_quality_per_cluster(spark):
+    scored = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (3, 5), (9, 7)],
+        "doc_id long, quality int",
+    )
+    clusters = spark.createDataFrame(
+        # docs 0,1,2 one cluster; 3 its own via the frame; 9 absent
+        [(0, 0), (1, 0), (2, 0), (3, 3)],
+        "doc_id long, cluster long",
+    )
+    out = {r["doc_id"]: r for r in D.keep_best(scored, clusters).collect()}
+    # quality tie 1-vs-2 at 30 -> lowest doc_id wins
+    assert out[1]["keep"] and not out[2]["keep"] and not out[0]["keep"]
+    # cluster-of-one and unclustered singleton both survive
+    assert out[3]["keep"] and out[9]["keep"] and out[9]["cluster"] == 9
+    assert sum(r["keep"] for r in out.values()) == 3
+
+
+def test_cdc_chunks_partition_and_resync(spark):
+    import hashlib
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    edited = "XY" + base  # prefix insertion
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, "tiny")], "doc_id long, text string"
+    )
+    out = X.cdc_chunks(docs).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        text = {0: base, 1: edited, 2: "tiny"}[d]
+        # chunks tile the document exactly: starts at 1, contiguous, full
+        assert rows[0].chunk_start == 1
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk_start + a.chunk_len == b.chunk_start
+        assert sum(r.chunk_len for r in rows) == len(text)
+        # chunk_md5 is the md5 of the chunk bytes
+        first = rows[0]
+        want = hashlib.md5(
+            text[first.chunk_start - 1:first.chunk_start - 1 + first.chunk_len]
+            .encode()
+        ).hexdigest()
+        assert first.chunk_md5 == want
+    # a doc shorter than the window is one whole-doc chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 4
+    # CONTENT-DEFINED resync: after a prefix edit, all but the first
+    # chunk(s) re-align — the edited doc shares most chunk hashes
+    h0 = {r.chunk_md5 for r in by_doc[0]}
+    h1 = {r.chunk_md5 for r in by_doc[1]}
+    assert len(h0 & h1) >= len(h0) - 2
+    assert len(h0) >= 3  # the repeated text actually produced boundaries
