@@ -91,6 +91,9 @@ HEADLINE = [
     "hbase_pcap_tables",
     "dedup_keep_best",
     "cdc_chunks",
+    "cdc_dedup",
+    "bm25_topk",
+    "unigram_surprise",
 ]
 
 

@@ -356,6 +356,84 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
     )
 
 
+def bm25_topk(docs: DataFrame, terms: tuple[str, ...], *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text") -> DataFrame:
+    """BM25-ranked top-k documents for a bag-of-terms query — the lexical
+    retrieval scorer (Robertson/Sparck Jones probabilistic idf + per-doc
+    length normalization) a corpus-curation stack uses for targeted
+    harvesting and retrieval-augmented filtering.
+
+    Per-term tf is an IN-ROW array filter (no explode/shuffle for the
+    term dimension — |terms| is query-sized); corpus statistics (N, avgdl,
+    per-term df) are ONE single-row aggregate broadcast back; the final
+    top-k is orderBy+limit, which Spark executes as TakeOrdered
+    (per-partition heaps + driver merge — no global sort shuffle). Scores
+    round to 6 before the rank so the tie-break (score desc, doc_id asc)
+    is engine-independent."""
+    toks = _tok(text_col)
+    base = docs.select("doc_id", toks.alias("_w")).withColumn(
+        "dl", F.size("_w")
+    )
+    def _tf(term: str):
+        # nested fn, not a default-arg lambda: a 2-arg lambda would make
+        # F.filter pass the element INDEX as the second argument
+        return F.size(F.filter(F.col("_w"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)]
+    d = base.select("doc_id", "dl", *tf_cols)
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("double").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = d.join(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        part = idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        j.select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def unigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean token surprise under the corpus's own unigram LM:
+    -mean(ln p(w)), p(w) = corpus count / corpus tokens — the classic
+    perplexity-style quality gate (boilerplate and spam score LOW, rare
+    garbage scores HIGH; train-time pipelines threshold both tails).
+
+    One explode -> (word) count aggregate builds the LM (vocab-sized, so
+    the score join broadcasts at runtime via AQE — no forced hint, the
+    frame is data-derived); the per-doc mean is a partial+final agg keyed
+    on doc_id. ln runs on identical doubles in any engine and the mean is
+    rounded to 6, the library's float-portability discipline."""
+    t = docs.select("doc_id", F.explode(_tok(text_col)).alias("w"))
+    lm = t.groupBy("w").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").cast("double").alias("total"))
+    scored = t.join(lm, "w").join(F.broadcast(total))
+    nll = -F.log(F.col("c").cast("double") / F.col("total"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(nll) / F.count("*"), 6).alias("mean_surprise"),
+        )
+    )
+
+
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
                text_col: str = "text") -> DataFrame:
     """Content-defined chunking (the rsync/LBFS/FastCDC family): slide a

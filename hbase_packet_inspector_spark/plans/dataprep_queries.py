@@ -1674,8 +1674,15 @@ def _hex8_bigint(expr: str) -> str:
     )
 
 
-def _cdc_oracle(window: int = 8, divisor: int = 64) -> str:
+def _cdc_oracle(window: int = 8, divisor: int = 64,
+                tail: str | None = None) -> str:
     wh = _hex8_bigint(f"md5(substr(text, CAST(i AS INTEGER), {window}))")
+    if tail is None:
+        tail = """
+    SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+           md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
+    FROM ch
+    """
     return f"""
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
                WHERE length(text) >= 1),
@@ -1700,18 +1707,15 @@ def _cdc_oracle(window: int = 8, divisor: int = 64) -> str:
                        - starts[CAST(ix.ix AS INTEGER)] AS INTEGER)
                       AS chunk_len
            FROM fs, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS ix) ix)
-    SELECT doc_id, chunk_idx, chunk_start, chunk_len,
-           md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
-    FROM ch
-    """
+    {tail}"""
 
 
 @register(
     "cdc_chunks",
     _cdc_oracle(),
     doc="Content-defined chunking (operators/text.py::cdc_chunks — the "
-    "rsync/LBFS/FastCDC boundary rule): cut wherever the 8-char base-31 "
-    "polynomial hash is 0 mod 64, so an edit shifts only the chunk it "
+    "rsync/LBFS/FastCDC boundary rule): cut wherever the md5-derived "
+    "8-char window hash is 0 mod 64, so an edit shifts only the chunk it "
     "lands in and every later boundary re-synchronizes on content — the "
     "property fixed-stride chunking lacks and chunk-hash dedup at 100 TB "
     "needs. In-row boundary scan + starts array + per-chunk explode "
@@ -1723,6 +1727,134 @@ def _cdc_oracle(window: int = 8, divisor: int = 64) -> str:
 )
 def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunks(_docs(spark, sf_dir), window=8, divisor=64)
+
+
+@register(
+    "cdc_dedup",
+    _cdc_oracle(
+        tail="""
+    , cm AS (SELECT doc_id,
+                    md5(substr(text, chunk_start, chunk_len)) AS h,
+                    chunk_len
+             FROM ch),
+    g AS (SELECT h, count(*) AS cnt FROM cm GROUP BY 1)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+               AS dup_chars,
+           round(sum(CASE WHEN g.cnt > 1 THEN chunk_len ELSE 0 END)
+                 / CAST(sum(chunk_len) AS DOUBLE), 6) AS dup_char_frac
+    FROM cm JOIN g USING (h)
+    GROUP BY doc_id
+    """,
+    ),
+    doc="Chunk-hash dedup over CONTENT-DEFINED chunks: each doc reports "
+    "how many of its CDC chunks (and what fraction of its bytes) occur "
+    "anywhere else in the corpus — the edit-robust form of passage dedup "
+    "(chunk_dedup's fixed-stride windows de-align after one insertion; "
+    "CDC boundaries re-synchronize). One shuffle on the 32-hex chunk "
+    "hash, partial+final per-doc agg; at 100 TB the hash join carries "
+    "only (hash, len), never chunk text.",
+    tags=("dataprep", "chunking", "cdc", "dedup"),
+)
+def cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = X.cdc_chunks(_docs(spark, sf_dir), window=8, divisor=64)
+    g = ch.groupBy("chunk_md5").agg(F.count("*").alias("cnt"))
+    dup = (F.col("cnt") > 1).cast("int")
+    dupc = F.when(F.col("cnt") > 1, F.col("chunk_len")).otherwise(F.lit(0))
+    return (
+        ch.join(g, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("dup_chunks"),
+            F.sum(dupc).alias("dup_chars"),
+            F.round(
+                F.sum(dupc) / F.sum("chunk_len").cast("double"), 6
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+_BM25_TERMS = ("scan", "filter", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle(terms, k=10, k1=_BM25_K1, b=_BM25_B) -> str:
+    tf_cols = ",\n                 ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS INTEGER) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                  ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    d AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS dl,
+                 {tf_cols}
+          FROM base),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                  {df_cols}
+           FROM d)
+    SELECT doc_id, dl, round({parts}, 6) AS bm25
+    FROM d CROSS JOIN st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "bm25_topk",
+    _bm25_oracle(_BM25_TERMS),
+    doc="BM25 lexical retrieval (operators/text.py::bm25_topk) for the "
+    f"query {_BM25_TERMS}: probabilistic idf x length-normalized tf, the "
+    "scorer corpus curation uses for targeted harvesting and "
+    "retrieval-augmented filtering. Per-term tf is an in-row array filter "
+    "(the term dimension never explodes), corpus stats are one broadcast "
+    "single-row aggregate, and the top-k is orderBy+limit = TakeOrdered "
+    "(per-partition heaps, no global sort shuffle). Scores round to 6 "
+    "before ranking; ties break on doc_id.",
+    tags=("dataprep", "text", "retrieval", "bm25"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_topk(
+        _docs(spark, sf_dir), _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register(
+    "unigram_surprise",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    lm AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM lm)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(-ln(CAST(c AS DOUBLE) / total)) / count(*), 6)
+               AS mean_surprise
+    FROM t JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-style quality gate (operators/text.py::"
+    "unigram_surprise): per-doc mean token surprise -mean(ln p(w)) under "
+    "the corpus's own unigram LM — boilerplate/spam scores LOW, rare "
+    "garbage scores HIGH, and train-time curation thresholds both tails. "
+    "The LM is one vocab-sized aggregate (AQE broadcasts the score join "
+    "at runtime — no forced hint on a data-derived frame); the per-doc "
+    "mean is a partial+final agg on doc_id.",
+    tags=("dataprep", "text", "quality", "lm"),
+)
+def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.unigram_surprise(_docs(spark, sf_dir))
 
 
 @register(

@@ -646,3 +646,92 @@ def test_cdc_chunks_partition_and_resync(spark):
     h1 = {r.chunk_md5 for r in by_doc[1]}
     assert len(h0 & h1) >= len(h0) - 2
     assert len(h0) >= 3  # the repeated text actually produced boundaries
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    corpus = {
+        0: "scan scan filter table row",
+        1: "merge merge merge scan",
+        2: "table row key value batch",
+        3: "filter",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    terms = ("scan", "filter", "merge")
+    out = {r["doc_id"]: r for r in X.bm25_topk(docs, terms, k=4).collect()}
+
+    # independent python BM25
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def bm25(d):
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            df = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl)
+            )
+        return round(s, 6)
+
+    for d in corpus:
+        assert out[d]["bm25"] == pytest.approx(bm25(d), abs=2e-6)
+    # ranking: doc 1 (3x merge, rare term) must beat doc 2 (no query terms)
+    assert out[1]["bm25"] > out[2]["bm25"] == 0.0
+
+
+def test_unigram_surprise_orders_rare_above_common(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # the most common token only -> low
+            (1, "a a a rare"),       # one rare token -> higher
+            (2, "xx yy zz qq"),      # all singletons -> highest
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.unigram_surprise(docs).collect()}
+    assert out[0]["mean_surprise"] < out[1]["mean_surprise"] < out[2]["mean_surprise"]
+    # exact value for doc 0: every token has p = 7/12
+    want = round(-math.log(7 / 12.0), 6)
+    assert out[0]["mean_surprise"] == pytest.approx(want, abs=2e-6)
+    assert out[0]["n_tokens"] == 4
+
+
+def test_cdc_dedup_flags_duplicated_passages(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 6
+    docs = spark.createDataFrame(
+        [
+            (0, shared + "unique tail zero zebra"),
+            (1, shared + "other ending entirely different words"),
+            (2, "completely unrelated text with no repeats at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (  # noqa
+        cdc_dedup as _q,
+    )
+    ch = X.cdc_chunks(docs)
+    g = ch.groupBy("chunk_md5").agg(F.count("*").alias("cnt"))
+    dupc = F.when(F.col("cnt") > 1, F.col("chunk_len")).otherwise(F.lit(0))
+    per = {
+        r["doc_id"]: r
+        for r in ch.join(g, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(dupc).alias("dup_chars"),
+            F.sum("chunk_len").alias("chars"),
+        )
+        .collect()
+    }
+    # docs 0 and 1 share the long prefix -> most of their bytes duplicated
+    assert per[0]["dup_chars"] > per[0]["chars"] * 0.5
+    assert per[1]["dup_chars"] > per[1]["chars"] * 0.5
+    assert per[2]["dup_chars"] == 0
