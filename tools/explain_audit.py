@@ -96,6 +96,12 @@ ALLOWED = {
     # the exact-L2 baseline half (ann_recall's rationale); the ADC half
     # plans as an equi join over codes
     "pq_recall": {"NESTED-LOOP-JOIN"},
+    # corpus stats (N, avgdl, per-term df) re-enter as a broadcast ONE-ROW
+    # aggregate — a 1-row nested loop by construction (source_token_mix's
+    # rationale)
+    "bm25_topk": {"NESTED-LOOP-JOIN"},
+    # the LM total re-enters as a broadcast ONE-ROW aggregate
+    "unigram_surprise": {"NESTED-LOOP-JOIN"},
 }
 
 
