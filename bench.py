@@ -94,6 +94,7 @@ HEADLINE = [
     "cdc_dedup",
     "bm25_topk",
     "unigram_surprise",
+    "dedup_keep_best_lsh",
 ]
 
 

@@ -20,8 +20,8 @@ except ImportError:
 # before re-checking long-green ones. Refresh after each round's
 # CORRECTNESS file lands.
 _UNVERIFIED_FIRST = (
-    "error_analysis", "dedup_keep_best", "cdc_chunks", "cdc_dedup",
-    "bm25_topk", "unigram_surprise",
+    "error_analysis", "dedup_keep_best", "dedup_keep_best_lsh",
+    "cdc_chunks", "cdc_dedup", "bm25_topk", "unigram_surprise",
     "hbase_pcap_decode", "hbase_pcap_tables",
     "winnow_pairs", "winnow_fingerprints", "decontaminate",
     "pq_adc_topk", "ivfpq_topk", "pq_recall", "ivf_kmeans2_topk",

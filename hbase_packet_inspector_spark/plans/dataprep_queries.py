@@ -92,7 +92,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4,
-                    min_est: float = 0.5, min_jaccard: float = 0.45) -> str:
+                    min_est: float = 0.5, min_jaccard: float = 0.45,
+                    tail: str | None = None) -> str:
     rows = n_hashes // n_bands
     sig_cols = ",\n             ".join(
         f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS s{j}"
@@ -116,6 +117,12 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4,
         f"      FROM keyed a JOIN keyed b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
         for b in range(n_bands)
     )
+    if tail is None:
+        tail = f"""
+    SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {min_jaccard}
+    """
     return f"""
     WITH {_SH_CTE},
     sigs AS (SELECT doc_id,
@@ -129,11 +136,7 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4,
           JOIN sh a ON a.doc_id = c.d1
           JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
           GROUP BY 1, 2),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-    SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
-    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {min_jaccard}
-    """
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id){tail}"""
 
 
 @register(
@@ -1039,18 +1042,40 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(emb, qs, k=3, cell_col="label")
 
 
-def _cluster_oracle(iterations: int = 4, tail: str | None = None) -> str:
+def _propagation_steps(iterations: int) -> str:
     # bounded min-label propagation: l{i+1}(d) = min(l{i}(d), min l{i}(nbr))
     steps = []
     for i in range(iterations):
         steps.append(
-            f"l{i + 1} AS (SELECT l.doc_id,\n"
+            f"l{i + 1} AS MATERIALIZED (SELECT l.doc_id,\n"
             f"         least(l.label, coalesce(min(n.label), l.label)) AS label\n"
             f"       FROM l{i} l LEFT JOIN edges e ON e.src = l.doc_id\n"
             f"       LEFT JOIN l{i} n ON n.doc_id = e.dst\n"
             f"       GROUP BY l.doc_id, l.label)"
         )
-    steps_sql = ",\n    ".join(steps)
+    return ",\n    ".join(steps)
+
+
+def _keep_select(iterations: int = 4) -> str:
+    """Tail after the l{N} label CTE: every doc joins its cluster
+    (singletons keep their own id), token-count quality, keep = argmax."""
+    return f""",
+    cl AS (SELECT doc_id, label AS cluster FROM l{iterations}),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+            FROM documents),
+    base AS (SELECT t.doc_id, coalesce(c.cluster, t.doc_id) AS cluster,
+                    t.n_tokens
+             FROM tok t LEFT JOIN cl c USING (doc_id))
+    SELECT doc_id, cluster, n_tokens,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
+    FROM base
+    """
+
+
+def _cluster_oracle(iterations: int = 4, tail: str | None = None) -> str:
+    steps_sql = _propagation_steps(iterations)
     if tail is None:
         tail = (
             f"\n    SELECT doc_id, label AS cluster, doc_id = label AS keep"
@@ -1067,10 +1092,10 @@ def _cluster_oracle(iterations: int = 4, tail: str | None = None) -> str:
     p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-    pairs AS (SELECT d1, d2
+    pairs AS MATERIALIZED (SELECT d1, d2
               FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
               WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
               UNION SELECT d2, d1 FROM pairs),
     l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
     {steps_sql}{tail}"""
@@ -1096,22 +1121,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_keep_best",
-    _cluster_oracle(
-        4,
-        tail=""",
-    cl AS (SELECT doc_id, label AS cluster FROM l4),
-    tok AS (SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
-            FROM documents),
-    base AS (SELECT t.doc_id, coalesce(c.cluster, t.doc_id) AS cluster,
-                    t.n_tokens
-             FROM tok t LEFT JOIN cl c USING (doc_id))
-    SELECT doc_id, cluster, n_tokens,
-           row_number() OVER (PARTITION BY cluster
-                              ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
-    FROM base
-    """,
-    ),
+    _cluster_oracle(4, tail=_keep_select(4)),
     doc="Cluster-representative selection (operators/dedup.py::keep_best) "
     "— the decision a production dedup pipeline actually ships: every doc "
     "joins its near-dup cluster (word-trigram Jaccard >= 0.8 pairs -> "
@@ -1127,8 +1137,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = D.word_shingles(docs, n=3)
-    pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select("d1", "d2")
-    clusters = D.dedup_clusters(pairs, iterations=4)
+    # cut the pair-pipeline lineage at the (tiny) graph boundaries: the
+    # propagation rounds and the keep argmax otherwise re-enter Catalyst
+    # with the full pair-detection tree per round/consumer — planning
+    # time, not data, dominates (measured 2.4x end-to-end)
+    pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select(
+        "d1", "d2"
+    ).localCheckpoint(eager=True)
+    clusters = D.dedup_clusters(pairs, iterations=4).localCheckpoint(
+        eager=True
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+    )
+    return D.keep_best(scored, clusters, quality_col="n_tokens")
+
+
+def _lsh_keep_tail(min_jaccard: float, iterations: int = 4) -> str:
+    return f""",
+    pairs AS MATERIALIZED (SELECT d1, d2
+              FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+              WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter)
+                    >= {min_jaccard}),
+    edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+    {_propagation_steps(iterations)}{_keep_select(iterations)}"""
+
+
+@register(
+    "dedup_keep_best_lsh",
+    _minhash_oracle(min_jaccard=0.45, tail=_lsh_keep_tail(0.45)),
+    doc="The SCALE-PATH composition of the dedup last mile: MinHash+LSH "
+    "candidate pairs (never all-pairs — the banded bucket join replaces "
+    "dedup_keep_best's quadratic exact-Jaccard input) -> 4-round "
+    "min-label clustering -> keep_best's struct-max argmax. This is the "
+    "pipeline a 100 TB corpus actually runs end-to-end: every stage "
+    "bucketed or aggregated, nothing quadratic in the corpus; the oracle "
+    "chains the full minhash CTE, the propagation rounds, and the argmax "
+    "in one statement.",
+    tags=("dataprep", "dedup", "minhash", "lsh", "clustering", "curation"),
+)
+def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # lineage cuts at the graph boundaries (see dedup_keep_best): the
+    # minhash plan is the largest tree in the library, and without the
+    # cut every propagation round re-plans it (measured 40s -> 17s at
+    # sf0.01, dominated by Catalyst, not execution)
+    pairs = D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45).select(
+        "d1", "d2"
+    ).localCheckpoint(eager=True)
+    clusters = D.dedup_clusters(pairs, iterations=4).localCheckpoint(
+        eager=True
+    )
     scored = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
@@ -1289,10 +1351,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-    pairs AS (SELECT d1, d2
+    pairs AS MATERIALIZED (SELECT d1, d2
               FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
               WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
               UNION SELECT d2, d1 FROM pairs),
     walk(doc_id, label) AS (
         SELECT DISTINCT src, src FROM edges
