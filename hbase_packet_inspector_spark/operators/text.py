@@ -435,7 +435,8 @@ def unigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """Content-defined chunking (the rsync/LBFS/FastCDC family): slide a
     ``window``-char polynomial hash over the text and cut a chunk boundary
     wherever ``hash % divisor == 0``. Unlike fixed-stride chunking, an
@@ -451,7 +452,12 @@ def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
     Fully in-row after an explicit spread: boundary scan -> starts array ->
     per-chunk explode, a narrow O(n*window) flatMap with no shuffle; output
     is (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) where
-    chunk_md5 is the dedup key downstream consumers hash-group on."""
+    chunk_md5 is the dedup key downstream consumers hash-group on.
+
+    ``carry`` names extra input columns to thread through to the output
+    unchanged (e.g. the event-time column a STREAMING consumer's
+    watermark rides on — the operator itself is stateless narrow
+    expressions, so it runs on a stream exactly as written)."""
     wh = (
         f"CAST(conv(substring(md5(substring({text_col}, i, {window})), 1, 8), "
         f"16, 10) AS BIGINT)"
@@ -474,7 +480,10 @@ def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
     based = (
         docs.where(F.length(F.col(text_col)) >= 1)
         .repartition(nparts, "doc_id")
-        .select("doc_id", F.col(text_col).alias("_t"), F.expr(starts).alias("_S"))
+        .select(
+            "doc_id", *carry,
+            F.col(text_col).alias("_t"), F.expr(starts).alias("_S"),
+        )
     )
     chunk = F.expr(
         "transform(sequence(1, size(_S)), ix -> struct("
@@ -484,9 +493,10 @@ def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
         "- element_at(_S, ix) AS INT) AS chunk_len))"
     )
     return (
-        based.select("doc_id", "_t", F.explode(chunk).alias("c"))
+        based.select("doc_id", *carry, "_t", F.explode(chunk).alias("c"))
         .select(
             "doc_id",
+            *carry,
             F.col("c.chunk_idx").alias("chunk_idx"),
             F.col("c.chunk_start").alias("chunk_start"),
             F.col("c.chunk_len").alias("chunk_len"),

@@ -3,6 +3,7 @@ from .pipeline import (  # noqa: F401
     run_pipeline_available_now,
     run_pipeline_to_kafka,
     run_pipeline_to_parquet,
+    stream_cdc_dedup,
     stream_correlate,
     stream_dedup,
     stream_range_join,

@@ -352,6 +352,33 @@ def stream_windowed_distinct(
     )
 
 
+def stream_cdc_dedup(docs: DataFrame, *, window: int = 8, divisor: int = 64,
+                     ts_col: str = "ts", text_col: str = "text",
+                     delay: str = "10 minutes") -> DataFrame:
+    """Streaming content-defined chunk dedup: each arriving document is
+    CDC-chunked in-row (operators.text.cdc_chunks is stateless narrow
+    expressions, so it runs on the stream exactly as written, with the
+    event-time column threaded through) and only the FIRST-arriving copy
+    of each chunk hash within the watermark survives
+    (``dropDuplicatesWithinWatermark`` on chunk_md5).
+
+    This is how passage-level dedup runs on an ingest firehose: the CDC
+    boundary rule means a re-crawled page with one edited paragraph
+    re-aligns on every boundary after the edit, so its unchanged chunks
+    dedup against the original while only genuinely-new content flows
+    through. State is chunk-arrival-rate x delay bounded — the watermark
+    evicts each chunk hash once event time passes first-seen + delay —
+    independent of stream history."""
+    from ..operators.text import cdc_chunks
+
+    ch = cdc_chunks(
+        docs.withWatermark(ts_col, delay),
+        window=window, divisor=divisor, text_col=text_col,
+        carry=(ts_col,),
+    )
+    return ch.dropDuplicatesWithinWatermark(["chunk_md5"])
+
+
 def stream_dedup(events: DataFrame, keys: list[str], ts_col: str = "ts",
                  delay: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: keep the first-ARRIVING record per key (not

@@ -599,3 +599,38 @@ def test_stream_windowed_distinct_within_hll_bound(spark, tmp_path):
     for ws, n in got.items():
         assert abs(n - exact[ws]) <= max(2, 0.1 * exact[ws])
     assert len(got) >= 2
+
+
+def test_stream_cdc_dedup_first_copy_survives(spark, tmp_path):
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_cdc_dedup
+    from hbase_packet_inspector_spark.operators.text import cdc_chunks
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 6
+    rows = [
+        (0, t0, shared + "unique tail zero"),
+        # re-crawl 30s later: same body, different tail -> shared chunks
+        # must dedup against doc 0, only new content flows through
+        (1, t0 + dt.timedelta(seconds=30), shared + "fresh ending words"),
+        (2, t0 + dt.timedelta(seconds=60), "completely unrelated document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    out = _replay(
+        spark, df,
+        lambda s: stream_cdc_dedup(s, delay="10 minutes"),
+        str(tmp_path / "cdc"),
+    )
+    # exactly one surviving row per distinct chunk hash
+    hashes = [r["chunk_md5"] for r in out]
+    assert len(hashes) == len(set(hashes)) > 0
+    batch = cdc_chunks(df.select("doc_id", "text"))
+    n_distinct = batch.select("chunk_md5").distinct().count()
+    assert len(hashes) == n_distinct
+    # every distinct hash emitted exactly once, and doc 1's shared-prefix
+    # chunks were deduped away (it only contributes chunks doc 0 lacks)
+    doc1_hashes = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+    doc0_hashes = {r["chunk_md5"] for r in out if r["doc_id"] == 0}
+    assert not (doc1_hashes & doc0_hashes)
+    n_doc1_total = batch.where("doc_id = 1").count()
+    assert len(doc1_hashes) < n_doc1_total
