@@ -735,3 +735,80 @@ def test_cdc_dedup_flags_duplicated_passages(spark):
     assert per[0]["dup_chars"] > per[0]["chars"] * 0.5
     assert per[1]["dup_chars"] > per[1]["chars"] * 0.5
     assert per[2]["dup_chars"] == 0
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """Differential: the Spark CDC cut rule equals an independent Python
+    implementation on seeded random strings (incl. boundary lengths
+    around the window size and texts with no boundaries at all)."""
+    import hashlib
+    import random
+
+    def ref_chunks(text, window=8, divisor=64):
+        n = len(text)
+        if n < 1:
+            return []
+        starts = {1}
+        if n >= window:
+            for i in range(1, n - window + 2):
+                h = int(
+                    hashlib.md5(text[i - 1:i - 1 + window].encode())
+                    .hexdigest()[:8], 16,
+                )
+                if h % divisor == 0 and i + window <= n:
+                    starts.add(i + window)
+        ss = sorted(starts)
+        out = []
+        for idx, s in enumerate(ss):
+            e = ss[idx + 1] if idx + 1 < len(ss) else n + 1
+            chunk = text[s - 1:e - 1]
+            out.append((idx, s, e - s,
+                        hashlib.md5(chunk.encode()).hexdigest()))
+        return out
+
+    rng = random.Random(77)
+    alpha = "abcdefgh XYZ.,!01"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.choice(
+            [1, 3, 7, 8, 9, 15, 40, 120, 200])))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in X.cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    for d, text in enumerate(texts):
+        assert sorted(got.get(d, [])) == ref_chunks(text), f"doc {d}: {text!r}"
+
+
+def test_winnow_positions_false_equals_distinct_of_positions(spark):
+    """The in-row (zero-shuffle) positions=False path emits exactly the
+    distinct (doc_id, fp) pairs of the positions=True output."""
+    import random
+
+    rng = random.Random(13)
+    alpha = "abcde fg"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.choice([4, 5, 6, 30, 90])))
+        for _ in range(25)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    from hbase_packet_inspector_spark.operators.text import winnow_fingerprints
+    with_pos = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs, k=5, window=4).collect()
+    }
+    flat = [
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(
+            docs, k=5, window=4, positions=False
+        ).collect()
+    ]
+    assert len(flat) == len(set(flat))  # in-row distinct IS globally distinct
+    assert set(flat) == with_pos
