@@ -86,6 +86,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
     # read as long (ns) and normalize in sources.tables.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # plain timestamp[us] files (no isAdjustedToUTC) must read as LTZ, not
+    # TIMESTAMP_NTZ — unix_millis()/window arithmetic reject NTZ, and the
+    # UTC session makes the epoch values identical to DuckDB's epoch_ms()
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     _ship_package(spark)
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")

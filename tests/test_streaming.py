@@ -634,3 +634,50 @@ def test_stream_cdc_dedup_first_copy_survives(spark, tmp_path):
     assert not (doc1_hashes & doc0_hashes)
     n_doc1_total = batch.where("doc_id = 1").count()
     assert len(doc1_hashes) < n_doc1_total
+
+
+def test_stream_cdc_dedup_across_micro_batches(spark, tmp_path):
+    """The dedup state must survive micro-batch boundaries: a re-crawl
+    arriving in a LATER batch still dedups against chunks first seen in an
+    earlier one (maxFilesPerTrigger=1 forces separate batches)."""
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_cdc_dedup
+    import datetime as dt
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 6
+    src = str(tmp_path / "cdc2")
+    first = spark.createDataFrame(
+        [(0, t0, shared + "unique tail zero")],
+        "doc_id long, ts timestamp, text string",
+    )
+    second = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=30), shared + "fresh ending words")],
+        "doc_id long, ts timestamp, text string",
+    )
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # file source orders micro-batches by mod time
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    reader = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out: list = []
+    q = (
+        stream_cdc_dedup(reader, delay="10 minutes")
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+
+    hashes = [r["chunk_md5"] for r in out]
+    assert len(hashes) == len(set(hashes))
+    # doc 1 arrived in a later batch; its shared-prefix chunks must have
+    # been deduped against doc 0's state from the earlier batch
+    doc0 = {r["chunk_md5"] for r in out if r["doc_id"] == 0}
+    doc1 = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+    assert doc0 and not (doc0 & doc1)
