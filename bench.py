@@ -95,6 +95,7 @@ HEADLINE = [
     "bm25_topk",
     "unigram_surprise",
     "dedup_keep_best_lsh",
+    "corpus_topics",
 ]
 
 

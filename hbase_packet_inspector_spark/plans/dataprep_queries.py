@@ -643,9 +643,11 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(base, qs, k=3, same_cell_col="cell")
 
 
-def _kmeans_iter_oracle(iterations: int) -> str:
+def _kmeans_iter_oracle(iterations: int, tail: str | None = None) -> str:
     """Generated chained-CTE oracle for `iterations` Lloyd rounds on top of
-    the seeded assignment (mirrors ivf_kmeans_topk's SQL shape)."""
+    the seeded assignment (mirrors ivf_kmeans_topk's SQL shape). ``tail``
+    replaces the default cell-pruned search with a different consumer of
+    the final cell{N} assignment CTE."""
     ctes = [
         """a0 AS (SELECT v.vec_id, c.vec_id AS cell,
                  round(sum(v.v * c.v) / (sqrt(nv.sq) * sqrt(nc.sq)), 6) AS acos
@@ -683,9 +685,8 @@ def _kmeans_iter_oracle(iterations: int) -> str:
                 FROM a{it}) WHERE r = 1)"""
         )
     body = ",\n    ".join(ctes)
-    return f"""
-    WITH {_COS_CTE},
-    {body},
+    if tail is None:
+        tail = f""",
     d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
                  sum(q.v * b.v) AS dp
           FROM e q
@@ -702,6 +703,70 @@ def _kmeans_iter_oracle(iterations: int) -> str:
                                  ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
     SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
     """
+    return f"""
+    WITH {_COS_CTE},
+    {body}{tail}"""
+
+
+@register(
+    "corpus_topics",
+    _kmeans_iter_oracle(
+        1,
+        tail=""",
+    j AS (SELECT d.doc_id, c.cell, string_split(d.text, ' ') AS ws
+          FROM documents d JOIN cell1 c ON c.vec_id = d.doc_id),
+    stats AS (SELECT cell, count(*) AS n_docs,
+                     round(avg(len(ws)), 2) AS avg_tokens
+              FROM j GROUP BY 1),
+    w AS (SELECT cell, unnest(ws) AS word FROM j),
+    wc AS (SELECT cell, word, count(*) AS word_n FROM w GROUP BY 1, 2),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+                         ORDER BY word_n DESC, word) AS INTEGER) AS rnk
+          FROM wc)
+    SELECT s.cell, s.n_docs, s.avg_tokens, r.rnk, r.word, r.word_n
+    FROM stats s JOIN r USING (cell) WHERE r.rnk <= 3
+    """,
+    ),
+    doc="Corpus cartography — the cluster-then-describe loop curation "
+    "teams run before deciding mixture weights: embeddings are k-means "
+    "assigned (one Lloyd round over seeded centroids, the same "
+    "engine-exact chain as ivf_kmeans_topk), each cell joins its "
+    "documents (vec_id = doc_id), and every cell is summarized by doc "
+    "count, mean length, and its top-3 most frequent terms. The "
+    "embedding side is the broadcast-quantizer pass; the text side is "
+    "one explode + (cell, word) partial+final agg; the top-3 rank "
+    "windows over cell-bounded counts. Demonstrates the cross-modal "
+    "join (vector table x text table) as a first-class plan.",
+    tags=("dataprep", "similarity", "kmeans", "text", "cartography"),
+)
+def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    seed = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cells = S.kmeans_refine(emb, seed, iterations=1)
+    docs = _docs(spark, sf_dir)
+    j = docs.join(cells, docs["doc_id"] == cells["vec_id"]).select(
+        "doc_id", "cell", F.split(F.col("text"), " ").alias("ws")
+    )
+    stats = j.groupBy("cell").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size("ws")), 2).alias("avg_tokens"),
+    )
+    wc = (
+        j.select("cell", F.explode("ws").alias("word"))
+        .groupBy("cell", "word")
+        .agg(F.count("*").alias("word_n"))
+    )
+    r = wc.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy(F.desc("word_n"), F.asc("word"))
+        ),
+    ).where(F.col("rnk") <= 3)
+    return stats.join(r, "cell").select(
+        "cell", "n_docs", "avg_tokens", "rnk", "word", "word_n"
+    )
 
 
 @register(
