@@ -96,6 +96,8 @@ HEADLINE = [
     "unigram_surprise",
     "dedup_keep_best_lsh",
     "corpus_topics",
+    "curation_by_source",
+    "top_bigrams",
 ]
 
 

@@ -912,10 +912,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pairwise_containment(sh, min_containment=0.9)
 
 
-@register(
-    "curation_funnel",
-    """
-    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws, text
+_FUNNEL_CTE = """
+    w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws, text
                FROM documents),
     q AS (SELECT doc_id, lang,
                  CAST(len(ws) AS INTEGER) AS n_words,
@@ -937,22 +935,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  q.dup3 < 0.9 AS pass_rep,
                  q.lang = 'en' AS pass_lang,
                  ex.keeper = q.doc_id AS pass_exact
-          FROM q JOIN ex USING (doc_id))
-    SELECT doc_id, pass_len, pass_stop, pass_rep, pass_lang, pass_exact,
-           pass_len AND pass_stop AND pass_rep AND pass_lang AND pass_exact
-             AS keep
-    FROM g
-    """,
-    doc="The curation decision, end to end: every gate a training-data "
-    "pipeline applies per doc — length, stopword ratio, trigram repetition, "
-    "language, exact-dup keeper — as one row of booleans plus the final "
-    "keep verdict, so drop REASONS are auditable (why did we lose 40% of "
-    "source X?). One narrow pass + one hash-partition window; the gates "
-    "compose with a single corpus scan at 100 TB.",
-    tags=("dataprep", "text", "quality", "curation"),
-)
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+          FROM q JOIN ex USING (doc_id)),
+    f AS (SELECT doc_id, pass_len, pass_stop, pass_rep, pass_lang, pass_exact,
+                 pass_len AND pass_stop AND pass_rep AND pass_lang
+                   AND pass_exact AS keep
+          FROM g)
+"""
+
+
+def _funnel_frame(docs: DataFrame) -> DataFrame:
     q = X.quality_features(docs).select("doc_id", "n_words", "stop_ratio")
     rep = X.repetition_features(docs).select("doc_id", "dup_3gram_frac")
     ex = D.exact_dup_groups(docs).select("doc_id", "keep_doc_id")
@@ -977,6 +968,106 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep).select(
         "doc_id", *gates.keys(), "keep"
+    )
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH {_FUNNEL_CTE}
+    SELECT doc_id, pass_len, pass_stop, pass_rep, pass_lang, pass_exact, keep
+    FROM f
+    """,
+    doc="The curation decision, end to end: every gate a training-data "
+    "pipeline applies per doc — length, stopword ratio, trigram repetition, "
+    "language, exact-dup keeper — as one row of booleans plus the final "
+    "keep verdict, so drop REASONS are auditable (why did we lose 40% of "
+    "source X?). One narrow pass + one hash-partition window; the gates "
+    "compose with a single corpus scan at 100 TB.",
+    tags=("dataprep", "text", "quality", "curation"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _funnel_frame(_docs(spark, sf_dir))
+
+
+@register(
+    "top_bigrams",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bigram
+          FROM w)
+    SELECT bigram, count(*) AS n
+    FROM g GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+    doc="Corpus-level top-25 word bigrams — the collocation mining pass "
+    "(boilerplate phrases, templated spans) that complements term_zipf's "
+    "unigram view. In-row bigram transform (narrow flatMap), one "
+    "partial+final count agg bounded by |bigram vocab|, and a "
+    "TakeOrdered top-k — no global sort; ties break on the bigram "
+    "string.",
+    tags=("dataprep", "text", "ngram", "vocabulary"),
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import _word_grams
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(_word_grams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+@register(
+    "curation_by_source",
+    f"""
+    WITH {_FUNNEL_CTE},
+    s AS (SELECT doc_id, source FROM documents)
+    SELECT s.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+           CAST(sum(CASE WHEN NOT pass_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_len,
+           CAST(sum(CASE WHEN NOT pass_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stop,
+           CAST(sum(CASE WHEN NOT pass_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_rep,
+           CAST(sum(CASE WHEN NOT pass_lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_lang,
+           CAST(sum(CASE WHEN NOT pass_exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_exact
+    FROM f JOIN s USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="The curation report a data lead actually reads: per SOURCE, how "
+    "many docs survived the full gate funnel and how many each gate "
+    "rejected — the 'why did we lose 40% of source X' table, directly "
+    "over the per-doc funnel booleans. One extra partial+final agg on "
+    "source over curation_funnel's single corpus scan.",
+    tags=("dataprep", "text", "quality", "curation", "report"),
+)
+def curation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    f = _funnel_frame(docs)
+    j = f.join(docs.select("doc_id", "source"), "doc_id")
+    fail = {
+        g: F.sum((~F.col(g)).cast("long")).alias(f"fail_{g[5:]}")
+        for g in ("pass_len", "pass_stop", "pass_rep", "pass_lang",
+                  "pass_exact")
+    }
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.round(
+            F.sum(F.col("keep").cast("long")) / F.count("*").cast("double"), 6
+        ).alias("keep_rate"),
+        *fail.values(),
     )
 
 
