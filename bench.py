@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_topics",
     "curation_by_source",
     "top_bigrams",
+    "semdedup",
 ]
 
 

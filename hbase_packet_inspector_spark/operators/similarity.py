@@ -311,6 +311,51 @@ def kmeans_refine(emb: DataFrame, seed_centroids: DataFrame,
     return cells.persist()
 
 
+def semdedup_keep(emb: DataFrame, cells: DataFrame, *, min_cos: float = 0.45,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-then-prune, the embedding
+    analog of keep_best): within each k-means cell, any vector whose
+    cosine to a LOWER-id cell-mate reaches ``min_cos`` is marked a drop;
+    cell representatives and isolated vectors keep. Deterministic — the
+    keep decision depends only on (rounded cosine, id order), no greedy
+    traversal order.
+
+    Scale shape: the pair enumeration is WITHIN-CELL only (that is the
+    point of clustering first — at 10^9 vectors a cell holds ~n/#cells
+    vectors and the quadratic term is per-cell, never corpus-wide), one
+    shuffle on cell for the self-join, one broadcast-sized distinct drop
+    list joined back. Norms hoisted per vector, dot products JVM-side."""
+    vv = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
+    base = vv.join(cells.select(id_col, "cell"), id_col)
+    a = base.select(
+        F.col(id_col).alias("v1"), "cell",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("v2"), "cell",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cos = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    drops = (
+        a.join(b, "cell")
+        .where(F.col("v1") < F.col("v2"))
+        .where(cos >= min_cos)
+        .select(F.col("v2").alias(id_col))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(drops, id_col, "left")
+        .select(id_col, "cell", F.col("_d").isNull().alias("keep"))
+    )
+
+
 def _sub_slices(vec: Column, m: int, sub_dim: int) -> Column:
     """Array of m structs (j, sub): the vector cut into m contiguous
     double-cast subvectors — the PQ subspace decomposition, in-row."""

@@ -770,6 +770,45 @@ def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup",
+    _kmeans_iter_oracle(
+        1,
+        tail=""",
+    bc AS (SELECT vec_id, cell FROM cell1),
+    pd AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
+                  sum(ex.v * ey.v) AS dp
+           FROM bc x JOIN bc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id AND ey.i = ex.i
+           GROUP BY 1, 2),
+    ps AS (SELECT v1, v2, round(dp / (sqrt(n1.sq) * sqrt(n2.sq)), 6) AS cos
+           FROM pd JOIN nrm n1 ON n1.vec_id = v1
+                 JOIN nrm n2 ON n2.vec_id = v2),
+    drops AS (SELECT DISTINCT v2 AS vec_id FROM ps WHERE cos >= 0.45)
+    SELECT b.vec_id, b.cell, d.vec_id IS NULL AS keep
+    FROM bc b LEFT JOIN drops d USING (vec_id)
+    """,
+    ),
+    doc="SemDeDup-style semantic dedup (operators/similarity.py::"
+    "semdedup_keep — Abbas et al. 2023's cluster-then-prune): embeddings "
+    "k-means assigned (one engine-exact Lloyd round), then within each "
+    "cell any vector at cosine >= 0.45 to a lower-id cell-mate is "
+    "dropped. Clustering first is what makes semantic dedup tractable at "
+    "10^9 vectors: the quadratic pair term is per-cell, never "
+    "corpus-wide. Deterministic keep rule (rounded cosine + id order) — "
+    "no greedy traversal order to diverge across engines.",
+    tags=("dataprep", "dedup", "similarity", "kmeans", "semdedup"),
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    seed = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cells = S.kmeans_refine(emb, seed, iterations=1)
+    return S.semdedup_keep(emb, cells, min_cos=0.45)
+
+
+@register(
     "ivf_kmeans2_topk",
     _kmeans_iter_oracle(2),
     doc="Multi-round k-means refinement: TWO Lloyd iterations (assign -> "

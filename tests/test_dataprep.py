@@ -226,3 +226,35 @@ def test_hash_bucket_differential(spark):
         expect = int(hashlib.md5(f"sample:{k}".encode()).hexdigest()[:6], 16) % 100
         assert out[k] == expect
     assert 0 <= min(out.values()) and max(out.values()) <= 99
+
+
+def test_semdedup_drops_near_identical_within_cell(spark):
+    from hbase_packet_inspector_spark.operators.similarity import semdedup_keep
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),   # near-dup of 0, same cell
+            (2, [0.0, 1.0, 0.0]),      # different cell
+            (3, [0.0, 0.98, 0.1]),     # near-dup of 2, same cell
+            (4, [0.7, 0.7, 0.0]),      # mid-angle: in a cell but below thr
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cells = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 0)], "vec_id long, cell long"
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup_keep(emb, cells, min_cos=0.95).collect()}
+    # lower-id representative survives, near-dups drop
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert out[2]["keep"] and not out[3]["keep"]
+    # below-threshold cell-mate keeps (cos(0,4) ~ 0.707 < 0.95)
+    assert out[4]["keep"]
+    # cross-cell similarity NEVER drops: same vectors, separate cells
+    cells_apart = spark.createDataFrame(
+        [(0, 0), (1, 9), (2, 1), (3, 8), (4, 0)], "vec_id long, cell long"
+    )
+    out2 = {r["vec_id"]: r for r in
+            semdedup_keep(emb, cells_apart, min_cos=0.95).collect()}
+    assert all(out2[i]["keep"] for i in range(5))
