@@ -99,6 +99,7 @@ HEADLINE = [
     "curation_by_source",
     "top_bigrams",
     "semdedup",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -1315,6 +1315,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_sizes",
+    _cluster_oracle(
+        4,
+        tail=""",
+    cl AS (SELECT label AS cluster, count(*) AS sz FROM l4 GROUP BY 1)
+    SELECT CAST(sz AS INTEGER) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS n_dropped_docs
+    FROM cl GROUP BY 1
+    """,
+    ),
+    doc="The dedup audit table: how big are the near-dup clusters, and "
+    "how many docs does each size bucket cost (sz-1 drops per cluster "
+    "under a keep-one policy)? A mega-cluster showing up here is the "
+    "boilerplate-blob signal that prompts a stop-gram/cap investigation "
+    "BEFORE the dedup ships. Two cheap aggregates over the propagation "
+    "output; covers multi-doc clusters (singletons never enter the pair "
+    "graph).",
+    tags=("dataprep", "dedup", "clustering", "report"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select(
+        "d1", "d2"
+    ).localCheckpoint(eager=True)
+    clusters = D.dedup_clusters(pairs, iterations=4)
+    sz = clusters.groupBy("cluster").agg(F.count("*").alias("sz"))
+    return sz.groupBy(F.col("sz").cast("int").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).alias("n_dropped_docs"),
+    )
+
+
+@register(
     "dedup_keep_best",
     _cluster_oracle(4, tail=_keep_select(4)),
     doc="Cluster-representative selection (operators/dedup.py::keep_best) "
