@@ -100,6 +100,8 @@ HEADLINE = [
     "top_bigrams",
     "semdedup",
     "dedup_cluster_sizes",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
 ]
 
 

@@ -23,7 +23,8 @@ _UNVERIFIED_FIRST = (
     "error_analysis", "dedup_keep_best", "dedup_keep_best_lsh",
     "cdc_chunks", "cdc_dedup", "bm25_topk", "unigram_surprise",
     "corpus_topics", "curation_by_source", "top_bigrams", "semdedup",
-    "dedup_cluster_sizes",
+    "dedup_cluster_sizes", "multimodal_frame_sample",
+    "multimodal_resize_plan",
     "hbase_pcap_decode", "hbase_pcap_tables",
     "winnow_pairs", "winnow_fingerprints", "decontaminate",
     "pq_adc_topk", "ivfpq_topk", "pq_recall", "ivf_kmeans2_topk",

@@ -467,6 +467,73 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CAST(id % 10 * 1000 + 1000 AS INTEGER) AS duration_ms
+               FROM range(64) t(id) WHERE id % 3 = 2)
+    SELECT media_id, CAST(f.f AS INTEGER) AS frame_idx,
+           CAST(f.f * 1000 AS INTEGER) AS frame_ts_ms
+    FROM m, LATERAL (SELECT unnest(range(0,
+             greatest(duration_ms // 1000, 1))) AS f) f
+    """,
+    doc="Metadata-first video frame sampling (operators/multimodal.py::"
+    "sample_frames): frame indices/timestamps explode from the DURATION "
+    "metadata (cheap, JVM-side) and only the sampled subset would ever "
+    "hit the codec — the ordering that makes frame extraction tractable "
+    "at 100 TB (decode-then-sample reads every byte; sample-then-decode "
+    "reads ~fps x duration frames). Runs on the deterministic synthesized "
+    "media table so DuckDB can reproduce the sampling plan exactly.",
+    tags=("dataprep", "multimodal", "video", "sampling"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.sample_frames(M.synthesize_media(spark, 64), fps=1.0)
+
+
+@register(
+    "multimodal_resize_plan",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                      16 * (id % 7 + 1) AS plen,
+                      (id % 8 * 64 + 64) AS w,
+                      (id % 4 * 64 + 64) AS h
+               FROM range(64) t(id))
+    SELECT media_id, kind,
+           CAST(128 AS INTEGER) AS width, CAST(128 AS INTEGER) AS height,
+           greatest(CAST(trunc(plen * least(
+               CAST(128 * 128 AS DOUBLE) / (w * h), 1.0)) AS INTEGER), 1)
+             AS n_bytes
+    FROM m
+    """,
+    doc="Resize PLUMBING under the oracle gate (operators/multimodal.py::"
+    "resize_stub): metadata update + deterministic payload truncation "
+    "proportional to the pixel-count ratio — the schema/partitioning "
+    "contract a real codec transform drops into (the lambda body is the "
+    "only swap; this container is codec-free, documented). The check "
+    "pins the arithmetic (truncating cast, min-1-byte floor) and the "
+    "output schema without hashing raw binary.",
+    tags=("dataprep", "multimodal", "resize"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    out = M.resize_stub(M.synthesize_media(spark, 64), 128, 128)
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+@register(
     "rolling_fingerprint",
     """
     SELECT doc_id,
