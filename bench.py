@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
+    "scalar_functions",
 ]
 
 

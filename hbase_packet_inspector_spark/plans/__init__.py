@@ -24,7 +24,7 @@ _UNVERIFIED_FIRST = (
     "cdc_chunks", "cdc_dedup", "bm25_topk", "unigram_surprise",
     "corpus_topics", "curation_by_source", "top_bigrams", "semdedup",
     "dedup_cluster_sizes", "multimodal_frame_sample",
-    "multimodal_resize_plan",
+    "multimodal_resize_plan", "scalar_functions",
     "hbase_pcap_decode", "hbase_pcap_tables",
     "winnow_pairs", "winnow_fingerprints", "decontaminate",
     "pq_adc_topk", "ivfpq_topk", "pq_recall", "ivf_kmeans2_topk",

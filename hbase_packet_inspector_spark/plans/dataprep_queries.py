@@ -534,6 +534,91 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_functions",
+    r"""
+    WITH m AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hx,
+                      ['Get','Put','Scan'][CAST(id % 3 AS INT) + 1]
+                        || ['Online','Meta','Store'][CAST(id % 3 AS INT) + 1]
+                        || ['Regions','Rows','Files'][CAST(id % 3 AS INT) + 1]
+                        AS camel,
+                      id * 777 + id * id * 13 AS nbytes
+               FROM range(64) t(id)),
+    b AS (SELECT id, CAST(i.i AS INTEGER) AS i,
+                 instr('123456789abcdef', substr(hx, CAST(i.i AS INTEGER), 1)) * 16
+                 + instr('123456789abcdef',
+                         substr(hx, CAST(i.i AS INTEGER) + 1, 1)) AS byte
+          FROM m, LATERAL (SELECT unnest(range(1, length(hx), 2)) AS i) i),
+    e AS (SELECT id, i,
+                 CASE WHEN byte >= 32 AND byte < 127 THEN chr(CAST(byte AS INT))
+                      ELSE '\x' || upper(lpad(hex(byte), 2, '0')) END AS piece
+          FROM b),
+    sb AS (SELECT id, string_agg(piece, '' ORDER BY i) AS string_binary
+           FROM e GROUP BY 1)
+    SELECT m.id AS media_id, sb.string_binary,
+           lower(regexp_replace(m.camel, '([a-z0-9])([A-Z])', '\1-\2', 'g'))
+             AS kebab,
+           CASE WHEN m.nbytes < 1024
+                THEN CAST(m.nbytes AS VARCHAR) || ' B'
+                WHEN m.nbytes < 1048576
+                THEN printf('%.1f', m.nbytes / 1024.0) || ' KiB'
+                ELSE printf('%.1f', m.nbytes / 1048576.0) || ' MiB' END
+             AS human_size,
+           CAST(m.id * 1500 AS INTEGER) AS elapsed_ms,
+           'tbl' || CAST(m.id % 5 AS VARCHAR) AS region_table,
+           m.hx AS region_enc
+    FROM m JOIN sb ON sb.id = m.id
+    """,
+    doc="The sanctioned scalar-function surface under the oracle gate "
+    "(SURVEY §2 E1/E3/E4/C8, the only Python UDFs in the library): "
+    "toStringBinary byte escaping over deterministic md5-derived "
+    "payloads, CamelCase->kebab method normalization, B/KiB/MiB byte "
+    "humanization, millisecond timestamp subtraction, and the HBase "
+    "region-name decode (table + 32-hex encoded suffix) — every output "
+    "reproduced independently in DuckDB SQL (the escape loop as a "
+    "per-byte CASE + ordered string_agg; kebab via a capture-group "
+    "regex since RE2 has no lookbehind).",
+    tags=("functions", "scalar", "udf"),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import scalar as SC
+
+    tune_session(spark)
+    camel = F.concat(
+        F.element_at(F.array(F.lit("Get"), F.lit("Put"), F.lit("Scan")),
+                     (F.col("id") % 3 + 1).cast("int")),
+        F.element_at(F.array(F.lit("Online"), F.lit("Meta"), F.lit("Store")),
+                     (F.col("id") % 3 + 1).cast("int")),
+        F.element_at(F.array(F.lit("Regions"), F.lit("Rows"), F.lit("Files")),
+                     (F.col("id") % 3 + 1).cast("int")),
+    )
+    base = spark.range(64).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("hx"),
+        camel.alias("camel"),
+        (F.col("id") * 777 + F.col("id") * F.col("id") * 13).alias("nbytes"),
+    )
+    region_name = F.concat(
+        F.lit("tbl"), (F.col("id") % 5).cast("string"),
+        F.lit(",key"), F.col("id").cast("string"),
+        F.lit(",170."), F.col("hx"), F.lit("."),
+    ).cast("binary")
+    return base.withColumn("parsed", SC.parse_region_name(region_name)).select(
+        F.col("id").alias("media_id"),
+        SC.to_string_binary(
+            F.to_binary(F.col("hx"), F.lit("hex"))
+        ).alias("string_binary"),
+        SC.camel_to_kebab(F.col("camel")).alias("kebab"),
+        SC.fmt_bytes(F.col("nbytes")).alias("human_size"),
+        SC.sub_ts_ms(
+            F.timestamp_micros(F.col("id") * 2_500_000),
+            F.timestamp_micros(F.col("id") * 1_000_000),
+        ).alias("elapsed_ms"),
+        F.col("parsed.table").alias("region_table"),
+        F.col("parsed.region").alias("region_enc"),
+    )
+
+
+@register(
     "rolling_fingerprint",
     """
     SELECT doc_id,
