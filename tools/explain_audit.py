@@ -102,6 +102,15 @@ ALLOWED = {
     "bm25_topk": {"NESTED-LOOP-JOIN"},
     # the LM total re-enters as a broadcast ONE-ROW aggregate
     "unigram_surprise": {"NESTED-LOOP-JOIN"},
+    # this query EXISTS to oracle-check the library's only two sanctioned
+    # Python UDFs (toStringBinary, region-name decode) on a 64-row
+    # synthesized frame — the flag is the point, not a regression
+    "scalar_functions": {"ROW-PYTHON-UDF"},
+    # assign_cells' broadcast quantizer pass (same rationale as the IVF
+    # family) feeding the cell->documents describe join
+    "corpus_topics": {"NESTED-LOOP-JOIN"},
+    # semdedup runs the same quantizer pass before the within-cell prune
+    "semdedup": {"NESTED-LOOP-JOIN"},
 }
 
 
