@@ -454,29 +454,29 @@ def keep_best(scored: DataFrame, clusters: DataFrame, *,
     overwhelming majority of a real corpus) are their own singleton
     cluster and always kept.
 
-    Scale shape: the argmax is a struct-max AGGREGATE (partial+final),
-    not a per-cluster sort window — a pathological mega-cluster (the
-    classic boilerplate blob) reduces map-side to one struct per
-    partition instead of funnelling every member through a single task's
-    sort. One shuffle on cluster for the agg, one for the join back;
-    the cluster frame is graph-sized, orders of magnitude under the
-    corpus."""
+    Scale shape: the argmax is two AGGREGATES (partial+final) — max
+    quality per cluster, then min id among the maximizers — never a
+    per-cluster sort window: a pathological mega-cluster (the classic
+    boilerplate blob) reduces map-side instead of funnelling every member
+    through a single task's sort, and the two-step form works for ids of
+    ANY orderable type (a single struct-max would need an arithmetic
+    negation trick that only numeric ids survive). Shuffles on cluster
+    only; the cluster frame is graph-sized, orders of magnitude under
+    the corpus."""
     base = (
         scored.join(clusters.select(id_col, "cluster"), id_col, "left")
         .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
     )
-    best = base.groupBy("cluster").agg(
-        F.max(
-            F.struct(
-                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg")
-            )
-        ).alias("_b")
+    best_q = base.groupBy("cluster").agg(F.max(quality_col).alias("_bq"))
+    best_id = (
+        base.join(best_q, "cluster")
+        .where(F.col(quality_col) == F.col("_bq"))
+        .groupBy("cluster")
+        .agg(F.min(id_col).alias("_bid"))
     )
-    is_best = (F.col(quality_col) == F.col("_b.q")) & (
-        F.col(id_col) == -F.col("_b.neg")
-    )
-    return base.join(best, "cluster").select(
-        id_col, "cluster", quality_col, is_best.alias("keep")
+    return base.join(best_id, "cluster").select(
+        id_col, "cluster", quality_col,
+        (F.col(id_col) == F.col("_bid")).alias("keep"),
     )
 
 

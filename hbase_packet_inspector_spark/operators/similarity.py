@@ -317,8 +317,11 @@ def semdedup_keep(emb: DataFrame, cells: DataFrame, *, min_cos: float = 0.45,
     """SemDeDup-style semantic dedup (cluster-then-prune, the embedding
     analog of keep_best): within each k-means cell, any vector whose
     cosine to a LOWER-id cell-mate reaches ``min_cos`` is marked a drop;
-    cell representatives and isolated vectors keep. Deterministic — the
-    keep decision depends only on (rounded cosine, id order), no greedy
+    cell representatives and isolated vectors keep — including vectors
+    ABSENT from ``cells`` (a partial assignment must not silently erase
+    docs from the keep/drop decision; they surface with a null cell and
+    keep=true, the keep_best singleton rule). Deterministic — the keep
+    decision depends only on (rounded cosine, id order), no greedy
     traversal order.
 
     Scale shape: the pair enumeration is WITHIN-CELL only (that is the
@@ -350,7 +353,8 @@ def semdedup_keep(emb: DataFrame, cells: DataFrame, *, min_cos: float = 0.45,
         .withColumn("_d", F.lit(True))
     )
     return (
-        cells.select(id_col, "cell")
+        emb.select(id_col)
+        .join(cells.select(id_col, "cell"), id_col, "left")
         .join(drops, id_col, "left")
         .select(id_col, "cell", F.col("_d").isNull().alias("keep"))
     )

@@ -331,12 +331,14 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
         )
     )
     # the text scan is byte-small (often 1 partition) and AQE won't widen
-    # byte-small exchanges, so without an explicit spread the whole O(n*w)
-    # md5 pipeline runs on ONE core (same trap as dedup._spread; measured
-    # 15s -> ~1s at sf0.1 on 32 cores)
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    spread = docs.where(n >= 1).repartition(nparts, "doc_id")
-    hashed = spread.select("doc_id", H.alias("_H"), m.alias("_m"))
+    # byte-small exchanges, so without the explicit spread the whole
+    # O(n*w) md5 pipeline runs on ONE core (measured 15s -> ~1s at sf0.1
+    # on 32 cores)
+    from .dedup import _spread
+
+    hashed = _spread(docs.where(n >= 1)).select(
+        "doc_id", H.alias("_H"), m.alias("_m")
+    )
     if not positions:
         return hashed.select(
             "doc_id",
@@ -476,14 +478,11 @@ def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
     # starts MUST materialize as a named column before the per-chunk pass —
     # referenced inline it would re-run the whole boundary scan for every
     # chunk (the same O(n^2) trap as winnow_fingerprints' hash array)
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    based = (
-        docs.where(F.length(F.col(text_col)) >= 1)
-        .repartition(nparts, "doc_id")
-        .select(
-            "doc_id", *carry,
-            F.col(text_col).alias("_t"), F.expr(starts).alias("_S"),
-        )
+    from .dedup import _spread
+
+    based = _spread(docs.where(F.length(F.col(text_col)) >= 1)).select(
+        "doc_id", *carry,
+        F.col(text_col).alias("_t"), F.expr(starts).alias("_S"),
     )
     chunk = F.expr(
         "transform(sequence(1, size(_S)), ix -> struct("

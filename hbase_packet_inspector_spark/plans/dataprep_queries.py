@@ -1491,7 +1491,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(_docs(spark, sf_dir), n=3)
     pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select(
         "d1", "d2"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     clusters = D.dedup_clusters(pairs, iterations=4)
     sz = clusters.groupBy("cluster").agg(F.count("*").alias("sz"))
     return sz.groupBy(F.col("sz").cast("int").alias("cluster_size")).agg(
@@ -1521,12 +1521,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut the pair-pipeline lineage at the (tiny) graph boundaries: the
     # propagation rounds and the keep argmax otherwise re-enter Catalyst
     # with the full pair-detection tree per round/consumer — planning
-    # time, not data, dominates (measured 2.4x end-to-end)
+    # time, not data, dominates (measured 2.4x end-to-end). eager=False:
+    # the cut must not EXECUTE at query-construction time (plan-only
+    # tools build these frames); first action materializes it once
     pairs = D.pairwise_jaccard(sh, min_jaccard=0.8).select(
         "d1", "d2"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     clusters = D.dedup_clusters(pairs, iterations=4).localCheckpoint(
-        eager=True
+        eager=False
     )
     scored = docs.select(
         "doc_id",
@@ -1568,9 +1570,9 @@ def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.01, dominated by Catalyst, not execution)
     pairs = D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45).select(
         "d1", "d2"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     clusters = D.dedup_clusters(pairs, iterations=4).localCheckpoint(
-        eager=True
+        eager=False
     )
     scored = docs.select(
         "doc_id",

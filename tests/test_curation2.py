@@ -812,3 +812,34 @@ def test_winnow_positions_false_equals_distinct_of_positions(spark):
     ]
     assert len(flat) == len(set(flat))  # in-row distinct IS globally distinct
     assert set(flat) == with_pos
+
+
+def test_keep_best_works_with_string_ids(spark):
+    scored = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 30), ("z", 7)],
+        "doc_id string, quality int",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "doc_id string, cluster string"
+    )
+    out = {r["doc_id"]: r for r in D.keep_best(scored, clusters).collect()}
+    # quality tie b-vs-c at 30 -> lexicographically lowest id wins
+    assert out["b"]["keep"] and not out["c"]["keep"] and not out["a"]["keep"]
+    assert out["z"]["keep"] and out["z"]["cluster"] == "z"
+
+
+def test_semdedup_keeps_vectors_absent_from_cells(spark):
+    from hbase_packet_inspector_spark.operators.similarity import semdedup_keep
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.05]), (7, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cells = spark.createDataFrame(  # vec 7 never assigned
+        [(0, 0), (1, 0)], "vec_id long, cell long"
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup_keep(emb, cells, min_cos=0.95).collect()}
+    assert len(out) == 3  # nothing silently vanishes
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert out[7]["keep"] and out[7]["cell"] is None
