@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "scalar_functions",
+    "embedding_pca",
 ]
 
 

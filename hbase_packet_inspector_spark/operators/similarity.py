@@ -360,6 +360,83 @@ def semdedup_keep(emb: DataFrame, cells: DataFrame, *, min_cos: float = 0.45,
     )
 
 
+def _round6_half_away(x: float) -> float:
+    """round(x, 6) with HALF-AWAY-FROM-ZERO ties — Spark's round() and
+    DuckDB's round() both round half away, Python's built-in rounds half
+    to even; the driver-side carrier of an iterative loop must snap
+    exactly like the engines or schedules diverge at tie values."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def pca_top_component(emb: DataFrame, *, iterations: int = 3,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top principal direction of the embedding cloud: exact covariance by
+    one declarative pass (per-vector outer products flattened IN-ROW, then
+    a partial+final elementwise mean — E[xx^T] - mm^T), followed by
+    ``iterations`` bounded power-iteration rounds whose only driver-side
+    state is the dim-length direction vector (the logreg_fit/kmeans_refine
+    iterative-dataflow shape). Components round to 6 per round so the
+    schedule is engine-exact; returns (i, component, eigenvalue) with the
+    Rayleigh-style ||C v|| estimate as the eigenvalue.
+
+    Scale shape: the covariance pass shuffles n x dim^2 product terms
+    through a map-side combine down to dim^2 cells — one aggregate,
+    independent of corpus size after the partial; each power round is one
+    broadcast-free join of the persisted dim^2 frame against a LITERAL
+    direction vector (64 doubles in the plan), so nothing but the
+    direction ever reaches the driver. The bounded deterministic form
+    stays oracle-checkable; production loops until the direction is a
+    fixpoint."""
+    import math
+
+    vv = emb.select(_as_double(F.col(vec_col)).alias("_v"))
+    m = (
+        vv.select(F.posexplode("_v").alias("i", "x"))
+        .groupBy("i").agg(F.avg("x").alias("m"))
+    )
+    pairs = F.expr(
+        "flatten(transform(_v, (x, i) -> "
+        "transform(_v, (y, j) -> struct(i AS i, j AS j, x * y AS xy))))"
+    )
+    e1 = (
+        vv.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.avg("xy").alias("e1"))
+    )
+    cov = (
+        e1.join(m.selectExpr("i", "m AS mi"), "i")
+        .join(m.selectExpr("i AS j", "m AS mj"), "j")
+        .select("i", "j", (F.col("e1") - F.col("mi") * F.col("mj")).alias("c"))
+        .persist()  # one dim^2 frame consumed every round
+    )
+    dim = cov.agg(F.max("i")).first()[0] + 1
+    v = [_round6_half_away(1.0 / math.sqrt(dim))] * dim
+    lam = 0.0
+    for _ in range(iterations):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        rows = (
+            cov.withColumn(
+                "_w", F.col("c") * F.element_at(lit_v, F.col("j") + 1)
+            )
+            .groupBy("i").agg(F.sum("_w").alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in rows:
+            w[r["i"]] = r["w"]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [_round6_half_away(x / nrm) for x in w]
+        lam = _round6_half_away(nrm)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(dim)],
+        "i int, component double, eigenvalue double",
+    )
+
+
 def _sub_slices(vec: Column, m: int, sub_dim: int) -> Column:
     """Array of m structs (j, sub): the vector cut into m contiguous
     double-cast subvectors — the PQ subspace decomposition, in-row."""

@@ -23,6 +23,7 @@ _UNVERIFIED_FIRST = (
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "scalar_functions",
+    "embedding_pca",
     "corpus_topics",
     "semdedup",
     "ivf_kmeans2_topk",

@@ -960,6 +960,61 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_keep(emb, cells, min_cos=0.45)
 
 
+def _pca_oracle(iterations: int = 3) -> str:
+    ctes = [
+        "m AS (SELECT i, avg(v) AS m FROM e GROUP BY 1)",
+        """e1 AS (SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS e1
+           FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)""",
+        """cov AS MATERIALIZED (SELECT e1.i, e1.j, e1.e1 - mi.m * mj.m AS c
+           FROM e1 JOIN m mi ON mi.i = e1.i JOIN m mj ON mj.i = e1.j)""",
+        "v0 AS (SELECT round(1 / sqrt(count(*)), 6) AS v FROM m)",
+    ]
+    prev = None
+    for k in range(1, iterations + 1):
+        if prev is None:
+            src, join = "(SELECT v FROM v0)", ""
+        else:
+            src, join = f"{prev}.v", f" JOIN {prev} ON {prev}.i = cov.j"
+        ctes.append(
+            f"w{k} AS (SELECT cov.i, sum(cov.c * {src}) AS w"
+            f" FROM cov{join} GROUP BY 1)"
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{k})")
+        ctes.append(
+            f"v{k} AS (SELECT i, round(w / nrm, 6) AS v"
+            f" FROM w{k} CROSS JOIN n{k})"
+        )
+        prev = f"v{k}"
+    body = ",\n    ".join(ctes)
+    n = iterations
+    return f"""
+    WITH {_COS_CTE},
+    {body}
+    SELECT CAST(v{n}.i - 1 AS INTEGER) AS i, v{n}.v AS component,
+           round(n{n}.nrm, 6) AS eigenvalue
+    FROM v{n} CROSS JOIN n{n}
+    """
+
+
+@register(
+    "embedding_pca",
+    _pca_oracle(3),
+    doc="Distributed PCA top component (operators/similarity.py::"
+    "pca_top_component): exact covariance in ONE declarative pass — "
+    "per-vector outer products flattened in-row, partial+final "
+    "elementwise mean, E[xx^T] - mm^T — then 3 bounded power-iteration "
+    "rounds where only the dim-length direction vector rides the driver "
+    "(the logreg/kmeans iterative-dataflow shape). Per-round round(6) "
+    "components keep the schedule engine-exact; eigenvalue = final "
+    "||C v||. At 10^9 vectors the covariance pass map-side-combines to "
+    "dim^2 cells and each round joins the persisted dim^2 frame against "
+    "a literal direction — corpus touched once, ever.",
+    tags=("dataprep", "similarity", "pca", "iterative"),
+)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.pca_top_component(_emb(spark, sf_dir), iterations=3)
+
+
 @register(
     "ivf_kmeans2_topk",
     _kmeans_iter_oracle(2),

@@ -258,3 +258,43 @@ def test_semdedup_drops_near_identical_within_cell(spark):
     out2 = {r["vec_id"]: r for r in
             semdedup_keep(emb, cells_apart, min_cos=0.95).collect()}
     assert all(out2[i]["keep"] for i in range(5))
+
+
+def test_pca_top_component_matches_numpy_schedule(spark):
+    """Differential: the declarative covariance + 3-round power iteration
+    equals a NumPy replica of the identical schedule (same v0, same
+    per-round half-away rounding), and the direction aligns with the true
+    top eigenvector on an anisotropic cloud."""
+    import numpy as np
+    from hbase_packet_inspector_spark.operators.similarity import (
+        _round6_half_away, pca_top_component,
+    )
+
+    rng = np.random.RandomState(5)
+    # strongly anisotropic: dominant variance along a known direction
+    d = 8
+    axis = np.zeros(d); axis[2] = 1.0
+    X = rng.randn(200, d) * 0.1 + np.outer(rng.randn(200), axis) * 3.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_top_component(emb, iterations=3).collect()
+    got = np.zeros(d)
+    for r in out:
+        got[r["i"]] = r["component"]
+    lam = out[0]["eigenvalue"]
+
+    # numpy replica of the same schedule (float32 ingestion like the table)
+    Xf = X.astype(np.float32).astype(np.float64)
+    C = np.cov(Xf, rowvar=False, bias=True)
+    v = np.full(d, _round6_half_away(1.0 / np.sqrt(d)))
+    for _ in range(3):
+        w = C @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        v = np.array([_round6_half_away(float(x) / nrm) for x in w])
+        want_lam = _round6_half_away(nrm)
+    assert np.allclose(got, v, atol=2e-6)
+    assert abs(lam - want_lam) <= 2e-6
+    # the dominant axis is found (sign-agnostic)
+    assert abs(got[2]) > 0.99
