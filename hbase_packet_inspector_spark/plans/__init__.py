@@ -20,47 +20,6 @@ except ImportError:
 # before re-checking long-green ones. Refresh after each round's
 # CORRECTNESS file lands.
 _UNVERIFIED_FIRST = (
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "scalar_functions",
-    "embedding_pca",
-    "corpus_topics",
-    "semdedup",
-    "ivf_kmeans2_topk",
-    "repetition_ratio",
-    "term_zipf",
-    "tfidf_top_terms",
-    "dedup_containment",
-    "curation_funnel",
-    "top_bigrams",
-    "curation_by_source",
-    "stratified_sample",
-    "source_token_mix",
-    "ann_recall",
-    "dedup_cluster_sizes",
-    "dedup_keep_best",
-    "dedup_keep_best_lsh",
-    "pii_scrub",
-    "pack_sequences",
-    "decontaminate",
-    "dedup_clusters_converged",
-    "logreg2",
-    "pq_adc_topk",
-    "ivfpq_topk",
-    "pq_recall",
-    "doc_chunks",
-    "chunk_dedup",
-    "cdc_chunks",
-    "cdc_dedup",
-    "bm25_topk",
-    "unigram_surprise",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    "rpc_correlate",
-    "error_analysis",
-    "rpc_scanner_state",
-    "rpc_finalize",
-    "skew_salted_join",
     "hbase_pcap_decode",
     "hbase_pcap_tables",
 )

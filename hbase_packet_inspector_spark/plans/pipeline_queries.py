@@ -558,7 +558,8 @@ _PCAP_ORACLES_VALID = os.path.isdir(_HBASE_FIXDIR) and os.path.isdir(
 @register(
     "hbase_pcap_decode",
     f"""
-    SELECT method, count(*) AS n, sum(cells) AS total_cells,
+    SELECT method, count(*) AS n,
+           CAST(sum(cells) AS BIGINT) AS total_cells,
            count(elapsed) AS n_matched
     FROM read_parquet('{_HBASE_SNAPSHOT}/responses.parquet')
     GROUP BY method
@@ -592,7 +593,8 @@ def hbase_pcap_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT "table", count(*) AS n_requests,
            count(DISTINCT method) AS n_methods,
-           sum(batch) AS total_batch, sum(cells) AS total_cells
+           CAST(sum(batch) AS BIGINT) AS total_batch,
+           CAST(sum(cells) AS BIGINT) AS total_cells
     FROM read_parquet('{_HBASE_SNAPSHOT}/requests.parquet')
     GROUP BY 1
     """ if _PCAP_ORACLES_VALID else None,

@@ -87,7 +87,17 @@ def main():
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch through Arrow, not fetchall(): the driver's comparator
+            # goes through a typed path where DuckDB HUGEINT (bare
+            # sum(INTEGER)) surfaces as decimal128, NOT Python int — an
+            # oracle missing a CAST(... AS BIGINT) must fail here too
+            try:
+                drows = [
+                    tuple(row[c] for c in dcols)
+                    for row in res.fetch_arrow_table().to_pylist()
+                ]
+            except Exception:
+                drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

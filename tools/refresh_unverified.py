@@ -26,7 +26,14 @@ def main() -> None:
     checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
         try:
-            checked |= set(json.load(open(path)))
+            data = json.load(open(path))
+            # only a GREEN hash row counts as "checked" — a red row (or a
+            # rows-only entry) must stay in the priority prefix so the
+            # rotation re-reaches it after the fix
+            checked |= {
+                k for k, v in data.items()
+                if isinstance(v, dict) and v.get("hash_match")
+            }
         except Exception as e:  # pragma: no cover - malformed driver file
             print(f"warn: skipping {path}: {e}", file=sys.stderr)
     registered = list(plans.QUERIES)
