@@ -468,9 +468,15 @@ def keep_best(scored: DataFrame, clusters: DataFrame, *,
         .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
     )
     best_q = base.groupBy("cluster").agg(F.max(quality_col).alias("_bq"))
+    # eqNullSafe, not ==: a cluster whose members ALL have NULL quality has
+    # _bq = NULL, and a bare equality filter would drop every candidate —
+    # the whole cluster then vanishes from the inner join below, violating
+    # the no-silent-drop contract. Null-safe equality keeps such clusters
+    # (every member matches) and the min-id tie-break picks the survivor;
+    # mixed NULL/non-NULL clusters are unaffected (NULL <=> value is false).
     best_id = (
         base.join(best_q, "cluster")
-        .where(F.col(quality_col) == F.col("_bq"))
+        .where(F.col(quality_col).eqNullSafe(F.col("_bq")))
         .groupBy("cluster")
         .agg(F.min(id_col).alias("_bid"))
     )

@@ -611,6 +611,25 @@ def test_keep_best_picks_highest_quality_per_cluster(spark):
     assert sum(r["keep"] for r in out.values()) == 3
 
 
+def test_keep_best_all_null_quality_cluster_not_dropped(spark):
+    # a cluster whose members ALL have NULL quality must still appear in
+    # the output (no-silent-drop contract): min doc_id survives
+    scored = spark.createDataFrame(
+        [(0, None), (1, None), (2, 4), (3, None)],
+        "doc_id long, quality int",
+    )
+    clusters = spark.createDataFrame(
+        # 0,1 all-NULL cluster; 2,3 mixed cluster
+        [(0, 0), (1, 0), (2, 2), (3, 2)],
+        "doc_id long, cluster long",
+    )
+    out = {r["doc_id"]: r for r in D.keep_best(scored, clusters).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["keep"] and not out[1]["keep"]
+    # mixed cluster: non-NULL quality wins; NULL member kept=false, present
+    assert out[2]["keep"] and not out[3]["keep"]
+
+
 def test_cdc_chunks_partition_and_resync(spark):
     import hashlib
 
