@@ -370,49 +370,118 @@ def _round6_half_away(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
+def _cov_product_outer(vv: DataFrame) -> DataFrame:
+    """Second-moment matrix E[x x^T] by PER-PARTITION numpy accumulation:
+    ``mapInPandas`` folds every Arrow batch of a partition into one dim x
+    dim ``X.T @ X`` partial (plus its row count), then emits the partial
+    as dim^2 rows — so the shuffle carries ``#partitions x dim^2`` rows
+    instead of the in-row explode's ``n x dim^2`` product terms. At
+    dim=1024 that is the difference between 1 M structs PER VECTOR and
+    1 M doubles PER PARTITION. One groupBy(i, j) finalizes: e1 =
+    sum(partials) / sum(counts). Returns (i, j, e1) — the same frame the
+    declarative in-row pass produces."""
+
+    def acc(batches):
+        import numpy as np
+        import pandas as pd
+
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            s = x.T @ x if s is None else s + x.T @ x
+            n += x.shape[0]
+        if s is None:
+            return
+        dim = s.shape[0]
+        ii, jj = np.indices((dim, dim))
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "sxy": s.ravel(),
+                "n": np.full(dim * dim, n, dtype="int64"),
+            }
+        )
+
+    return (
+        vv.mapInPandas(acc, "i int, j int, sxy double, n long")
+        .groupBy("i", "j")
+        .agg((F.sum("sxy") / F.sum("n")).alias("e1"))
+    )
+
+
 def pca_top_component(emb: DataFrame, *, iterations: int = 3,
-                      vec_col: str = "embedding") -> DataFrame:
-    """Top principal direction of the embedding cloud: exact covariance by
-    one declarative pass (per-vector outer products flattened IN-ROW, then
-    a partial+final elementwise mean — E[xx^T] - mm^T), followed by
-    ``iterations`` bounded power-iteration rounds whose only driver-side
-    state is the dim-length direction vector (the logreg_fit/kmeans_refine
+                      vec_col: str = "embedding",
+                      covariance: str = "auto",
+                      wide_dim_threshold: int = 256) -> DataFrame:
+    """Top principal direction of the embedding cloud: exact covariance in
+    one pass over the corpus (E[xx^T] - mm^T), followed by ``iterations``
+    bounded power-iteration rounds whose only driver-side state is the
+    dim-length direction vector (the logreg_fit/kmeans_refine
     iterative-dataflow shape). Components round to 6 per round so the
     schedule is engine-exact; returns (i, component, eigenvalue) with the
     Rayleigh-style ||C v|| estimate as the eigenvalue.
 
-    Scale shape: the covariance pass shuffles n x dim^2 product terms
-    through a map-side combine down to dim^2 cells — one aggregate,
-    independent of corpus size after the partial; each power round is one
-    broadcast-free join of the persisted dim^2 frame against a LITERAL
-    direction vector (64 doubles in the plan), so nothing but the
-    direction ever reaches the driver. The bounded deterministic form
-    stays oracle-checkable; production loops until the direction is a
-    fixpoint."""
+    Two covariance strategies, selected by ``covariance``:
+
+    - ``"inrow"``: per-vector outer products flattened IN-ROW (pure
+      column expressions, whole-stage codegen), then a partial+final
+      elementwise mean. Ideal at modest dim, but the explode emits dim^2
+      structs PER VECTOR — at dim=1024 that is 1 M terms each, dwarfing
+      the data itself.
+    - ``"outer"``: per-partition numpy ``X.T @ X`` accumulation via
+      ``mapInPandas`` (``_cov_product_outer``) — one dim^2 partial per
+      partition crosses the shuffle, corpus-size-independent. The Arrow
+      batch transfer is the only Python cost; use it when dim^2 per-row
+      expansion would dominate.
+    - ``"auto"`` (default): ``"outer"`` when the vector length >=
+      ``wide_dim_threshold``, else ``"inrow"``. Both produce the
+      identical (i, j, e1) frame and share the same oracle.
+
+    Scale shape: after the covariance pass everything is dim^2-sized;
+    each power round is one join of the persisted dim^2 frame against a
+    LITERAL direction vector, so nothing but the direction ever reaches
+    the driver. The cov frame stays persisted after return (dim^2 rows —
+    tiny); call ``spark.catalog.clearCache()`` to drop it in long-lived
+    sessions. The bounded deterministic form stays oracle-checkable;
+    production loops until the direction is a fixpoint."""
     import math
 
     vv = emb.select(_as_double(F.col(vec_col)).alias("_v"))
+    first = vv.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError("pca_top_component: empty input")
+    dim = first["d"]
+    if covariance == "auto":
+        covariance = "outer" if dim >= wide_dim_threshold else "inrow"
     m = (
         vv.select(F.posexplode("_v").alias("i", "x"))
         .groupBy("i").agg(F.avg("x").alias("m"))
     )
-    pairs = F.expr(
-        "flatten(transform(_v, (x, i) -> "
-        "transform(_v, (y, j) -> struct(i AS i, j AS j, x * y AS xy))))"
-    )
-    e1 = (
-        vv.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xy")
-        .groupBy("i", "j")
-        .agg(F.avg("xy").alias("e1"))
-    )
+    if covariance == "outer":
+        e1 = _cov_product_outer(vv)
+    else:
+        pairs = F.expr(
+            "flatten(transform(_v, (x, i) -> "
+            "transform(_v, (y, j) -> struct(i AS i, j AS j, x * y AS xy))))"
+        )
+        e1 = (
+            vv.select(F.explode(pairs).alias("p"))
+            .select("p.i", "p.j", "p.xy")
+            .groupBy("i", "j")
+            .agg(F.avg("xy").alias("e1"))
+        )
     cov = (
         e1.join(m.selectExpr("i", "m AS mi"), "i")
         .join(m.selectExpr("i AS j", "m AS mj"), "j")
         .select("i", "j", (F.col("e1") - F.col("mi") * F.col("mj")).alias("c"))
         .persist()  # one dim^2 frame consumed every round
     )
-    dim = cov.agg(F.max("i")).first()[0] + 1
     v = [_round6_half_away(1.0 / math.sqrt(dim))] * dim
     lam = 0.0
     for _ in range(iterations):

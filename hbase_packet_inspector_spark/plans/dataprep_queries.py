@@ -1012,7 +1012,29 @@ def _pca_oracle(iterations: int = 3) -> str:
     tags=("dataprep", "similarity", "pca", "iterative"),
 )
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.pca_top_component(_emb(spark, sf_dir), iterations=3)
+    return S.pca_top_component(
+        _emb(spark, sf_dir), iterations=3, covariance="inrow"
+    )
+
+
+@register(
+    "embedding_pca_wide",
+    _pca_oracle(3),
+    doc="The HIGH-DIM covariance path of distributed PCA "
+    "(operators/similarity.py::pca_top_component, covariance='outer'): "
+    "instead of exploding dim^2 product structs per vector, mapInPandas "
+    "folds each partition's Arrow batches into ONE numpy X^T X partial "
+    "(dim^2 doubles per PARTITION, corpus-size-independent shuffle) and a "
+    "groupBy(i,j) finalizes E[xx^T]. Same power iteration, same oracle, "
+    "same answer as embedding_pca — the plan difference is the point: at "
+    "dim=1024 the in-row explode emits 1M structs per vector; this path's "
+    "shuffle is #partitions x dim^2 regardless of corpus size.",
+    tags=("dataprep", "similarity", "pca", "iterative", "arrow"),
+)
+def embedding_pca_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.pca_top_component(
+        _emb(spark, sf_dir), iterations=3, covariance="outer"
+    )
 
 
 @register(

@@ -298,3 +298,35 @@ def test_pca_top_component_matches_numpy_schedule(spark):
     assert abs(lam - want_lam) <= 2e-6
     # the dominant axis is found (sign-agnostic)
     assert abs(got[2]) > 0.99
+
+
+def test_pca_outer_covariance_matches_inrow(spark):
+    """The high-dim mapInPandas outer-product covariance path produces the
+    same components as the in-row explode path, across multiple partitions
+    (partial X^T X accumulation + groupBy finalize must commute with the
+    per-row product mean)."""
+    import numpy as np
+    from hbase_packet_inspector_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    rng = np.random.RandomState(11)
+    d = 6
+    X = rng.randn(150, d) * np.array([3.0, 0.2, 0.2, 1.5, 0.2, 0.2])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    a = {r["i"]: r for r in
+         pca_top_component(emb, iterations=2, covariance="inrow").collect()}
+    b = {r["i"]: r for r in
+         pca_top_component(emb, iterations=2, covariance="outer").collect()}
+    assert set(a) == set(b) == set(range(d))
+    for i in range(d):
+        assert abs(a[i]["component"] - b[i]["component"]) <= 2e-6
+    assert abs(a[0]["eigenvalue"] - b[0]["eigenvalue"]) <= 2e-6
+    # auto threshold routes small dims to inrow, wide dims to outer
+    c = pca_top_component(
+        emb, iterations=1, covariance="auto", wide_dim_threshold=4
+    ).collect()
+    assert len(c) == d
