@@ -69,7 +69,21 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = Engine(spark)
     if args.pcap:
-        eng.load_pcap(args.pcap, ports=tuple(args.port or (16020, 60020)),
+        pcap_path = args.pcap
+        if pcap_path == "-":
+            # reference core.clj:416-420: "-" replays a capture piped on
+            # stdin (tcpdump -w - | hpi -). binaryFile can't scan a pipe,
+            # so buffer the stream to a temp file and replay that — stdin
+            # replay is inherently single-machine, so the local write is
+            # not a scale concern
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(
+                suffix=".pcap", delete=False
+            ) as tmp:
+                tmp.write(sys.stdin.buffer.read())
+                pcap_path = tmp.name
+        eng.load_pcap(pcap_path, ports=tuple(args.port or (16020, 60020)),
                       decode=args.decode)
     else:
         eng.load_events(args.events, args.format)

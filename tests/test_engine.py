@@ -151,6 +151,36 @@ def test_cli_pcap_mode(spark, tmp_path, capsys):
     assert rc == 0 and "get" in out and "500" in out
 
 
+def test_cli_pcap_stdin(spark, capsys, monkeypatch):
+    # reference core.clj:416-420: `--pcap -` replays a capture piped on
+    # stdin; the CLI buffers the stream to a temp file and runs the same
+    # pipeline
+    import io
+    import json as _json
+    import struct as _st
+    from hbase_packet_inspector_spark.sources import pcap as P
+    from hbase_packet_inspector_spark.__main__ import main
+
+    def fr(obj):
+        b = _json.dumps(obj).encode()
+        return _st.pack(">i", len(b)) + b
+
+    pkts = [
+        (1000.0, "10.0.0.7", 40123, "10.0.0.1", 16020,
+         fr({"call_id": 7, "method": "scan", "table": "piped"})),
+        (1000.25, "10.0.0.1", 16020, "10.0.0.7", 40123, fr({"call_id": 7})),
+    ]
+
+    class FakeStdin:
+        buffer = io.BytesIO(P.build_pcap(pkts))
+
+    monkeypatch.setattr("sys.stdin", FakeStdin())
+    rc = main(["--pcap", "-", "--decode", "json", "--sql",
+               "SELECT method, table, elapsed FROM responses"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "scan" in out and "piped" in out and "250" in out
+
+
 def test_cli_dataprep_and_list(capsys):
     from hbase_packet_inspector_spark.__main__ import main
 
