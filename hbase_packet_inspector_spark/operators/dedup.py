@@ -388,6 +388,46 @@ def minhash_lsh_dedup(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
     return verify_candidates(cands, sigs.select("doc_id", "sset", "n"), min_jaccard)
 
 
+def lsh_recall(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
+               n_hashes: int = DEFAULT_HASHES, n_bands: int = DEFAULT_BANDS,
+               min_est: float = 0.4,
+               min_jaccard: float = 0.35) -> DataFrame:
+    """LSH calibration audit — the measurement that justifies running the
+    banded pipeline instead of the quadratic baseline: recall of the
+    MinHash+LSH verified pairs against the EXACT pairwise-Jaccard truth at
+    the same threshold (pairs lost = bands never collided or the estimate
+    prefilter dropped them; post-verification precision is 1 by
+    construction, so recall is the whole story). One row:
+    (n_truth, n_lsh, n_hit, recall).
+
+    Run it on a SAMPLE: the truth side is the quadratic baseline, which is
+    the thing being avoided at corpus scale — the operator exists to pick
+    (n_hashes, n_bands, min_est) on 10^5 sampled docs before the banded
+    pipeline runs on 10^9. The comparison itself is one outer join on the
+    pair key plus a count aggregate."""
+    sh = char_shingles(docs, n)
+    truth = pairwise_jaccard(sh, min_jaccard).select("d1", "d2")
+    lsh = minhash_lsh_dedup(
+        docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
+        min_est=min_est, min_jaccard=min_jaccard,
+    ).select("d1", "d2")
+    both = truth.withColumn("_t", F.lit(1)).join(
+        lsh.withColumn("_l", F.lit(1)), ["d1", "d2"], "full"
+    )
+    return both.agg(
+        F.count("_t").alias("n_truth"),
+        F.count("_l").alias("n_lsh"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_l").isNotNull(), 1))
+        .alias("n_hit"),
+    ).select(
+        "n_truth", "n_lsh", "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6),
+        ).alias("recall"),
+    )
+
+
 def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
             bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit_j = majority over shingles of (hex digit j of

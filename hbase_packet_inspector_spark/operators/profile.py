@@ -1,0 +1,57 @@
+"""Column-profiling operator: the data-quality report a corpus pipeline
+runs before anything else touches a new source drop.
+
+One wide partial+final aggregate computes, per requested column: row count,
+null count, exact distinct count, and min/max (typed comparison, then cast
+to string for the uniform report schema); an ``inline`` unpivot turns the
+single wide row into one report row per column. Nothing leaves the
+executors but the one aggregated row.
+
+Scale notes (100 TB): multiple EXACT ``count(distinct)`` aggregates in one
+pass cost an Expand — the scan is replicated x(#profiled columns) before
+the partial aggregate, exactly like GROUPING SETS. That is the honest price
+of exactness and is fine up to a handful of columns; for wide tables pass
+``exact_distinct=False`` to use ``approx_count_distinct`` (HLL, single
+pass, no Expand) — the oracle-checked form stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, cols: list[str] | None = None, *,
+            exact_distinct: bool = True) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_null, n_distinct, min_value,
+    max_value) — min/max compared in the column's own type, reported as
+    strings so one schema serves every column."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    nd = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            nd(c).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(report))

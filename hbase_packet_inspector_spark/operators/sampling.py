@@ -96,6 +96,95 @@ def pack_sequences(
     )
 
 
+def source_mixture_weights(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    strata: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights — the standard multi-source
+    training-mix computation (share^(1/T), renormalized): T=1 reproduces
+    natural token shares, T→inf approaches uniform, intermediate values
+    up-weight small high-quality sources without drowning the big ones.
+    Also reports ``expected_epochs`` — how many passes over each source a
+    ``token_budget`` draw implies (the oversampling-factor audit).
+
+    Scale shape: one partial+final aggregate to |sources| rows, then pure
+    driver-free arithmetic over that tiny frame (window over an
+    aggregated ~hundreds-row frame, not the corpus). Weights round to 6
+    before the division is re-rounded so the schedule hashes identically
+    across engines."""
+    from pyspark.sql import Window
+
+    tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = docs.groupBy(strata).agg(
+        F.count("*").alias("n_docs"), F.sum(tokens).alias("tokens")
+    )
+    everything = Window.partitionBy()
+    raw = F.round(
+        F.pow(
+            F.col("tokens").cast("double")
+            / F.sum("tokens").over(everything).cast("double"),
+            1.0 / temperature,
+        ),
+        6,
+    )
+    per = per.withColumn("raw_w", raw)
+    weight = F.round(
+        F.col("raw_w") / F.sum("raw_w").over(everything), 6
+    )
+    per = per.withColumn("weight", weight)
+    return per.select(
+        strata,
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double")
+            / F.sum("tokens").over(everything),
+            6,
+        ).alias("token_share"),
+        "weight",
+        F.round(
+            F.lit(token_budget) * F.col("weight") / F.col("tokens"), 6
+        ).alias("expected_epochs"),
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    shards: int = 8,
+    seed: str = "",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos) — shard from a salted hash bucket, pos by rank of a
+    SECOND independent salted hash within the shard. Reproducible from the
+    row alone (re-runs and engines agree), statistically order-free (the
+    md5 rank decorrelates from any ingest order), and auditable.
+
+    Scale shape: NO global sort — the corpus shuffles once to ``shards``
+    hash partitions and each shard sorts independently (size ~ corpus /
+    shards; pick shards so a shard fits a task's spill budget, e.g.
+    100 TB / 200 MB ≈ 500 k shards). This is how training-data writers
+    actually lay out epochs: shard files + in-shard order, never a single
+    total order."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"order:{seed}:"), F.col(key).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", key)
+    return (
+        docs.select(
+            F.col(key),
+            hash_bucket(F.col(key), salt=f"shard:{seed}:",
+                        buckets=shards).alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(key, "shard", "pos")
+    )
+
+
 def train_test_split(
     docs: DataFrame, key: str = "doc_id", test_pct: int = 10
 ) -> DataFrame:

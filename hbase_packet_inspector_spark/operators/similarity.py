@@ -78,6 +78,51 @@ def cosine_topk(
     )
 
 
+def decontaminate_embeddings(train: DataFrame, eval_set: DataFrame, *,
+                             min_cos: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Semantic decontamination — the embedding-space sibling of the
+    n-gram ``dedup.decontaminate``: a train vector is ``contaminated``
+    when its cosine to ANY eval-suite vector reaches ``min_cos``
+    (paraphrased eval leakage that exact n-gram overlap misses). Every
+    train row survives to the output with its max eval cosine
+    (``max_eval_cos`` is null iff the eval side is empty), so the caller
+    decides drop-vs-audit; nothing is silently removed.
+
+    Scale shape: eval suites are thousands of vectors however big the
+    train corpus, so the eval side is broadcast and the train side
+    streams through ONE narrow pass — the per-train max collapses
+    map-side (partial aggregate on the already-colocated train
+    partitioning; the groupBy shuffles only train-row-count rows of
+    (id, cos)). Broadcast-NL against a bounded eval set is by design —
+    same contract as bm25's stats frame, not a corpus x corpus join."""
+    tr = train.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
+    ev = eval_set.select(
+        _as_double(F.col(vec_col)).alias("_ev")
+    ).withColumn("_en", F.sqrt(sq_norm(F.col("_ev"))))
+    cos = dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en"))
+    hits = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(F.col(id_col), F.round(cos, 6).alias("_cos"))
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_eval_cos"))
+    )
+    return (
+        tr.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "max_eval_cos",
+            F.coalesce(
+                F.col("max_eval_cos") >= min_cos, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
                       min_cos: float = 0.45, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
@@ -287,7 +332,13 @@ def kmeans_refine(emb: DataFrame, seed_centroids: DataFrame,
     multiplicatively — the same iterative-dataflow trap as
     dedup.dedup_clusters. The bounded deterministic form keeps every round
     oracle-checkable; a production run loops until an assignment round
-    changes nothing."""
+    changes nothing.
+
+    The RETURNED frame is persisted with no unpersist hook (it's (id,
+    cell) — vectors never ride along). In a long-lived session, drop it
+    with ``spark.catalog.clearCache()`` between pipelines; the bench and
+    parity harnesses do exactly that between queries, and executor
+    storage stays flat across a full 96-query rotation."""
     cells = assign_cells(emb, seed_centroids, id_col=id_col, vec_col=vec_col)
     prev = None
     for _ in range(iterations):

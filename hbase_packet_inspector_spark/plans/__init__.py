@@ -22,6 +22,12 @@ except ImportError:
 _UNVERIFIED_FIRST = (
     "hbase_pcap_decode",
     "hbase_pcap_tables",
+    "embedding_pca_wide",
+    "data_profile",
+    "source_mixture_weights",
+    "global_shuffle",
+    "lsh_recall",
+    "embedding_decontaminate",
 )
 
 

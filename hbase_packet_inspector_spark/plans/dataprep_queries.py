@@ -2501,3 +2501,179 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((cont >= 0.9) & (F.col("shared_fps") >= _WINNOW_MIN_SHARED))
         .select("d1", "d2", "shared_fps", F.round(cont, 6).alias("containment"))
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "data_profile",
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    doc="Column profiling (operators/profile.py::profile) — the "
+    "data-quality report a pipeline runs on every new source drop before "
+    "anything else touches it: per-column row/null/exact-distinct counts "
+    "and typed min/max, in ONE partial+final aggregate with an inline "
+    "unpivot (only the single aggregated row leaves the executors). The "
+    "multi-exact-distinct costs an Expand x#columns like GROUPING SETS — "
+    "the documented price of exactness; exact_distinct=False switches to "
+    "single-pass HLL for wide tables.",
+    tags=("dataprep", "profile", "quality"),
+)
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile as PR
+
+    return PR.profile(_docs(spark, sf_dir), list(_PROFILE_COLS))
+
+
+@register(
+    "source_mixture_weights",
+    """
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                          AS tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS t FROM per),
+    r AS (SELECT source, n_docs, tokens,
+                 round(tokens / t, 6) AS token_share,
+                 round(pow(tokens / t, 0.5), 6) AS raw_w
+          FROM per CROSS JOIN tot),
+    s AS (SELECT sum(raw_w) AS sw FROM r)
+    SELECT source, n_docs, tokens, token_share,
+           round(raw_w / sw, 6) AS weight,
+           round(1000000 * round(raw_w / sw, 6) / tokens, 6)
+             AS expected_epochs
+    FROM r CROSS JOIN s
+    """,
+    doc="Temperature-scaled source mixing "
+    "(operators/sampling.py::source_mixture_weights, T=2): weight "
+    "proportional to token_share^(1/T) renormalized — the standard "
+    "multi-source training-mix computation (up-weights small sources "
+    "without drowning the big ones), plus expected_epochs per source at a "
+    "1M-token budget (the oversampling audit). One aggregate to |sources| "
+    "rows, then arithmetic on that tiny frame; round(6) before each "
+    "division makes pow() engine-portable.",
+    tags=("dataprep", "sampling", "mixture"),
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    return SA.source_mixture_weights(_docs(spark, sf_dir), temperature=2.0)
+
+
+@register(
+    "global_shuffle",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      md5('order::' || CAST(doc_id AS VARCHAR)) AS h,
+                      CAST({_hex6_int("md5('shard::' || CAST(doc_id AS VARCHAR))")} % 8
+                           AS INTEGER) AS shard
+               FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INTEGER) AS pos
+    FROM h
+    """,
+    doc="Deterministic global training-order shuffle "
+    "(operators/sampling.py::global_shuffle): every doc gets (shard, pos) "
+    "— shard from a salted hash bucket, pos by rank of an INDEPENDENT "
+    "salted md5 within the shard. Reproducible from the row alone, "
+    "decorrelated from ingest order, and NO global sort: the corpus "
+    "shuffles once into hash shards and each shard orders independently "
+    "(100 TB / 200 MB-sized shards = the layout training-data writers "
+    "actually emit: shard files + in-shard order).",
+    tags=("dataprep", "sampling", "shuffle"),
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    return SA.global_shuffle(_docs(spark, sf_dir), shards=8)
+
+
+@register(
+    "lsh_recall",
+    _minhash_oracle(
+        min_est=0.5,
+        min_jaccard=0.45,
+        tail="""
+    , verified AS (SELECT d1, d2
+                   FROM p JOIN sz x ON d1 = x.doc_id
+                          JOIN sz y ON d2 = y.doc_id
+                   WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45),
+    tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    truth AS (SELECT d1, d2
+              FROM tp JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+              WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45),
+    m AS (SELECT coalesce(t.d1, v.d1) AS d1, t.d1 AS td, v.d1 AS vd
+          FROM truth t FULL JOIN verified v
+               ON t.d1 = v.d1 AND t.d2 = v.d2)
+    SELECT count(td) AS n_truth, count(vd) AS n_lsh,
+           count(CASE WHEN td IS NOT NULL AND vd IS NOT NULL THEN 1 END)
+             AS n_hit,
+           CASE WHEN count(td) > 0 THEN
+             round(CAST(count(CASE WHEN td IS NOT NULL AND vd IS NOT NULL
+                                   THEN 1 END) AS DOUBLE) / count(td), 6)
+           END AS recall
+    FROM m
+    """,
+    ),
+    doc="LSH calibration audit (operators/dedup.py::lsh_recall): recall "
+    "of the MinHash+LSH verified pairs against the EXACT pairwise-Jaccard "
+    "truth at the same 0.45 threshold — the measurement that justifies "
+    "(n_hashes, n_bands, min_est) before the banded pipeline runs on the "
+    "full corpus. Post-verification precision is 1 by construction, so "
+    "recall is the whole story; run on a sample at scale (the truth side "
+    "is the quadratic baseline being avoided). One full outer join on the "
+    "pair key + a count aggregate.",
+    tags=("dataprep", "dedup", "minhash", "lsh", "calibration"),
+)
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_recall(_docs(spark, sf_dir), min_est=0.5, min_jaccard=0.45)
+
+
+@register(
+    "embedding_decontaminate",
+    f"""
+    WITH {_COS_CTE},
+    d AS (SELECT t.vec_id AS vec_id, q.vec_id AS e_id, sum(t.v * q.v) AS dp
+          FROM e t JOIN e q ON t.i = q.i
+          WHERE q.vec_id % 25 = 0 AND t.vec_id % 25 <> 0
+          GROUP BY 1, 2),
+    mx AS (SELECT d.vec_id,
+                  max(round(dp / (sqrt(nt.sq) * sqrt(nq.sq)), 6))
+                    AS max_eval_cos
+           FROM d JOIN nrm nt ON nt.vec_id = d.vec_id
+                  JOIN nrm nq ON nq.vec_id = d.e_id
+           GROUP BY 1)
+    SELECT t.vec_id, mx.max_eval_cos,
+           coalesce(mx.max_eval_cos >= 0.8, false) AS contaminated
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 25 <> 0) t
+    LEFT JOIN mx ON mx.vec_id = t.vec_id
+    """,
+    doc="Semantic decontamination "
+    "(operators/similarity.py::decontaminate_embeddings) — the "
+    "embedding-space sibling of the n-gram decontaminate: a train vector "
+    "is contaminated when its cosine to ANY eval-suite vector (vec_id % "
+    "25 = 0 stands in for the eval set) reaches 0.8 — paraphrased eval "
+    "leakage that exact n-gram overlap misses. Eval side broadcast "
+    "(bounded however big the corpus); per-train max collapses map-side; "
+    "every train row survives with its max_eval_cos so the caller "
+    "decides drop-vs-audit.",
+    tags=("dataprep", "similarity", "decontamination"),
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    train = emb.where(F.col("vec_id") % 25 != 0)
+    ev = emb.where(F.col("vec_id") % 25 == 0)
+    return S.decontaminate_embeddings(train, ev, min_cos=0.8)

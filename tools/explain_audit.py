@@ -111,6 +111,10 @@ ALLOWED = {
     "corpus_topics": {"NESTED-LOOP-JOIN"},
     # semdedup runs the same quantizer pass before the within-cell prune
     "semdedup": {"NESTED-LOOP-JOIN"},
+    # the eval-suite side is broadcast BY DESIGN (bounded at thousands of
+    # vectors however big the train corpus — bm25's stats-frame rationale);
+    # the per-train max then collapses map-side
+    "embedding_decontaminate": {"NESTED-LOOP-JOIN"},
 }
 
 
