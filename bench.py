@@ -104,6 +104,12 @@ HEADLINE = [
     "multimodal_resize_plan",
     "scalar_functions",
     "embedding_pca",
+    "embedding_pca_wide",
+    "data_profile",
+    "source_mixture_weights",
+    "global_shuffle",
+    "lsh_recall",
+    "embedding_decontaminate",
 ]
 
 
