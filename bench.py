@@ -110,6 +110,7 @@ HEADLINE = [
     "global_shuffle",
     "lsh_recall",
     "embedding_decontaminate",
+    "curation_pipeline",
 ]
 
 

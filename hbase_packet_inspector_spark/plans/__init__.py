@@ -28,6 +28,7 @@ _UNVERIFIED_FIRST = (
     "global_shuffle",
     "lsh_recall",
     "embedding_decontaminate",
+    "curation_pipeline",
 )
 
 

@@ -2688,3 +2688,92 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = emb.where(F.col("vec_id") % 25 != 0)
     ev = emb.where(F.col("vec_id") % 25 == 0)
     return S.decontaminate_embeddings(train, ev, min_cos=0.8)
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH {_FUNNEL_CTE},
+    kept AS (SELECT d.doc_id, d.source, d.text
+             FROM documents d JOIN f ON f.doc_id = d.doc_id
+             WHERE f.keep),
+    s AS (SELECT doc_id, source, text FROM kept
+          WHERE {_hex6_int("md5('sample:' || CAST(doc_id AS VARCHAR))")} % 100
+                < 50),
+    t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS tokens,
+                 CAST({_hex6_int("md5('pack:' || CAST(doc_id AS VARCHAR))")} % 4
+                      AS INTEGER) AS shard
+          FROM s),
+    c AS (SELECT source, shard, doc_id, tokens,
+                 coalesce(sum(tokens) OVER (PARTITION BY source, shard
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_before
+          FROM t),
+    ch AS (SELECT source, shard,
+                  CAST(floor(cum_before / 512.0) AS BIGINT) AS chunk_id,
+                  CAST(sum(tokens) AS BIGINT) AS chunk_tokens
+           FROM c GROUP BY 1, 2, 3),
+    ins AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1),
+    sm AS (SELECT source, count(*) AS n_sampled FROM s GROUP BY 1),
+    p AS (SELECT source, count(*) AS n_chunks,
+                 CAST(sum(chunk_tokens) AS BIGINT) AS packed_tokens,
+                 round(CAST(sum(chunk_tokens) AS DOUBLE) / (512 * count(*)), 6)
+                   AS avg_fill
+          FROM ch GROUP BY 1)
+    SELECT ins.source, ins.n_docs,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(sm.n_sampled, 0) AS n_sampled,
+           coalesce(p.n_chunks, 0) AS n_chunks,
+           coalesce(p.packed_tokens, 0) AS packed_tokens,
+           p.avg_fill
+    FROM ins LEFT JOIN k USING (source) LEFT JOIN sm USING (source)
+    LEFT JOIN p USING (source)
+    """,
+    doc="The END-TO-END curation pipeline a corpus run actually ships, as "
+    "one composed query: quality funnel (length/stopword/repetition/lang/"
+    "exact-dup gates) -> deterministic 50% hash sample -> sequence packing "
+    "into 512-token chunks (4 shards/source) -> per-source yield report "
+    "(docs in, kept, sampled, chunks, packed tokens, fill ratio). "
+    "Composes curation_funnel + hash_bucket sampling + pack_sequences "
+    "end-to-end: one narrow gate pass, one broadcastable keep join, the "
+    "pack window per (source, shard), and aggregated-frame-only joins for "
+    "the report — the corpus is scanned once per stage, never collected. "
+    "avg_fill is exact integer arithmetic with ONE final division.",
+    tags=("dataprep", "curation", "sampling", "packing", "pipeline"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = _funnel_frame(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id")
+    sampled = kept.where(
+        SA.hash_bucket(F.col("doc_id"), salt="sample:") < 50
+    )
+    packed = SA.pack_sequences(sampled, budget=512, shards=4)
+    ins = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    k = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    sm = sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+    p = packed.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("packed_tokens"),
+        F.round(
+            F.sum("chunk_tokens").cast("double") / (512 * F.count("*")), 6
+        ).alias("avg_fill"),
+    )
+    return (
+        ins.join(k, "source", "left")
+        .join(sm, "source", "left")
+        .join(p, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("packed_tokens", F.lit(0)).alias("packed_tokens"),
+            "avg_fill",
+        )
+    )
