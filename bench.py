@@ -111,6 +111,7 @@ HEADLINE = [
     "lsh_recall",
     "embedding_decontaminate",
     "curation_pipeline",
+    "key_skew_report",
 ]
 
 

@@ -47,3 +47,40 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return b.join(s, on + ["_salt"], how).drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key_cols: Sequence[str],
+                    top: int = 10) -> DataFrame:
+    """Key-distribution diagnostic — the measurement that decides whether a
+    join needs ``salted_join`` (or a bigger ``salt``) BEFORE the shuffle
+    melts down: the ``top`` heaviest keys with their row count, corpus
+    share, and x_avg (how many times the mean key's volume this key
+    carries; a key at x_avg 1000 on 1000 reducers serializes the stage).
+
+    Scale shape: one partial+final count aggregate to |keys| rows, a
+    single-row totals aggregate broadcast back over it (1-row nested loop
+    by construction), and a TakeOrdered top-N — no global sort, nothing
+    driver-side. x_avg is exact integer arithmetic with one final
+    division."""
+    keys = [F.col(c) for c in key_cols]
+    g = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    t = g.agg(
+        F.count("*").alias("_total_keys"),
+        F.sum("n").alias("_total_rows"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_total_rows"), 6)
+            .alias("share"),
+            F.round(
+                (F.col("n") * F.col("_total_keys")).cast("double")
+                / F.col("_total_rows"),
+                6,
+            ).alias("x_avg"),
+        )
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(top)
+    )

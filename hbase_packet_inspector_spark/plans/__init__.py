@@ -29,6 +29,7 @@ _UNVERIFIED_FIRST = (
     "lsh_recall",
     "embedding_decontaminate",
     "curation_pipeline",
+    "key_skew_report",
 )
 
 

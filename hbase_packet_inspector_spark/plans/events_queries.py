@@ -660,3 +660,30 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT count(*) AS total_keys, CAST(sum(n) AS BIGINT) AS total_rows
+          FROM g)
+    SELECT user_id, n,
+           round(CAST(n AS DOUBLE) / total_rows, 6) AS share,
+           round(CAST(n * total_keys AS DOUBLE) / total_rows, 6) AS x_avg
+    FROM g CROSS JOIN t
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+    doc="Key-distribution diagnostic (operators/skew.py::key_skew_report): "
+    "the top-10 heaviest join keys with corpus share and x_avg (multiples "
+    "of the mean key's volume) — the measurement that decides whether a "
+    "join needs salting (and how many buckets) BEFORE the shuffle melts "
+    "down. One partial+final count aggregate, a single-row totals "
+    "broadcast (1-row nested loop by construction), and a TakeOrdered "
+    "top-N — nothing driver-side, no global sort.",
+    tags=("events", "skew", "diagnostic"),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_report as _report
+
+    return _report(_events(spark, sf_dir), ["user_id"], top=10)

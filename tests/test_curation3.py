@@ -112,6 +112,20 @@ def test_lsh_recall_bounds(spark):
         assert row["recall"] is None
 
 
+def test_key_skew_report(spark):
+    from hbase_packet_inspector_spark.operators.skew import key_skew_report
+
+    # 50 rows on key 0, 5 each on keys 1..4: mean = 70/5 = 14
+    rows = [(0,)] * 50 + [(k,) for k in range(1, 5) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_report(df, ["k"], top=3).collect()
+    assert [r["k"] for r in out] == [0, 1, 2]  # count desc, key asc ties
+    hot = out[0]
+    assert hot["n"] == 50
+    assert abs(hot["share"] - round(50 / 70, 6)) < 1e-9
+    assert abs(hot["x_avg"] - round(50 * 5 / 70, 6)) < 1e-9
+
+
 def test_decontaminate_embeddings(spark):
     emb = spark.createDataFrame(
         [

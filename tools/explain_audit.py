@@ -115,6 +115,9 @@ ALLOWED = {
     # vectors however big the train corpus — bm25's stats-frame rationale);
     # the per-train max then collapses map-side
     "embedding_decontaminate": {"NESTED-LOOP-JOIN"},
+    # the totals re-enter as a broadcast ONE-ROW aggregate over the
+    # per-key counts (source_token_mix's rationale)
+    "key_skew_report": {"NESTED-LOOP-JOIN"},
 }
 
 
