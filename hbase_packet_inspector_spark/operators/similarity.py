@@ -362,6 +362,95 @@ def kmeans_refine(emb: DataFrame, seed_centroids: DataFrame,
     return cells.persist()
 
 
+def save_ann_index(emb: DataFrame, path: str, *, table: str = "ann_index",
+                   n_cells: int = 10, iterations: int = 1, buckets: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Persist an IVF index for build-once/search-many deployment: the
+    vectors table written BUCKETED on the coarse-quantizer cell (so every
+    later cell-pruned search join scans it pre-partitioned — no Exchange
+    on the corpus side, ever) plus the centroids table. The Spark analog
+    of writing an IVF index file: bucket layout replaces the index's
+    inverted lists, and the metastore entry (``<table>_vectors`` /
+    ``<table>_centroids``) is the handle.
+
+    At 10^9 vectors the index build (assign + bucketed write) is the
+    one-time cost; every search afterwards shuffles only the query
+    batch."""
+    seed = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_emb")
+    )
+    cells = kmeans_refine(emb, seed, iterations=iterations,
+                          id_col=id_col, vec_col=vec_col)
+    cents = centroids_from_cells(emb, cells, id_col=id_col, vec_col=vec_col)
+    (
+        emb.join(cells, id_col)
+        .write.mode("overwrite")
+        .option("path", f"{path}/vectors")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell", id_col)
+        .saveAsTable(f"{table}_vectors")
+    )
+    (
+        cents.write.mode("overwrite")
+        .option("path", f"{path}/centroids")
+        .saveAsTable(f"{table}_centroids")
+    )
+    cells.unpersist()
+
+
+def load_ann_index(spark, table: str = "ann_index"):
+    """(vectors, centroids) back from the metastore — the vectors frame
+    carries its bucket layout, so joins on ``cell`` skip the corpus-side
+    Exchange."""
+    return spark.table(f"{table}_vectors"), spark.table(f"{table}_centroids")
+
+
+def search_ann_index(vectors: DataFrame, centroids: DataFrame,
+                     queries: DataFrame, k: int = 5, *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Cell-pruned search over a persisted index: queries assign to their
+    nearest centroid (broadcast — #cells is tiny), then an EQUI join on
+    ``cell`` against the bucketed vectors table. Because the index was
+    written bucketed on cell, the corpus side arrives pre-partitioned —
+    the only Exchange in the plan is the query batch's (verified by
+    ``tests/test_dataprep.py::test_ann_index_roundtrip_and_bucketed_search``).
+    This is the large-query-batch path; for a handful of ad-hoc queries
+    ``cosine_topk(..., same_cell_col=...)`` (broadcast queries) is the
+    cheaper plan."""
+    qa = assign_cells(queries, centroids, id_col=id_col, vec_col=vec_col)
+    qside = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+        )
+        .withColumn("_qn", F.sqrt(sq_norm(F.col("_qv"))))
+        .join(
+            qa.select(F.col(id_col).alias("q_id"), "cell"), "q_id"
+        )
+    )
+    base = vectors.select(
+        F.col(id_col), F.col("cell"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
+    cos = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    scored = (
+        base.join(qside, "cell")
+        .where(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def semdedup_keep(emb: DataFrame, cells: DataFrame, *, min_cos: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:

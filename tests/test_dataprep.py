@@ -300,6 +300,61 @@ def test_pca_top_component_matches_numpy_schedule(spark):
     assert abs(got[2]) > 0.99
 
 
+def test_ann_index_roundtrip_and_bucketed_search(spark, tmp_path):
+    """save_ann_index -> load_ann_index -> search: results equal the
+    in-memory cell-pruned search, and the persisted-index join plans with
+    NO Exchange on the corpus side (bucket layout = the IVF inverted
+    lists; only the query batch shuffles)."""
+    import numpy as np
+    from hbase_packet_inspector_spark.operators.similarity import (
+        assign_cells, cosine_topk, load_ann_index, save_ann_index,
+        search_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    save_ann_index(emb, str(tmp_path / "idx"), table="t_ann",
+                   n_cells=5, iterations=1, buckets=4)
+    vectors, centroids = load_ann_index(spark, "t_ann")
+    assert vectors.count() == 200 and centroids.count() == 5
+
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = search_ann_index(vectors, centroids, queries, k=3)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        rows = got.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # corpus side pre-partitioned by the bucket layout: the cell equi-join
+    # must contribute exactly ONE Exchange hashpartitioning(cell...) — the
+    # query batch's. A second one would mean the bucketed scan is being
+    # reshuffled and the index layout is wasted.
+    assert "Bucketed: true" in plan, plan
+    import re as _re
+
+    cell_exchanges = _re.findall(r"Exchange hashpartitioning\(cell", plan)
+    assert len(cell_exchanges) == 1, plan
+
+    # results match the in-memory pruned search on the same assignment
+    cells = vectors.select("vec_id", "cell")
+    base = emb.join(cells, "vec_id")
+    qs = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    ).join(
+        assign_cells(queries, centroids)
+        .select(F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")),
+        "q_id",
+    )
+    want = cosine_topk(base, qs, k=3, same_cell_col="cell").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+
 def test_pca_outer_covariance_matches_inrow(spark):
     """The high-dim mapInPandas outer-product covariance path produces the
     same components as the in-row explode path, across multiple partitions
