@@ -112,6 +112,7 @@ HEADLINE = [
     "embedding_decontaminate",
     "curation_pipeline",
     "key_skew_report",
+    "bigram_surprise",
 ]
 
 

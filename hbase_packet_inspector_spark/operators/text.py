@@ -436,6 +436,61 @@ def unigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean bigram surprise under an interpolated corpus bigram LM
+    — the step up from ``unigram_surprise`` that catches word-salad whose
+    unigram profile looks normal (every word common, no two of them ever
+    adjacent in real text): p(w2|w1) = 0.75·c12/c1 + 0.25·c2/N, nll
+    averaged per doc.
+
+    Float discipline: the interpolated probability is the exact integer
+    rational (3·c12·N + c2·c1) / (4·c1·N), so the score is
+    ln(den) - ln(num) of two exact bigints (< 2^53 — IEEE-exact doubles
+    in any engine) and the per-doc mean rounds to 6, the library's ln
+    portability rule.
+
+    Scale shape: two vocab-bounded aggregates (unigram + bigram counts,
+    partial+final), the corpus total as a broadcast one-row aggregate,
+    and score joins that AQE broadcast-converts from the aggregates' real
+    shuffle sizes. The bigram stream is an in-row transform (narrow
+    flatMap) — the corpus is scanned once for counts, once for
+    scoring."""
+    ws = F.split(F.col(text_col), " ")
+    t = docs.select(F.explode(ws).alias("w"))
+    uni = t.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n"))
+    bg = (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 1), "
+                    "(x, i) -> concat(x, ' ', element_at(ws, i + 2)))"
+                )
+            ).alias("b"),
+        )
+    )
+    big = bg.groupBy("b").agg(F.count("*").alias("c12"))
+    scored = (
+        bg.withColumn("w1", F.split("b", " ")[0])
+        .withColumn("w2", F.split("b", " ")[1])
+        .join(big, "b")
+        .join(uni.selectExpr("w AS w1", "c AS c1"), "w1")
+        .join(uni.selectExpr("w AS w2", "c AS c2"), "w2")
+        .join(F.broadcast(total))
+    )
+    nll = F.log((4 * F.col("c1") * F.col("n")).cast("double")) - F.log(
+        (3 * F.col("c12") * F.col("n") + F.col("c2") * F.col("c1"))
+        .cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum(nll) / F.count("*"), 6).alias("mean_surprise"),
+    )
+
+
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
                text_col: str = "text",
                carry: tuple[str, ...] = ()) -> DataFrame:

@@ -30,6 +30,7 @@ _UNVERIFIED_FIRST = (
     "embedding_decontaminate",
     "curation_pipeline",
     "key_skew_report",
+    "bigram_surprise",
 )
 
 

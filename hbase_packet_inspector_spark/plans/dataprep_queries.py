@@ -2777,3 +2777,41 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_fill",
         )
     )
+
+
+@register(
+    "bigram_surprise",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    t AS (SELECT unnest(ws) AS w FROM w),
+    uni AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i+1])) AS b
+           FROM w WHERE len(ws) >= 2),
+    big AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1),
+    s AS (SELECT bg.doc_id,
+                 ln(CAST(4 * u1.c * n.n AS DOUBLE))
+                 - ln(CAST(3 * big.c12 * n.n + u2.c * u1.c AS DOUBLE)) AS nll
+          FROM bg
+          JOIN big USING (b)
+          JOIN uni u1 ON u1.w = string_split(bg.b, ' ')[1]
+          JOIN uni u2 ON u2.w = string_split(bg.b, ' ')[2]
+          CROSS JOIN n)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(nll) / count(*), 6) AS mean_surprise
+    FROM s GROUP BY doc_id
+    """,
+    doc="Per-doc mean bigram surprise (operators/text.py::bigram_surprise) "
+    "under an interpolated corpus bigram LM, p(w2|w1) = 0.75 c12/c1 + "
+    "0.25 c2/N — the quality gate that catches word-salad whose unigram "
+    "profile looks normal (common words, impossible adjacencies). The "
+    "probability is the exact integer rational (3 c12 N + c2 c1)/(4 c1 N), "
+    "so the nll is ln of two exact-double bigints and the per-doc mean "
+    "rounds to 6 (the ln portability rule). Two vocab-bounded aggregates "
+    "+ AQE-broadcast score joins; the corpus scans twice, shuffles never.",
+    tags=("dataprep", "text", "quality", "lm"),
+)
+def bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_surprise(_docs(spark, sf_dir))

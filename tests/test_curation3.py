@@ -112,6 +112,28 @@ def test_lsh_recall_bounds(spark):
         assert row["recall"] is None
 
 
+def test_bigram_surprise_flags_word_salad(spark):
+    from hbase_packet_inspector_spark.operators.text import bigram_surprise
+
+    # 8 docs repeat the same natural word ORDER; the salad doc uses the
+    # SAME words (identical unigram profile) in adjacencies never seen
+    # elsewhere — only a bigram LM separates them
+    natural = "the cat sat on the mat and then the dog sat on the rug"
+    salad = "mat the on dog sat rug the and cat the then on sat the"
+    docs = spark.createDataFrame(
+        [(i, natural) for i in range(8)] + [(8, salad)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    assert set(out) == set(range(9))
+    assert all(out[i]["n_bigrams"] == 13 for i in range(9))
+    nat = out[0]["mean_surprise"]
+    assert out[8]["mean_surprise"] > nat + 0.5
+    # a doc with fewer than 2 tokens contributes no row (no bigrams)
+    one = spark.createDataFrame([(0, "word")], "doc_id long, text string")
+    assert bigram_surprise(one).count() == 0
+
+
 def test_key_skew_report(spark):
     from hbase_packet_inspector_spark.operators.skew import key_skew_report
 

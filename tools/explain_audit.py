@@ -102,6 +102,7 @@ ALLOWED = {
     "bm25_topk": {"NESTED-LOOP-JOIN"},
     # the LM total re-enters as a broadcast ONE-ROW aggregate
     "unigram_surprise": {"NESTED-LOOP-JOIN"},
+    "bigram_surprise": {"NESTED-LOOP-JOIN"},
     # this query EXISTS to oracle-check the library's only two sanctioned
     # Python UDFs (toStringBinary, region-name decode) on a 64-row
     # synthesized frame — the flag is the point, not a regression
