@@ -113,6 +113,11 @@ HEADLINE = [
     "curation_pipeline",
     "key_skew_report",
     "bigram_surprise",
+    "dup_span_fraction",
+    "dsir_weights",
+    "logreg_score",
+    "source_overlap",
+    "pq_rerank_topk",
 ]
 
 

@@ -108,3 +108,22 @@ def logreg_fit(
         "n_correct",
     )
     return weights, metrics
+
+
+def logreg_predict(
+    feats: DataFrame,
+    weights: Sequence[float],
+    feature_cols: Sequence[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inference pass at trained weights: append ``score`` =
+    round(sigmoid(w·x), 6) to every row — the "apply the quality
+    classifier to the whole corpus" step that follows ``logreg_fit`` in a
+    curation pipeline. Pure codegen column math (weights enter as
+    literals, a broadcast of ~bytes), so scoring 10^12 rows is exactly one
+    narrow scan; downstream filters on ``score`` push into it. Consumers
+    thresholding a decision should compare the ROUNDED score so the
+    boundary is engine-deterministic."""
+    p = _sigmoid(_logit(weights, feature_cols))
+    return feats.withColumn("score", F.round(p, round_to))

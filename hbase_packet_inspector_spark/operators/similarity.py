@@ -827,3 +827,52 @@ def pq_recall(emb: DataFrame, queries: DataFrame, *, k: int = 3, m: int = 4,
             (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / k).alias("recall"),
         )
     )
+
+
+def pq_rerank_topk(emb: DataFrame, queries: DataFrame, *, m: int = 4,
+                   sub_dim: int = 16, n_codes: int = 8, shortlist: int = 10,
+                   k: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval — ADC shortlist, exact re-rank — the canonical
+    production ANN serving pattern: PQ codes rank the WHOLE corpus cheaply
+    (pq_adc_topk, ~100x-compressed scan), the top ``shortlist`` candidates
+    per query are then re-scored with EXACT squared L2 against their raw
+    vectors, and the final top ``k`` comes from the exact scores. Re-rank
+    recovers most of the recall PQ loses to quantization while touching
+    raw floats for only queries x shortlist rows.
+
+    Scale shape: stage 1 never decodes a vector; stage 2's candidate set
+    (queries x shortlist ids) is broadcast against the corpus, so raw
+    vectors are fetched by a broadcast semi-join — one narrow corpus scan,
+    no shuffle of the embedding column. Exact distances round to 6 with
+    neighbor-id tie-break, the library's determinism discipline.
+
+    Ref parity note: the reference delegates all ranking SQL to H2
+    (sink/db.clj:101-113); this operator is part of the LLM-data-pipeline
+    surface, not HPI parity."""
+    cb = pq_codebook(emb, m=m, sub_dim=sub_dim, n_codes=n_codes,
+                     vec_col=vec_col, id_col=id_col)
+    codes = pq_codes(emb, cb, m=m, sub_dim=sub_dim,
+                     vec_col=vec_col, id_col=id_col)
+    cand = pq_adc_topk(codes, cb, queries, m=m, sub_dim=sub_dim, k=shortlist)
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_b"),
+    )
+    qs = queries.select("q_id", _as_double(F.col("q_emb")).alias("_q"))
+    exact = (
+        base.join(F.broadcast(cand.select("q_id", "neighbor_id")),
+                  "neighbor_id")
+        .join(F.broadcast(qs), "q_id")
+        .select(
+            "q_id", "neighbor_id",
+            F.round(_sq_l2(F.col("_q"), F.col("_b")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(),
+                                           F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "d2", "rnk")
+    )

@@ -491,6 +491,113 @@ def bigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def duplicate_gram_fraction(docs: DataFrame, *, n: int = 3,
+                            text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span measure (the span-level dedup signal
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): for each doc, the fraction of its word ``n``-gram positions
+    whose n-gram also occurs in at least one OTHER document. Winnowing
+    (winnow_fingerprints) samples fingerprints for pair detection; this is
+    the exact per-position measure a span-cutting pass thresholds on —
+    docs with high dup_gram_frac are mostly boilerplate recombinations
+    even when no single pair-level near-dup exists.
+
+    Cross-document is the point: a gram repeated only WITHIN one doc has
+    doc-frequency 1 and does not count (within-doc repetition is
+    repetition_features' job).
+
+    Scale shape — no pairwise stage anywhere: one distinct + aggregate
+    builds the gram -> doc-frequency frame (vocab-bounded after the
+    distinct), and each gram position joins exactly ONE df row, so the
+    equi-join on the gram key is linear in corpus positions; a hot
+    boilerplate gram skews that key, which AQE skew-join splits (no df^2
+    blowup — contrast the pair self-joins that need _WINNOW_MAX_DF).
+    Per-doc rollup is a partial+final agg. Fractions are exact integer
+    ratios rounded to 6."""
+    from .dedup import _spread
+
+    g = _spread(docs).select(
+        "doc_id", F.explode(_word_grams(text_col, n)).alias("g")
+    )
+    df = (
+        g.distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+    )
+    dup = F.sum((F.col("df") >= 2).cast("long"))
+    return (
+        g.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("dup_grams"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_gram_frac"),
+            F.max("df").alias("max_gram_df"),
+        )
+    )
+
+
+def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
+                    text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its tokens are under the TARGET distribution
+    (the rows where ``target`` is true — e.g. a trusted high-quality
+    subset) than under the raw corpus distribution, using hashed-unigram
+    bag-of-words LMs: log w(doc) = sum_tokens ln p_target(b(w)) / p_raw(b(w)),
+    with md5-derived hash buckets and add-1 smoothing. Resampling the
+    corpus proportional to exp(log w) yields target-resembling data —
+    the principled upgrade over hard rule filters.
+
+    Float discipline: with add-1 smoothing each per-bucket term is
+    ln((ct+1)·(Nr+B)) − ln((cr+1)·(Nt+B)) of exact integer products
+    (IEEE-exact below 2^53), the per-doc sum is re-aggregated from
+    per-bucket integer counts times a per-bucket double (one product per
+    bucket, fixed order), and the result rounds to 6.
+
+    Scale shape: token -> bucket is a narrow in-row map; the two LMs are
+    ONE partial+final aggregate each over a ``buckets``-sized key space;
+    the stats frame is exactly ``buckets`` rows — a literal broadcast, not
+    a data-scaled one — so scoring is a broadcast join against the
+    per-(doc, bucket) counts followed by a per-doc rollup. Two corpus
+    scans total, no wide shuffle beyond the doc_id rollup."""
+    b = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    tb = (
+        docs.select("doc_id", target.alias("_t"),
+                    F.explode(_tok(text_col)).alias("w"))
+        .select("doc_id", "_t", b.alias("b"))
+        .groupBy("doc_id", "_t", "b")
+        .agg(F.count("*").alias("k"))
+    )
+    stats = (
+        tb.groupBy("b")
+        .agg(
+            F.sum("k").alias("cr"),
+            F.sum(F.when(F.col("_t"), F.col("k")).otherwise(0)).alias("ct"),
+        )
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    term = F.log(((F.col("ct") + 1) * (F.col("nr") + buckets)).cast("double")) - F.log(
+        ((F.col("cr") + 1) * (F.col("nt") + buckets)).cast("double")
+    )
+    # stats is exactly `buckets` rows by construction — a legitimate
+    # explicit broadcast (fixed-size, not data-scaled)
+    lm = F.broadcast(stats.crossJoin(F.broadcast(totals)).select("b", term.alias("lr")))
+    return (
+        tb.join(lm, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * F.col("lr")), 6).alias("dsir_logweight"),
+        )
+    )
+
+
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
                text_col: str = "text",
                carry: tuple[str, ...] = ()) -> DataFrame:

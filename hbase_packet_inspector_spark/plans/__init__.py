@@ -31,6 +31,11 @@ _UNVERIFIED_FIRST = (
     "curation_pipeline",
     "key_skew_report",
     "bigram_surprise",
+    "dup_span_fraction",
+    "dsir_weights",
+    "logreg_score",
+    "source_overlap",
+    "pq_rerank_topk",
 )
 
 

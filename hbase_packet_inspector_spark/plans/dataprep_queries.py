@@ -1844,7 +1844,8 @@ def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters_fixpoint(pairs)
 
 
-def _logreg_oracle(rounds: int = 2, lr: float = 0.5) -> str:
+def _logreg_oracle(rounds: int = 2, lr: float = 0.5,
+                   per_doc: bool = False) -> str:
     # chained-CTE batch gradient descent; weights re-rounded each step like
     # the Spark driver loop (operators/learn.py::logreg_fit)
     def p(w: str) -> str:  # sigmoid of the clamped logit at weight-CTE w
@@ -1865,17 +1866,17 @@ def _logreg_oracle(rounds: int = 2, lr: float = 0.5) -> str:
         )
     steps_sql = ",\n    ".join(steps)
     pf = p(f"w{rounds}")
-    return f"""
-    WITH f AS (SELECT
-        CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-            / len(string_split(text, ' ')) AS awl,
-        CAST(len(list_filter(string_split(text, ' '),
-                             x -> x IN ('the', 'a'))) AS DOUBLE)
-            / len(string_split(text, ' ')) AS sr,
-        CAST(lang = 'en' AS INTEGER) AS y
-      FROM documents),
-    w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS ws),
-    {steps_sql}
+    if per_doc:
+        # per-doc classifier scores at the trained weights instead of the
+        # fit summary; pred thresholds the ROUNDED score so the decision
+        # is deterministic given an identical rounded probability
+        final = f"""
+    SELECT f.doc_id, round({pf}, 6) AS score,
+           CAST(round({pf}, 6) >= 0.5 AS INTEGER) AS pred, f.y
+    FROM f CROSS JOIN w{rounds}
+    """
+    else:
+        final = f"""
     SELECT w{rounds}.b AS w_bias, w{rounds}.wa AS w_awl, w{rounds}.ws AS w_sr,
            round(avg(-(f.y * ln({pf}) + (1 - f.y) * ln(1.0 - {pf}))), 6)
                AS logloss,
@@ -1884,6 +1885,17 @@ def _logreg_oracle(rounds: int = 2, lr: float = 0.5) -> str:
     FROM f CROSS JOIN w{rounds}
     GROUP BY w{rounds}.b, w{rounds}.wa, w{rounds}.ws
     """
+    return f"""
+    WITH f AS (SELECT doc_id,
+        CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS awl,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS sr,
+        CAST(lang = 'en' AS INTEGER) AS y
+      FROM documents),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS ws),
+    {steps_sql}{final}"""
 
 
 @register(
@@ -2815,3 +2827,232 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_surprise(_docs(spark, sf_dir))
+
+
+@register(
+    "dup_span_fraction",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    g AS (SELECT doc_id,
+                 ws[CAST(i.i AS INTEGER)] || ' '
+                 || ws[CAST(i.i AS INTEGER) + 1] || ' '
+                 || ws[CAST(i.i AS INTEGER) + 2] AS g
+          FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) i),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_gram_frac,
+           max(df) AS max_gram_df
+    FROM g JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Cross-document duplicated-span fraction (operators/text.py::"
+    "duplicate_gram_fraction — the span-level signal of Lee et al.'s "
+    "'Deduplicating Training Data Makes Language Models Better'): per "
+    "doc, the share of word-trigram positions whose trigram occurs in at "
+    "least one OTHER document (doc-frequency >= 2; within-doc repeats "
+    "don't count). Winnowing samples fingerprints for pair detection — "
+    "this is the exact per-position measure a span-cutting pass "
+    "thresholds. No pairwise stage: a distinct+aggregate builds the "
+    "vocab-bounded gram->df frame, each position equi-joins exactly one "
+    "df row (AQE splits hot boilerplate grams), and the rollup is "
+    "partial+final on doc_id — linear at 100 TB where any pair join "
+    "would be quadratic.",
+    tags=("dataprep", "dedup", "text", "span"),
+)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.duplicate_gram_fraction(_docs(spark, sf_dir), n=3)
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS tt,
+                      unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    tb AS (SELECT doc_id, tt,
+                  CAST({_hex8_bigint("md5(w)")} AS BIGINT) % 64 AS b,
+                  count(*) AS k
+           FROM t GROUP BY 1, 2, 3),
+    stats AS (SELECT b, sum(k) AS cr,
+                     sum(CASE WHEN tt THEN k ELSE 0 END) AS ct
+              FROM tb GROUP BY 1),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
+    lm AS (SELECT b, ln(CAST((ct + 1) * (nr + 64) AS DOUBLE))
+                     - ln(CAST((cr + 1) * (nt + 64) AS DOUBLE)) AS lr
+           FROM stats CROSS JOIN tot)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+           round(sum(k * lr), 6) AS dsir_logweight
+    FROM tb JOIN lm USING (b)
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance-resampling weights (operators/text.py::"
+    "dsir_logweights — Xie et al. 2023): every document scored by "
+    "sum ln p_target/p_raw over md5-hashed unigram buckets (64 buckets, "
+    "add-1 smoothing), target = the lang='en' subset — resampling "
+    "proportional to exp(weight) yields target-resembling data, the "
+    "principled upgrade over hard rule filters. Each ln term is a ratio "
+    "of exact integer products (IEEE-exact < 2^53) and the per-doc sum "
+    "re-aggregates bucket counts times a fixed per-bucket double, "
+    "rounded to 6. Scale: two bucket-keyed partial+final aggregates, a "
+    "64-row literal-broadcast stats frame, one doc_id rollup — no "
+    "data-scaled shuffle beyond the rollup.",
+    tags=("dataprep", "sampling", "quality", "lm", "dsir"),
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.dsir_logweights(
+        _docs(spark, sf_dir), F.col("lang") == "en", buckets=64
+    )
+
+
+@register(
+    "logreg_score",
+    _logreg_oracle(rounds=2, lr=0.5, per_doc=True),
+    doc="Quality-classifier INFERENCE at corpus scale (operators/learn.py::"
+    "logreg_predict): train the logreg2 classifier (2 GD rounds, same "
+    "schedule, weights rounded per step), then score EVERY document — "
+    "round(sigmoid(w·x), 6) plus the thresholded keep/drop decision, the "
+    "'apply the fastText-style quality model to the whole corpus' step "
+    "between training and filtering. Weights enter as literals so "
+    "scoring is one narrow codegen scan (no join, no shuffle); pred "
+    "thresholds the ROUNDED score so the boundary is engine-exact. The "
+    "oracle replays the identical training CTE chain and scores per doc.",
+    tags=("dataprep", "ml", "quality", "curation"),
+)
+def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import learn as L
+
+    docs = _docs(spark, sf_dir)
+    nw = F.size(F.split(F.col("text"), " "))
+    nstop = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda x: x.isin("the", "a")))
+    feats = docs.select(
+        "doc_id",
+        ((F.col("n_chars") - (nw - 1)).cast("double") / nw).alias("awl"),
+        (nstop.cast("double") / nw).alias("sr"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    weights, _ = L.logreg_fit(feats, ["awl", "sr"], "y", lr=0.5, rounds=2)
+    return (
+        L.logreg_predict(feats, weights, ["awl", "sr"])
+        .select(
+            "doc_id", "score",
+            (F.col("score") >= 0.5).cast("int").alias("pred"), "y",
+        )
+    )
+
+
+@register(
+    "source_overlap",
+    _minhash_oracle(tail=""",
+    vp AS (SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS j
+           FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45)
+    SELECT least(da.source, db.source) AS s1,
+           greatest(da.source, db.source) AS s2,
+           count(*) AS n_pairs,
+           round(min(j), 6) AS min_jaccard,
+           round(max(j), 6) AS max_jaccard
+    FROM vp JOIN documents da ON da.doc_id = vp.d1
+    JOIN documents db ON db.doc_id = vp.d2
+    GROUP BY 1, 2
+    """),
+    doc="Cross-source duplication matrix: the verified MinHash+LSH "
+    "near-dup pairs (dedup_minhash_lsh's full banded pipeline, est >= "
+    "0.5, jaccard >= 0.45) labeled with each side's source and rolled up "
+    "per unordered source pair — the provenance report that tells a "
+    "corpus owner WHICH feeds copy from each other (and how much "
+    "cross-source mass dedup will remove) before committing to a "
+    "keep-policy. min/max are order-independent over engine-identical "
+    "integer-ratio jaccards, so no float drift; the source labels join "
+    "against the tiny pair set, not the corpus. Same scale story as the "
+    "LSH pipeline it reuses: banded buckets, no all-pairs.",
+    tags=("dataprep", "dedup", "minhash", "lsh", "report", "provenance"),
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.selectExpr("doc_id AS d1", "source AS sa"), "d1")
+        .join(src.selectExpr("doc_id AS d2", "source AS sb"), "d2")
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("s1"),
+            F.greatest("sa", "sb").alias("s2"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+@register(
+    "pq_rerank_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings),
+    es AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS INTEGER) AS j,
+                  (i - 1) % 16 AS si, v
+           FROM e),
+    cb AS (SELECT vec_id AS code, j, si, v FROM es WHERE vec_id < 8),
+    d2 AS (SELECT s.vec_id, s.j, c.code,
+                  round(sum((s.v - c.v) * (s.v - c.v)), 6) AS d2
+           FROM es s JOIN cb c ON s.j = c.j AND s.si = c.si
+           GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2 ASC, code ASC) AS r
+                FROM d2) WHERE r = 1),
+    qt AS (SELECT s.vec_id AS q_id, s.j, c.code,
+                  round(sum((s.v - c.v) * (s.v - c.v)), 6) AS qd2
+           FROM es s JOIN cb c ON s.j = c.j AND s.si = c.si
+           WHERE s.vec_id % 25 = 0
+           GROUP BY 1, 2, 3),
+    adc AS (SELECT qt.q_id, codes.vec_id AS neighbor_id,
+                   round(sum(qt.qd2), 6) AS adist
+            FROM codes JOIN qt ON qt.j = codes.j AND qt.code = codes.code
+            WHERE codes.vec_id <> qt.q_id
+            GROUP BY 1, 2),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY adist ASC, neighbor_id ASC) AS rnk
+          FROM adc),
+    short AS (SELECT q_id, neighbor_id FROM r WHERE rnk <= 10),
+    ex AS (SELECT s.q_id, s.neighbor_id,
+                  round(sum((q.v - b.v) * (q.v - b.v)), 6) AS d2
+           FROM short s
+           JOIN e q ON q.vec_id = s.q_id
+           JOIN e b ON b.vec_id = s.neighbor_id AND b.i = q.i
+           GROUP BY 1, 2),
+    f AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+          FROM ex)
+    SELECT q_id, neighbor_id, d2, rnk FROM f WHERE rnk <= 3
+    """,
+    doc="Two-stage retrieval (operators/similarity.py::pq_rerank_topk) — "
+    "the canonical production ANN serving pattern: PQ/ADC ranks the "
+    "whole corpus as codes (~100x-compressed scan, never decoding a "
+    "vector), the top-10 shortlist per query is re-scored with EXACT "
+    "squared L2 against raw vectors fetched by a broadcast semi-join "
+    "(queries x 10 ids against the corpus — one narrow scan, the "
+    "embedding column never shuffles), and the final top-3 ranks the "
+    "exact scores. Re-rank recovers the recall quantization loses while "
+    "touching raw floats for only |shortlist| rows per query — the "
+    "pattern that makes PQ usable when the answer quality bar is exact.",
+    tags=("dataprep", "similarity", "ann", "pq", "rerank"),
+)
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.pq_rerank_topk(
+        emb, qs, m=4, sub_dim=16, n_codes=8, shortlist=10, k=3
+    )

@@ -119,6 +119,11 @@ ALLOWED = {
     # the totals re-enter as a broadcast ONE-ROW aggregate over the
     # per-key counts (source_token_mix's rationale)
     "key_skew_report": {"NESTED-LOOP-JOIN"},
+    # the 64-row bucket-stats frame crossJoins the ONE-ROW totals
+    # aggregate — both sides fixed-size by construction (bm25's
+    # stats-frame rationale); the score join on the bucket key is an
+    # equi broadcast join
+    "dsir_weights": {"NESTED-LOOP-JOIN"},
 }
 
 
