@@ -118,6 +118,7 @@ HEADLINE = [
     "logreg_score",
     "source_overlap",
     "pq_rerank_topk",
+    "dedup_span_clean",
 ]
 
 

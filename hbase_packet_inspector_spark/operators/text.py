@@ -598,6 +598,76 @@ def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, *, n: int = 3, min_df: int = 2,
+                           text_col: str = "text") -> DataFrame:
+    """The span-CUTTING pass that ``duplicate_gram_fraction`` measures for
+    (Lee et al.'s ExactSubstr dedup, word-gram granularity): rewrite every
+    document with the words covered by any cross-document duplicated
+    ``n``-gram removed — a word survives iff no n-gram window containing
+    it occurs in ``min_df``-or-more distinct documents. Returns all input
+    docs with (n_words, n_removed, clean_text); a fully-duplicated doc
+    comes back with clean_text = ''.
+
+    Scale shape: same linear skeleton as duplicate_gram_fraction — gram
+    df via distinct+aggregate, duplicated STARTS found by one equi-join
+    (each position joins one df row), collect_set folds them to a per-doc
+    start list (bounded by doc length, rows stay doc-sized), and the
+    cut itself is in-row array math (positions minus covered windows) —
+    no shuffle carries text except the final doc-keyed join of start
+    lists back onto the corpus. The in-row membership test is
+    O(words x dup_starts) per doc; a production variant for
+    pathological docs sorts spans and merges intervals, same output."""
+    from .dedup import _spread
+
+    base = _spread(docs)
+    g = (
+        base.select(
+            "doc_id", F.posexplode(_word_grams(text_col, n)).alias("s0", "g")
+        )
+        .select("doc_id", (F.col("s0") + 1).alias("s"), "g")
+    )
+    df = (
+        g.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count("*").alias("df"))
+    )
+    dup_starts = (
+        g.join(df.where(F.col("df") >= min_df), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("_ss"))
+    )
+    out = (
+        base.join(dup_starts, "doc_id", "left")
+        .withColumn("_ss", F.coalesce(F.col("_ss"),
+                                      F.array().cast("array<int>")))
+        .withColumn("_ws", F.split(F.col(text_col), " "))
+        .withColumn(
+            "_cov",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("_ss"),
+                        lambda s: F.sequence(s, s + F.lit(n - 1)),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "_keep",
+            F.expr("filter(sequence(1, size(_ws)), "
+                   "p -> NOT array_contains(_cov, p))"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.size("_ws").alias("n_words"),
+        (F.size("_ws") - F.size("_keep")).alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(F.col("_keep"),
+                             lambda p: F.element_at(F.col("_ws"), p))
+        ).alias("clean_text"),
+    )
+
+
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
                text_col: str = "text",
                carry: tuple[str, ...] = ()) -> DataFrame:

@@ -36,6 +36,7 @@ _UNVERIFIED_FIRST = (
     "logreg_score",
     "source_overlap",
     "pq_rerank_topk",
+    "dedup_span_clean",
 )
 
 

@@ -3056,3 +3056,50 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_rerank_topk(
         emb, qs, m=4, sub_dim=16, n_codes=8, shortlist=10, k=3
     )
+
+
+@register(
+    "dedup_span_clean",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    e AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+    g AS (SELECT doc_id, CAST(i.i AS INTEGER) AS s,
+                 ws[CAST(i.i AS INTEGER)] || ' '
+                 || ws[CAST(i.i AS INTEGER) + 1] || ' '
+                 || ws[CAST(i.i AS INTEGER) + 2] AS g
+          FROM e, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) i),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+    dup AS (SELECT g.doc_id, g.s FROM g JOIN df USING (g) WHERE df.df >= 2),
+    cov AS (SELECT DISTINCT doc_id, s + CAST(o.o AS INTEGER) AS p
+            FROM dup, LATERAL (SELECT unnest(range(0, 3)) AS o) o),
+    pos AS (SELECT doc_id, CAST(p.p AS INTEGER) AS p,
+                   ws[CAST(p.p AS INTEGER)] AS word
+            FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p) p),
+    kept AS (SELECT pos.doc_id, pos.p, pos.word
+             FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id
+                                   AND cov.p = pos.p
+             WHERE cov.p IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY 1)
+    SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+           CAST(len(ws) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM w LEFT JOIN agg USING (doc_id)
+    """,
+    doc="The span-CUTTING pass (operators/text.py::remove_duplicate_spans "
+    "— ExactSubstr dedup at word-gram granularity): every document "
+    "rewritten with the words covered by any cross-document duplicated "
+    "trigram removed; a word survives iff no trigram window containing "
+    "it occurs in 2+ distinct docs. dup_span_fraction MEASURES the "
+    "duplicated mass — this is the operator that removes it, returning "
+    "(n_words, n_removed, clean_text) for every input doc (fully-"
+    "duplicated docs come back empty, never dropped). Same linear "
+    "skeleton as the measure: gram-df aggregate + one equi-join for "
+    "duplicated starts, per-doc start lists fold via collect_set "
+    "(doc-length-bounded rows), and the cut is in-row array math — "
+    "the only text-carrying shuffle is the final doc-keyed join.",
+    tags=("dataprep", "dedup", "text", "span", "curation"),
+)
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.remove_duplicate_spans(_docs(spark, sf_dir), n=3, min_df=2)

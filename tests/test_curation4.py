@@ -160,3 +160,30 @@ def test_source_overlap_rollup_orders_sources(spark):
     assert out[("feedA", "feedA")] == 1
     assert ("feedB", "feedA") not in out
     assert all(s1 <= s2 for (s1, s2) in out)
+
+
+def test_remove_duplicate_spans_cuts_cross_doc_only(spark):
+    docs = _docs(spark, [
+        (0, "a b c d e", "en", "s", 9),
+        (1, "x a b c y", "en", "s", 9),         # shares "a b c" with doc 0
+        (2, "p q r p q r p q", "en", "s", 15),  # within-doc repeats only
+        (3, "one two", "en", "s", 7),           # < 3 words: untouched
+    ])
+    out = {r.doc_id: r for r in X.remove_duplicate_spans(docs, n=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # "a b c" (positions 1-3 in doc 0, 2-4 in doc 1) is cut; the rest stays
+    assert out[0].clean_text == "d e" and out[0].n_removed == 3
+    assert out[1].clean_text == "x y" and out[1].n_removed == 3
+    # within-doc repetition is NOT cross-document duplication
+    assert out[2].n_removed == 0 and out[2].clean_text == "p q r p q r p q"
+    assert out[3].n_removed == 0 and out[3].clean_text == "one two"
+
+
+def test_remove_duplicate_spans_full_copy_empties(spark):
+    docs = _docs(spark, [
+        (0, "one two three four", "en", "s", 18),
+        (1, "one two three four", "en", "s", 18),
+    ])
+    out = {r.doc_id: r for r in X.remove_duplicate_spans(docs, n=3).collect()}
+    assert out[0].clean_text == "" and out[0].n_removed == 4
+    assert out[1].clean_text == "" and out[1].n_removed == 4
