@@ -119,6 +119,7 @@ HEADLINE = [
     "source_overlap",
     "pq_rerank_topk",
     "dedup_span_clean",
+    "bpe_merges",
 ]
 
 

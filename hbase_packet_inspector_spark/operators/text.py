@@ -668,6 +668,94 @@ def remove_duplicate_spans(docs: DataFrame, *, n: int = 3, min_df: int = 2,
     )
 
 
+def bpe_merge_table(docs: DataFrame, *, rounds: int = 4,
+                    text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016 —
+    the tokenizer-training step of an LLM data pipeline) as an iterative
+    dataflow: start from characters, then ``rounds`` times (1) count
+    adjacent symbol pairs across the corpus weighted by word frequency,
+    (2) take the argmax pair (count desc, then lexicographic — a total
+    order, so engine-exact), (3) re-segment every word by greedily
+    merging that pair left-to-right. Returns the learned merge table
+    (round, lhs, rhs, merged, cnt) — the artifact a tokenizer ships.
+
+    Scale shape — the kmeans_refine/logreg iterative discipline: the
+    corpus is scanned ONCE to build the (word, freq) vocabulary; every
+    round then works on the vocab-bounded frame (pair explode ->
+    partial+final count -> a ONE-ROW argmax collect; only that row rides
+    the driver and re-enters as literals), and the re-segmentation is an
+    in-row string fold (no shuffle). At 10^12 tokens the vocabulary is
+    ~10^8 rows — per-round cost is vocab-, not corpus-, proportional.
+    The greedy left-to-right fold handles overlapping occurrences
+    ('a a a' under merge (a,a) -> ['aa','a']) identically on any engine."""
+    vocab = (
+        docs.select(F.explode(_tok(text_col)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .withColumn(
+            "syms",
+            F.concat_ws(
+                " ", F.filter(F.split("w", ""), lambda c: c != F.lit(""))
+            ),
+        )
+        .persist()  # every round re-reads it; tiny (vocab-sized)
+    )
+    spark = docs.sparkSession
+    merges = []
+    cur = vocab
+    for rnd in range(1, rounds + 1):
+        sy = F.split("syms", " ")
+        pairs = cur.where(F.size(sy) >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(split(syms, ' '), 1, "
+                    "size(split(syms, ' ')) - 1), "
+                    "(x, i) -> struct(x AS l, "
+                    "element_at(split(syms, ' '), i + 2) AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        m = l + r
+        merges.append((rnd, l, r, m, cnt))
+
+        # nested factory, NOT default-arg lambdas: F.aggregate inspects
+        # the callable's arity, and default args would make it 5-ary
+        # (the bm25 round-3 bug class — see ROADMAP gotchas)
+        def make_folder(l: str, r: str, m: str):
+            def folder(acc, x):
+                cond = ((acc == F.lit(l)) | acc.endswith(" " + l)) & (
+                    x == F.lit(r)
+                )
+                return (
+                    F.when(cond, F.concat(
+                        F.substr(acc, F.lit(1),
+                                 F.length(acc) - F.lit(len(l))),
+                        F.lit(m)))
+                    .when(acc == F.lit(""), x)
+                    .otherwise(F.concat(acc, F.lit(" "), x))
+                )
+            return folder
+
+        cur = cur.withColumn(
+            "syms",
+            F.aggregate(F.split("syms", " "), F.lit(""), make_folder(l, r, m)),
+        )
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, cnt long"
+    )
+
+
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
                text_col: str = "text",
                carry: tuple[str, ...] = ()) -> DataFrame:

@@ -37,6 +37,7 @@ _UNVERIFIED_FIRST = (
     "source_overlap",
     "pq_rerank_topk",
     "dedup_span_clean",
+    "bpe_merges",
 )
 
 

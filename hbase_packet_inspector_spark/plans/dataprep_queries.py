@@ -3103,3 +3103,65 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.remove_duplicate_spans(_docs(spark, sf_dir), n=3, min_df=2)
+
+
+def _bpe_oracle(rounds: int = 4) -> str:
+    # chained-CTE replay of the BPE loop: per round a pair-count CTE, a
+    # one-row argmax CTE (total order: cnt desc, lexicographic), and a
+    # re-segmentation CTE whose greedy left-to-right fold mirrors the
+    # Spark string fold exactly (list_prepend('') = the empty init)
+    ctes = [
+        "t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "v AS (SELECT w, count(*) AS freq FROM t GROUP BY 1)",
+        "s0 AS (SELECT w, freq, array_to_string(list_transform("
+        "range(1, len(w) + 1), i -> w[CAST(i AS INTEGER)]), ' ') AS syms "
+        "FROM v)",
+    ]
+    outs = []
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"p{k} AS (SELECT sy[CAST(i.i AS INTEGER)] AS lhs, "
+            f"sy[CAST(i.i AS INTEGER) + 1] AS rhs, "
+            f"CAST(sum(freq) AS BIGINT) AS cnt "
+            f"FROM (SELECT freq, string_split(syms, ' ') AS sy FROM s{k - 1}) q, "
+            f"LATERAL (SELECT unnest(range(1, len(sy))) AS i) i "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT lhs, rhs, lhs || rhs AS m, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        if k < rounds:
+            ctes.append(
+                f"s{k} AS (SELECT w, freq, list_reduce("
+                f"list_prepend('', string_split(syms, ' ')), "
+                f"(acc, x) -> CASE WHEN (acc = c{k}.lhs "
+                f"OR ends_with(acc, ' ' || c{k}.lhs)) AND x = c{k}.rhs "
+                f"THEN substr(acc, 1, len(acc) - len(c{k}.lhs)) || c{k}.m "
+                f"WHEN acc = '' THEN x ELSE acc || ' ' || x END) AS syms "
+                f"FROM s{k - 1} CROSS JOIN c{k})"
+            )
+        outs.append(
+            f'SELECT {k} AS "round", lhs, rhs, m AS merged, cnt FROM c{k}'
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(outs)
+
+
+@register(
+    "bpe_merges",
+    _bpe_oracle(4),
+    doc="BPE tokenizer training (operators/text.py::bpe_merge_table — "
+    "Sennrich et al. 2016) as an iterative dataflow: from characters, 4 "
+    "rounds of (corpus-weighted adjacent-pair count -> one-row argmax "
+    "with a TOTAL order (count desc, lexicographic) -> greedy "
+    "left-to-right re-segmentation as an in-row string fold). Output is "
+    "the learned merge table — the artifact a tokenizer ships. The "
+    "corpus is scanned once for the (word, freq) vocabulary; each round "
+    "is vocab-bounded (pair explode + partial+final count + a one-row "
+    "collect that re-enters as literals), the kmeans/logreg iterative "
+    "discipline. The oracle replays the identical schedule as chained "
+    "CTEs with the same fold.",
+    tags=("dataprep", "text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_merge_table(_docs(spark, sf_dir), rounds=4)

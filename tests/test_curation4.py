@@ -187,3 +187,26 @@ def test_remove_duplicate_spans_full_copy_empties(spark):
     out = {r.doc_id: r for r in X.remove_duplicate_spans(docs, n=3).collect()}
     assert out[0].clean_text == "" and out[0].n_removed == 4
     assert out[1].clean_text == "" and out[1].n_removed == 4
+
+
+def test_bpe_merge_table_hand_checked(spark):
+    # freq-weighted: "ab" x3 + "abc" x1 => pair (a,b) count 4 wins round 1;
+    # round 2 then merges ('ab','c') from "abc" (count 1, lexicographic
+    # tie-break against other count-1 pairs)
+    docs = _docs(spark, [
+        (0, "ab ab ab abc", "en", "s", 12),
+    ])
+    out = X.bpe_merge_table(docs, rounds=2).collect()
+    assert [(r.round, r.lhs, r.rhs, r.merged, r.cnt) for r in out] == [
+        (1, "a", "b", "ab", 4),
+        (2, "ab", "c", "abc", 1),
+    ]
+
+
+def test_bpe_merge_greedy_overlap(spark):
+    # "aaa": pairs (a,a) x2 -> merge round 1 = ('a','a') cnt 2; greedy
+    # left-to-right resegmentation gives [aa, a], so round 2 sees (aa, a)
+    docs = _docs(spark, [(0, "aaa", "en", "s", 3)])
+    out = X.bpe_merge_table(docs, rounds=2).collect()
+    assert (out[0].lhs, out[0].rhs, out[0].cnt) == ("a", "a", 2)
+    assert (out[1].lhs, out[1].rhs, out[1].cnt) == ("aa", "a", 1)
