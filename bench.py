@@ -120,6 +120,7 @@ HEADLINE = [
     "pq_rerank_topk",
     "dedup_span_clean",
     "bpe_merges",
+    "bpe_token_count",
 ]
 
 

@@ -668,26 +668,11 @@ def remove_duplicate_spans(docs: DataFrame, *, n: int = 3, min_df: int = 2,
     )
 
 
-def bpe_merge_table(docs: DataFrame, *, rounds: int = 4,
-                    text_col: str = "text") -> DataFrame:
-    """Byte-pair-encoding merge-table training (Sennrich et al. 2016 —
-    the tokenizer-training step of an LLM data pipeline) as an iterative
-    dataflow: start from characters, then ``rounds`` times (1) count
-    adjacent symbol pairs across the corpus weighted by word frequency,
-    (2) take the argmax pair (count desc, then lexicographic — a total
-    order, so engine-exact), (3) re-segment every word by greedily
-    merging that pair left-to-right. Returns the learned merge table
-    (round, lhs, rhs, merged, cnt) — the artifact a tokenizer ships.
-
-    Scale shape — the kmeans_refine/logreg iterative discipline: the
-    corpus is scanned ONCE to build the (word, freq) vocabulary; every
-    round then works on the vocab-bounded frame (pair explode ->
-    partial+final count -> a ONE-ROW argmax collect; only that row rides
-    the driver and re-enters as literals), and the re-segmentation is an
-    in-row string fold (no shuffle). At 10^12 tokens the vocabulary is
-    ~10^8 rows — per-round cost is vocab-, not corpus-, proportional.
-    The greedy left-to-right fold handles overlapping occurrences
-    ('a a a' under merge (a,a) -> ['aa','a']) identically on any engine."""
+def _bpe_learn(docs: DataFrame, rounds: int, text_col: str):
+    """Shared BPE training loop: returns (merge list, final vocab frame
+    (w, freq, syms) segmented under all learned merges). The vocab base
+    stays persisted (tiny — vocab-sized; the clearCache discipline of
+    kmeans_refine applies in long-lived sessions)."""
     vocab = (
         docs.select(F.explode(_tok(text_col)).alias("w"))
         .groupBy("w").agg(F.count("*").alias("freq"))
@@ -699,7 +684,6 @@ def bpe_merge_table(docs: DataFrame, *, rounds: int = 4,
         )
         .persist()  # every round re-reads it; tiny (vocab-sized)
     )
-    spark = docs.sparkSession
     merges = []
     cur = vocab
     for rnd in range(1, rounds + 1):
@@ -750,9 +734,62 @@ def bpe_merge_table(docs: DataFrame, *, rounds: int = 4,
             "syms",
             F.aggregate(F.split("syms", " "), F.lit(""), make_folder(l, r, m)),
         )
-    vocab.unpersist()
-    return spark.createDataFrame(
+    return merges, cur
+
+
+def bpe_merge_table(docs: DataFrame, *, rounds: int = 4,
+                    text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016 —
+    the tokenizer-training step of an LLM data pipeline) as an iterative
+    dataflow: start from characters, then ``rounds`` times (1) count
+    adjacent symbol pairs across the corpus weighted by word frequency,
+    (2) take the argmax pair (count desc, then lexicographic — a total
+    order, so engine-exact), (3) re-segment every word by greedily
+    merging that pair left-to-right. Returns the learned merge table
+    (round, lhs, rhs, merged, cnt) — the artifact a tokenizer ships.
+
+    Scale shape — the kmeans_refine/logreg iterative discipline: the
+    corpus is scanned ONCE to build the (word, freq) vocabulary; every
+    round then works on the vocab-bounded frame (pair explode ->
+    partial+final count -> a ONE-ROW argmax collect; only that row rides
+    the driver and re-enters as literals), and the re-segmentation is an
+    in-row string fold (no shuffle). At 10^12 tokens the vocabulary is
+    ~10^8 rows — per-round cost is vocab-, not corpus-, proportional.
+    The greedy left-to-right fold handles overlapping occurrences
+    ('a a a' under merge (a,a) -> ['aa','a']) identically on any engine."""
+    merges, _cur = _bpe_learn(docs, rounds, text_col)
+    return docs.sparkSession.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, cnt long"
+    )
+
+
+def bpe_token_counts(docs: DataFrame, *, rounds: int = 4,
+                     text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with the tokenizer it just trained: learn the
+    ``rounds``-merge BPE table (``bpe_merge_table``'s loop), then count
+    each document's BPE tokens under it — the 'how many tokens is my
+    corpus REALLY' measurement that budgets training runs (whitespace
+    counts mislead by 1.3-2x; this is the number the merge table
+    actually yields).
+
+    The application is vocab-bounded, NOT corpus-bounded: the learned
+    segmentation already lives on the (word, freq, syms) vocabulary
+    frame, so per-word BPE lengths are one in-row size() over the vocab,
+    and the corpus just equi-joins word -> length (AQE broadcasts the
+    vocab-derived side when it fits) and sums per doc. The expensive
+    folds never touch the corpus rows."""
+    _merges, cur = _bpe_learn(docs, rounds, text_col)
+    wlen = cur.select(
+        "w", F.size(F.split("syms", " ")).alias("_tl")
+    )
+    t = docs.select("doc_id", F.explode(_tok(text_col)).alias("w"))
+    return (
+        t.join(wlen, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_tl").alias("n_bpe_tokens"),
+        )
     )
 
 

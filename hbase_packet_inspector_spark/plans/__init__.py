@@ -38,6 +38,7 @@ _UNVERIFIED_FIRST = (
     "pq_rerank_topk",
     "dedup_span_clean",
     "bpe_merges",
+    "bpe_token_count",
 )
 
 

@@ -3105,7 +3105,7 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.remove_duplicate_spans(_docs(spark, sf_dir), n=3, min_df=2)
 
 
-def _bpe_oracle(rounds: int = 4) -> str:
+def _bpe_oracle(rounds: int = 4, per_doc: bool = False) -> str:
     # chained-CTE replay of the BPE loop: per round a pair-count CTE, a
     # one-row argmax CTE (total order: cnt desc, lexicographic), and a
     # re-segmentation CTE whose greedy left-to-right fold mirrors the
@@ -3131,7 +3131,7 @@ def _bpe_oracle(rounds: int = 4) -> str:
             f"c{k} AS (SELECT lhs, rhs, lhs || rhs AS m, cnt FROM p{k} "
             f"ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"
         )
-        if k < rounds:
+        if k < rounds or per_doc:
             ctes.append(
                 f"s{k} AS (SELECT w, freq, list_reduce("
                 f"list_prepend('', string_split(syms, ' ')), "
@@ -3144,6 +3144,18 @@ def _bpe_oracle(rounds: int = 4) -> str:
         outs.append(
             f'SELECT {k} AS "round", lhs, rhs, m AS merged, cnt FROM c{k}'
         )
+    if per_doc:
+        ctes.append(
+            "d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents)"
+        )
+        final = (
+            f"SELECT doc_id, count(*) AS n_words, "
+            f"CAST(sum(len(string_split(s{rounds}.syms, ' '))) AS BIGINT) "
+            f"AS n_bpe_tokens "
+            f"FROM d JOIN s{rounds} ON s{rounds}.w = d.w GROUP BY doc_id"
+        )
+        return "WITH " + ",\n    ".join(ctes) + "\n    " + final
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(outs)
 
 
@@ -3165,3 +3177,23 @@ def _bpe_oracle(rounds: int = 4) -> str:
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_merge_table(_docs(spark, sf_dir), rounds=4)
+
+
+@register(
+    "bpe_token_count",
+    _bpe_oracle(4, per_doc=True),
+    doc="Corpus tokenization under the just-trained tokenizer "
+    "(operators/text.py::bpe_token_counts): learn the 4-merge BPE table, "
+    "then count every document's BPE tokens under it — the 'how many "
+    "tokens is my corpus REALLY' measurement that budgets training runs "
+    "(whitespace counts mislead; this is what the merge table yields). "
+    "Application is vocab-bounded, never corpus-bounded: the learned "
+    "segmentation lives on the (word, freq, syms) vocabulary frame, "
+    "per-word lengths are one in-row size(), and the corpus equi-joins "
+    "word -> length (AQE broadcast) and sums per doc — the expensive "
+    "folds never touch corpus rows. The oracle replays the training "
+    "CTE chain and joins the segmented vocabulary per doc.",
+    tags=("dataprep", "text", "tokenizer", "bpe", "tokens"),
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_token_counts(_docs(spark, sf_dir), rounds=4)

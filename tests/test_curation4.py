@@ -210,3 +210,19 @@ def test_bpe_merge_greedy_overlap(spark):
     out = X.bpe_merge_table(docs, rounds=2).collect()
     assert (out[0].lhs, out[0].rhs, out[0].cnt) == ("a", "a", 2)
     assert (out[1].lhs, out[1].rhs, out[1].cnt) == ("aa", "a", 1)
+
+
+def test_bpe_token_counts_hand_checked(spark):
+    # vocab: "ab" x3, "abc" x1 -> merges: (a,b) then (ab,c); under them
+    # "ab" segments to [ab] (1 token) and "abc" to [abc] (1 token)
+    docs = _docs(spark, [
+        (0, "ab ab ab abc", "en", "s", 12),
+        (1, "ab abc", "en", "s", 6),
+    ])
+    out = {r.doc_id: r for r in X.bpe_token_counts(docs, rounds=2).collect()}
+    assert out[0].n_words == 4 and out[0].n_bpe_tokens == 4
+    assert out[1].n_words == 2 and out[1].n_bpe_tokens == 2
+    # with zero merges every char is a token
+    out0 = {r.doc_id: r for r in X.bpe_token_counts(docs, rounds=0).collect()}
+    assert out0[0].n_bpe_tokens == 2 * 3 + 3
+    assert out0[1].n_bpe_tokens == 2 + 3
