@@ -561,13 +561,18 @@ def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
     a data-scaled one — so scoring is a broadcast join against the
     per-(doc, bucket) counts followed by a per-doc rollup. Two corpus
     scans total, no wide shuffle beyond the doc_id rollup."""
+    from .dedup import _spread
+
     b = (
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
         % buckets
     )
+    # _spread: the md5-per-token map side otherwise runs on however few
+    # partitions the (byte-small) text scan produced — measured 4.9x on a
+    # 10x corpus from one input file, 1.3x spread
     tb = (
-        docs.select("doc_id", target.alias("_t"),
-                    F.explode(_tok(text_col)).alias("w"))
+        _spread(docs).select("doc_id", target.alias("_t"),
+                             F.explode(_tok(text_col)).alias("w"))
         .select("doc_id", "_t", b.alias("b"))
         .groupBy("doc_id", "_t", "b")
         .agg(F.count("*").alias("k"))
