@@ -519,19 +519,19 @@ def duplicate_gram_fraction(docs: DataFrame, *, n: int = 3,
     g = _spread(docs).select(
         "doc_id", F.explode(_word_grams(text_col, n)).alias("g")
     )
-    df = (
-        g.distinct()
-        .groupBy("g")
-        .agg(F.count("*").alias("df"))
-    )
-    dup = F.sum((F.col("df") >= 2).cast("long"))
+    # fold positions to per-(doc, gram) multiplicities FIRST: the df join
+    # then touches the distinct frame, not every position — the position
+    # stream is shuffled once (by (doc_id, g)) instead of twice
+    dg = g.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
+    df = dg.groupBy("g").agg(F.count("*").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, F.col("k")).otherwise(0))
     return (
-        g.join(df, "g")
+        dg.join(df, "g")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
+            F.sum("k").alias("n_grams"),
             dup.alias("dup_grams"),
-            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_gram_frac"),
+            F.round(dup.cast("double") / F.sum("k"), 6).alias("dup_gram_frac"),
             F.max("df").alias("max_gram_df"),
         )
     )
