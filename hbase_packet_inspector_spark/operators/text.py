@@ -550,10 +550,12 @@ def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
     the principled upgrade over hard rule filters.
 
     Float discipline: with add-1 smoothing each per-bucket term is
-    ln((ct+1)·(Nr+B)) − ln((cr+1)·(Nt+B)) of exact integer products
-    (IEEE-exact below 2^53), the per-doc sum is re-aggregated from
-    per-bucket integer counts times a per-bucket double (one product per
-    bucket, fixed order), and the result rounds to 6.
+    ln((ct+1)·(Nr+B)) − ln((cr+1)·(Nt+B)) where each FACTOR is cast to
+    double before the multiply — every count is exactly representable
+    (< 2^53) and IEEE double multiplication is correctly rounded, so the
+    product (and its ln) is engine-identical at any corpus size, with no
+    int64 overflow; the per-doc sum re-aggregates per-bucket integer
+    counts times a per-bucket double, and the result rounds to 6.
 
     Scale shape: token -> bucket is a narrow in-row map; the two LMs are
     ONE partial+final aggregate each over a ``buckets``-sized key space;
@@ -587,8 +589,14 @@ def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
     totals = stats.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
-    term = F.log(((F.col("ct") + 1) * (F.col("nr") + buckets)).cast("double")) - F.log(
-        ((F.col("cr") + 1) * (F.col("nt") + buckets)).cast("double")
+    # each factor casts to double BEFORE the multiply: the int64 product
+    # would overflow around nr ~ 10^10 x ct ~ 10^9, while a double*double
+    # product of two exactly-representable counts is correctly rounded
+    # and engine-identical (IEEE multiplication is deterministic)
+    term = F.log(
+        (F.col("ct") + 1).cast("double") * (F.col("nr") + buckets).cast("double")
+    ) - F.log(
+        (F.col("cr") + 1).cast("double") * (F.col("nt") + buckets).cast("double")
     )
     # stats is exactly `buckets` rows by construction — a legitimate
     # explicit broadcast (fixed-size, not data-scaled)
@@ -735,10 +743,18 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str):
                 )
             return folder
 
-        cur = cur.withColumn(
+        # persist each round's re-segmentation and drop the previous one
+        # (the kmeans_refine discipline): without the barrier, round k's
+        # argmax re-executes all k-1 earlier folds — O(rounds^2) total —
+        # and bpe_token_counts would re-run the whole chain again
+        nxt = cur.withColumn(
             "syms",
             F.aggregate(F.split("syms", " "), F.lit(""), make_folder(l, r, m)),
-        )
+        ).persist()
+        nxt.count()
+        if cur is not vocab:
+            cur.unpersist()
+        cur = nxt
     return merges, cur
 
 

@@ -1844,6 +1844,22 @@ def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters_fixpoint(pairs)
 
 
+def _logreg_feats(docs: DataFrame) -> DataFrame:
+    """The (awl, sr, y) feature frame shared by logreg2 (training summary)
+    and logreg_score (per-doc inference) — ONE definition so the two
+    queries can never train on different features while their oracles
+    share the single `f` CTE in _logreg_oracle."""
+    nw = F.size(F.split(F.col("text"), " "))
+    nstop = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda x: x.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        ((F.col("n_chars") - (nw - 1)).cast("double") / nw).alias("awl"),
+        (nstop.cast("double") / nw).alias("sr"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
 def _logreg_oracle(rounds: int = 2, lr: float = 0.5,
                    per_doc: bool = False) -> str:
     # chained-CTE batch gradient descent; weights re-rounded each step like
@@ -1915,15 +1931,7 @@ def _logreg_oracle(rounds: int = 2, lr: float = 0.5,
 def logreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import learn as L
 
-    docs = _docs(spark, sf_dir)
-    nw = F.size(F.split(F.col("text"), " "))
-    nstop = F.size(F.filter(F.split(F.col("text"), " "),
-                            lambda x: x.isin("the", "a")))
-    feats = docs.select(
-        ((F.col("n_chars") - (nw - 1)).cast("double") / nw).alias("awl"),
-        (nstop.cast("double") / nw).alias("sr"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    )
+    feats = _logreg_feats(_docs(spark, sf_dir))
     _, metrics = L.logreg_fit(feats, ["awl", "sr"], "y", lr=0.5, rounds=2)
     return metrics
 
@@ -2880,8 +2888,8 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sum(CASE WHEN tt THEN k ELSE 0 END) AS ct
               FROM tb GROUP BY 1),
     tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
-    lm AS (SELECT b, ln(CAST((ct + 1) * (nr + 64) AS DOUBLE))
-                     - ln(CAST((cr + 1) * (nt + 64) AS DOUBLE)) AS lr
+    lm AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) * CAST(nr + 64 AS DOUBLE))
+                     - ln(CAST(cr + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE)) AS lr
            FROM stats CROSS JOIN tot)
     SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
            round(sum(k * lr), 6) AS dsir_logweight
@@ -2924,16 +2932,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import learn as L
 
-    docs = _docs(spark, sf_dir)
-    nw = F.size(F.split(F.col("text"), " "))
-    nstop = F.size(F.filter(F.split(F.col("text"), " "),
-                            lambda x: x.isin("the", "a")))
-    feats = docs.select(
-        "doc_id",
-        ((F.col("n_chars") - (nw - 1)).cast("double") / nw).alias("awl"),
-        (nstop.cast("double") / nw).alias("sr"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    )
+    feats = _logreg_feats(_docs(spark, sf_dir))
     weights, _ = L.logreg_fit(feats, ["awl", "sr"], "y", lr=0.5, rounds=2)
     return (
         L.logreg_predict(feats, weights, ["awl", "sr"])
@@ -3138,8 +3137,14 @@ def _bpe_oracle(rounds: int = 4, per_doc: bool = False) -> str:
                 f"(acc, x) -> CASE WHEN (acc = c{k}.lhs "
                 f"OR ends_with(acc, ' ' || c{k}.lhs)) AND x = c{k}.rhs "
                 f"THEN substr(acc, 1, len(acc) - len(c{k}.lhs)) || c{k}.m "
+                # LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus
+                # supports fewer than `rounds` merges, c{k} is EMPTY — a
+                # cross join would wipe s{k} (and every doc with it),
+                # while the left join keeps the rows with NULL merge
+                # columns, making the fold a no-op — exactly the Spark
+                # loop's `if not top: break`
                 f"WHEN acc = '' THEN x ELSE acc || ' ' || x END) AS syms "
-                f"FROM s{k - 1} CROSS JOIN c{k})"
+                f"FROM s{k - 1} LEFT JOIN c{k} ON TRUE)"
             )
         outs.append(
             f'SELECT {k} AS "round", lhs, rhs, m AS merged, cnt FROM c{k}'

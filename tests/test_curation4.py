@@ -226,3 +226,13 @@ def test_bpe_token_counts_hand_checked(spark):
     out0 = {r.doc_id: r for r in X.bpe_token_counts(docs, rounds=0).collect()}
     assert out0[0].n_bpe_tokens == 2 * 3 + 3
     assert out0[1].n_bpe_tokens == 2 + 3
+
+
+def test_bpe_more_rounds_than_merges(spark):
+    # single-char words: no adjacent pairs ever -> zero merges; the loop
+    # breaks and token counts still come back for every doc (the oracle
+    # mirrors this with LEFT JOIN merge CTEs)
+    docs = _docs(spark, [(0, "a b a", "en", "s", 5)])
+    assert X.bpe_merge_table(docs, rounds=3).count() == 0
+    out = X.bpe_token_counts(docs, rounds=3).collect()
+    assert len(out) == 1 and out[0].n_words == 3 and out[0].n_bpe_tokens == 3
