@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_span_clean",
     "bpe_merges",
     "bpe_token_count",
+    "span_dsir_pipeline",
 ]
 
 

@@ -39,6 +39,7 @@ _UNVERIFIED_FIRST = (
     "dedup_span_clean",
     "bpe_merges",
     "bpe_token_count",
+    "span_dsir_pipeline",
 )
 
 

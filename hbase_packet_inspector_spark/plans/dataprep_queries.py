@@ -2874,12 +2874,14 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.duplicate_gram_fraction(_docs(spark, sf_dir), n=3)
 
 
-@register(
-    "dsir_weights",
-    f"""
-    WITH t AS (SELECT doc_id, lang = 'en' AS tt,
-                      unnest(string_split(text, ' ')) AS w
-               FROM documents),
+def _dsir_ctes(src: str = "documents", text: str = "text",
+               target: str = "lang = 'en'") -> str:
+    """The DSIR CTE chain ending in relation dsw(doc_id, n_tokens,
+    dsir_logweight) — parameterized on the source relation so composed
+    pipelines can run it over a derived (e.g. span-cleaned) corpus."""
+    return f"""t AS (SELECT doc_id, {target} AS tt,
+                      unnest(string_split({text}, ' ')) AS w
+               FROM {src}),
     tb AS (SELECT doc_id, tt,
                   CAST({_hex8_bigint("md5(w)")} AS BIGINT) % 64 AS b,
                   count(*) AS k
@@ -2890,11 +2892,18 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
     lm AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) * CAST(nr + 64 AS DOUBLE))
                      - ln(CAST(cr + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE)) AS lr
-           FROM stats CROSS JOIN tot)
-    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-           round(sum(k * lr), 6) AS dsir_logweight
-    FROM tb JOIN lm USING (b)
-    GROUP BY doc_id
+           FROM stats CROSS JOIN tot),
+    dsw AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                   round(sum(k * lr), 6) AS dsir_logweight
+            FROM tb JOIN lm USING (b)
+            GROUP BY doc_id)"""
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH {_dsir_ctes()}
+    SELECT doc_id, n_tokens, dsir_logweight FROM dsw
     """,
     doc="DSIR importance-resampling weights (operators/text.py::"
     "dsir_logweights — Xie et al. 2023): every document scored by "
@@ -3057,10 +3066,7 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_clean",
-    """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+_SPAN_CLEAN_CTES = """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     e AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
     g AS (SELECT doc_id, CAST(i.i AS INTEGER) AS s,
                  ws[CAST(i.i AS INTEGER)] || ' '
@@ -3080,11 +3086,19 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE cov.p IS NULL),
     agg AS (SELECT doc_id, count(*) AS n_kept,
                    string_agg(word, ' ' ORDER BY p) AS clean_text
-            FROM kept GROUP BY 1)
-    SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_words,
-           CAST(len(ws) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
-           coalesce(clean_text, '') AS clean_text
-    FROM w LEFT JOIN agg USING (doc_id)
+            FROM kept GROUP BY 1),
+    cleaned AS (SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+                       CAST(len(ws) - coalesce(n_kept, 0) AS INTEGER)
+                           AS n_removed,
+                       coalesce(clean_text, '') AS clean_text
+                FROM w LEFT JOIN agg USING (doc_id))"""
+
+
+@register(
+    "dedup_span_clean",
+    f"""
+    WITH {_SPAN_CLEAN_CTES}
+    SELECT doc_id, n_words, n_removed, clean_text FROM cleaned
     """,
     doc="The span-CUTTING pass (operators/text.py::remove_duplicate_spans "
     "— ExactSubstr dedup at word-gram granularity): every document "
@@ -3202,3 +3216,57 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_token_counts(_docs(spark, sf_dir), rounds=4)
+
+
+@register(
+    "span_dsir_pipeline",
+    f"""
+    WITH {_SPAN_CLEAN_CTES},
+    cd AS (SELECT c.doc_id, c.clean_text, c.n_removed, d.lang, d.source
+           FROM cleaned c JOIN documents d USING (doc_id)),
+    {_dsir_ctes(src="cd", text="clean_text")}
+    SELECT cd.source, count(*) AS n_docs,
+           CAST(sum(dsw.n_tokens) AS BIGINT) AS clean_tokens,
+           CAST(sum(cd.n_removed) AS BIGINT) AS removed_words,
+           round(avg(dsw.dsir_logweight), 6) AS mean_dsir,
+           CAST(sum(CASE WHEN dsw.dsir_logweight > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_target_like
+    FROM dsw JOIN cd USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Round-4 stages composed in ONE plan — cut duplicated spans, "
+    "re-weight the CLEANED text with DSIR, report per source: "
+    "remove_duplicate_spans -> dsir_logweights(clean_text) -> per-source "
+    "rollup of (docs, clean tokens, words removed, mean importance "
+    "weight, target-like count at the rounded >0 threshold). Dedup "
+    "BEFORE importance weighting is the principled order (duplicated "
+    "boilerplate would otherwise dominate the raw LM) and the "
+    "composition stays lazy — no materialization between stages; the "
+    "doc-keyed joins carry only doc-sized rows, the 64-row LM frame "
+    "broadcasts, and the final rollup is |sources|-sized. The oracle "
+    "nests the span-clean CTE chain into the source-parameterized DSIR "
+    "chain over clean_text.",
+    tags=("dataprep", "dedup", "span", "dsir", "curation", "pipeline"),
+)
+def span_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cleaned = X.remove_duplicate_spans(docs, n=3, min_df=2)
+    # persist at the stage boundary: the cleaned corpus feeds BOTH the
+    # DSIR token explode and the report join — unpersisted, the whole
+    # span-cutting lineage (gram df + equi-join + fold) re-executes per
+    # consumer (measured 5.8 -> 3.4 s at sf0.1). Doc-sized rows; the
+    # harnesses clearCache between queries.
+    cd = cleaned.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).persist()
+    w = X.dsir_logweights(
+        cd, F.col("lang") == "en", buckets=64, text_col="clean_text"
+    )
+    per_doc = w.join(cd.select("doc_id", "source", "n_removed"), "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("clean_tokens"),
+        F.sum("n_removed").alias("removed_words"),
+        F.round(F.avg("dsir_logweight"), 6).alias("mean_dsir"),
+        F.sum((F.col("dsir_logweight") > 0).cast("long")).alias("n_target_like"),
+    )

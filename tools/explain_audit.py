@@ -124,6 +124,9 @@ ALLOWED = {
     # stats-frame rationale); the score join on the bucket key is an
     # equi broadcast join
     "dsir_weights": {"NESTED-LOOP-JOIN"},
+    # same DSIR stats x one-row-totals cross join inside the composed
+    # pipeline (dsir_weights' rationale)
+    "span_dsir_pipeline": {"NESTED-LOOP-JOIN"},
 }
 
 
