@@ -122,6 +122,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_token_count",
     "span_dsir_pipeline",
+    "source_length_quartiles",
 ]
 
 

@@ -40,6 +40,7 @@ _UNVERIFIED_FIRST = (
     "bpe_merges",
     "bpe_token_count",
     "span_dsir_pipeline",
+    "source_length_quartiles",
 )
 
 

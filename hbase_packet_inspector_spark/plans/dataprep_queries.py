@@ -3270,3 +3270,40 @@ def span_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dsir_logweight"), 6).alias("mean_dsir"),
         F.sum((F.col("dsir_logweight") > 0).cast("long")).alias("n_target_like"),
     )
+
+
+@register(
+    "source_length_quartiles",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS q1,
+           round(quantile_cont(n_chars, 0.5), 4) AS median,
+           round(quantile_cont(n_chars, 0.75), 4) AS q3,
+           round(quantile_cont(n_chars, 0.75)
+                 - quantile_cont(n_chars, 0.25), 4) AS iqr
+    FROM documents GROUP BY source
+    """,
+    doc="Robust per-source length profile: exact interpolated quartiles "
+    "and IQR of n_chars per source — the outlier-resistant complement to "
+    "data_profile's min/max (one corrupted mega-doc moves max, not the "
+    "median; length-filter thresholds should come from THESE). Exact "
+    "percentile is a single sort-based aggregate per group — at 100 TB "
+    "swap in percentile_approx with the same schema (documented "
+    "trade-off; latency_percentiles sets the pattern). Linear "
+    "interpolation semantics match across engines; round(4) pins the "
+    "division.",
+    tags=("dataprep", "profile", "quality", "percentile"),
+)
+def source_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("q3"),
+        F.round(
+            F.expr("percentile(n_chars, 0.75)")
+            - F.expr("percentile(n_chars, 0.25)"), 4
+        ).alias("iqr"),
+    )
