@@ -3224,21 +3224,34 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SPAN_CLEAN_CTES},
     cd AS (SELECT c.doc_id, c.clean_text, c.n_removed, d.lang, d.source
            FROM cleaned c JOIN documents d USING (doc_id)),
-    {_dsir_ctes(src="cd", text="clean_text")}
-    SELECT cd.source, count(*) AS n_docs,
-           CAST(sum(dsw.n_tokens) AS BIGINT) AS clean_tokens,
-           CAST(sum(cd.n_removed) AS BIGINT) AS removed_words,
-           round(avg(dsw.dsir_logweight), 6) AS mean_dsir,
-           CAST(sum(CASE WHEN dsw.dsir_logweight > 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_target_like
-    FROM dsw JOIN cd USING (doc_id)
-    GROUP BY 1
+    cde AS (SELECT * FROM cd WHERE clean_text <> ''),
+    {_dsir_ctes(src="cde", text="clean_text")},
+    j AS (SELECT cd.source, dsw.n_tokens, dsw.dsir_logweight
+          FROM dsw JOIN cd USING (doc_id)),
+    ws AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS clean_tokens,
+                  round(avg(dsir_logweight), 6) AS mean_dsir,
+                  CAST(sum(CASE WHEN dsir_logweight > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_target_like
+           FROM j GROUP BY 1),
+    base AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(n_removed) AS BIGINT) AS removed_words,
+                    CAST(sum(CASE WHEN clean_text = '' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_empty
+             FROM cd GROUP BY 1)
+    SELECT base.source, n_docs,
+           coalesce(clean_tokens, 0) AS clean_tokens,
+           removed_words, n_empty, mean_dsir,
+           coalesce(n_target_like, 0) AS n_target_like
+    FROM base LEFT JOIN ws USING (source)
     """,
     doc="Round-4 stages composed in ONE plan — cut duplicated spans, "
     "re-weight the CLEANED text with DSIR, report per source: "
     "remove_duplicate_spans -> dsir_logweights(clean_text) -> per-source "
-    "rollup of (docs, clean tokens, words removed, mean importance "
-    "weight, target-like count at the rounded >0 threshold). Dedup "
+    "rollup of (docs, clean tokens, words removed, fully-emptied docs, "
+    "mean importance weight, target-like count at the rounded >0 "
+    "threshold). Fully-cleaned docs count as n_empty, never as tokens "
+    "or target hits (split('') = [''] would otherwise score a phantom "
+    "token). Dedup "
     "BEFORE importance weighting is the principled order (duplicated "
     "boilerplate would otherwise dominate the raw LM) and the "
     "composition stays lazy — no materialization between stages; the "
@@ -3259,30 +3272,50 @@ def span_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = cleaned.join(
         docs.select("doc_id", "lang", "source"), "doc_id"
     ).persist()
-    w = X.dsir_logweights(
-        cd, F.col("lang") == "en", buckets=64, text_col="clean_text"
+    # fully-cleaned docs are EXCLUDED from the weighting stage: split('')
+    # yields [''] on both engines, so an empty doc would otherwise enter
+    # DSIR as one phantom empty-string token and score target-like —
+    # zero-content docs must count as docs (and as n_empty), never as
+    # tokens or target hits
+    scored = X.dsir_logweights(
+        cd.where(F.col("clean_text") != ""),
+        F.col("lang") == "en", buckets=64, text_col="clean_text",
     )
-    per_doc = w.join(cd.select("doc_id", "source", "n_removed"), "doc_id")
-    return per_doc.groupBy("source").agg(
+    ws = (
+        scored.join(cd.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("clean_tokens"),
+            F.round(F.avg("dsir_logweight"), 6).alias("mean_dsir"),
+            F.sum((F.col("dsir_logweight") > 0).cast("long"))
+            .alias("n_target_like"),
+        )
+    )
+    base = cd.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("clean_tokens"),
         F.sum("n_removed").alias("removed_words"),
-        F.round(F.avg("dsir_logweight"), 6).alias("mean_dsir"),
-        F.sum((F.col("dsir_logweight") > 0).cast("long")).alias("n_target_like"),
+        F.sum((F.col("clean_text") == "").cast("long")).alias("n_empty"),
+    )
+    return base.join(ws, "source", "left").select(
+        "source", "n_docs",
+        F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        "removed_words", "n_empty", "mean_dsir",
+        F.coalesce("n_target_like", F.lit(0)).alias("n_target_like"),
     )
 
 
 @register(
     "source_length_quartiles",
     """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(quantile_cont(n_chars, 0.25), 4) AS q1,
-           round(quantile_cont(n_chars, 0.5), 4) AS median,
-           round(quantile_cont(n_chars, 0.75), 4) AS q3,
-           round(quantile_cont(n_chars, 0.75)
-                 - quantile_cont(n_chars, 0.25), 4) AS iqr
-    FROM documents GROUP BY source
+    WITH q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+               FROM documents GROUP BY source)
+    SELECT source, n_docs,
+           round(qs[1], 4) AS q1,
+           round(qs[2], 4) AS median,
+           round(qs[3], 4) AS q3,
+           round(qs[3] - qs[1], 4) AS iqr
+    FROM q
     """,
     doc="Robust per-source length profile: exact interpolated quartiles "
     "and IQR of n_chars per source — the outlier-resistant complement to "
@@ -3297,13 +3330,22 @@ def span_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q1"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median"),
-        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("q3"),
-        F.round(
-            F.expr("percentile(n_chars, 0.75)")
-            - F.expr("percentile(n_chars, 0.25)"), 4
-        ).alias("iqr"),
+    # ONE array-form percentile aggregate: three scalar percentile()
+    # calls would each buffer every per-group value independently —
+    # the array form computes all three quantiles from a single buffer
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("_q"),
+        )
+        .select(
+            "source", "n_docs",
+            F.round(F.element_at("_q", 1), 4).alias("q1"),
+            F.round(F.element_at("_q", 2), 4).alias("median"),
+            F.round(F.element_at("_q", 3), 4).alias("q3"),
+            F.round(
+                F.element_at("_q", 3) - F.element_at("_q", 1), 4
+            ).alias("iqr"),
+        )
     )
