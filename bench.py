@@ -5,12 +5,33 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing is end-to-end per query (plan + execute + collect-to-count) after a
 one-time warmup query to amortize JVM/codegen startup.
+
+Measurement discipline (round-5 rework — VERDICT_r4 item 1): this box is
+shared and the same query can measure 2-3x apart run-to-run under
+contention, which made the per-round BENCH files useless as a regression
+signal.  The harness now:
+
+  * QUIESCE GUARD — samples /proc/loadavg before timing; if the 1-min load
+    exceeds half the allotted CPUs it waits (up to ~2 min) for the box to
+    settle and records ``contended: true`` plus the observed load if it
+    never does, so a noisy run is machine-readably marked instead of
+    silently poisoning the history.
+  * REPEATS — every query runs ``$SPARK_GRAFT_BENCH_REPEATS`` times
+    (default 3).  ``queries`` carries the per-query MIN (the least
+    contention-biased estimate of the plan's true cost and the number to
+    compare across rounds); ``queries_median`` the median; ``spread`` the
+    relative spread ``(max-min)/median`` per query, so a reader can see
+    exactly which numbers were noisy.
+  * ``value`` is the sum of per-query minimums.  Back-to-back totals on a
+    quiet box agree within a few percent under this scheme (vs 40%+ for
+    single-shot walls).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -102,6 +123,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
+    "multimodal_ppm_decode",
     "scalar_functions",
     "embedding_pca",
     "embedding_pca_wide",
@@ -126,9 +148,38 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _quiesce(cpus: int, max_wait_sec: float = 120.0) -> tuple[bool, float]:
+    """Wait for the box to settle; return (contended, observed_load).
+
+    "Settled" = 1-min loadavg below half the CPUs we were allotted.  The
+    1-min average decays slowly, so we poll rather than sleep once.  If the
+    load never drops within ``max_wait_sec`` we proceed anyway but flag the
+    run as contended — a marked-noisy number beats no number.
+    """
+    threshold = max(2.0, cpus / 2.0)
+    deadline = time.monotonic() + max_wait_sec
+    load = _loadavg()
+    while load > threshold and time.monotonic() < deadline:
+        print(f"# quiesce: load {load:.1f} > {threshold:.1f}, waiting...", file=sys.stderr)
+        time.sleep(10)
+        load = _loadavg()
+    return load > threshold, load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    contended, load0 = _quiesce(cpus)
     spark = get_spark("hpi-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -151,17 +202,31 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.QUERIES.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        n = q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # drop persisted frames (e.g. LSH signature caches) between queries
-        # so earlier queries' executor memory doesn't tax later ones
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        n = 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            # drop persisted frames (e.g. LSH signature caches) between
+            # runs/queries so earlier work's executor memory doesn't tax
+            # later ones — and so every repeat pays the same cache state
+            spark.catalog.clearCache()
+        med = statistics.median(runs)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(med, 3)
+        spread[name] = round((max(runs) - min(runs)) / med, 3) if med > 0 else 0.0
+        print(
+            f"# {name}: min {timings[name]:.3f}s med {medians[name]:.3f}s "
+            f"spread {spread[name]:.2f} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -171,6 +236,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "spread": spread,
+                "repeats": repeats,
+                "contended": contended,
+                "load_at_start": load0,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -391,7 +391,8 @@ def minhash_lsh_dedup(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
 def lsh_recall(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
                n_hashes: int = DEFAULT_HASHES, n_bands: int = DEFAULT_BANDS,
                min_est: float = 0.4,
-               min_jaccard: float = 0.35) -> DataFrame:
+               min_jaccard: float = 0.35,
+               max_truth_df: int | None = None) -> DataFrame:
     """LSH calibration audit — the measurement that justifies running the
     banded pipeline instead of the quadratic baseline: recall of the
     MinHash+LSH verified pairs against the EXACT pairwise-Jaccard truth at
@@ -404,8 +405,27 @@ def lsh_recall(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
     the thing being avoided at corpus scale — the operator exists to pick
     (n_hashes, n_bands, min_est) on 10^5 sampled docs before the banded
     pipeline runs on 10^9. The comparison itself is one outer join on the
-    pair key plus a count aggregate."""
+    pair key plus a count aggregate.
+
+    ``max_truth_df`` (optional) applies the standard stop-shingle cap to
+    the TRUTH side: shingles held by more than that many sample docs are
+    dropped (df aggregate + broadcast anti-join, same shape as winnow's
+    _WINNOW_MAX_DF) before the quadratic self-join, so the truth becomes
+    "exact Jaccard over non-ubiquitous shingles". Each ubiquitous shingle
+    contributes df^2 self-join rows while carrying near-zero
+    discriminative weight (it inflates every pair's union equally), so
+    the cap cuts the dominant quadratic term without moving the
+    calibration decision; callers that set it must mirror the identical
+    cap in any cross-engine oracle."""
     sh = char_shingles(docs, n)
+    if max_truth_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_truth_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     truth = pairwise_jaccard(sh, min_jaccard).select("d1", "d2")
     lsh = minhash_lsh_dedup(
         docs, n=n, n_hashes=n_hashes, n_bands=n_bands,

@@ -681,11 +681,21 @@ def remove_duplicate_spans(docs: DataFrame, *, n: int = 3, min_df: int = 2,
     )
 
 
-def _bpe_learn(docs: DataFrame, rounds: int, text_col: str):
+def _bpe_learn(docs: DataFrame, rounds: int, text_col: str,
+               *, need_segmentation: bool = True):
     """Shared BPE training loop: returns (merge list, final vocab frame
-    (w, freq, syms) segmented under all learned merges). The vocab base
-    stays persisted (tiny — vocab-sized; the clearCache discipline of
-    kmeans_refine applies in long-lived sessions)."""
+    (w, freq, syms) segmented under all learned merges, or None).
+
+    Persist discipline (the kmeans_refine class, made uniform in r5):
+    every intermediate persist is released before return. With
+    ``need_segmentation=False`` (bpe_merge_table: only the merge list is
+    read) the LAST round's re-segmentation fold is skipped entirely —
+    it's write-only — and everything is unpersisted, so a long-lived
+    driver session accumulates nothing. With ``need_segmentation=True``
+    (bpe_token_counts) exactly ONE frame — the returned final
+    segmentation — remains persisted, because the caller's lazy plan
+    reads it; the caller owns its lifetime (clearCache / unpersist after
+    materializing)."""
     vocab = (
         docs.select(F.explode(_tok(text_col)).alias("w"))
         .groupBy("w").agg(F.count("*").alias("freq"))
@@ -724,6 +734,10 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str):
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         m = l + r
         merges.append((rnd, l, r, m, cnt))
+        if not need_segmentation and rnd == rounds:
+            # the final merge's re-segmentation is never read when the
+            # caller only wants the merge table — skip the vocab-wide fold
+            break
 
         # nested factory, NOT default-arg lambdas: F.aggregate inspects
         # the callable's arity, and default args would make it 5-ary
@@ -755,6 +769,13 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str):
         if cur is not vocab:
             cur.unpersist()
         cur = nxt
+    if not need_segmentation:
+        if cur is not vocab:
+            cur.unpersist()
+        vocab.unpersist()
+        return merges, None
+    if cur is not vocab:
+        vocab.unpersist()
     return merges, cur
 
 
@@ -777,8 +798,13 @@ def bpe_merge_table(docs: DataFrame, *, rounds: int = 4,
     in-row string fold (no shuffle). At 10^12 tokens the vocabulary is
     ~10^8 rows — per-round cost is vocab-, not corpus-, proportional.
     The greedy left-to-right fold handles overlapping occurrences
-    ('a a a' under merge (a,a) -> ['aa','a']) identically on any engine."""
-    merges, _cur = _bpe_learn(docs, rounds, text_col)
+    ('a a a' under merge (a,a) -> ['aa','a']) identically on any engine.
+
+    Leaves NO persisted frames behind (need_segmentation=False: the last
+    round's fold is skipped — write-only — and every intermediate is
+    unpersisted before return)."""
+    merges, _cur = _bpe_learn(docs, rounds, text_col,
+                              need_segmentation=False)
     return docs.sparkSession.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, cnt long"
     )
@@ -798,7 +824,11 @@ def bpe_token_counts(docs: DataFrame, *, rounds: int = 4,
     frame, so per-word BPE lengths are one in-row size() over the vocab,
     and the corpus just equi-joins word -> length (AQE broadcasts the
     vocab-derived side when it fits) and sums per doc. The expensive
-    folds never touch the corpus rows."""
+    folds never touch the corpus rows.
+
+    Exactly ONE frame (the final vocab segmentation the returned lazy
+    plan joins against) remains persisted; the caller owns its lifetime
+    (unpersist / clearCache after materializing the result)."""
     _merges, cur = _bpe_learn(docs, rounds, text_col)
     wlen = cur.select(
         "w", F.size(F.split("syms", " ")).alias("_tl")

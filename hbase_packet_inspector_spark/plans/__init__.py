@@ -14,33 +14,128 @@ except ImportError:
     pass
 
 
-# Queries the driver's rotating 50-slot correctness check has never
-# hash-verified (absent from CORRECTNESS_r01 and _r02), plus the queries
-# new this round: listed FIRST so a prefix-biased rotation reaches them
-# before re-checking long-green ones. Refresh after each round's
-# CORRECTNESS file lands.
+# Rotation order for the driver's ~50-slot correctness check: queries
+# never hash-verified first, then ascending by the round of each query's
+# LATEST green hash row (oldest-green-first), so no query's freshest green
+# ages past ~3 rounds. Regenerate with tools/refresh_unverified.py after
+# each round's CORRECTNESS_r{N}.json lands; new queries register with no
+# green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
-    "hbase_pcap_decode",
-    "hbase_pcap_tables",
-    "embedding_pca_wide",
-    "data_profile",
-    "source_mixture_weights",
-    "global_shuffle",
-    "lsh_recall",
-    "embedding_decontaminate",
-    "curation_pipeline",
-    "key_skew_report",
-    "bigram_surprise",
-    "dup_span_fraction",
-    "dsir_weights",
-    "logreg_score",
-    "source_overlap",
-    "pq_rerank_topk",
-    "dedup_span_clean",
-    "bpe_merges",
-    "bpe_token_count",
-    "span_dsir_pipeline",
-    "source_length_quartiles",
+    "ivf_quantized_topk",  # latest green r1
+    "ivf_kmeans_topk",  # latest green r1
+    "dedup_clusters",  # latest green r1
+    "order_lineitem_counts",  # latest green r2
+    "parts_both_flags_intersect",  # latest green r2
+    "lineitem_status_cube",  # latest green r2
+    "customer_order_gaps",  # latest green r2
+    "quantity_outliers",  # latest green r2
+    "big_ticket_customers",  # latest green r2
+    "dedup_exact",  # latest green r2
+    "doc_fingerprint",  # latest green r2
+    "dedup_ngram_jaccard",  # latest green r2
+    "dedup_minhash_lsh",  # latest green r2
+    "dedup_simhash",  # latest green r2
+    "text_quality",  # latest green r2
+    "lang_id",  # latest green r2
+    "token_count",  # latest green r2
+    "cosine_topk",  # latest green r2
+    "ivf_topk_by_label",  # latest green r2
+    "dedup_embedding",  # latest green r2
+    "embedding_norms",  # latest green r2
+    "multimodal_byte_features",  # latest green r2
+    "rolling_fingerprint",  # latest green r2
+    "dedup_word_ngram",  # latest green r2
+    "multimodal_frame_sample",  # latest green r3
+    "multimodal_resize_plan",  # latest green r3
+    "scalar_functions",  # latest green r3
+    "corpus_topics",  # latest green r3
+    "semdedup",  # latest green r3
+    "embedding_pca",  # latest green r3
+    "ivf_kmeans2_topk",  # latest green r3
+    "repetition_ratio",  # latest green r3
+    "term_zipf",  # latest green r3
+    "tfidf_top_terms",  # latest green r3
+    "dedup_containment",  # latest green r3
+    "curation_funnel",  # latest green r3
+    "top_bigrams",  # latest green r3
+    "curation_by_source",  # latest green r3
+    "stratified_sample",  # latest green r3
+    "source_token_mix",  # latest green r3
+    "ann_recall",  # latest green r3
+    "dedup_cluster_sizes",  # latest green r3
+    "dedup_keep_best",  # latest green r3
+    "dedup_keep_best_lsh",  # latest green r3
+    "pii_scrub",  # latest green r3
+    "pack_sequences",  # latest green r3
+    "decontaminate",  # latest green r3
+    "dedup_clusters_converged",  # latest green r3
+    "logreg2",  # latest green r3
+    "pq_adc_topk",  # latest green r3
+    "ivfpq_topk",  # latest green r3
+    "pq_recall",  # latest green r3
+    "doc_chunks",  # latest green r3
+    "chunk_dedup",  # latest green r3
+    "cdc_chunks",  # latest green r3
+    "cdc_dedup",  # latest green r3
+    "bm25_topk",  # latest green r3
+    "unigram_surprise",  # latest green r3
+    "winnow_fingerprints",  # latest green r3
+    "winnow_pairs",  # latest green r3
+    "rpc_correlate",  # latest green r3
+    "error_analysis",  # latest green r3
+    "rpc_scanner_state",  # latest green r3
+    "rpc_finalize",  # latest green r3
+    "skew_salted_join",  # latest green r3
+    "traffic_per_method",  # latest green r4
+    "latency_percentiles",  # latest green r4
+    "top_hot_users",  # latest green r4
+    "events_per_minute",  # latest green r4
+    "event_type_share",  # latest green r4
+    "distinct_users_by_type",  # latest green r4
+    "sessionize",  # latest green r4
+    "asof_correlate",  # latest green r4
+    "scanner_enrich",  # latest green r4
+    "json_props_bucket",  # latest green r4
+    "value_histogram",  # latest green r4
+    "rolling_avg_per_user",  # latest green r4
+    "user_event_pivot",  # latest green r4
+    "approx_distinct_users",  # latest green r4
+    "asof_last_click",  # latest green r4
+    "conversion_funnel",  # latest green r4
+    "range_join_counts",  # latest green r4
+    "top_event_paths",  # latest green r4
+    "cohort_retention",  # latest green r4
+    "key_skew_report",  # latest green r4
+    "pricing_summary",  # latest green r4
+    "top_revenue_orders",  # latest green r4
+    "nation_revenue",  # latest green r4
+    "customer_geo_rollup",  # latest green r4
+    "priority_top_orders",  # latest green r4
+    "parts_never_returned",  # latest green r4
+    "customers_without_orders",  # latest green r4
+    "brand_supplier_volume",  # latest green r4
+    "orders_by_month",  # latest green r4
+    "acctbal_deciles",  # latest green r4
+    "embedding_pca_wide",  # latest green r4
+    "data_profile",  # latest green r4
+    "source_mixture_weights",  # latest green r4
+    "global_shuffle",  # latest green r4
+    "lsh_recall",  # latest green r4
+    "embedding_decontaminate",  # latest green r4
+    "curation_pipeline",  # latest green r4
+    "bigram_surprise",  # latest green r4
+    "dup_span_fraction",  # latest green r4
+    "dsir_weights",  # latest green r4
+    "logreg_score",  # latest green r4
+    "source_overlap",  # latest green r4
+    "pq_rerank_topk",  # latest green r4
+    "dedup_span_clean",  # latest green r4
+    "bpe_merges",  # latest green r4
+    "bpe_token_count",  # latest green r4
+    "span_dsir_pipeline",  # latest green r4
+    "source_length_quartiles",  # latest green r4
+    "hbase_pcap_decode",  # latest green r4
+    "hbase_pcap_tables",  # latest green r4
 )
 
 

@@ -1,4 +1,4 @@
-"""Unit tests for the round-5 curation operators: cross-document
+"""Unit tests for the round-4 curation operators: cross-document
 duplicated-span fraction, DSIR importance weights, classifier inference,
 two-stage PQ re-rank, and the cross-source overlap rollup."""
 
@@ -226,6 +226,31 @@ def test_bpe_token_counts_hand_checked(spark):
     out0 = {r.doc_id: r for r in X.bpe_token_counts(docs, rounds=0).collect()}
     assert out0[0].n_bpe_tokens == 2 * 3 + 3
     assert out0[1].n_bpe_tokens == 2 + 3
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_bpe_merge_table_unpersists_everything(spark):
+    # the r4-verdict persist-leak class: bpe_merge_table must leave
+    # executor storage at baseline (vocab + per-round folds all released,
+    # final fold skipped entirely)
+    docs = _docs(spark, [(0, "ab ab ab abc", "en", "s", 12)])
+    base = _n_persisted(spark)
+    X.bpe_merge_table(docs, rounds=3).collect()
+    assert _n_persisted(spark) == base
+
+
+def test_bpe_token_counts_single_persisted_frame(spark):
+    # documented contract: exactly ONE frame (the final segmentation the
+    # returned plan joins) stays persisted; caller-owned lifetime
+    docs = _docs(spark, [(0, "ab ab ab abc", "en", "s", 12)])
+    base = _n_persisted(spark)
+    X.bpe_token_counts(docs, rounds=2).collect()
+    assert _n_persisted(spark) == base + 1
+    spark.catalog.clearCache()
+    assert _n_persisted(spark) <= base
 
 
 def test_bpe_more_rounds_than_merges(spark):

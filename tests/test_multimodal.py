@@ -71,3 +71,45 @@ def test_resize_stub_contract(media):
 def test_codec_decode_is_gated():
     with pytest.raises(NotImplementedError):
         M.decode_image_batch(b"\x89PNG", "png")
+
+
+def test_ppm_decode_hand_checked():
+    # 2x1 image: pixels (1,2,3) and (5,6,7) -> means (3,4,5)
+    raster = bytes([1, 2, 3, 5, 6, 7])
+    w, h, arr = M.decode_ppm_bytes(b"P6\n2 1\n255\n" + raster)
+    assert (w, h) == (2, 1)
+    assert arr.reshape(-1, 3).mean(axis=0).tolist() == [3.0, 4.0, 5.0]
+
+
+def test_ppm_decode_comment_and_whitespace_tolerant():
+    # comments and arbitrary whitespace are legal anywhere in the header
+    data = b"P6 # magic\n# a comment line\n  2\t1 # dims\n255\n" + bytes(6)
+    w, h, arr = M.decode_ppm_bytes(data)
+    assert (w, h) == (2, 1) and arr.sum() == 0
+
+
+def test_ppm_decode_rejects_bad_payloads():
+    with pytest.raises(ValueError):
+        M.decode_ppm_bytes(b"P5\n2 1\n255\n" + bytes(2))  # PGM, not P6
+    with pytest.raises(ValueError):
+        M.decode_ppm_bytes(b"P6\n2 1\n65535\n" + bytes(12))  # 16-bit
+    with pytest.raises(ValueError):
+        M.decode_ppm_bytes(b"P6\n4 4\n255\n" + bytes(5))  # short raster
+
+
+def test_ppm_decode_via_decode_image_batch():
+    # uncompressed formats decode WITHOUT a codec library
+    w, h, arr = M.decode_image_batch(b"P6\n1 1\n255\n\xff\x00\x80", "ppm")
+    assert (w, h) == (1, 1) and arr[0, 0].tolist() == [255, 0, 128]
+
+
+def test_ppm_corpus_decode_matches_python(spark):
+    media = M.synthesize_ppm(spark, 12)
+    out = {r.media_id: r for r in M.decode_ppm(media).collect()}
+    for r in media.collect():
+        w, h, arr = M.decode_ppm_bytes(bytes(r.payload))
+        got = out[r.media_id]
+        assert (got.width, got.height) == (w, h)
+        sums = arr.reshape(-1, 3).sum(axis=0)
+        assert got.mean_r == round(float(sums[0]) / (w * h), 6)
+        assert got.mean_b == round(float(sums[2]) / (w * h), 6)

@@ -681,3 +681,58 @@ def test_stream_cdc_dedup_across_micro_batches(spark, tmp_path):
     doc0 = {r["chunk_md5"] for r in out if r["doc_id"] == 0}
     doc1 = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
     assert doc0 and not (doc0 & doc1)
+
+
+def test_stream_cdc_chunks_exactly_matches_batch(spark, tmp_path):
+    """cdc_chunks batch===stream equivalence (the r4-verdict curation-
+    operator streaming-parity item): the operator is stateless narrow
+    expressions with event-time threaded via ``carry``, so the SAME
+    function run under readStream with a watermark must emit EXACTLY the
+    batch output — every column, every row, across micro-batch
+    boundaries (maxFilesPerTrigger=1 forces multiple batches)."""
+    from hbase_packet_inspector_spark.operators.text import cdc_chunks
+    import datetime as dt
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    body = "the quick brown fox jumps over the lazy dog again and again " * 6
+    src = str(tmp_path / "cdceq")
+    schema = "doc_id long, ts timestamp, text string"
+    first = spark.createDataFrame(
+        [(0, t0, body + "unique tail zero"),
+         (1, t0 + dt.timedelta(seconds=30), body + "fresh ending words")],
+        schema,
+    )
+    second = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(seconds=90), "completely unrelated document"),
+         (3, t0 + dt.timedelta(seconds=120), "")],  # empty doc: no chunks
+        schema,
+    )
+    first.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # file source orders micro-batches by mod time
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    reader = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out: list = []
+    q = (
+        cdc_chunks(reader.withWatermark("ts", "10 minutes"), carry=("ts",))
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = cdc_chunks(
+        first.unionByName(second), carry=("ts",)
+    ).collect()
+
+    def key(rows):
+        return sorted(tuple(str(x) for x in r) for r in rows)
+
+    assert len(batch) > 0
+    assert key(out) == key(batch)

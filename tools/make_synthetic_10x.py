@@ -1,4 +1,4 @@
-"""Build the synthetic 10x documents corpus used for beyond-sf0.1 scaling
+"""Build the synthetic Nx documents corpus used for beyond-sf0.1 scaling
 probes (SCALE.md round-4 notes): each copy is caesar-rotated per copy index,
 which preserves text length, gram structure, and the within-copy similarity
 profile while making copies mutually disjoint — so a 10x corpus scales the
@@ -6,8 +6,18 @@ work without changing the near-dup density (a naive copy, or copy with
 word-prefix salting, makes char-shingle copies MORE self-similar and turns
 the probe output-bound).
 
+Per-copy shift is ``(7*g) % 26`` (7 coprime to 26, so all shifts are
+distinct for g < 26); ``copies`` is capped at 26 because a caesar alphabet
+only has 26 distinct rotations — beyond that copies would collide. Each
+copy's full 26-char mapping is materialized Python-side (the previous
+``substr(rot||rot, g, 26)`` ran out of characters past g=27 and silently
+made translate() DELETE characters). Only lowercase rotates — the
+synthetic corpus is lowercase prose, and rotating digits/punct would
+change the tokenizer's word boundaries. The doc_id stride is derived from
+``max(doc_id)+1`` of the source, not hardcoded to the sf0.1 corpus size.
+
 Usage: python tools/make_synthetic_10x.py [src_dir] [out_dir] [copies]
-       (defaults: /root/testdata/sf0.1 /tmp/sfbig 10)
+       (defaults: /root/testdata/sf0.1 /tmp/sfbig 10; copies <= 26)
 
 Probe pattern (isolated, post-warmup, clearCache between runs):
     q.fn(spark, '/root/testdata/sf0.1').count()   # 1x
@@ -16,37 +26,47 @@ Probe pattern (isolated, post-warmup, clearCache between runs):
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rot(shift: int) -> str:
+    return "".join(chr((ord(c) - 97 + shift) % 26 + 97) for c in _ALPHA)
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    rot = "".join(
-        chr((ord(c) - 97 + 7) % 26 + 97) for c in "abcdefghijklmnopqrstuvwxyz"
+    if not 1 <= copies <= 26:
+        raise SystemExit("copies must be in 1..26 (distinct caesar shifts)")
+    stride = duckdb.sql(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    rot_rows = ", ".join(
+        f"({g}, '{_rot((7 * g) % 26)}')" for g in range(copies)
     )
-    import os
-
     os.makedirs(out, exist_ok=True)
     duckdb.sql(f"""
     COPY (
-      SELECT doc_id + 5000 * CAST(g.g AS BIGINT) AS doc_id,
-             CASE WHEN g.g = 0 THEN text
-                  ELSE translate(text, 'abcdefghijklmnopqrstuvwxyz',
-                       substr('{rot}' || '{rot}', CAST(g.g AS INTEGER), 26))
+      SELECT d.doc_id + {stride} * CAST(g.g AS BIGINT) AS doc_id,
+             CASE WHEN g.g = 0 THEN d.text
+                  ELSE translate(d.text, '{_ALPHA}', g.rotstr)
              END AS text,
-             lang, source, n_chars
-      FROM read_parquet('{src}/documents.parquet'),
-           (SELECT unnest(range(0, {copies})) AS g) g
+             d.lang, d.source, d.n_chars
+      FROM read_parquet('{src}/documents.parquet') d,
+           (VALUES {rot_rows}) AS g(g, rotstr)
     ) TO '{out}/documents.parquet' (FORMAT parquet)
     """)
     n, chars = duckdb.sql(
         f"SELECT count(*), sum(n_chars) FROM '{out}/documents.parquet'"
     ).fetchall()[0]
-    print(f"{out}/documents.parquet: {n} docs, {chars} chars")
+    print(f"{out}/documents.parquet: {n} docs, {chars} chars "
+          f"(stride {stride}, {copies} copies)")
 
 
 if __name__ == "__main__":
