@@ -124,6 +124,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "multimodal_video_frames",
     "scalar_functions",
     "embedding_pca",
     "embedding_pca_wide",

@@ -249,6 +249,219 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_ppm_channel_means, PPM_DECODE_SCHEMA)
 
 
+WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+# struct.pack("<.")-equivalent constant hex for the synthesized WAV header
+_WAV_FMT_SIZE_HEX = "10000000"   # <I 16
+_WAV_PCM_HEX = "0100"            # <H 1 (PCM)
+_WAV_MONO_HEX = "0100"           # <H 1 channel
+_WAV_SR_HEX = "401f0000"         # <I 8000
+_WAV_BYTERATE_HEX = "803e0000"   # <I 16000
+_WAV_ALIGN_HEX = "0200"          # <H 2
+_WAV_BITS_HEX = "1000"           # <H 16
+
+
+def _le_hex(col, width: int):
+    """Little-endian hex of an int column (width = bytes)."""
+    bh = F.lpad(F.hex(col), width * 2, "0")
+    return F.concat(
+        *[F.substring(bh, (width - 1 - i) * 2 + 1, 2) for i in range(width)]
+    )
+
+
+def synthesize_wav(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic 16-bit PCM mono WAV corpus, generated JVM-side: a
+    real RIFF/WAVE container (fmt + data chunks, little-endian sizes
+    built by in-row byte-swapped hex) whose sample bytes derive from
+    repeated md5(media_id) hex — DuckDB can reproduce the int16-LE
+    sample stream and oracle-check the audio decode end-to-end.
+    n_samples in 10..59 -> <= 118 data bytes <= 236 hex chars (8 md5
+    repeats)."""
+    ns = (F.col("id") % 50 + 10).cast("int")
+    dlen = (ns * 2).cast("int")
+    sample_hex = F.substring(
+        F.repeat(F.md5(F.col("id").cast("string")), 8), 1, dlen * 2
+    )
+    payload = F.concat(
+        F.lit("RIFF").cast("binary"),
+        F.to_binary(_le_hex(dlen + 36, 4), F.lit("hex")),
+        F.lit("WAVEfmt ").cast("binary"),
+        F.to_binary(
+            F.lit(
+                _WAV_FMT_SIZE_HEX + _WAV_PCM_HEX + _WAV_MONO_HEX
+                + _WAV_SR_HEX + _WAV_BYTERATE_HEX + _WAV_ALIGN_HEX
+                + _WAV_BITS_HEX
+            ),
+            F.lit("hex"),
+        ),
+        F.lit("data").cast("binary"),
+        F.to_binary(_le_hex(dlen, 4), F.lit("hex")),
+        F.to_binary(sample_hex, F.lit("hex")),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), payload.alias("payload")
+    )
+
+
+def decode_wav_bytes(data: bytes):
+    """Pure-Python RIFF/WAVE decoder for 16-bit PCM mono — no codec
+    library: walks the chunk list (word-aligned), reads fmt + data,
+    returns (sample_rate, int16 numpy sample array). Raises ValueError on
+    non-RIFF payloads, compressed/stereo/non-16-bit audio, or a missing
+    chunk — per-row loud failure, never an executor crash."""
+    import numpy as np
+
+    if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM16 mono supported (fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            if size % 2:
+                raise ValueError("odd data-chunk size for 16-bit samples")
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sr is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sr, samples
+
+
+def _wav_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batch_iter:
+        rows = []
+        for r in pdf.itertuples():
+            sr, s = decode_wav_bytes(bytes(r.payload))
+            n = len(s) or 1
+            total = int(s.sum(dtype="int64"))
+            sq = int((s.astype("int64") ** 2).sum())
+            rows.append(
+                {
+                    "media_id": r.media_id,
+                    "sample_rate": sr,
+                    "n_samples": len(s),
+                    "mean_amp": round(float(total) / n, 6),
+                    "rms": round(float(np.sqrt(float(sq) / n)), 6),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in WAV_DECODE_SCHEMA])
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Real audio decode, codec-free: parse every payload as PCM16 mono
+    WAV and emit sample-domain statistics (exact int64 sums, one double
+    division/sqrt, round 6). mapInPandas over Arrow batches — narrow,
+    payloads never leave the executors."""
+    return media.mapInPandas(_wav_features, WAV_DECODE_SCHEMA)
+
+
+FRAME_MEANS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_raw_video(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Deterministic raw-video corpus: payload = n_frames contiguous
+    uncompressed RGB24 frames (w*h*3 bytes each, no container), with
+    frame geometry as typed metadata — the storage shape of a decoded
+    video shard in a curation pipeline. Bytes from repeated md5 hex
+    (w 2..5, h 2..3, frames 2..6 -> <= 270 bytes <= 540 hex chars = 17
+    md5 repeats), so the oracle can reproduce any frame's raster."""
+    w = (F.col("id") % 4 + 2).cast("int")
+    h = (F.col("id") % 2 + 2).cast("int")
+    nf = (F.col("id") % 5 + 2).cast("int")
+    pix_hex = F.substring(
+        F.repeat(F.md5(F.col("id").cast("string")), 17),
+        1,
+        nf * w * h * F.lit(6),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        w.alias("width"),
+        h.alias("height"),
+        nf.alias("n_frames"),
+        F.to_binary(pix_hex, F.lit("hex")).alias("payload"),
+    )
+
+
+def _frame_means(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batch_iter:
+        rows = []
+        for r in pdf.itertuples():
+            arr = np.frombuffer(bytes(r.frame_bytes), dtype=np.uint8)
+            npx = len(arr) // 3
+            sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+            rows.append(
+                {
+                    "media_id": r.media_id,
+                    "frame_idx": r.frame_idx,
+                    "mean_r": round(float(sums[0]) / npx, 6),
+                    "mean_g": round(float(sums[1]) / npx, 6),
+                    "mean_b": round(float(sums[2]) / npx, 6),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_MEANS_SCHEMA])
+
+
+def sampled_frame_means(video: DataFrame, every_k: int = 2) -> DataFrame:
+    """The REAL sample-then-decode composition over raw video: (1) frame
+    indices 0, k, 2k, ... explode from METADATA (JVM-side, cheap); (2)
+    each sampled frame's bytes are sliced out of the payload with a
+    JVM-side binary substring — only the sampled frames' bytes ever
+    reach Python; (3) an Arrow-batched mapInPandas computes per-frame
+    channel means from the raster. At 100 TB this ordering is the whole
+    game: decode-then-sample touches every frame byte, sample-then-slice
+    ships |frames|/k of the payload into the (slow) decode stage. Narrow
+    end-to-end — zero shuffles."""
+    idxs = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(every_k)
+    )
+    return (
+        video.select(
+            "media_id", "width", "height", "payload",
+            F.explode(idxs).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.expr(
+                "substring(payload, frame_idx * width * height * 3 + 1, "
+                "width * height * 3)"
+            ).alias("frame_bytes"),
+        )
+        .mapInPandas(_frame_means, FRAME_MEANS_SCHEMA)
+    )
+
+
 def decode_image_batch(payload: bytes, fmt: str):
     """True pixel decode. Uncompressed formats decode pure-Python here and
     now (``ppm`` -> decode_ppm_bytes — no codec library involved);

@@ -515,6 +515,100 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_decode",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CAST(id % 50 + 10 AS INTEGER) AS ns,
+                      substr(repeat(md5(CAST(id AS VARCHAR)), 8), 1,
+                             (id % 50 + 10) * 4) AS hx
+               FROM range(48) t(id)),
+    b AS (SELECT media_id, ns, CAST(i.i AS INTEGER) AS i, hx
+          FROM m, LATERAL (SELECT unnest(range(0, ns)) AS i) i),
+    v AS (SELECT media_id, ns,
+                 instr('123456789abcdef', substr(hx, 4 * i + 1, 1)) * 16
+                 + instr('123456789abcdef', substr(hx, 4 * i + 2, 1))
+                 + 256 * (instr('123456789abcdef', substr(hx, 4 * i + 3, 1)) * 16
+                          + instr('123456789abcdef', substr(hx, 4 * i + 4, 1)))
+                   AS u16
+          FROM b),
+    s AS (SELECT media_id, ns,
+                 u16 - CASE WHEN u16 >= 32768 THEN 65536 ELSE 0 END AS amp
+          FROM v)
+    SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           max(ns) AS n_samples,
+           round(CAST(sum(amp) AS DOUBLE) / max(ns), 6) AS mean_amp,
+           round(sqrt(CAST(sum(amp * amp) AS DOUBLE) / max(ns)), 6) AS rms
+    FROM s GROUP BY 1
+    """,
+    doc="REAL audio decode, codec-free (operators/multimodal.py::"
+    "decode_wav): every payload is a well-formed RIFF/WAVE container "
+    "(fmt + data chunks, 16-bit PCM mono) built JVM-side with in-row "
+    "little-endian byte-swapped hex, parsed back by the pure-Python "
+    "chunk walker inside an Arrow-batched mapInPandas stage, emitting "
+    "sample-domain statistics (count, mean amplitude, RMS) from the "
+    "DECODED int16-LE stream. Sample bytes derive from repeated md5 hex "
+    "of the id, so DuckDB reproduces the exact sample values and "
+    "verifies the audio decode end-to-end — together with "
+    "multimodal_ppm_decode this makes image AND audio decode first-"
+    "class, not stubs. Exact int64 sums, one division/sqrt, round 6.",
+    tags=("dataprep", "multimodal", "binary", "decode", "audio"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.decode_wav(M.synthesize_wav(spark, 48))
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CAST(id % 4 + 2 AS INTEGER) AS w,
+                      CAST(id % 2 + 2 AS INTEGER) AS h,
+                      CAST(id % 5 + 2 AS INTEGER) AS nf,
+                      substr(repeat(md5(CAST(id AS VARCHAR)), 17), 1,
+                             (id % 5 + 2) * (id % 4 + 2) * (id % 2 + 2) * 6)
+                        AS hx
+               FROM range(24) t(id)),
+    f AS (SELECT media_id, w, h, hx, CAST(fi.fi AS INTEGER) AS frame_idx
+          FROM m, LATERAL (SELECT unnest(range(0, nf, 2)) AS fi) fi),
+    b AS (SELECT media_id, w, h, frame_idx,
+                 frame_idx * w * h * 3 + CAST(i.i AS INTEGER) AS i, hx
+          FROM f, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) i),
+    v AS (SELECT media_id, w, h, frame_idx, (i % 3) AS ch,
+                 instr('123456789abcdef', substr(hx, 2 * i + 1, 1)) * 16
+                 + instr('123456789abcdef', substr(hx, 2 * i + 2, 1)) AS byte
+          FROM b)
+    SELECT media_id, frame_idx,
+           round(CAST(sum(CASE WHEN ch = 0 THEN byte END) AS DOUBLE)
+                 / (max(w) * max(h)), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN ch = 1 THEN byte END) AS DOUBLE)
+                 / (max(w) * max(h)), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN ch = 2 THEN byte END) AS DOUBLE)
+                 / (max(w) * max(h)), 6) AS mean_b
+    FROM v GROUP BY 1, 2
+    """,
+    doc="REAL video sample-then-decode (operators/multimodal.py::"
+    "sampled_frame_means): raw RGB24 multi-frame payloads; every-2nd "
+    "frame index explodes from METADATA, the sampled frame's raster is "
+    "sliced out with a JVM-side binary substring (only sampled bytes "
+    "ever reach Python), and an Arrow-batched mapInPandas computes "
+    "per-frame channel means. This is the ordering that makes video "
+    "curation tractable at 100 TB — decode-then-sample touches every "
+    "byte, sample-then-slice ships 1/k of the payload into the decode "
+    "stage. Narrow end-to-end, zero shuffles; the oracle reproduces the "
+    "frame rasters from the same md5-derived byte stream.",
+    tags=("dataprep", "multimodal", "binary", "decode", "video"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.sampled_frame_means(M.synthesize_raw_video(spark, 24), every_k=2)
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH m AS (SELECT id AS media_id,

@@ -113,3 +113,76 @@ def test_ppm_corpus_decode_matches_python(spark):
         sums = arr.reshape(-1, 3).sum(axis=0)
         assert got.mean_r == round(float(sums[0]) / (w * h), 6)
         assert got.mean_b == round(float(sums[2]) / (w * h), 6)
+
+
+def test_wav_decode_hand_checked():
+    import struct
+
+    samples = [0, 100, -100, 32767, -32768]
+    data = struct.pack("<" + "h" * len(samples), *samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    sr, s = M.decode_wav_bytes(hdr + data)
+    assert sr == 8000 and s.tolist() == samples
+
+
+def test_wav_decode_skips_unknown_chunks():
+    import struct
+
+    data = struct.pack("<h", 42)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"  # ignored chunk
+    hdr = (b"RIFF" + struct.pack("<I", 48) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16))
+    sr, s = M.decode_wav_bytes(
+        hdr + extra + b"data" + struct.pack("<I", 2) + data)
+    assert sr == 8000 and s.tolist() == [42]
+
+
+def test_wav_decode_rejects_bad_payloads():
+    import struct
+
+    with pytest.raises(ValueError):
+        M.decode_wav_bytes(b"OggS" + bytes(40))  # not RIFF
+    stereo = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+              + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+              + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        M.decode_wav_bytes(stereo)
+
+
+def test_wav_corpus_decode_matches_python(spark):
+    out = {r.media_id: r for r in
+           M.decode_wav(M.synthesize_wav(spark, 8)).collect()}
+    for r in M.synthesize_wav(spark, 8).collect():
+        sr, s = M.decode_wav_bytes(bytes(r.payload))
+        got = out[r.media_id]
+        assert got.sample_rate == 8000 == sr
+        assert got.n_samples == len(s) == r.media_id % 50 + 10
+        assert got.mean_amp == round(float(s.sum()) / len(s), 6)
+
+
+def test_video_sampled_frame_means(spark):
+    import numpy as np
+
+    video = M.synthesize_raw_video(spark, 6)
+    out = M.sampled_frame_means(video, every_k=2).collect()
+    raw = {r.media_id: r for r in video.collect()}
+    # only even frame indices sampled; means match the sliced raster
+    for r in out:
+        v = raw[r.media_id]
+        assert r.frame_idx % 2 == 0 and r.frame_idx < v.n_frames
+        flen = v.width * v.height * 3
+        arr = np.frombuffer(
+            bytes(v.payload)[r.frame_idx * flen:(r.frame_idx + 1) * flen],
+            dtype=np.uint8,
+        ).reshape(-1, 3)
+        npx = v.width * v.height
+        assert r.mean_r == round(float(arr[:, 0].sum()) / npx, 6)
+        assert r.mean_b == round(float(arr[:, 2].sum()) / npx, 6)
+    # every video contributes ceil(n_frames / 2) sampled frames
+    per = {}
+    for r in out:
+        per[r.media_id] = per.get(r.media_id, 0) + 1
+    for mid, v in raw.items():
+        assert per[mid] == (v.n_frames + 1) // 2
