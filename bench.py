@@ -72,6 +72,7 @@ HEADLINE = [
     "lang_id",
     "token_count",
     "cosine_topk",
+    "srp_bucket_topk",
     "ivf_topk_by_label",
     "embedding_norms",
     "dedup_embedding",

@@ -123,6 +123,80 @@ def decontaminate_embeddings(train: DataFrame, eval_set: DataFrame, *,
     )
 
 
+def _sign_band_keys(vec_col: str, bits: int, n_bands: int):
+    """Array of ``n_bands`` banded sign-bit LSH keys (band index baked in):
+    bit j of band b = sign of vector component b*band_bits+j — axis-aligned
+    sign-random-projection (Charikar 2002 SRP: P[bit match] = 1 - angle/pi),
+    deterministic so any engine computes the identical signature."""
+    band_bits = bits // n_bands
+    return F.array(*[
+        F.concat_ws(
+            "",
+            F.lit(str(b)), F.lit(":"),
+            *[
+                F.when(
+                    F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for j in range(band_bits)
+            ],
+        )
+        for b in range(n_bands)
+    ])
+
+
+def srp_topk(emb: DataFrame, queries: DataFrame, k: int = 5, *,
+             bits: int = 16, n_bands: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed approximate top-k cosine search — the third ANN scale
+    path next to IVF (cell-pruned) and PQ (code-compressed): candidates
+    are base vectors sharing at least one whole sign-bit band with the
+    query; only those pay the exact cosine, then a per-query rank keeps
+    the top k.
+
+    Scale shape: the band join touches (id, short key) rows only — the
+    vectors never ride through the candidate stage (the embedding_neardup
+    lesson); the query key set is query-sized and broadcast, so the
+    candidate pass is one narrow scan + broadcast hash join over the
+    corpus at any scale, with exact scoring proportional to collisions,
+    not corpus x queries. Recall/cost tunes like any LSH: more bands =
+    more candidates = higher recall (measure with ann_recall against
+    cosine_topk).
+
+    ``queries`` must have columns (q_id, q_emb)."""
+    keys = _sign_band_keys(vec_col, bits, n_bands)
+    qkeys = _sign_band_keys("q_emb", bits, n_bands)
+    base_keys = emb.select(F.col(id_col), F.explode(keys).alias("bkey"))
+    q_keys = queries.select("q_id", F.explode(qkeys).alias("bkey"))
+    cand = (
+        base_keys.join(F.broadcast(q_keys), "bkey")
+        .where(F.col("q_id") != F.col(id_col))
+        .dropDuplicates(["q_id", id_col])
+    )
+    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
+        "_n", F.sqrt(sq_norm(F.col("_v")))
+    ).select(id_col, "_v", "_n")
+    qs = queries.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
+        "_qn", F.sqrt(sq_norm(F.col("_qv")))
+    ).select("q_id", "_qv", "_qn")
+    cos = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    scored = (
+        cand.join(base, id_col)
+        .join(F.broadcast(qs), "q_id")
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
                       min_cos: float = 0.45, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
@@ -140,27 +214,12 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     the hyperplanes are the coordinate axes, so the same signature is
     computable by any engine.
     """
-    band_bits = bits // n_bands
     # one row per (vector, band) with the band index BAKED into the key so
     # buckets of different bands can never merge — a SINGLE self-join on
     # bkey replaces n_bands separate joins (each of which would shuffle the
     # whole frame again on the non-broadcast path: 2*n_bands full-frame
     # shuffles vs one), the same shape as dedup.lsh_candidates_wide
-    band_keys = F.array(*[
-        F.concat_ws(
-            "",
-            F.lit(str(b)), F.lit(":"),
-            *[
-                # element_at is 1-based, matching SQL array indexing
-                F.when(
-                    F.element_at(F.col(vec_col), b * band_bits + j + 1) > 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for j in range(band_bits)
-            ],
-        )
-        for b in range(n_bands)
-    ])
+    band_keys = _sign_band_keys(vec_col, bits, n_bands)
     keyed = emb.select(F.col(id_col), F.explode(band_keys).alias("bkey"))
 
     # band joins carry ONLY (id, band key): at 2^band_bits buckets the raw

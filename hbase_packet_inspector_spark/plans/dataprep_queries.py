@@ -320,6 +320,50 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "srp_bucket_topk",
+    f"""
+    WITH {_COS_CTE},
+    bk AS (SELECT vec_id, CAST((i - 1) // 4 AS INTEGER) AS band,
+                  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS key
+           FROM e WHERE i <= 16 GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS neighbor_id
+             FROM bk q JOIN bk b ON q.band = b.band AND q.key = b.key
+             WHERE q.vec_id % 25 = 0 AND b.vec_id <> q.vec_id),
+    d AS (SELECT c.q_id, c.neighbor_id, sum(eq.v * eb.v) AS dp
+          FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+                      JOIN e eb ON eb.vec_id = c.neighbor_id
+                                AND eb.i = eq.i
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+    """,
+    doc="LSH-bucketed ANN top-k (operators/similarity.py::srp_topk) — "
+    "the third ANN scale path next to IVF (cell-pruned) and PQ (code-"
+    "compressed): 16 sign-bit SRP hashes in 4 bands, candidates share at "
+    "least one whole band with the query, exact cosine only on "
+    "collisions, per-query rank keeps top 5. The band join carries (id, "
+    "short key) rows only with the query keys broadcast — one narrow "
+    "corpus scan + broadcast hash join regardless of corpus size; exact "
+    "scoring is collision-, not corpus x query-, proportional. Same "
+    "query subset (vec_id % 25 = 0) as cosine_topk so recall against "
+    "the exact baseline is directly measurable.",
+    tags=("dataprep", "similarity", "ann", "lsh"),
+)
+def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.srp_topk(emb, qs, k=5, bits=16, n_bands=4)
+
+
+@register(
     "ivf_topk_by_label",
     f"""
     WITH {_COS_CTE},

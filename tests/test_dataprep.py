@@ -385,3 +385,40 @@ def test_pca_outer_covariance_matches_inrow(spark):
         emb, iterations=1, covariance="auto", wide_dim_threshold=4
     ).collect()
     assert len(c) == d
+
+
+def test_srp_topk_bucket_pruning(spark):
+    # 8-dim vectors, bits=8, n_bands=2 (4 bits/band). Query q shares band
+    # 0 with v1 (same signs on dims 1-4) and NO band with v3 (all signs
+    # flipped) -> v3 is never a candidate even though |cos| ranks exist;
+    # v2 shares band 1.
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),      # query
+        (1, [0.9, 0.8, 1.0, 0.7, -1.0, -1.0, -1.0, -1.0]),  # band 0 only
+        (2, [-1.0, -1.0, -1.0, -1.0, 0.5, 0.9, 1.0, 0.8]),  # band 1 only
+        (3, [-1.0] * 8),                                     # no band
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = S.srp_topk(emb, qs, k=5, bits=8, n_bands=2).collect()
+    got = {r.neighbor_id for r in out}
+    assert got == {1, 2}  # 3 pruned by LSH despite being a valid vector
+    # exact cosine on survivors matches the brute-force scorer
+    brute = {r.neighbor_id: r.cos
+             for r in S.cosine_topk(emb, qs, k=5).collect()}
+    for r in out:
+        assert r.cos == brute[r.neighbor_id]
+
+
+def test_srp_topk_identical_vector_found(spark):
+    # an exact duplicate shares EVERY band -> always a candidate, rank 1
+    rows = [(i, [float(i % 3 - 1) or 0.5] * 16) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = S.srp_topk(emb, qs, k=2, bits=16, n_bands=4).collect()
+    top = min(out, key=lambda r: (r.rnk, r.neighbor_id))
+    assert top.cos == 1.0 and top.neighbor_id == 3  # same direction as 0
