@@ -21,6 +21,10 @@ except ImportError:
 # each round's CORRECTNESS_r{N}.json lands; new queries register with no
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
+    "srp_bucket_topk",  # latest green r0
+    "multimodal_ppm_decode",  # latest green r0
+    "multimodal_wav_decode",  # latest green r0
+    "multimodal_video_frames",  # latest green r0
     "ivf_quantized_topk",  # latest green r1
     "ivf_kmeans_topk",  # latest green r1
     "dedup_clusters",  # latest green r1
