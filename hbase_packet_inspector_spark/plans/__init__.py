@@ -22,6 +22,7 @@ except ImportError:
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
     "srp_bucket_topk",  # latest green r0
+    "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0
     "multimodal_wav_decode",  # latest green r0
     "multimodal_video_frames",  # latest green r0

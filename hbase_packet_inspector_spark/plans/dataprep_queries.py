@@ -364,6 +364,82 @@ def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "srp_recall",
+    f"""
+    WITH {_COS_CTE},
+    xd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    xs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM xd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    x AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM xs) WHERE rnk <= 3),
+    bk AS (SELECT vec_id, CAST((i - 1) // 4 AS INTEGER) AS band,
+                  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS key
+           FROM e WHERE i <= 16 GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS neighbor_id
+             FROM bk q JOIN bk b ON q.band = b.band AND q.key = b.key
+             WHERE q.vec_id % 25 = 0 AND b.vec_id <> q.vec_id),
+    yd AS (SELECT c.q_id, c.neighbor_id, sum(eq.v * eb.v) AS dp
+           FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+                       JOIN e eb ON eb.vec_id = c.neighbor_id
+                                 AND eb.i = eq.i
+           GROUP BY 1, 2),
+    ys AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM yd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    y AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM ys) WHERE rnk <= 3),
+    hit AS (SELECT x.q_id, count(*) AS h
+            FROM x JOIN y USING (q_id, neighbor_id) GROUP BY 1),
+    q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT q.q_id, CAST(coalesce(hit.h, 0) AS DOUBLE) / 3 AS recall
+    FROM q LEFT JOIN hit USING (q_id)
+    """,
+    doc="SRP-LSH calibration (mirrors ann_recall for IVF and pq_recall "
+    "for PQ): per-query recall@3 of the sign-bit-banded bucket search "
+    "against the exact brute-force ranking under the shared "
+    "deterministic tie-break — the measurement that picks (bits, "
+    "n_bands) before the bucketed path runs on the corpus. With every "
+    "ANN family (IVF / PQ / SRP) carrying its own oracle-backed recall "
+    "audit, an index rollout choice is a query away.",
+    tags=("dataprep", "similarity", "ann", "lsh", "calibration"),
+)
+def srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = S.cosine_topk(emb, qs, k=3).select("q_id", "neighbor_id")
+    approx = S.srp_topk(emb, qs, k=3, bits=16, n_bands=4).select(
+        "q_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / 3)
+            .alias("recall"),
+        )
+    )
+
+
+@register(
     "ivf_topk_by_label",
     f"""
     WITH {_COS_CTE},

@@ -736,3 +736,32 @@ def test_stream_cdc_chunks_exactly_matches_batch(spark, tmp_path):
 
     assert len(batch) > 0
     assert key(out) == key(batch)
+
+
+def test_stream_quality_gate_exactly_matches_batch(spark, tmp_path):
+    """Curation quality gate batch===stream equivalence: quality_features
+    is pure column expressions (no shuffle, no state), so the SAME
+    operator applied under readStream must emit exactly the batch rows —
+    the property that lets an ingest firehose run the identical gate the
+    batch curation pipeline was calibrated on."""
+    from hbase_packet_inspector_spark.operators.text import quality_features
+
+    rows = [
+        (0, "the cat sat on the mat and then the dog sat on the cat "
+            "while a bird watched the whole scene from above the door"),
+        (1, "short doc"),
+        (2, "zz qq xx"),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    out = _replay(
+        spark, df, lambda s: quality_features(s), str(tmp_path / "qg")
+    )
+    batch = quality_features(df).collect()
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    assert len(batch) == 3
+    assert key(out) == key(batch)
