@@ -148,6 +148,10 @@ HEADLINE = [
     "bpe_token_count",
     "span_dsir_pipeline",
     "source_length_quartiles",
+    "srp_recall",
+    "dedup_incremental",
+    "lsh_bucket_stats",
+    "split_leakage_audit",
 ]
 
 

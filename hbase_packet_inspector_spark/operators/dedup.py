@@ -309,6 +309,29 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
     )
 
 
+def band_keyed(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
+               n_bands: int = DEFAULT_BANDS) -> DataFrame:
+    """One row per (doc, band) with the band's bucket key, signatures
+    carried along — the shared exploded form every LSH consumer (self-join,
+    incremental probe, bucket profile) joins or aggregates on. The band
+    index is baked into the key input so buckets of different bands can
+    never merge; a SINGLE join on bkey then replaces n_bands separate
+    joins (one broadcast + one probe pass instead of four). Narrow:
+    in-row md5s + an explode, no shuffle."""
+    rows = n_hashes // n_bands
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(
+            ",", F.lit(str(b)),
+            *[F.col(f"s{j}") for j in range(b * rows, (b + 1) * rows)],
+        ))
+        for b in range(n_bands)
+    ])
+    return sigs.select(
+        "doc_id", *[f"s{j}" for j in range(n_hashes)],
+        F.explode(band_keys).alias("bkey"),
+    )
+
+
 def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
                         n_bands: int = DEFAULT_BANDS,
                         min_est: float = 0.4,
@@ -321,22 +344,7 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
     expensive exact-Jaccard join linear in true near-dups rather than in
     band collisions (critical on self-similar corpora where band buckets
     are crowded)."""
-    rows = n_hashes // n_bands
-    # one row per (doc, band) with the band's bucket key — the band index
-    # is baked into the key input so buckets of different bands can never
-    # merge; a SINGLE self-join on bkey then replaces n_bands separate
-    # joins (one broadcast + one probe pass instead of four)
-    band_keys = F.array(*[
-        F.md5(F.concat_ws(
-            ",", F.lit(str(b)),
-            *[F.col(f"s{j}") for j in range(b * rows, (b + 1) * rows)],
-        ))
-        for b in range(n_bands)
-    ])
-    keyed = sigs.select(
-        "doc_id", *[f"s{j}" for j in range(n_hashes)],
-        F.explode(band_keys).alias("bkey"),
-    )
+    keyed = band_keyed(sigs, n_hashes, n_bands)
     left = keyed.select(F.col("doc_id").alias("d1"), "bkey",
                         *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)])
     right = keyed.select(F.col("doc_id").alias("d2"), "bkey",
@@ -445,6 +453,117 @@ def lsh_recall(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
             F.col("n_truth") > 0,
             F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6),
         ).alias("recall"),
+    )
+
+
+def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
+                          n: int = DEFAULT_SHINGLE,
+                          n_hashes: int = DEFAULT_HASHES,
+                          n_bands: int = DEFAULT_BANDS,
+                          min_est: float = 0.4,
+                          min_jaccard: float = 0.35,
+                          broadcast_bytes: int = 128 << 20) -> DataFrame:
+    """Incremental near-dup probe: verified MinHash pairs between an
+    ARRIVING batch and the EXISTING corpus — the continuous-ingest shape
+    where the full corpus self-join is never re-run. Each batch only
+    hashes its own documents and probes the corpus's band buckets; cost is
+    linear in batch size (times bucket collisions), independent of how
+    many batches came before.
+
+    Output: (d_new, d_old, jaccard) for every batch doc whose exact
+    Jaccard against some existing doc clears ``min_jaccard`` — the rows an
+    ingest gate drops (or routes to keep-best) before appending the batch.
+
+    100 TB shape: the batch side is small by construction, so its keyed
+    signatures and shingle sets BROADCAST (explicitly — aggregated frames
+    carry no stats for Catalyst to price) and the corpus side never
+    shuffles: band probe, estimate prefilter, and exact verification are
+    all broadcast joins streamed over the corpus scan. In a deployed
+    pipeline the corpus band index is a bucketed table written once
+    (engine.persist_bucketed) and appended per batch; this operator is
+    the per-batch probe against it.
+
+    The returned plan reads the batch signatures persisted here (they feed
+    the band probe, the estimate AND the verification); as with
+    minhash_lsh_dedup, the caller owns that frame's lifetime — unpersist /
+    clearCache after materializing the result."""
+    sets_new = shingle_sets(new_docs, n)
+    sets_old = shingle_sets(corpus_docs, n)
+    sigs_new = minhash_signatures_wide(sets_new, n_hashes).persist()
+    sigs_old = minhash_signatures_wide(sets_old, n_hashes)
+
+    keyed_new = band_keyed(sigs_new, n_hashes, n_bands).select(
+        F.col("doc_id").alias("d_new"), "bkey",
+        *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)],
+    )
+    keyed_old = band_keyed(sigs_old, n_hashes, n_bands).select(
+        F.col("doc_id").alias("d_old"), "bkey",
+        *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)],
+    )
+    try:
+        row_bytes = n_bands * (n_hashes * 16 + 48)
+        small = sigs_new.count() * row_bytes <= broadcast_bytes
+    except Exception:
+        small = False
+    if small:
+        keyed_new = F.broadcast(keyed_new)
+    est = sum(
+        F.when(F.col(f"l{j}") == F.col(f"r{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    cand = (
+        keyed_old.join(keyed_new, ["bkey"])
+        .select("d_new", "d_old", est.alias("est"))
+        .where(F.col("est") >= min_est)
+        .groupBy("d_new", "d_old")
+        .agg(F.first("est").alias("est"))
+        .select("d_new", "d_old")
+    )
+
+    s_new = sigs_new.select(F.col("doc_id").alias("d_new"),
+                            F.col("sset").alias("set1"), F.col("n").alias("n1"))
+    s_old = sets_old.select(F.col("doc_id").alias("d_old"),
+                            F.col("sset").alias("set2"), F.col("n").alias("n2"))
+    # candidates + the batch's shingle sets are batch-sized: broadcast that
+    # side so the corpus set frame joins without an exchange
+    withnew = cand.join(s_new, "d_new")
+    if small:
+        withnew = F.broadcast(withnew)
+    j = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    ).cast("double")
+    return (
+        s_old.join(withnew, "d_old")
+        .withColumn("inter", F.size(F.array_intersect("set1", "set2")))
+        .withColumn("jaccard", j)
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("d_new", "d_old", "jaccard")
+    )
+
+
+def lsh_bucket_profile(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
+                       n_hashes: int = DEFAULT_HASHES,
+                       n_bands: int = DEFAULT_BANDS) -> DataFrame:
+    """LSH pre-flight skew diagnostic: the band-bucket size histogram, with
+    each size's contribution to the candidate-pair join priced as
+    c*(c-1)/2. THE check to run before launching the bucket self-join on a
+    new corpus — a single crowded bucket of 10^5 docs costs 5*10^9
+    candidate rows, and this report surfaces it for the price of one
+    aggregate (two partial+final shuffles on byte-small keys, no joins,
+    nothing quadratic — safe at any corpus size).
+
+    Output: (bucket_size, n_buckets, cand_pairs) sorted nowhere — a
+    handful of rows however big the corpus."""
+    keyed = band_keyed(minhash_signatures_wide(shingle_sets(docs, n), n_hashes),
+                       n_hashes, n_bands)
+    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("c"))
+    return (
+        sizes.groupBy(F.col("c").alias("bucket_size"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long")
+            .alias("cand_pairs"),
+        )
     )
 
 

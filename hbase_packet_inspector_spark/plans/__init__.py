@@ -26,6 +26,9 @@ _UNVERIFIED_FIRST = (
     "multimodal_ppm_decode",  # latest green r0
     "multimodal_wav_decode",  # latest green r0
     "multimodal_video_frames",  # latest green r0
+    "dedup_incremental",  # latest green r0
+    "lsh_bucket_stats",  # latest green r0
+    "split_leakage_audit",  # latest green r0
     "ivf_quantized_topk",  # latest green r1
     "ivf_kmeans_topk",  # latest green r1
     "dedup_clusters",  # latest green r1

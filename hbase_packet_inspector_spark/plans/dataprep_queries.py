@@ -91,21 +91,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pairwise_jaccard(sh, min_jaccard=0.40)
 
 
-def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4,
-                    min_est: float = 0.5, min_jaccard: float = 0.45,
-                    tail: str | None = None,
-                    src: str = "documents") -> str:
-    rows = n_hashes // n_bands
-    sig_cols = ",\n             ".join(
+def _sig_cols(n_hashes: int) -> str:
+    return ",\n             ".join(
         f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS s{j}"
         for j in range(n_hashes)
     )
-    band_cols = ", ".join(
+
+
+def _band_cols(n_hashes: int, n_bands: int) -> str:
+    rows = n_hashes // n_bands
+    return ", ".join(
         "md5("
         + " || ',' || ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows))
         + f") AS b{b}"
         for b in range(n_bands)
     )
+
+
+def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4,
+                    min_est: float = 0.5, min_jaccard: float = 0.45,
+                    tail: str | None = None,
+                    src: str = "documents",
+                    pair_cond: str = "a.doc_id < b.doc_id") -> str:
+    sig_cols = _sig_cols(n_hashes)
+    band_cols = _band_cols(n_hashes, n_bands)
     est = (
         "("
         + " + ".join(
@@ -115,7 +124,7 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4,
     )
     band_joins = "\n    UNION ALL ".join(
         f"SELECT a.doc_id AS d1, b.doc_id AS d2, {est} AS est\n"
-        f"      FROM keyed a JOIN keyed b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+        f"      FROM keyed a JOIN keyed b ON a.b{b} = b.b{b} AND {pair_cond}"
         for b in range(n_bands)
     )
     if tail is None:
@@ -3626,5 +3635,128 @@ def source_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.element_at("_q", 3) - F.element_at("_q", 1), 4
             ).alias("iqr"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    _minhash_oracle(
+        pair_cond="a.doc_id % 8 = 0 AND b.doc_id % 8 <> 0",
+        tail="""
+    SELECT d1 AS d_new, count(*) AS n_matches,
+           round(max(CAST(inter AS DOUBLE) / (x.n + y.n - inter)), 6)
+             AS max_jaccard
+    FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45
+    GROUP BY 1
+    """,
+    ),
+    doc="Incremental ingest-gate dedup (operators/dedup.py::"
+    "incremental_lsh_pairs): treat doc_id % 8 == 0 as the ARRIVING batch "
+    "and the rest as the standing corpus, probe the batch against the "
+    "corpus's LSH band buckets (same 16x4 minhash family and 0.5/0.45 "
+    "thresholds as dedup_minhash_lsh) and report, per batch doc that "
+    "near-dups something already present, the match count and best "
+    "jaccard — the verdict an append-only pipeline computes per batch "
+    "INSTEAD of ever re-running the corpus self-join. The batch side "
+    "broadcasts (signatures and shingle sets both), so the corpus scan "
+    "never shuffles; cost per batch is linear in batch size however many "
+    "batches preceded it.",
+    tags=("dataprep", "dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 8 == 0)
+    corpus = docs.where(F.col("doc_id") % 8 != 0)
+    pairs = D.incremental_lsh_pairs(
+        batch, corpus, min_est=0.5, min_jaccard=0.45
+    )
+    return pairs.groupBy("d_new").agg(
+        F.count("*").alias("n_matches"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""
+    WITH {_SH_CTE},
+    sigs AS (SELECT doc_id,
+             {_sig_cols(16)}
+             FROM sh GROUP BY doc_id),
+    keyed AS (SELECT *, {_band_cols(16, 4)} FROM sigs),
+    bk AS ({" UNION ALL ".join(f"SELECT {b} AS band, b{b} AS bkey FROM keyed"
+                               for b in range(4))}),
+    sizes AS (SELECT band, bkey, count(*) AS c FROM bk GROUP BY 1, 2)
+    SELECT c AS bucket_size, count(*) AS n_buckets,
+           CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
+    FROM sizes GROUP BY 1
+    """,
+    doc="LSH pre-flight skew report (operators/dedup.py::"
+    "lsh_bucket_profile): band-bucket size histogram with each size's "
+    "candidate-pair cost priced as c*(c-1)/2 — the check run on a new "
+    "corpus BEFORE launching the bucket self-join, because one crowded "
+    "bucket of 1e5 docs means 5e9 candidate rows and this sees it for "
+    "the price of two byte-small aggregates (no joins, nothing "
+    "quadratic; the same diagnostic family as key_skew_report for "
+    "joins). Same 16-hash / 4-band keys as the dedup_minhash_lsh "
+    "pipeline it gates.",
+    tags=("dataprep", "dedup", "lsh", "diagnostic", "skew"),
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_bucket_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "split_leakage_audit",
+    _minhash_oracle(min_jaccard=0.45, tail=f""",
+    vp AS (SELECT d1, d2, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS j
+           FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45),
+    sp AS (SELECT doc_id,
+                  CASE WHEN
+                    {_hex6_int("md5('split:' || CAST(doc_id AS VARCHAR))")}
+                    % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+           FROM documents)
+    SELECT least(sa.split, sb.split) AS s1,
+           greatest(sa.split, sb.split) AS s2,
+           count(*) AS n_pairs,
+           round(max(j), 6) AS max_jaccard
+    FROM vp JOIN sp sa ON sa.doc_id = vp.d1
+    JOIN sp sb ON sb.doc_id = vp.d2
+    GROUP BY 1, 2
+    """),
+    doc="Train/test split leakage audit: label every verified MinHash+LSH "
+    "near-dup pair (dedup_minhash_lsh's banded pipeline, 0.5/0.45) with "
+    "each side's deterministic hash-split assignment (sampling.py::"
+    "train_test_split, salt 'split:', 10% test) and roll up per "
+    "unordered split pair — the test<->train row is val-set leakage that "
+    "near-dup-aware splitting must remove before the benchmark means "
+    "anything. Same provenance-report shape as source_overlap; the "
+    "split labels join against the tiny verified-pair set, not the "
+    "corpus, so the audit costs one broadcast join over the pipeline it "
+    "reuses.",
+    tags=("dataprep", "dedup", "lsh", "sampling", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45)
+    sp = SA.train_test_split(docs.select("doc_id")).select("doc_id", "split")
+    lab = (
+        pairs.join(sp.selectExpr("doc_id AS d1", "split AS sa"), "d1")
+        .join(sp.selectExpr("doc_id AS d2", "split AS sb"), "d2")
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("s1"),
+            F.greatest("sa", "sb").alias("s2"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )

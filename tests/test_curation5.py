@@ -1,0 +1,91 @@
+"""Unit tests for the round-5 curation operators: incremental ingest-gate
+near-dup probing and the LSH bucket-size pre-flight profile."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import dedup as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = "the quick brown fox jumps over the lazy dog near the river bank"
+_NEAR = "the quick brown fox jumps over the lazy dog near the river bend"
+_OTHER = "entirely different content about spark partitions and shuffles"
+_THIRD = "nothing shares any four gram with anything else in this corpus!!"
+
+
+def test_incremental_finds_batch_vs_corpus_pair(spark):
+    batch = _docs(spark, [(10, _NEAR), (11, _THIRD)])
+    corpus = _docs(spark, [(0, _BASE), (1, _OTHER)])
+    out = D.incremental_lsh_pairs(
+        batch, corpus, min_est=0.3, min_jaccard=0.3
+    ).collect()
+    assert [(r.d_new, r.d_old) for r in out] == [(10, 0)]
+    # jaccard is the exact set ratio, not the minhash estimate
+    assert 0.5 < out[0].jaccard < 1.0
+
+
+def test_incremental_never_pairs_within_a_side(spark):
+    """Two identical docs in the SAME side must not be reported — the
+    operator's contract is batch-vs-corpus only (within-corpus dedup
+    already ran; within-batch dedup is a separate self-join pass)."""
+    batch = _docs(spark, [(10, _BASE), (11, _BASE)])
+    corpus = _docs(spark, [(0, _OTHER), (1, _OTHER)])
+    out = D.incremental_lsh_pairs(
+        batch, corpus, min_est=0.3, min_jaccard=0.3
+    ).collect()
+    assert out == []
+
+
+def test_incremental_matches_self_join_restricted_to_straddling_pairs(spark):
+    """On any corpus, the incremental probe over a (batch, rest) partition
+    must return EXACTLY the full self-join's verified pairs that straddle
+    the partition — the invariant that makes per-batch gating equivalent
+    to re-running global dedup after every append."""
+    rows = [
+        (0, _BASE), (1, _NEAR), (2, _OTHER), (3, _THIRD),
+        (4, _BASE + " again"), (5, _OTHER + " too"),
+    ]
+    docs = _docs(spark, rows)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    incr = {
+        (r.d_new, r.d_old, r.jaccard)
+        for r in D.incremental_lsh_pairs(
+            batch, corpus, min_est=0.3, min_jaccard=0.3
+        ).collect()
+    }
+    full = D.minhash_lsh_dedup(docs, min_est=0.3, min_jaccard=0.3).collect()
+    straddling = {
+        (r.d1, r.d2, r.jaccard) if r.d1 % 3 == 0 else (r.d2, r.d1, r.jaccard)
+        for r in full
+        if (r.d1 % 3 == 0) != (r.d2 % 3 == 0)
+    }
+    assert incr == straddling and len(incr) > 0
+
+
+def test_bucket_profile_counts_identical_docs(spark):
+    """3 identical docs + 2 unrelated docs, 4 bands: the identical docs
+    share all four band buckets, so the histogram must price exactly
+    4 buckets of size 3 at 3 candidate pairs each."""
+    docs = _docs(spark, [
+        (0, _BASE), (1, _BASE), (2, _BASE), (3, _OTHER), (4, _THIRD),
+    ])
+    out = {r.bucket_size: r for r in D.lsh_bucket_profile(docs).collect()}
+    assert out[3].n_buckets == 4
+    assert out[3].cand_pairs == 4 * 3
+    # every (doc, band) row lands in exactly one bucket
+    total_rows = sum(sz * r.n_buckets for sz, r in out.items())
+    assert total_rows == 5 * 4
+
+
+def test_bucket_profile_all_unique_is_all_singletons(spark):
+    docs = _docs(spark, [(0, _BASE), (1, _OTHER), (2, _THIRD)])
+    out = D.lsh_bucket_profile(docs).collect()
+    assert len(out) == 1
+    assert out[0].bucket_size == 1
+    assert out[0].n_buckets == 3 * 4 and out[0].cand_pairs == 0
