@@ -487,16 +487,32 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
     the band probe, the estimate AND the verification); as with
     minhash_lsh_dedup, the caller owns that frame's lifetime — unpersist /
     clearCache after materializing the result."""
-    sets_new = shingle_sets(new_docs, n)
     sets_old = shingle_sets(corpus_docs, n)
+    keyed_old = band_keyed(
+        minhash_signatures_wide(sets_old, n_hashes), n_hashes, n_bands
+    )
+    return _probe_lsh(keyed_old, sets_old, new_docs, n=n, n_hashes=n_hashes,
+                      n_bands=n_bands, min_est=min_est,
+                      min_jaccard=min_jaccard,
+                      broadcast_bytes=broadcast_bytes)
+
+
+def _probe_lsh(keyed_old: DataFrame, sets_old: DataFrame,
+               new_docs: DataFrame, *, n: int, n_hashes: int, n_bands: int,
+               min_est: float, min_jaccard: float,
+               broadcast_bytes: int) -> DataFrame:
+    """Shared probe core: batch docs vs a corpus given as its band-keyed
+    signature frame (doc_id, bkey, s0..s{n-1}) + shingle-set frame
+    (doc_id, sset, n) — either derived on the fly (incremental_lsh_pairs)
+    or read back from the persisted bucketed index (probe_lsh_index)."""
+    sets_new = shingle_sets(new_docs, n)
     sigs_new = minhash_signatures_wide(sets_new, n_hashes).persist()
-    sigs_old = minhash_signatures_wide(sets_old, n_hashes)
 
     keyed_new = band_keyed(sigs_new, n_hashes, n_bands).select(
         F.col("doc_id").alias("d_new"), "bkey",
         *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)],
     )
-    keyed_old = band_keyed(sigs_old, n_hashes, n_bands).select(
+    keyed_old = keyed_old.select(
         F.col("doc_id").alias("d_old"), "bkey",
         *[F.col(f"s{j}").alias(f"r{j}") for j in range(n_hashes)],
     )
@@ -539,6 +555,63 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
         .where(F.col("jaccard") >= min_jaccard)
         .select("d_new", "d_old", "jaccard")
     )
+
+
+def save_lsh_index(docs: DataFrame, path: str, *, table: str = "lsh_index",
+                   n: int = DEFAULT_SHINGLE, n_hashes: int = DEFAULT_HASHES,
+                   n_bands: int = DEFAULT_BANDS, buckets: int = 8) -> None:
+    """Persist the corpus's LSH band index for build-once/probe-many
+    ingest — the companion to incremental_lsh_pairs that makes per-batch
+    cost truly independent of corpus size: without it every batch re-hashes
+    the corpus; with it the corpus is shingled and minhashed ONCE and each
+    batch only reads the index.
+
+    Two tables (the IVF precedent, save_ann_index): ``<table>_bands`` —
+    one row per (doc, band) with bkey + the full signature, written
+    BUCKETED on bkey so every probe join arrives pre-partitioned with no
+    corpus-side Exchange — and ``<table>_sets`` — one row per doc with
+    the shingle set, bucketed on doc_id for the verification join. An
+    arriving batch that passes the gate is appended to both tables
+    (saveAsTable append preserves bucket layout), which is what keeps the
+    standing corpus current without rebuilds."""
+    sets = shingle_sets(docs, n)
+    keyed = band_keyed(minhash_signatures_wide(sets, n_hashes),
+                       n_hashes, n_bands)
+    (
+        keyed.write.mode("overwrite")
+        .option("path", f"{path}/bands")
+        .bucketBy(buckets, "bkey")
+        .saveAsTable(f"{table}_bands")
+    )
+    (
+        sets.write.mode("overwrite")
+        .option("path", f"{path}/sets")
+        .bucketBy(buckets, "doc_id")
+        .saveAsTable(f"{table}_sets")
+    )
+
+
+def load_lsh_index(spark, table: str = "lsh_index"):
+    """(bands, sets) back from the metastore, bucket layouts intact."""
+    return spark.table(f"{table}_bands"), spark.table(f"{table}_sets")
+
+
+def probe_lsh_index(bands: DataFrame, sets: DataFrame, batch_docs: DataFrame,
+                    *, n: int = DEFAULT_SHINGLE,
+                    n_hashes: int = DEFAULT_HASHES,
+                    n_bands: int = DEFAULT_BANDS,
+                    min_est: float = 0.4, min_jaccard: float = 0.35,
+                    broadcast_bytes: int = 128 << 20) -> DataFrame:
+    """Probe an arriving batch against a PERSISTED corpus index (from
+    save_lsh_index / load_lsh_index): identical contract and output to
+    incremental_lsh_pairs — (d_new, d_old, jaccard) — but the corpus side
+    is the pre-hashed bucketed tables, so the per-batch plan touches only
+    batch-sized frames plus bucket-pruned index reads. This is the body a
+    streaming ingest gate runs per micro-batch under foreachBatch."""
+    return _probe_lsh(bands, sets, batch_docs, n=n, n_hashes=n_hashes,
+                      n_bands=n_bands, min_est=min_est,
+                      min_jaccard=min_jaccard,
+                      broadcast_bytes=broadcast_bytes)
 
 
 def lsh_bucket_profile(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,

@@ -89,3 +89,71 @@ def test_bucket_profile_all_unique_is_all_singletons(spark):
     assert len(out) == 1
     assert out[0].bucket_size == 1
     assert out[0].n_buckets == 3 * 4 and out[0].cand_pairs == 0
+
+
+def test_lsh_index_roundtrip_probe_matches_incremental(spark, tmp_path):
+    """save_lsh_index -> load -> probe: identical rows to the on-the-fly
+    incremental probe, and the probe's band join plans with NO corpus-side
+    Exchange (the bucketed index IS the corpus's hash layout; only the
+    broadcast batch moves)."""
+    corpus = _docs(spark, [(0, _BASE), (1, _OTHER), (2, _BASE + " again")])
+    batch = _docs(spark, [(10, _NEAR), (11, _THIRD)])
+    D.save_lsh_index(corpus, str(tmp_path / "idx"), table="t_lsh", buckets=4)
+    bands, sets = D.load_lsh_index(spark, "t_lsh")
+    assert bands.count() == 3 * 4 and sets.count() == 3
+
+    got = D.probe_lsh_index(bands, sets, batch, min_est=0.3, min_jaccard=0.3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows = {(r.d_new, r.d_old, r.jaccard) for r in got.collect()}
+    want = {
+        (r.d_new, r.d_old, r.jaccard)
+        for r in D.incremental_lsh_pairs(
+            batch, corpus, min_est=0.3, min_jaccard=0.3
+        ).collect()
+    }
+    assert rows == want and len(rows) > 0
+    assert "Bucketed: true" in plan, plan
+    # the batch side broadcasts, so NOTHING hash-partitions on the band
+    # key — a bkey Exchange would mean the persisted layout is being
+    # reshuffled and the index write was wasted
+    assert "Exchange hashpartitioning(bkey" not in plan, plan
+
+
+def test_streaming_ingest_gate_foreachbatch(spark, tmp_path):
+    """The streaming ingest gate: micro-batches of arriving docs probed
+    against the persisted corpus index under foreachBatch — flagged rows
+    across all batches equal the one-shot incremental probe over the same
+    arrivals. This is the deployment shape: build the index once, gate
+    the firehose forever."""
+    corpus = _docs(spark, [(0, _BASE), (1, _OTHER)])
+    D.save_lsh_index(corpus, str(tmp_path / "idx2"), table="t_lsh2", buckets=4)
+    bands, sets = D.load_lsh_index(spark, "t_lsh2")
+
+    arrivals = _docs(spark, [(10, _NEAR), (11, _THIRD), (12, _OTHER + " !!")])
+    src = str(tmp_path / "arrivals")
+    arrivals.write.parquet(src)
+
+    flagged: list = []
+    q = (
+        spark.readStream.schema(arrivals.schema).parquet(src)
+        .writeStream.foreachBatch(
+            lambda b, _i: flagged.extend(
+                D.probe_lsh_index(
+                    bands, sets, b, min_est=0.3, min_jaccard=0.3
+                ).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.d_new, r.d_old, r.jaccard) for r in flagged}
+    want = {
+        (r.d_new, r.d_old, r.jaccard)
+        for r in D.incremental_lsh_pairs(
+            arrivals, corpus, min_est=0.3, min_jaccard=0.3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
