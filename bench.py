@@ -152,6 +152,8 @@ HEADLINE = [
     "dedup_incremental",
     "lsh_bucket_stats",
     "split_leakage_audit",
+    "label_centroid_sim",
+    "label_outliers",
 ]
 
 

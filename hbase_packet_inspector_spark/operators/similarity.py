@@ -327,6 +327,84 @@ def norm_stats(emb: DataFrame, by: str = "label",
     )
 
 
+def label_centroids(emb: DataFrame, *, by: str = "label",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(label, n_vecs, centroid): per-group mean vector, computed as ONE
+    posexplode + (group, dim) partial+final average and re-assembled into
+    an array ordered by dimension. Shuffle key cardinality is
+    #groups × dim — bounded by the model, not the corpus — so the
+    aggregate is safe at any scale; the result frame is dim-rows-small
+    and broadcasts into every consumer."""
+    ex = emb.select(
+        F.col(by), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v")
+    )
+    per_dim = ex.groupBy(by, "pos").agg(
+        F.avg("v").alias("c"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy(by)
+        .agg(
+            F.first("n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("_pc"),
+        )
+        .select(
+            by, "n_vecs",
+            F.transform(F.col("_pc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+
+
+def label_centroid_sim(emb: DataFrame, *, by: str = "label",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine between group centroids — the topic-proximity
+    matrix that tells a corpus owner which labels/clusters are
+    semantically adjacent (merge candidates, mixture-balance inputs)
+    before any per-document work. The centroid frame is #groups rows, so
+    the pair join is a broadcast self-join over a model-bounded frame;
+    the corpus is touched exactly once by the centroid aggregate."""
+    cents = label_centroids(emb, by=by, vec_col=vec_col).select(
+        F.col(by), F.col("centroid")
+    )
+    a = cents.select(F.col(by).alias("l1"), F.col("centroid").alias("_ca"))
+    b = cents.select(F.col(by).alias("l2"), F.col("centroid").alias("_cb"))
+    cos = dot(F.col("_ca"), F.col("_cb")) / (
+        F.sqrt(sq_norm(F.col("_ca"))) * F.sqrt(sq_norm(F.col("_cb")))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("l1") < F.col("l2"))
+        .select("l1", "l2", F.round(cos, 6).alias("cos"))
+    )
+
+
+def label_outliers(emb: DataFrame, *, k: int = 3, by: str = "label",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-group farthest-from-centroid report: the top-``k`` vectors by
+    L2 distance to their own group's mean — the mislabeled/noisy-example
+    sweep a curation pipeline runs before training on labeled embeddings.
+    Distance is ROUNDED to 6 before ranking (house rule: round before any
+    rank/argmax so the cut is engine-exact), ties break on id. The
+    centroid frame broadcasts; the corpus side is one narrow scan plus
+    the per-group top-k window."""
+    cents = label_centroids(emb, by=by, vec_col=vec_col).select(
+        F.col(by), F.col("centroid")
+    )
+    dist = F.round(
+        F.sqrt(_sq_l2(_as_double(F.col(vec_col)), F.col("centroid"))), 6
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("dist"), F.asc(id_col))
+    return (
+        emb.join(F.broadcast(cents), by)
+        .withColumn("dist", dist)
+        .withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select(by, id_col, "dist", "rnk")
+    )
+
+
 def ann_recall(emb: DataFrame, queries: DataFrame, k: int = 3,
                cell_col: str = "label") -> DataFrame:
     """Recall@k of cell-pruned (IVF-style) search against the exact

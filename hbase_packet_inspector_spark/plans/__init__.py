@@ -29,6 +29,8 @@ _UNVERIFIED_FIRST = (
     "dedup_incremental",  # latest green r0
     "lsh_bucket_stats",  # latest green r0
     "split_leakage_audit",  # latest green r0
+    "label_centroid_sim",  # latest green r0
+    "label_outliers",  # latest green r0
     "ivf_quantized_topk",  # latest green r1
     "ivf_kmeans_topk",  # latest green r1
     "dedup_clusters",  # latest green r1

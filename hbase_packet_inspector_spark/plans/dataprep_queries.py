@@ -3760,3 +3760,63 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+_CENTROID_CTE = """
+    ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  unnest(range(1, len(embedding) + 1)) AS i
+           FROM embeddings),
+    c AS (SELECT label, i, avg(v) AS c FROM ex GROUP BY 1, 2)
+"""
+
+
+@register(
+    "label_centroid_sim",
+    f"""
+    WITH {_CENTROID_CTE},
+    n AS (SELECT label, sum(c * c) AS sq FROM c GROUP BY 1),
+    d AS (SELECT a.label AS l1, b.label AS l2, sum(a.c * b.c) AS dp
+          FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+          GROUP BY 1, 2)
+    SELECT l1, l2, round(dp / (sqrt(x.sq) * sqrt(y.sq)), 6) AS cos
+    FROM d JOIN n x ON l1 = x.label JOIN n y ON l2 = y.label
+    """,
+    doc="Topic-proximity matrix (operators/similarity.py::"
+    "label_centroid_sim): pairwise cosine between per-label mean "
+    "embeddings — which clusters are semantically adjacent (merge "
+    "candidates, mixture-balance inputs) before any per-document work. "
+    "The corpus is touched ONCE by a (label x dim)-keyed partial+final "
+    "average (shuffle cardinality bounded by the model, not the data); "
+    "the pair join runs over the #labels-row centroid frame, broadcast.",
+    tags=("dataprep", "similarity", "embedding", "report"),
+)
+def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroid_sim(_emb(spark, sf_dir))
+
+
+@register(
+    "label_outliers",
+    f"""
+    WITH {_CENTROID_CTE},
+    d AS (SELECT ex.label, ex.vec_id,
+                 round(sqrt(sum((ex.v - c.c) * (ex.v - c.c))), 6) AS dist
+          FROM ex JOIN c ON c.label = ex.label AND c.i = ex.i
+          GROUP BY 1, 2)
+    SELECT label, vec_id, dist, rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY label
+                                 ORDER BY dist DESC, vec_id) AS rnk
+          FROM d)
+    WHERE rnk <= 3
+    """,
+    doc="Per-label farthest-from-centroid sweep (operators/similarity.py"
+    "::label_outliers): top-3 vectors by L2 distance to their own "
+    "label's mean — the mislabeled/noisy-example report a curation "
+    "pipeline runs over labeled embeddings before training. Distance "
+    "rounds to 6 BEFORE the rank (house float rule) with vec_id "
+    "tie-break, so the cut is engine-exact; the centroid frame "
+    "broadcasts and the corpus side is one narrow scan plus the "
+    "per-label top-k window.",
+    tags=("dataprep", "similarity", "embedding", "quality"),
+)
+def label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_outliers(_emb(spark, sf_dir), k=3)

@@ -157,3 +157,41 @@ def test_streaming_ingest_gate_foreachbatch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_label_centroid_sim_hand_rolled(spark):
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    emb = _emb(spark, [
+        (0, [0.0, 0.0], 0), (1, [2.0, 0.0], 0), (2, [7.0, 0.0], 0),
+        (3, [0.0, 2.0], 1),
+        (4, [3.0, 4.0], 2),
+    ])
+    # centroids: l0=[3,0], l1=[0,2], l2=[3,4]
+    out = {(r.l1, r.l2): r.cos for r in S.label_centroid_sim(emb).collect()}
+    assert out == {
+        (0, 1): 0.0,
+        (0, 2): round(9 / (3 * 5), 6),
+        (1, 2): round(8 / (2 * 5), 6),
+    }
+
+
+def test_label_outliers_rank_and_tiebreak(spark):
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    emb = _emb(spark, [
+        (0, [0.0, 0.0], 0), (1, [2.0, 0.0], 0), (2, [7.0, 0.0], 0),
+        (3, [0.0, 2.0], 1),
+    ])
+    out = [(r.label, r.vec_id, r.dist, r.rnk)
+           for r in sorted(S.label_outliers(emb, k=2).collect(),
+                           key=lambda r: (r.label, r.rnk))]
+    # l0 centroid [3,0]: dists 3, 1, 4 -> top-2 = vec 2 (4.0), vec 0 (3.0);
+    # l1 singleton: dist 0, rnk 1
+    assert out == [(0, 2, 4.0, 1), (0, 0, 3.0, 2), (1, 3, 0.0, 1)]

@@ -112,6 +112,10 @@ ALLOWED = {
     "corpus_topics": {"NESTED-LOOP-JOIN"},
     # semdedup runs the same quantizer pass before the within-cell prune
     "semdedup": {"NESTED-LOOP-JOIN"},
+    # the l1 < l2 pair join runs over the #labels-row CENTROID frame —
+    # model-bounded (not data-scaled) by construction, broadcast by
+    # design; the corpus is touched once by the centroid aggregate
+    "label_centroid_sim": {"NESTED-LOOP-JOIN"},
     # the eval-suite side is broadcast BY DESIGN (bounded at thousands of
     # vectors however big the train corpus — bm25's stats-frame rationale);
     # the per-train max then collapses map-side
