@@ -154,6 +154,7 @@ HEADLINE = [
     "split_leakage_audit",
     "label_centroid_sim",
     "label_outliers",
+    "dsir_resample",
 ]
 
 

@@ -596,6 +596,23 @@ def load_lsh_index(spark, table: str = "lsh_index"):
     return spark.table(f"{table}_bands"), spark.table(f"{table}_sets")
 
 
+def append_lsh_index(docs: DataFrame, *, table: str = "lsh_index",
+                     n: int = DEFAULT_SHINGLE, n_hashes: int = DEFAULT_HASHES,
+                     n_bands: int = DEFAULT_BANDS) -> None:
+    """Fold an accepted batch into the standing index — the write half of
+    the ingest loop (probe_lsh_index is the read half): shingle + minhash
+    the batch only and APPEND to both index tables via insertInto, which
+    routes rows through the tables' existing bucket spec so the layout
+    (and therefore every future probe's no-Exchange plan) survives
+    arbitrarily many appends. Per-batch cost: hash the batch, write
+    batch-sized files — the standing corpus is never rewritten."""
+    sets = shingle_sets(docs, n)
+    keyed = band_keyed(minhash_signatures_wide(sets, n_hashes),
+                       n_hashes, n_bands)
+    keyed.write.mode("append").insertInto(f"{table}_bands")
+    sets.write.mode("append").insertInto(f"{table}_sets")
+
+
 def probe_lsh_index(bands: DataFrame, sets: DataFrame, batch_docs: DataFrame,
                     *, n: int = DEFAULT_SHINGLE,
                     n_hashes: int = DEFAULT_HASHES,

@@ -611,6 +611,42 @@ def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
     )
 
 
+def dsir_sample(docs: DataFrame, target: Column, k: int, *,
+                buckets: int = 64, text_col: str = "text",
+                salt: str = "gumbel:") -> DataFrame:
+    """The EXECUTION step of DSIR — importance resampling itself, not just
+    the weights: draw ``k`` documents without replacement with probability
+    proportional to exp(dsir_logweight) via the Gumbel-top-k identity
+    (argmax of logweight + Gumbel noise ~ weighted sampling without
+    replacement). The noise is DETERMINISTIC — u = (md5-hash(doc_id)+1) /
+    (2^32+1) in (0,1), g = -ln(-ln(u)) — so the drawn sample is
+    reproducible on any engine and stable across reruns, the same
+    hash-not-rng discipline as stratified_sample/train_test_split.
+
+    Float rule: the Gumbel term and the final key both round to 6 (ln is
+    portable only under rounding), the rank cut is on the ROUNDED key
+    with doc_id tie-break, and the plan is TakeOrdered (top-k heap, no
+    global sort) — at 10^9 docs the sample costs the weight scan plus a
+    k-sized ordered collect."""
+    w = dsir_logweights(docs, target, buckets=buckets, text_col=text_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 1
+    ) / F.lit(float((1 << 32) + 1))
+    g = F.round(-F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("skey", F.round(F.col("dsir_logweight") + g, 6))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def remove_duplicate_spans(docs: DataFrame, *, n: int = 3, min_df: int = 2,
                            text_col: str = "text") -> DataFrame:
     """The span-CUTTING pass that ``duplicate_gram_fraction`` measures for

@@ -3820,3 +3820,35 @@ def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_outliers(_emb(spark, sf_dir), k=3)
+
+
+@register(
+    "dsir_resample",
+    f"""
+    WITH {_dsir_ctes()},
+    g AS (SELECT doc_id, n_tokens, dsir_logweight,
+                 round(dsir_logweight +
+                       round(-ln(-ln((CAST(
+                         {_hex8_bigint("md5('gumbel:' || CAST(doc_id AS VARCHAR))")}
+                         AS DOUBLE) + 1) / 4294967297.0)), 6),
+                       6) AS skey
+          FROM dsw)
+    SELECT doc_id, n_tokens, dsir_logweight, skey
+    FROM g ORDER BY skey DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR importance resampling EXECUTED (operators/text.py::"
+    "dsir_sample — Xie et al. 2023): draw 100 docs without replacement "
+    "with probability proportional to exp(dsir_logweight) via the "
+    "Gumbel-top-k identity, with DETERMINISTIC hash-derived Gumbel noise "
+    "(u from md5(doc_id), g = -ln(-ln(u))) so the drawn sample is "
+    "engine-reproducible — the step that turns the dsir_weights scores "
+    "into the actual target-resembling training subset. Gumbel term and "
+    "final key round to 6 before the cut (ln house rule), doc_id "
+    "tie-break; plans as TakeOrdered over the weight scan — a k-sized "
+    "heap, no global sort, at any corpus size.",
+    tags=("dataprep", "sampling", "lm", "dsir"),
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.dsir_sample(
+        _docs(spark, sf_dir), F.col("lang") == "en", k=100, buckets=64
+    )

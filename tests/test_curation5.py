@@ -195,3 +195,65 @@ def test_label_outliers_rank_and_tiebreak(spark):
     # l0 centroid [3,0]: dists 3, 1, 4 -> top-2 = vec 2 (4.0), vec 0 (3.0);
     # l1 singleton: dist 0, rnk 1
     assert out == [(0, 2, 4.0, 1), (0, 0, 3.0, 2), (1, 3, 0.0, 1)]
+
+
+def test_lsh_index_append_then_probe(spark, tmp_path):
+    """The write half of the ingest loop: append a batch to the standing
+    index, then probe a later batch — results equal the on-the-fly probe
+    against the grown corpus, and the probe plan still reads the bucketed
+    layout (appends route through the table's bucket spec)."""
+    corpus0 = _docs(spark, [(0, _BASE), (1, _OTHER)])
+    grown = _docs(spark, [(0, _BASE), (1, _OTHER), (2, _THIRD)])
+    D.save_lsh_index(corpus0, str(tmp_path / "idx3"), table="t_lsh3",
+                     buckets=4)
+    D.append_lsh_index(_docs(spark, [(2, _THIRD)]), table="t_lsh3")
+    bands, sets = D.load_lsh_index(spark, "t_lsh3")
+    assert bands.count() == 3 * 4 and sets.count() == 3
+
+    batch = _docs(spark, [(10, _NEAR), (11, _THIRD + " x")])
+    got = D.probe_lsh_index(bands, sets, batch, min_est=0.3, min_jaccard=0.3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows = {(r.d_new, r.d_old, r.jaccard) for r in got.collect()}
+    want = {
+        (r.d_new, r.d_old, r.jaccard)
+        for r in D.incremental_lsh_pairs(
+            batch, grown, min_est=0.3, min_jaccard=0.3
+        ).collect()
+    }
+    # doc 10 matches the pre-existing doc 0; doc 11 matches the APPENDED
+    # doc 2 — the index saw both generations
+    assert rows == want
+    assert {(dn, do) for dn, do, _ in rows} == {(10, 0), (11, 2)}
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(bkey" not in plan, plan
+
+
+def test_dsir_sample_deterministic_and_enriched(spark):
+    """Gumbel-top-k resampling: exactly k rows, rerun-identical (the
+    noise is hash-derived, not rng), and enriched toward the target
+    distribution (sample mean logweight must beat the corpus mean —
+    that's the whole point of importance resampling)."""
+    from hbase_packet_inspector_spark.operators import text as X
+
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        rows.append((
+            i,
+            ("alpha beta gamma delta " * 4).strip() if good
+            else ("omega psi chi phi " * 4).strip(),
+            "en" if good else "xx", "s", 80,
+        ))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tgt = F.col("lang") == "en"
+    a = X.dsir_sample(docs, tgt, k=10).collect()
+    b = X.dsir_sample(docs, tgt, k=10).collect()
+    assert len(a) == 10
+    assert [(r.doc_id, r.skey) for r in a] == [(r.doc_id, r.skey) for r in b]
+    corpus_mean = (
+        X.dsir_logweights(docs, tgt).agg(F.avg("dsir_logweight")).first()[0]
+    )
+    sample_mean = sum(r.dsir_logweight for r in a) / len(a)
+    assert sample_mean > corpus_mean

@@ -131,6 +131,9 @@ ALLOWED = {
     # same DSIR stats x one-row-totals cross join inside the composed
     # pipeline (dsir_weights' rationale)
     "span_dsir_pipeline": {"NESTED-LOOP-JOIN"},
+    # the resample reuses the DSIR weight chain verbatim (dsir_weights'
+    # stats x totals rationale); the sample cut itself is TakeOrdered
+    "dsir_resample": {"NESTED-LOOP-JOIN"},
 }
 
 
