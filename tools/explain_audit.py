@@ -96,6 +96,10 @@ ALLOWED = {
     # the exact-L2 baseline half (ann_recall's rationale); the ADC half
     # plans as an equi join over codes
     "pq_recall": {"NESTED-LOOP-JOIN"},
+    # the exact brute-force half of the SRP recall audit is cosine_topk's
+    # broadcast-queries pass (ann_recall's rationale); the SRP half is an
+    # equi join on the band key
+    "srp_recall": {"NESTED-LOOP-JOIN"},
     # corpus stats (N, avgdl, per-term df) re-enter as a broadcast ONE-ROW
     # aggregate — a 1-row nested loop by construction (source_token_mix's
     # rationale)
