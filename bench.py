@@ -155,6 +155,7 @@ HEADLINE = [
     "label_centroid_sim",
     "label_outliers",
     "dsir_resample",
+    "simhash_pairs",
 ]
 
 

@@ -677,6 +677,58 @@ def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_pairs(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
+                  bits: int = 16, n_bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via Hamming banding (the web-crawl dedup
+    shape of Manku et al. 2007): split each ``bits``-bit signature into
+    ``n_bands`` bands; by pigeonhole any pair within ``max_hamming`` <
+    ``n_bands`` bit flips agrees on at least one WHOLE band, so a
+    band-key self-join finds every such pair with recall 1 — no all-pairs
+    stage — and the exact Hamming distance verifies only the collisions.
+
+    Complements minhash_lsh_dedup: simhash candidates come from ONE
+    16-bit fingerprint per doc (the cheapest signature in the library —
+    no per-seed hashing), at the cost of a coarser similarity notion
+    (bit flips, not Jaccard). Output: (d1, d2, hamming).
+
+    Scale shape: signature aggregate is a doc_id rollup; the band join
+    shuffles (doc, 4-char key) rows only; the signature strings rejoin
+    onto DEDUPED candidate pairs — the same carry-nothing-through-the-
+    band-join discipline as embedding_neardup."""
+    width = bits // n_bands
+    sigs = simhash(docs, n=n, bits=bits)
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"),
+                     F.substring("simhash", b * width + 1, width))
+            for b in range(n_bands)
+        ])).alias("bkey"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    ham = sum(
+        F.when(
+            F.substring("s1", j + 1, 1) != F.substring("s2", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(bits)
+    )
+    return (
+        cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
 def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
     """Near-dup pairs -> clusters with a canonical keeper: ``iterations``
     rounds of min-label propagation over the pair graph (connected

@@ -3852,3 +3852,57 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.dsir_sample(
         _docs(spark, sf_dir), F.col("lang") == "en", k=100, buckets=64
     )
+
+
+def _simhash_pairs_oracle(bits: int = 16, n_bands: int = 4,
+                          max_hamming: int = 3) -> str:
+    width = bits // n_bands
+    votes = ",\n           ".join(
+        f"sum((ascii(substr(md5(shingle), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    bands = "\n          UNION ALL ".join(
+        f"SELECT doc_id, s, '{b}:' || substr(s, {b * width + 1}, {width}) AS bkey"
+        " FROM sig"
+        for b in range(n_bands)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(s1, {j + 1}, 1) <> substr(s2, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    v AS (SELECT doc_id,
+           {votes}
+          FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS s FROM v),
+    b AS ({bands}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM b a JOIN b b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    h AS (SELECT d1, d2, ({ham}) AS hamming
+          FROM cand JOIN (SELECT doc_id, s AS s1 FROM sig) x ON d1 = x.doc_id
+                    JOIN (SELECT doc_id, s AS s2 FROM sig) y ON d2 = y.doc_id)
+    SELECT d1, d2, hamming FROM h WHERE hamming <= {max_hamming}
+    """
+
+
+@register(
+    "simhash_pairs",
+    _simhash_pairs_oracle(bits=32),
+    doc="SimHash near-dup PAIRS via Hamming banding (operators/dedup.py::"
+    "simhash_pairs — the Manku et al. 2007 web-crawl dedup shape): 32-bit "
+    "signatures split into 4 8-bit bands; by pigeonhole any pair within 3 bit flips "
+    "agrees on a whole band, so the band-key self-join has recall 1 for "
+    "hamming <= 3 and the exact distance verifies only collisions — "
+    "never all-pairs. The cheapest pair detector in the dedup family "
+    "(one fingerprint per doc, no per-seed hashing), coarser than "
+    "Jaccard; candidates carry only (doc, 4-bit key) through the band "
+    "join, signatures rejoin onto DEDUPED pairs.",
+    tags=("dataprep", "dedup", "simhash", "lsh"),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_docs(spark, sf_dir), bits=32)

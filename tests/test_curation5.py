@@ -257,3 +257,25 @@ def test_dsir_sample_deterministic_and_enriched(spark):
     )
     sample_mean = sum(r.dsir_logweight for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_simhash_pairs_copies_and_unrelated(spark):
+    """Identical docs -> hamming 0 pair; unrelated docs -> no pair. The
+    banding guarantee (recall 1 for hamming <= max_hamming) is structural
+    — pigeonhole over 4 bands — so identical copies can never be missed."""
+    docs = _docs(spark, [
+        (0, _BASE), (1, _BASE),          # exact copies
+        (2, _OTHER), (3, _THIRD),        # unrelated to everything
+    ])
+    out = D.simhash_pairs(docs, bits=32).collect()
+    assert [(r.d1, r.d2, r.hamming) for r in out] == [(0, 1, 0)]
+
+
+def test_simhash_pairs_near_miss_within_bands(spark):
+    """A lightly edited copy lands within the hamming budget and is
+    found; the reported distance is the exact signature distance."""
+    docs = _docs(spark, [(0, _BASE), (1, _NEAR), (2, _OTHER)])
+    out = {(r.d1, r.d2): r.hamming
+           for r in D.simhash_pairs(docs, bits=32, max_hamming=6).collect()}
+    assert set(out) == {(0, 1)}
+    assert 0 <= out[(0, 1)] <= 6
