@@ -131,11 +131,14 @@ def test_streaming_ingest_gate_foreachbatch(spark, tmp_path):
 
     arrivals = _docs(spark, [(10, _NEAR), (11, _THIRD), (12, _OTHER + " !!")])
     src = str(tmp_path / "arrivals")
-    arrivals.write.parquet(src)
+    # one file per row + maxFilesPerTrigger=1 forces one micro-batch per
+    # doc — the gate must behave identically however arrivals are batched
+    arrivals.repartition(3, "doc_id").write.parquet(src)
 
     flagged: list = []
     q = (
-        spark.readStream.schema(arrivals.schema).parquet(src)
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream.foreachBatch(
             lambda b, _i: flagged.extend(
                 D.probe_lsh_index(
