@@ -156,6 +156,7 @@ HEADLINE = [
     "label_outliers",
     "dsir_resample",
     "simhash_pairs",
+    "ingest_gate",
 ]
 
 

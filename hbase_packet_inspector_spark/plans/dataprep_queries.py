@@ -3906,3 +3906,73 @@ def _simhash_pairs_oracle(bits: int = 16, n_bands: int = 4,
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), bits=32)
+
+
+@register(
+    "ingest_gate",
+    _minhash_oracle(
+        pair_cond="a.doc_id % 8 = 0 AND b.doc_id % 8 <> 0",
+        tail=""",
+    hits AS (SELECT d1 AS doc_id, count(*) AS n_matches,
+                    round(max(CAST(inter AS DOUBLE) / (x.n + y.n - inter)), 6)
+                      AS max_jaccard
+             FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+             WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45
+             GROUP BY 1),
+    q AS (SELECT doc_id, n_chars,
+                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x = 'the' OR x = 'a'))
+                   AS INTEGER) AS n_stop
+          FROM documents WHERE doc_id % 8 = 0)
+    SELECT q.doc_id,
+           coalesce(hits.n_matches, 0) AS n_matches,
+           coalesce(hits.max_jaccard, 0.0) AS max_jaccard,
+           (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.2
+              THEN 1 ELSE 0 END) AS quality_score,
+           (hits.doc_id IS NULL
+            AND (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.2
+                   THEN 1 ELSE 0 END) = 2) AS keep
+    FROM q LEFT JOIN hits ON q.doc_id = hits.doc_id
+    """,
+    ),
+    doc="THE per-batch ingest decision, composed end-to-end in one lazy "
+    "plan: for every arriving doc (doc_id % 8 == 0 stands in for the "
+    "batch), the incremental near-dup probe against the standing corpus "
+    "(incremental_lsh_pairs — batch side broadcast, corpus never "
+    "shuffles) LEFT-joined with the quality gate (quality_features — "
+    "pure column exprs), producing (n_matches, max_jaccard, "
+    "quality_score, keep): keep = no standing near-dup AND full quality "
+    "score. This is the row a production gate writes per arriving doc — "
+    "dedup evidence and quality verdict in one pass; the batch text is "
+    "scanned once for shingles and once for the quality features, and "
+    "nothing anywhere is corpus-quadratic.",
+    tags=("dataprep", "dedup", "quality", "curation", "pipeline",
+          "incremental"),
+)
+def ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 8 == 0)
+    corpus = docs.where(F.col("doc_id") % 8 != 0)
+    hits = (
+        D.incremental_lsh_pairs(batch, corpus, min_est=0.5, min_jaccard=0.45)
+        .groupBy(F.col("d_new").alias("doc_id"))
+        .agg(
+            F.count("*").alias("_nm"),
+            F.round(F.max("jaccard"), 6).alias("_mj"),
+        )
+    )
+    q = X.quality_features(batch)
+    return (
+        q.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nm"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col("_mj"), F.lit(0.0)).alias("max_jaccard"),
+            "quality_score",
+            (F.col("_nm").isNull() & (F.col("quality_score") == 2))
+            .alias("keep"),
+        )
+    )
