@@ -157,6 +157,7 @@ HEADLINE = [
     "dsir_resample",
     "simhash_pairs",
     "ingest_gate",
+    "corpus_card",
 ]
 
 

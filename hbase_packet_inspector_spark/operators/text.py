@@ -611,6 +611,53 @@ def dsir_logweights(docs: DataFrame, target: Column, *, buckets: int = 64,
     )
 
 
+def corpus_card(docs: DataFrame, *, text_col: str = "text",
+                nchars_col: str = "n_chars",
+                lang_col: str = "lang") -> DataFrame:
+    """The corpus datasheet — the one-stop (metric, value) report a data
+    owner publishes with a release: document and size totals, exact-dup
+    rate, mean quality score, median length, and the per-language doc
+    mix. Everything a mixture designer reads before touching per-doc
+    operators.
+
+    Scale shape: ONE wide aggregate over the corpus (count, sums, the
+    md5-distinct dup rate, the quality-feature means, and the length
+    percentile — a single partial+final pass; the exact distinct adds
+    the standard Expand doubling, same documented trade as data_profile)
+    plus one lang-keyed aggregate, unioned into a fixed-size frame.
+    Values round to 6; metrics are strings so the frame stays two
+    columns at any corpus size."""
+    n_words = F.size(_tok(text_col))
+    n_stop = F.size(F.filter(_tok(text_col), lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    qscore = (
+        F.when(n_words >= 20, F.lit(1)).otherwise(0)
+        + F.when(stop_ratio <= 0.2, F.lit(1)).otherwise(0)
+    )
+    wide = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(nchars_col).cast("double").alias("total_chars"),
+        F.sum(n_words).cast("double").alias("total_ws_tokens"),
+        F.countDistinct(F.md5(F.col(text_col))).cast("double")
+        .alias("distinct_texts"),
+        F.round(F.avg(qscore), 6).alias("avg_quality_score"),
+        F.expr(f"percentile({nchars_col}, 0.5)").alias("median_chars"),
+    ).select(
+        F.expr(
+            "stack(6, 'n_docs', n_docs, 'total_chars', total_chars, "
+            "'total_ws_tokens', total_ws_tokens, "
+            "'exact_dup_rate', round(1.0 - distinct_texts / n_docs, 6), "
+            "'avg_quality_score', avg_quality_score, "
+            "'median_chars', median_chars) AS (metric, value)"
+        )
+    )
+    langs = docs.groupBy(lang_col).agg(F.count("*").alias("c")).select(
+        F.concat(F.lit("docs_lang_"), F.col(lang_col)).alias("metric"),
+        F.col("c").cast("double").alias("value"),
+    )
+    return wide.unionByName(langs)
+
+
 def dsir_sample(docs: DataFrame, target: Column, k: int, *,
                 buckets: int = 64, text_col: str = "text",
                 salt: str = "gumbel:") -> DataFrame:

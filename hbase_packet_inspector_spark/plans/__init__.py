@@ -34,6 +34,7 @@ _UNVERIFIED_FIRST = (
     "dsir_resample",  # latest green r0
     "simhash_pairs",  # latest green r0
     "ingest_gate",  # latest green r0
+    "corpus_card",  # latest green r0
     "ivf_quantized_topk",  # latest green r1
     "ivf_kmeans_topk",  # latest green r1
     "dedup_clusters",  # latest green r1

@@ -3976,3 +3976,48 @@ def ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+@register(
+    "corpus_card",
+    """
+    WITH q AS (SELECT doc_id, n_chars, lang, md5(text) AS h,
+                      CAST(len(string_split(text, ' ')) AS INTEGER) AS nw,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x = 'the' OR x = 'a'))
+                        AS INTEGER) AS ns
+               FROM documents),
+    s AS (SELECT doc_id, n_chars, lang, h, nw,
+                 (CASE WHEN nw >= 20 THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(ns AS DOUBLE) / nw <= 0.2
+                    THEN 1 ELSE 0 END) AS qs
+          FROM q),
+    w AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+                 CAST(sum(nw) AS DOUBLE) AS total_ws_tokens,
+                 CAST(count(DISTINCT h) AS DOUBLE) AS distinct_texts,
+                 round(avg(qs), 6) AS avg_quality_score,
+                 CAST(median(n_chars) AS DOUBLE) AS median_chars
+          FROM s)
+    SELECT 'n_docs' AS metric, n_docs AS value FROM w
+    UNION ALL SELECT 'total_chars', total_chars FROM w
+    UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM w
+    UNION ALL SELECT 'exact_dup_rate',
+                     round(1.0 - distinct_texts / n_docs, 6) FROM w
+    UNION ALL SELECT 'avg_quality_score', avg_quality_score FROM w
+    UNION ALL SELECT 'median_chars', median_chars FROM w
+    UNION ALL SELECT 'docs_lang_' || lang, CAST(count(*) AS DOUBLE)
+              FROM documents GROUP BY lang
+    """,
+    doc="The corpus datasheet (operators/text.py::corpus_card): one "
+    "(metric, value) frame with document/char/token totals, the exact-"
+    "dup rate (md5-distinct over texts), mean quality score, median "
+    "length, and the per-language doc mix — the report a data owner "
+    "publishes with a release and a mixture designer reads first. One "
+    "wide partial+final aggregate over the corpus (the exact distinct "
+    "carries the documented Expand doubling, as in data_profile) plus a "
+    "lang-keyed count, unioned into a fixed-size two-column frame.",
+    tags=("dataprep", "report", "quality", "profile"),
+)
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.corpus_card(_docs(spark, sf_dir))

@@ -282,3 +282,28 @@ def test_simhash_pairs_near_miss_within_bands(spark):
            for r in D.simhash_pairs(docs, bits=32, max_hamming=6).collect()}
     assert set(out) == {(0, 1)}
     assert 0 <= out[(0, 1)] <= 6
+
+
+def test_corpus_card_hand_rolled(spark):
+    from hbase_packet_inspector_spark.operators import text as X
+
+    long_text = ("the cat sat on the mat near the big red door and then "
+                 "slept for a while under it")  # >= 20 words, stop-heavy
+    docs = spark.createDataFrame(
+        [
+            (0, long_text, "en", "s", len(long_text)),
+            (1, long_text, "en", "s", len(long_text)),   # exact dup
+            (2, "tiny doc", "fr", "s", 8),
+            (3, "another tiny doc", "fr", "s", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    card = {r.metric: r.value for r in X.corpus_card(docs).collect()}
+    assert card["n_docs"] == 4.0
+    assert card["exact_dup_rate"] == round(1 - 3 / 4, 6)
+    assert card["docs_lang_en"] == 2.0 and card["docs_lang_fr"] == 2.0
+    assert card["total_chars"] == float(len(long_text) * 2 + 8 + 16)
+    # long_text: 19 words (< 20 -> 0) and 4/19 stopwords (> 0.2 -> 0)
+    # -> score 0; tiny docs: < 20 words (0), no stopwords (1) -> score 1
+    assert card["avg_quality_score"] == 0.5
+    assert card["median_chars"] == (16 + len(long_text)) / 2
