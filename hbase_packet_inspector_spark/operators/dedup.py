@@ -548,13 +548,18 @@ def _probe_lsh(keyed_old: DataFrame, sets_old: DataFrame,
     j = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     ).cast("double")
-    return (
+    out = (
         s_old.join(withnew, "d_old")
         .withColumn("inter", F.size(F.array_intersect("set1", "set2")))
         .withColumn("jaccard", j)
         .where(F.col("jaccard") >= min_jaccard)
         .select("d_new", "d_old", "jaccard")
     )
+    # long-lived callers (the streaming ingest gate runs one probe per
+    # micro-batch, forever) need to release the batch-signature persist
+    # without clearCache'ing the whole session; hand them the frame
+    out._hpi_persisted = sigs_new
+    return out
 
 
 def save_lsh_index(docs: DataFrame, path: str, *, table: str = "lsh_index",
@@ -611,6 +616,71 @@ def append_lsh_index(docs: DataFrame, *, table: str = "lsh_index",
                        n_hashes, n_bands)
     keyed.write.mode("append").insertInto(f"{table}_bands")
     sets.write.mode("append").insertInto(f"{table}_sets")
+
+
+def compact_lsh_index(spark, path: str, *, table: str = "lsh_index",
+                      buckets: int = 8) -> dict:
+    """Fold the standing index's append debris back into one file per
+    bucket — the maintenance half of the build-once/probe-many lifecycle.
+
+    ``append_lsh_index`` routes each batch through ``insertInto``, which
+    writes roughly one file per (writer task x bucket) per batch; after
+    10^4 appended batches every bucket is 10^4 small files and each probe
+    pays 10^4 opens + footer reads — the classic small-files
+    death-by-metadata. Compaction rewrites each table ONCE through the
+    same bucket spec into a fresh versioned location
+    (``<path>/<suffix>__c{k}``), then swaps the metastore entry
+    (create-as-new + DROP + RENAME — a metadata-only cut-over; a reader
+    that resolved the old table keeps its old file list and finishes
+    unharmed). ``repartition(buckets, key)`` before the bucketed write
+    uses the same Murmur3 hash partitioning as the bucket spec, so each
+    writer task holds exactly one bucket and emits exactly one file — no
+    second shuffle, one file per bucket after the fold.
+
+    The superseded location is NOT deleted — it is returned in the report
+    for deferred removal once in-flight readers drain; at 100 TB you never
+    unlink under a live reader. Returns
+    ``{suffix: {files_before, files_after, old_location, new_location}}``.
+    """
+    report = {}
+    for suffix, key in (("bands", "bkey"), ("sets", "doc_id")):
+        name = f"{table}_{suffix}"
+        files_before = len(spark.table(name).inputFiles())
+        loc = [
+            r.data_type
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r.col_name == "Location"
+        ][0]
+        base = loc.rsplit("__c", 1)
+        version = int(base[1]) + 1 if len(base) == 2 and base[1].isdigit() else 1
+        new_loc = f"{path}/{suffix}__c{version}"
+        tmp = f"{name}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # Read the FILES, not the table: the table scan carries bucketing
+        # metadata, which lets Catalyst elide the repartition exchange as
+        # redundant while DisableUnnecessaryBucketedScan independently
+        # reverts the scan to raw file splits — tasks then hold mixed
+        # bucket ids and the writer emits one file per (task x bucket),
+        # defeating the fold. A plain parquet read has no claimed
+        # partitioning, so the shuffle survives and lines up 1:1 with the
+        # writer's bucket hash (same Murmur3-pmod expression).
+        (
+            spark.read.parquet(loc)
+            .repartition(buckets, key)
+            .write.mode("overwrite")
+            .option("path", new_loc)
+            .bucketBy(buckets, key)
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE {name}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        report[suffix] = {
+            "files_before": files_before,
+            "files_after": len(spark.table(name).inputFiles()),
+            "old_location": loc,
+            "new_location": new_loc,
+        }
+    return report
 
 
 def probe_lsh_index(bands: DataFrame, sets: DataFrame, batch_docs: DataFrame,

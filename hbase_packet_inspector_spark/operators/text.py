@@ -81,6 +81,44 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     )
 
 
+def gate_decisions(batch_docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """THE per-batch ingest decision, composed from a near-dup pair frame
+    and the quality gate: one row per arriving doc with (n_matches,
+    max_jaccard, quality_score, keep); keep = no standing near-dup AND
+    full quality score. ``pairs`` is (d_new, d_old, jaccard) from either
+    incremental_lsh_pairs (on-the-fly corpus) or probe_lsh_index (the
+    persisted bucketed index) — the registered ``ingest_gate`` query and
+    the streaming deployment (streaming/ingest.py) run THIS body, so the
+    gate a firehose applies is bit-identical to the one the batch
+    pipeline was calibrated on.
+
+    Pair rows are collapsed per (d_new, d_old) before counting, so an
+    index that holds replay-duplicated rows (a crash-replayed
+    append_lsh_index batch) can never inflate n_matches — the dedup is
+    batch-sized, the robustness is free."""
+    hits = (
+        pairs.groupBy("d_new", "d_old")
+        .agg(F.max("jaccard").alias("_j"))
+        .groupBy(F.col("d_new").alias("doc_id"))
+        .agg(
+            F.count("*").alias("_nm"),
+            F.round(F.max("_j"), 6).alias("_mj"),
+        )
+    )
+    return (
+        quality_features(batch_docs)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nm"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col("_mj"), F.lit(0.0)).alias("max_jaccard"),
+            "quality_score",
+            (F.col("_nm").isNull() & (F.col("quality_score") == 2))
+            .alias("keep"),
+        )
+    )
+
+
 # GPT-2-style pre-tokenizer segmentation, restricted to constructs with
 # identical semantics in Java regex (Spark), RE2 (DuckDB), and Python:
 # space-prefixed letter runs / digit runs / punctuation runs, bare spaces.

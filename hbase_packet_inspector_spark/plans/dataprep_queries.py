@@ -3956,26 +3956,13 @@ def ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     batch = docs.where(F.col("doc_id") % 8 == 0)
     corpus = docs.where(F.col("doc_id") % 8 != 0)
-    hits = (
-        D.incremental_lsh_pairs(batch, corpus, min_est=0.5, min_jaccard=0.45)
-        .groupBy(F.col("d_new").alias("doc_id"))
-        .agg(
-            F.count("*").alias("_nm"),
-            F.round(F.max("jaccard"), 6).alias("_mj"),
-        )
+    pairs = D.incremental_lsh_pairs(
+        batch, corpus, min_est=0.5, min_jaccard=0.45
     )
-    q = X.quality_features(batch)
-    return (
-        q.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("_nm"), F.lit(0)).alias("n_matches"),
-            F.coalesce(F.col("_mj"), F.lit(0.0)).alias("max_jaccard"),
-            "quality_score",
-            (F.col("_nm").isNull() & (F.col("quality_score") == 2))
-            .alias("keep"),
-        )
-    )
+    # gate_decisions is the SHARED body the streaming deployment
+    # (streaming/ingest.py) runs per micro-batch against the persisted
+    # index — one gate, calibrated once, applied everywhere
+    return X.gate_decisions(batch, pairs)
 
 
 @register(

@@ -1,0 +1,111 @@
+"""Streaming deployment of the composed ingest gate: the build-once/
+probe-many LSH index (operators/dedup.py::save_lsh_index) driven as a
+checkpointed Structured Streaming job with an idempotent parquet sink.
+
+This is the production shape of the registered ``ingest_gate`` query —
+the same gate body (operators/text.py::gate_decisions) run per
+micro-batch under foreachBatch:
+
+  arrivals (file source) ──▶ probe_lsh_index (persisted bucketed index,
+  no corpus shuffle) ──▶ gate_decisions (near-dup evidence + quality
+  verdict, one lazy plan) ──▶ decisions/batch_id=N + kept/batch_id=N
+  (overwrite per batch = idempotent under replay) ──▶ append kept docs
+  into the standing index (the corpus grows as the stream runs)
+
+Exactly-once story (mirrors streaming/pipeline.py::run_pipeline_to_parquet):
+the checkpoint makes micro-batch replay possible after a crash; both sinks
+stay correct under replay because each batch OVERWRITES its own
+``batch_id=N`` partition directory. The index append is the one
+at-least-once edge: a replayed batch appends its kept rows twice. That is
+benign by construction — gate_decisions collapses pairs per (d_new, d_old)
+before counting, so duplicate index rows never change a verdict — and
+compact_lsh_index drops the duplicate rows on its next fold, so the debris
+is bounded by the time between compactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import append_lsh_index, load_lsh_index, probe_lsh_index
+from ..operators.text import gate_decisions
+
+
+def run_ingest_gate_stream(
+    spark, source_dir: str, out_dir: str, *, table: str = "lsh_index",
+    min_est: float = 0.5, min_jaccard: float = 0.45,
+    max_files_per_trigger: int | None = None,
+    append_accepted: bool = True,
+) -> None:
+    """Gate a parquet firehose against the persisted corpus index.
+
+    Reads ``source_dir`` as a file stream (schema inferred from the
+    existing files), probes + quality-gates each micro-batch, writes
+    per-batch ``decisions`` and ``kept`` parquet partitions under
+    ``out_dir``, and — when ``append_accepted`` — folds the kept docs
+    into the standing index so later arrivals are gated against them.
+    Trigger is availableNow: one call drains everything currently in the
+    source and stops; re-running resumes from the checkpoint and
+    processes only NEW files (call it from cron, or swap in a
+    processingTime trigger for an always-on deployment — the sink
+    contract is identical).
+
+    Per-batch cost is batch-sized everywhere: the batch is persisted once
+    (it feeds the probe's two scans and the kept write), the index side
+    is bucket-pruned reads with no Exchange, and the kept filter is a
+    broadcast semi-join of the batch-sized decision frame. Nothing here
+    re-touches the standing corpus.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    bands, sets = load_lsh_index(spark, table)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df
+        if "n_chars" not in batch.columns:
+            batch = batch.withColumn("n_chars", F.length("text"))
+        batch = batch.persist()
+        pairs = None
+        try:
+            pairs = probe_lsh_index(
+                bands, sets, batch,
+                min_est=min_est, min_jaccard=min_jaccard,
+            )
+            decisions = gate_decisions(batch, pairs)
+            dec_dir = f"{out_dir}/decisions/batch_id={batch_id}"
+            decisions.write.mode("overwrite").parquet(dec_dir)
+            # read the just-committed verdicts back (authoritative even
+            # under replay) to carve the kept rows out of the batch
+            kept_ids = (
+                spark.read.parquet(dec_dir).where("keep").select("doc_id")
+            )
+            kept = batch.join(F.broadcast(kept_ids), "doc_id")
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/kept/batch_id={batch_id}"
+            )
+            if append_accepted:
+                kept_docs = spark.read.parquet(
+                    f"{out_dir}/kept/batch_id={batch_id}"
+                )
+                if kept_docs.limit(1).count() > 0:
+                    append_lsh_index(kept_docs, table=table)
+        finally:
+            batch.unpersist()
+            # the probe persists the batch's minhash signatures (fed to
+            # three consumers inside one batch); release per batch so an
+            # always-on stream holds zero pinned frames between triggers
+            sigs = getattr(pairs, "_hpi_persisted", None)
+            if sigs is not None:
+                sigs.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

@@ -231,6 +231,160 @@ def test_lsh_index_append_then_probe(spark, tmp_path):
     assert "Exchange hashpartitioning(bkey" not in plan, plan
 
 
+def test_compact_lsh_index_folds_files_and_preserves_probe(spark, tmp_path):
+    """Index lifecycle maintenance: after several insertInto appends the
+    bucket dirs hold one file set per batch; compact_lsh_index must fold
+    each table to at most one file per bucket, keep probe results
+    byte-identical, and keep the no-corpus-Exchange bucketed plan (the
+    whole point of the rewrite is to preserve the layout, cheaper)."""
+    corpus0 = _docs(spark, [(0, _BASE), (1, _OTHER)])
+    D.save_lsh_index(corpus0, str(tmp_path / "idx4"), table="t_lsh4",
+                     buckets=4)
+    for i, txt in ((2, _THIRD), (3, _BASE + " again"), (4, _OTHER + " too")):
+        D.append_lsh_index(_docs(spark, [(i, txt)]), table="t_lsh4")
+
+    batch = _docs(spark, [(10, _NEAR), (11, _THIRD + " x")])
+    bands, sets = D.load_lsh_index(spark, "t_lsh4")
+    before = {
+        (r.d_new, r.d_old, r.jaccard)
+        for r in D.probe_lsh_index(
+            bands, sets, batch, min_est=0.3, min_jaccard=0.3
+        ).collect()
+    }
+    assert len(before) > 0
+
+    report = D.compact_lsh_index(spark, str(tmp_path / "idx4"),
+                                 table="t_lsh4", buckets=4)
+    # the bands table really did accrete append debris before the fold
+    assert report["bands"]["files_before"] > 4, report
+    for suffix in ("bands", "sets"):
+        r = report[suffix]
+        assert r["files_after"] <= 4, r  # at most one file per bucket
+        assert r["files_after"] <= r["files_before"], r
+        assert r["old_location"] != r["new_location"]
+
+    bands, sets = D.load_lsh_index(spark, "t_lsh4")
+    assert bands.count() == 5 * 4 and sets.count() == 5
+    got = D.probe_lsh_index(bands, sets, batch, min_est=0.3, min_jaccard=0.3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert {(r.d_new, r.d_old, r.jaccard) for r in got.collect()} == before
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(bkey" not in plan, plan
+
+    # a second compaction bumps the version again (idempotent lifecycle)
+    report2 = D.compact_lsh_index(spark, str(tmp_path / "idx4"),
+                                  table="t_lsh4", buckets=4)
+    assert report2["bands"]["new_location"].endswith("__c2")
+
+
+# 25 words, zero stopwords -> quality_score == 2 (the gate's keep bar)
+_GOOD = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+         "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega zero")
+_GOOD2 = ("uno dos tres cuatro cinco seis siete ocho nueve diez once doce "
+          "trece catorce quince dieciseis diecisiete dieciocho diecinueve "
+          "veinte veintiuno veintidos veintitres veinticuatro veinticinco")
+
+
+def _arrivals(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+
+
+def test_ingest_gate_stream_matches_one_shot(spark, tmp_path):
+    """Deployment recipe: the streaming gate (probe persisted index +
+    quality verdict per micro-batch, append_accepted=False) must emit
+    across all batches EXACTLY the one-shot gate over the same arrivals,
+    and the kept/ partitions must hold exactly the keep=true docs."""
+    from hbase_packet_inspector_spark.operators import text as X
+    from hbase_packet_inspector_spark.streaming.ingest import (
+        run_ingest_gate_stream,
+    )
+
+    corpus = _docs(spark, [(0, _BASE), (1, _GOOD)])
+    D.save_lsh_index(corpus, str(tmp_path / "gidx"), table="t_gate1",
+                     buckets=4)
+
+    # 10: near-dup of kept corpus doc -> rejected on dedup evidence;
+    # 11: clean + high quality -> kept; 12: novel but low quality -> drop
+    arrivals = _arrivals(spark, [
+        (10, _GOOD.replace("zero", "one")),
+        (11, _GOOD2),
+        (12, _THIRD),
+    ])
+    src, out = str(tmp_path / "arr1"), str(tmp_path / "out1")
+    arrivals.repartition(3, "doc_id").write.parquet(src)
+
+    run_ingest_gate_stream(
+        spark, src, out, table="t_gate1", min_est=0.3, min_jaccard=0.3,
+        max_files_per_trigger=1, append_accepted=False,
+    )
+
+    def key(rows):
+        return sorted(tuple(str(x) for x in r) for r in rows)
+
+    got = spark.read.parquet(out + "/decisions").drop("batch_id")
+    bands, sets = D.load_lsh_index(spark, "t_gate1")
+    want = X.gate_decisions(
+        arrivals,
+        D.probe_lsh_index(bands, sets, arrivals,
+                          min_est=0.3, min_jaccard=0.3),
+    )
+    assert key(got.collect()) == key(want.collect())
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[10].keep is False and by_id[10].n_matches > 0
+    assert by_id[11].keep is True
+    assert by_id[12].keep is False and by_id[12].quality_score < 2
+
+    kept = spark.read.parquet(out + "/kept")
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [11]
+
+
+def test_ingest_gate_stream_grows_index_and_checkpoints(spark, tmp_path):
+    """append_accepted=True: a doc kept in run 1 must reject its own
+    near-dup arriving in run 2 (the index grew mid-stream), and a third
+    run with no new files must process nothing (checkpoint resume)."""
+    from hbase_packet_inspector_spark.streaming.ingest import (
+        run_ingest_gate_stream,
+    )
+
+    corpus = _docs(spark, [(0, _BASE)])
+    D.save_lsh_index(corpus, str(tmp_path / "gidx2"), table="t_gate2",
+                     buckets=4)
+
+    src, out = str(tmp_path / "arr2"), str(tmp_path / "out2")
+    _arrivals(spark, [(20, _GOOD)]).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_ingest_gate_stream(spark, src, out, table="t_gate2",
+                           min_est=0.3, min_jaccard=0.3)
+    dec1 = {r.doc_id: r for r in
+            spark.read.parquet(out + "/decisions").collect()}
+    assert dec1[20].keep is True
+
+    # run 2: near-dup of the doc run 1 accepted + one fresh keeper
+    _arrivals(spark, [
+        (21, _GOOD.replace("zero", "one")), (22, _GOOD2),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    run_ingest_gate_stream(spark, src, out, table="t_gate2",
+                           min_est=0.3, min_jaccard=0.3)
+    dec2 = {r.doc_id: r for r in
+            spark.read.parquet(out + "/decisions").collect()}
+    assert set(dec2) == {20, 21, 22}
+    assert dec2[21].keep is False and dec2[21].n_matches > 0
+    assert dec2[22].keep is True
+
+    # run 3: nothing new -> checkpoint resume emits nothing new
+    run_ingest_gate_stream(spark, src, out, table="t_gate2",
+                           min_est=0.3, min_jaccard=0.3)
+    dec3 = spark.read.parquet(out + "/decisions").collect()
+    assert {r.doc_id for r in dec3} == {20, 21, 22} and len(dec3) == 3
+
+    # the standing index now holds corpus + both kept docs
+    _, sets = D.load_lsh_index(spark, "t_gate2")
+    assert sorted(r.doc_id for r in sets.select("doc_id").collect()) \
+        == [0, 20, 22]
+
+
 def test_dsir_sample_deterministic_and_enriched(spark):
     """Gumbel-top-k resampling: exactly k rows, rerun-identical (the
     noise is hash-derived, not rng), and enriched toward the target
