@@ -158,6 +158,7 @@ HEADLINE = [
     "simhash_pairs",
     "ingest_gate",
     "corpus_card",
+    "knn_graph",
 ]
 
 

@@ -275,6 +275,41 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     )
 
 
+def knn_graph(emb: DataFrame, k: int = 3, *, bits: int = 16,
+              n_bands: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus via banded SRP
+    buckets: every vector gets its top-k cosine neighbors among its LSH
+    collisions — (src, neighbor_id, cos, rnk). This is the input frame
+    for graph-based corpus tools: connected-component clustering, SemDeDup
+    beyond cell boundaries, label propagation, kNN-density outlier scores.
+
+    Reuses embedding_neardup's collision machinery with the verification
+    threshold OPEN (min_cos=-1): the band self-join prices candidates at
+    bucket-collision count, each undirected pair pays the exact cosine
+    once, then the pair list is SYMMETRIZED (both endpoints list each
+    other) and cut per node by the house-deterministic (cos desc,
+    neighbor asc) rank. Scale shape: candidate volume ~ n x E[bucket
+    size] per band — linear in collisions, never the O(n^2) cross join;
+    the only per-node state is the top-k window over each node's own
+    collision list (shuffle on src id). Recall tunes with bands like any
+    LSH — nodes whose true neighbors never share a band miss them; audit
+    with ann_recall/srp_recall before trusting the graph downstream."""
+    pairs = embedding_neardup(emb, bits=bits, n_bands=n_bands,
+                              min_cos=-1.0, id_col=id_col, vec_col=vec_col)
+    sym = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("neighbor_id"), "cos"
+    ).unionByName(pairs.select(
+        F.col("d2").alias("src"), F.col("d1").alias("neighbor_id"), "cos"
+    ))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        sym.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("src", "neighbor_id", "cos", "rnk")
+    )
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame, *,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, cell): IVF coarse-quantizer assignment — each vector goes to its

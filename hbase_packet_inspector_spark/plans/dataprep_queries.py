@@ -531,6 +531,33 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_graph",
+    f"""
+    WITH pairs AS ({_srp_oracle(min_cos=-1.0)}),
+    sym AS (SELECT d1 AS src, d2 AS neighbor_id, cos FROM pairs
+            UNION ALL
+            SELECT d2 AS src, d1 AS neighbor_id, cos FROM pairs),
+    r AS (SELECT *, rank() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM sym)
+    SELECT src, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="Approximate k-NN graph over the whole corpus "
+    "(operators/similarity.py::knn_graph): every vector's top-3 cosine "
+    "neighbors among its banded-SRP bucket collisions, symmetrized so "
+    "both endpoints of each scored pair list each other — the input "
+    "frame for graph clustering, cross-cell SemDeDup, label propagation "
+    "and kNN-density outliers. Candidate volume is bucket-collision "
+    "bounded (never O(n^2)); the per-node cut is a top-k window over "
+    "each node's own collision list with the house-deterministic "
+    "(cos desc, id asc) rank.",
+    tags=("dataprep", "similarity", "ann", "lsh", "graph"),
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_graph(_emb(spark, sf_dir), k=3)
+
+
+@register(
     "embedding_norms",
     f"""
     WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v

@@ -3,6 +3,8 @@ near-dup probing and the LSH bucket-size pre-flight profile."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from hbase_packet_inspector_spark.operators import dedup as D
@@ -182,6 +184,33 @@ def test_label_centroid_sim_hand_rolled(spark):
         (0, 1): 0.0,
         (0, 2): round(9 / (3 * 5), 6),
         (1, 2): round(8 / (2 * 5), 6),
+    }
+
+
+def test_knn_graph_symmetry_ranks_and_ties(spark):
+    """Hand-rolled 4-node graph: with all tail components zero the SRP
+    bands beyond the first are all-zero keys, so every node collides
+    (bucket recall 1 for this fixture) and the output is the exact k-NN
+    graph — symmetrized pairs, cos to 6 decimals, and the house rank
+    order (cos desc, neighbor asc: the id is PART of the ordering, so
+    equal cosines get distinct ranks deterministically)."""
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    pad = [0.0] * 12  # element_at is ANSI-strict: vectors must cover bits
+    emb = _emb(spark, [
+        (0, [1.0, 0.0, 0.0, 0.0] + pad, 0),
+        (1, [1.0, 1.0, 0.0, 0.0] + pad, 0),
+        (2, [0.0, 1.0, 0.0, 0.0] + pad, 0),
+        (3, [-1.0, 0.0, 0.0, 0.0] + pad, 0),
+    ])
+    got = {(r.src, r.neighbor_id): (r.cos, r.rnk)
+           for r in S.knn_graph(emb, k=2).collect()}
+    c = round(1 / math.sqrt(2), 6)
+    assert got == {
+        (0, 1): (c, 1), (0, 2): (0.0, 2),
+        (1, 0): (c, 1), (1, 2): (c, 2),   # cos tie -> lower id ranks first
+        (2, 1): (c, 1), (2, 0): (0.0, 2),  # (2,3) also cos 0 -> rnk 3, cut
+        (3, 2): (0.0, 1), (3, 1): (-c, 2),
     }
 
 
