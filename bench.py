@@ -159,6 +159,7 @@ HEADLINE = [
     "ingest_gate",
     "corpus_card",
     "knn_graph",
+    "knn_outliers",
 ]
 
 

@@ -310,6 +310,34 @@ def knn_graph(emb: DataFrame, k: int = 3, *, bits: int = 16,
     )
 
 
+def knn_outliers(emb: DataFrame, k: int = 3, n: int = 20, *,
+                 bits: int = 16, n_bands: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """kNN-density outlier sweep over the knn_graph: each node's mean
+    cosine to its top-k neighbors, lowest-``n`` first — the
+    semantic-noise report (mislabeled, off-distribution, or corrupt
+    embeddings sit far from everything, so their best neighbors are
+    still distant). Complements label_outliers (which needs labels and a
+    centroid model): this one is label-free, driven purely by local
+    neighborhood density.
+
+    A node with NO bucket collisions is absent from the graph and from
+    this report — at scale that isolation is itself outlier evidence;
+    anti-join against the corpus for the "no neighbors at all" list.
+
+    Scale shape: knn_graph's collision-bounded build + one grouped
+    average + TakeOrdered bottom-n (no global sort). The mean is rounded
+    to 6 BEFORE the ordering cut (house rule), ties break on id, so the
+    bottom-n frontier is engine-exact."""
+    g = knn_graph(emb, k, bits=bits, n_bands=n_bands,
+                  id_col=id_col, vec_col=vec_col)
+    agg = g.groupBy(F.col("src").alias(id_col)).agg(
+        F.round(F.avg("cos"), 6).alias("mean_knn_cos"),
+        F.count("*").alias("n_neighbors"),
+    )
+    return agg.orderBy(F.asc("mean_knn_cos"), F.asc(id_col)).limit(n)
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame, *,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, cell): IVF coarse-quantizer assignment — each vector goes to its

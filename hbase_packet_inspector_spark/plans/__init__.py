@@ -22,6 +22,7 @@ except ImportError:
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
     "knn_graph",  # latest green r0
+    "knn_outliers",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

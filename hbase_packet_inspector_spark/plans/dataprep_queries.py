@@ -558,6 +558,35 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_outliers",
+    f"""
+    WITH pairs AS ({_srp_oracle(min_cos=-1.0)}),
+    sym AS (SELECT d1 AS src, d2 AS neighbor_id, cos FROM pairs
+            UNION ALL
+            SELECT d2 AS src, d1 AS neighbor_id, cos FROM pairs),
+    r AS (SELECT *, rank() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM sym),
+    a AS (SELECT src AS vec_id, round(avg(cos), 6) AS mean_knn_cos,
+                 count(*) AS n_neighbors
+          FROM r WHERE rnk <= 3 GROUP BY 1)
+    SELECT vec_id, mean_knn_cos, n_neighbors
+    FROM a ORDER BY mean_knn_cos, vec_id LIMIT 20
+    """,
+    doc="kNN-density outlier sweep "
+    "(operators/similarity.py::knn_outliers): each vector's mean cosine "
+    "to its top-3 graph neighbors, 20 lowest first — the label-free "
+    "semantic-noise report (off-distribution or corrupt embeddings sit "
+    "far even from their best neighbors). One grouped average over the "
+    "collision-bounded knn_graph + TakeOrdered bottom-n; mean rounded "
+    "to 6 before the cut, ties on id, so the frontier is engine-exact.",
+    tags=("dataprep", "similarity", "graph", "outliers", "quality"),
+)
+def knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_outliers(_emb(spark, sf_dir), k=3, n=20)
+
+
+@register(
     "embedding_norms",
     f"""
     WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v

@@ -214,6 +214,24 @@ def test_knn_graph_symmetry_ranks_and_ties(spark):
     }
 
 
+def test_knn_outliers_bottom_n_order(spark):
+    """Same 4-node fixture: node 3 points away from everyone (lowest mean
+    neighbor cosine), then the src-id tie between nodes 0 and 2 breaks
+    ascending — and node 1 (two strong neighbors) never makes bottom-2."""
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    pad = [0.0] * 12
+    emb = _emb(spark, [
+        (0, [1.0, 0.0, 0.0, 0.0] + pad, 0),
+        (1, [1.0, 1.0, 0.0, 0.0] + pad, 0),
+        (2, [0.0, 1.0, 0.0, 0.0] + pad, 0),
+        (3, [-1.0, 0.0, 0.0, 0.0] + pad, 0),
+    ])
+    out = S.knn_outliers(emb, k=2, n=2).collect()
+    assert [(r.vec_id, r.n_neighbors) for r in out] == [(3, 2), (0, 2)]
+    assert out[0].mean_knn_cos < out[1].mean_knn_cos
+
+
 def test_label_outliers_rank_and_tiebreak(spark):
     from hbase_packet_inspector_spark.operators import similarity as S
 
