@@ -160,6 +160,7 @@ HEADLINE = [
     "corpus_card",
     "knn_graph",
     "knn_outliers",
+    "bpe_source_fit",
 ]
 
 

@@ -965,6 +965,45 @@ def bpe_token_counts(docs: DataFrame, *, rounds: int = 4,
     )
 
 
+def bpe_source_fit(docs: DataFrame, *, rounds: int = 4,
+                   text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-source tokenizer-fit report under the just-learned merge
+    table: fertility (BPE tokens per word) and compression (chars per
+    BPE token) for every source — the per-domain suitability check a
+    tokenizer ships with (a domain whose fertility is far above the
+    corpus mean is being shredded into characters: its text was
+    underrepresented when the merges were learned, and its training
+    cost per word will be proportionally higher).
+
+    Same vocab-bounded application shape as bpe_token_counts: the
+    learned segmentation lives on the (word, freq, syms) vocabulary
+    frame, per-word BPE lengths are one in-row size(), and the corpus
+    equi-joins word -> length and aggregates per source — a handful of
+    output rows however big the corpus. One frame (the final vocab
+    segmentation) remains persisted; the caller owns its lifetime."""
+    _merges, cur = _bpe_learn(docs, rounds, text_col)
+    wlen = cur.select("w", F.size(F.split("syms", " ")).alias("_tl"))
+    t = docs.select(by, F.explode(_tok(text_col)).alias("w"))
+    return (
+        t.join(wlen, "w")
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_tl").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("_nc"),
+        )
+        .select(
+            by, "n_words", "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("bpe_per_word"),
+            F.round(
+                F.col("_nc").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_bpe_token"),
+        )
+    )
+
+
 def cdc_chunks(docs: DataFrame, *, window: int = 8, divisor: int = 64,
                text_col: str = "text",
                carry: tuple[str, ...] = ()) -> DataFrame:

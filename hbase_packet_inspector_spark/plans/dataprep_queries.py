@@ -3462,7 +3462,8 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.remove_duplicate_spans(_docs(spark, sf_dir), n=3, min_df=2)
 
 
-def _bpe_oracle(rounds: int = 4, per_doc: bool = False) -> str:
+def _bpe_oracle(rounds: int = 4, per_doc: bool = False,
+                per_source: bool = False) -> str:
     # chained-CTE replay of the BPE loop: per round a pair-count CTE, a
     # one-row argmax CTE (total order: cnt desc, lexicographic), and a
     # re-segmentation CTE whose greedy left-to-right fold mirrors the
@@ -3488,7 +3489,7 @@ def _bpe_oracle(rounds: int = 4, per_doc: bool = False) -> str:
             f"c{k} AS (SELECT lhs, rhs, lhs || rhs AS m, cnt FROM p{k} "
             f"ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"
         )
-        if k < rounds or per_doc:
+        if k < rounds or per_doc or per_source:
             ctes.append(
                 f"s{k} AS (SELECT w, freq, list_reduce("
                 f"list_prepend('', string_split(syms, ' ')), "
@@ -3517,6 +3518,23 @@ def _bpe_oracle(rounds: int = 4, per_doc: bool = False) -> str:
             f"CAST(sum(len(string_split(s{rounds}.syms, ' '))) AS BIGINT) "
             f"AS n_bpe_tokens "
             f"FROM d JOIN s{rounds} ON s{rounds}.w = d.w GROUP BY doc_id"
+        )
+        return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+    if per_source:
+        ctes.append(
+            "d AS (SELECT source, unnest(string_split(text, ' ')) AS w "
+            "FROM documents)"
+        )
+        final = (
+            f"SELECT source, count(*) AS n_words, "
+            f"CAST(sum(len(string_split(s{rounds}.syms, ' '))) AS BIGINT) "
+            f"AS n_bpe_tokens, "
+            f"round(CAST(sum(len(string_split(s{rounds}.syms, ' '))) "
+            f"AS DOUBLE) / count(*), 6) AS bpe_per_word, "
+            f"round(CAST(sum(len(d.w)) AS DOUBLE) / "
+            f"sum(len(string_split(s{rounds}.syms, ' '))), 6) "
+            f"AS chars_per_bpe_token "
+            f"FROM d JOIN s{rounds} ON s{rounds}.w = d.w GROUP BY source"
         )
         return "WITH " + ",\n    ".join(ctes) + "\n    " + final
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(outs)
@@ -3560,6 +3578,25 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_token_counts(_docs(spark, sf_dir), rounds=4)
+
+
+@register(
+    "bpe_source_fit",
+    _bpe_oracle(4, per_source=True),
+    doc="Per-source tokenizer-fit report "
+    "(operators/text.py::bpe_source_fit): fertility (BPE tokens per "
+    "word) and compression (chars per BPE token) for every source under "
+    "the just-learned 4-merge table — the per-domain suitability check "
+    "a tokenizer ships with (a domain far above the corpus-mean "
+    "fertility was underrepresented when the merges were learned and "
+    "pays proportionally more tokens per word at training time). Same "
+    "vocab-bounded application as bpe_token_count: per-word lengths are "
+    "in-row on the vocabulary frame, the corpus equi-joins word -> "
+    "length, and the rollup is a handful of source rows.",
+    tags=("dataprep", "text", "tokenizer", "bpe", "report"),
+)
+def bpe_source_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_source_fit(_docs(spark, sf_dir), rounds=4)
 
 
 @register(

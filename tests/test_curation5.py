@@ -432,6 +432,26 @@ def test_ingest_gate_stream_grows_index_and_checkpoints(spark, tmp_path):
         == [0, 20, 22]
 
 
+def test_bpe_source_fit_hand_rolled(spark):
+    """rounds=1 on a two-source corpus: the only merge is (a,a) -> 'aa'
+    (corpus-weighted count 4), so 'aaab' segments to [aa, a, b] (greedy
+    left-to-right: the second overlapping (a,a) does NOT merge) and the
+    per-source fertility/compression ratios are exact."""
+    from hbase_packet_inspector_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab", "s1"), (1, "xy", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in X.bpe_source_fit(docs, rounds=1).collect()}
+    assert (out["s1"].n_words, out["s1"].n_bpe_tokens) == (2, 6)
+    assert out["s1"].bpe_per_word == 3.0
+    assert out["s1"].chars_per_bpe_token == round(8 / 6, 6)
+    assert (out["s2"].n_words, out["s2"].n_bpe_tokens) == (1, 2)
+    assert out["s2"].bpe_per_word == 2.0
+    assert out["s2"].chars_per_bpe_token == 1.0
+
+
 def test_dsir_sample_deterministic_and_enriched(spark):
     """Gumbel-top-k resampling: exactly k rows, rerun-identical (the
     noise is hash-derived, not rng), and enriched toward the target
