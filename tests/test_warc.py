@@ -1,0 +1,108 @@
+"""WARC source tests: synthesized archives (plain + per-record-member
+gzip, the Common Crawl layout) read through the registered Spark 4 Python
+DataSource, plus the documents-shape bridge into the curation operators."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.sources.warc import (
+    parse_warc_bytes,
+    warc_to_documents,
+)
+
+
+_BODY = "<html><body>hello crawl world</body></html>"
+_HTTP = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + _BODY
+).encode()
+
+
+def _record(wtype: str, rid: str, uri: str | None, payload: bytes,
+            ctype: str = "application/http; msgtype=response") -> bytes:
+    head = [
+        "WARC/1.0",
+        f"WARC-Type: {wtype}",
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        "WARC-Date: 2017-03-01T12:00:00Z",
+    ]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}")
+    head += [f"Content-Type: {ctype}", f"Content-Length: {len(payload)}"]
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _archive() -> list[bytes]:
+    return [
+        _record("warcinfo", "aaa", None, b"robots: classic\r\n",
+                ctype="application/warc-fields"),
+        _record("response", "bbb", "http://example.com/page", _HTTP),
+        _record("request", "ccc", "http://example.com/page",
+                b"GET /page HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                ctype="application/http; msgtype=request"),
+    ]
+
+
+def test_parse_warc_bytes_records_and_http_split():
+    blob = b"".join(_archive())
+    recs = list(parse_warc_bytes("mem", blob))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "request"]
+    resp = recs[1]
+    assert resp["record_id"] == "<urn:uuid:bbb>"
+    assert resp["target_uri"] == "http://example.com/page"
+    assert resp["http_status"] == 200 and resp["text"] == _BODY
+    assert resp["content_length"] == len(_HTTP)
+    assert resp["warc_date"].year == 2017
+    # non-HTTP payloads carry no status/text but keep the raw bytes
+    assert recs[0]["http_status"] is None and recs[0]["text"] is None
+    assert recs[0]["payload"] == b"robots: classic\r\n"
+
+
+def test_parse_warc_truncated_tail_never_raises():
+    blob = b"".join(_archive()) + b"WARC/1.0\r\nWARC-Type: response\r\n" \
+        b"Content-Length: 99999\r\n\r\nshort"
+    recs = list(parse_warc_bytes("mem", blob))
+    assert len(recs) == 3  # the truncated tail is dropped, not guessed at
+
+
+def test_warc_datasource_plain_and_gzip(spark, tmp_path):
+    from hbase_packet_inspector_spark.sources import warc as W
+
+    (tmp_path / "a.warc").write_bytes(b"".join(_archive()))
+    # Common Crawl layout: one gzip MEMBER per record, concatenated
+    (tmp_path / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _archive())
+    )
+    W.register(spark)
+    df = spark.read.format("warc").load(str(tmp_path / "*.warc*"))
+    rows = df.collect()
+    assert len(rows) == 6  # 3 records x 2 files
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"a.warc", "b.warc.gz"}
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert len(resp) == 2
+    assert all(r.http_status == 200 and r.text == _BODY for r in resp)
+    # both layouts parse identically
+    a = sorted((r.record_id, r.warc_type, r.content_length)
+               for r in rows if r.path.endswith("a.warc"))
+    b = sorted((r.record_id, r.warc_type, r.content_length)
+               for r in rows if r.path.endswith("b.warc.gz"))
+    assert a == b
+
+
+def test_warc_to_documents_feeds_curation(spark, tmp_path):
+    from hbase_packet_inspector_spark.operators.text import quality_features
+    from hbase_packet_inspector_spark.sources import warc as W
+
+    (tmp_path / "c.warc").write_bytes(b"".join(_archive()))
+    W.register(spark)
+    warc = spark.read.format("warc").load(str(tmp_path / "c.warc"))
+    docs = warc_to_documents(warc)
+    rows = docs.collect()
+    assert len(rows) == 1  # only the response record becomes a document
+    assert rows[0].source == "example.com"
+    assert rows[0].text == _BODY and rows[0].n_chars == len(_BODY)
+    # chains straight into the quality gate (pure column exprs)
+    q = quality_features(docs).collect()
+    assert len(q) == 1 and q[0].n_words >= 1
