@@ -161,6 +161,7 @@ HEADLINE = [
     "knn_graph",
     "knn_outliers",
     "bpe_source_fit",
+    "source_diversity",
 ]
 
 

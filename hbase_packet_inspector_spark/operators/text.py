@@ -965,6 +965,56 @@ def bpe_token_counts(docs: DataFrame, *, rounds: int = 4,
     )
 
 
+def source_diversity(docs: DataFrame, *, n: int = 3,
+                     text_col: str = "text", by: str = "source") -> DataFrame:
+    """Lexical-diversity report per source: type-token ratio over words
+    and the duplicated word-``n``-gram ratio — the distinct-n style
+    diversity check that catches template farms and boilerplate-heavy
+    domains (near-zero TTR / high dup-gram mass) before they flood a
+    mixture, complementing the per-document repetition_features (which
+    can't see repetition ACROSS documents of one source).
+
+    Scale shape: two narrow explodes (words, in-row n-grams) each into a
+    partial+final aggregate keyed by source; the exact distincts carry
+    the documented Expand doubling (as in data_profile / corpus_card —
+    swap in approx_count_distinct at the 10^12-token scale where a ±2%
+    TTR is fine); the final join is #sources rows. Sources whose docs
+    are all shorter than ``n`` words report zero grams and a null
+    dup-gram ratio."""
+    words = docs.select(F.col(by), F.explode(_tok(text_col)).alias("w"))
+    grams = docs.select(
+        F.col(by), F.explode(_word_grams(text_col, n)).alias("g")
+    )
+    dagg = docs.groupBy(by).agg(F.count("*").alias("n_docs"))
+    wagg = words.groupBy(by).agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("distinct_words"),
+    )
+    gagg = grams.groupBy(by).agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("g").alias("distinct_grams"),
+    )
+    return (
+        dagg.join(wagg, by).join(gagg, by, "left")
+        .select(
+            by, "n_docs", "n_words", "distinct_words",
+            F.round(
+                F.col("distinct_words").cast("double") / F.col("n_words"), 6
+            ).alias("ttr"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("distinct_grams"), F.lit(0))
+            .alias("distinct_grams"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    1.0 - F.col("distinct_grams").cast("double")
+                    / F.col("n_grams"),
+                ), 6,
+            ).alias("dup_gram_ratio"),
+        )
+    )
+
+
 def bpe_source_fit(docs: DataFrame, *, rounds: int = 4,
                    text_col: str = "text", by: str = "source") -> DataFrame:
     """Per-source tokenizer-fit report under the just-learned merge

@@ -3600,6 +3600,45 @@ def bpe_source_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_diversity",
+    """
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    gs AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT source,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+          FROM gs),
+    d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    wa AS (SELECT source, count(*) AS n_words,
+                  count(DISTINCT w) AS distinct_words FROM w GROUP BY 1),
+    ga AS (SELECT source, count(*) AS n_grams,
+                  count(DISTINCT g) AS distinct_grams FROM g GROUP BY 1)
+    SELECT d.source, n_docs, n_words, distinct_words,
+           round(CAST(distinct_words AS DOUBLE) / n_words, 6) AS ttr,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(distinct_grams, 0) AS distinct_grams,
+           round(CASE WHEN n_grams > 0 THEN
+                 1.0 - CAST(distinct_grams AS DOUBLE) / n_grams END, 6)
+             AS dup_gram_ratio
+    FROM d JOIN wa USING (source) LEFT JOIN ga USING (source)
+    """,
+    doc="Lexical-diversity report per source "
+    "(operators/text.py::source_diversity): word type-token ratio and "
+    "duplicated word-trigram ratio — the distinct-n check that catches "
+    "template farms and boilerplate-heavy domains before they flood a "
+    "mixture; sees cross-document repetition within a source that the "
+    "per-doc repetition_features cannot. Two narrow explodes into "
+    "source-keyed partial+final aggregates (exact distincts carry the "
+    "documented Expand doubling; approx escape hatch at 10^12 tokens), "
+    "then a #sources-row join.",
+    tags=("dataprep", "text", "quality", "diversity", "report"),
+)
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.source_diversity(_docs(spark, sf_dir), n=3)
+
+
+@register(
     "span_dsir_pipeline",
     f"""
     WITH {_SPAN_CLEAN_CTES},

@@ -432,6 +432,32 @@ def test_ingest_gate_stream_grows_index_and_checkpoints(spark, tmp_path):
         == [0, 20, 22]
 
 
+def test_source_diversity_template_farm_vs_short(spark):
+    """Template-farm source: 3 identical 4-word docs -> TTR 1/12 and
+    trigram dup ratio 5/6; a source whose only doc is shorter than the
+    gram width reports zero grams and a NULL dup ratio, never a crash."""
+    from hbase_packet_inspector_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam", "farm"),
+         (1, "spam spam spam spam", "farm"),
+         (2, "spam spam spam spam", "farm"),
+         (3, "one two", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in X.source_diversity(docs, n=3).collect()}
+    farm = out["farm"]
+    assert (farm.n_docs, farm.n_words, farm.distinct_words) == (3, 12, 1)
+    assert farm.ttr == round(1 / 12, 6)
+    assert (farm.n_grams, farm.distinct_grams) == (6, 1)
+    assert farm.dup_gram_ratio == round(1 - 1 / 6, 6)
+    tiny = out["tiny"]
+    assert (tiny.n_docs, tiny.n_words, tiny.distinct_words) == (1, 2, 2)
+    assert tiny.ttr == 1.0
+    assert (tiny.n_grams, tiny.distinct_grams) == (0, 0)
+    assert tiny.dup_gram_ratio is None
+
+
 def test_bpe_source_fit_hand_rolled(spark):
     """rounds=1 on a two-source corpus: the only merge is (a,a) -> 'aa'
     (corpus-weighted count 4), so 'aaab' segments to [aa, a, b] (greedy
