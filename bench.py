@@ -162,6 +162,7 @@ HEADLINE = [
     "knn_outliers",
     "bpe_source_fit",
     "source_diversity",
+    "knn_label_prop",
 ]
 
 

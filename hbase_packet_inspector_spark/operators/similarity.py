@@ -338,6 +338,66 @@ def knn_outliers(emb: DataFrame, k: int = 3, n: int = 20, *,
     return agg.orderBy(F.asc("mean_knn_cos"), F.asc(id_col)).limit(n)
 
 
+def knn_label_prop(emb: DataFrame, *, seed_mod: int = 5, rounds: int = 2,
+                   k: int = 3, bits: int = 16, n_bands: int = 4,
+                   id_col: str = "vec_id", label_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semi-supervised label propagation over the knn_graph: labels known
+    only for a seed subset (``id % seed_mod == 0`` — the audited docs in
+    a curation run) spread to unlabeled nodes by majority vote of their
+    already-labeled neighbors, ``rounds`` times. The production shape of
+    'we hand-audited 2% of the corpus, label the rest by proximity' —
+    the cheap alternative to corpus-wide classifier training when a kNN
+    graph already exists.
+
+    Per round: one graph-to-labels equi-join + a (node, label) count +
+    a per-node argmax window — all bounded by edge count (k per node),
+    never corpus-quadratic. The vote is engine-exact: count desc then
+    label asc, the house total order. A node with no labeled neighbor
+    stays unlabeled that round and may resolve in a later one; rounds is
+    a small constant, so the lazy plan stays Catalyst-sized (the
+    dedup_clusters precedent — cut lineage at the loop boundary if
+    rounds ever grows past a handful).
+
+    Output: (id, label, assigned_round) — 0 for seeds, r >= 1 for
+    propagated nodes; unreached nodes are absent.
+
+    The edge frame is PERSISTED (it feeds every round's vote join —
+    without the pin each round re-runs the whole collision build); as
+    with bpe_token_counts, the caller owns its lifetime: unpersist /
+    clearCache after materializing the result."""
+    g = knn_graph(emb, k, bits=bits, n_bands=n_bands,
+                  id_col=id_col, vec_col=vec_col).persist()
+    labels = emb.where(F.col(id_col) % seed_mod == 0).select(
+        F.col(id_col), F.col(label_col).alias("label"),
+        F.lit(0).alias("assigned_round"),
+    )
+    for r in range(1, rounds + 1):
+        nbr = labels.select(
+            F.col(id_col).alias("neighbor_id"), F.col("label").alias("_nl")
+        )
+        votes = (
+            g.join(nbr, "neighbor_id")
+            .join(
+                labels.select(F.col(id_col).alias("src")),
+                "src", "left_anti",
+            )
+            .groupBy(F.col("src"), F.col("_nl"))
+            .agg(F.count("*").alias("_c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("_c"), F.asc("_nl"))
+        new = (
+            votes.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(
+                F.col("src").alias(id_col), F.col("_nl").alias("label"),
+                F.lit(r).alias("assigned_round"),
+            )
+        )
+        labels = labels.unionByName(new)
+    return labels
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame, *,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, cell): IVF coarse-quantizer assignment — each vector goes to its

@@ -587,6 +587,54 @@ def knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_prop",
+    f"""
+    WITH pairs AS ({_srp_oracle(min_cos=-1.0)}),
+    sym AS (SELECT d1 AS src, d2 AS neighbor_id, cos FROM pairs
+            UNION ALL
+            SELECT d2 AS src, d1 AS neighbor_id, cos FROM pairs),
+    rr AS (SELECT *, rank() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM sym),
+    g AS (SELECT src, neighbor_id FROM rr WHERE rnk <= 3),
+    seeds AS (SELECT vec_id, label, 0 AS assigned_round FROM embeddings
+              WHERE vec_id % 5 = 0),
+    v1 AS (SELECT g.src, s.label AS nl, count(*) AS c
+           FROM g JOIN seeds s ON s.vec_id = g.neighbor_id
+           WHERE g.src NOT IN (SELECT vec_id FROM seeds)
+           GROUP BY 1, 2),
+    n1 AS (SELECT src AS vec_id, nl AS label, 1 AS assigned_round
+           FROM (SELECT *, row_number() OVER (PARTITION BY src
+                           ORDER BY c DESC, nl) AS rn FROM v1)
+           WHERE rn = 1),
+    l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM n1),
+    v2 AS (SELECT g.src, s.label AS nl, count(*) AS c
+           FROM g JOIN l1 s ON s.vec_id = g.neighbor_id
+           WHERE g.src NOT IN (SELECT vec_id FROM l1)
+           GROUP BY 1, 2),
+    n2 AS (SELECT src AS vec_id, nl AS label, 2 AS assigned_round
+           FROM (SELECT *, row_number() OVER (PARTITION BY src
+                           ORDER BY c DESC, nl) AS rn FROM v2)
+           WHERE rn = 1)
+    SELECT vec_id, label, assigned_round FROM l1
+    UNION ALL SELECT vec_id, label, assigned_round FROM n2
+    """,
+    doc="Semi-supervised label propagation over the kNN graph "
+    "(operators/similarity.py::knn_label_prop): labels known only for "
+    "the vec_id %% 5 == 0 seed subset spread to unlabeled nodes by "
+    "majority vote of already-labeled neighbors, two rounds — the "
+    "'hand-audited 2%%, label the rest by proximity' curation shape. "
+    "Per round one edge-to-labels equi-join + per-node argmax with the "
+    "engine-exact (count desc, label asc) vote; everything is bounded "
+    "by edge count (k per node). Output (vec_id, label, "
+    "assigned_round); unreached nodes absent.",
+    tags=("dataprep", "similarity", "graph", "labels", "iterative"),
+)
+def knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_label_prop(_emb(spark, sf_dir), seed_mod=5, rounds=2, k=3)
+
+
+@register(
     "embedding_norms",
     f"""
     WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v

@@ -232,6 +232,30 @@ def test_knn_outliers_bottom_n_order(spark):
     assert out[0].mean_knn_cos < out[1].mean_knn_cos
 
 
+def test_knn_label_prop_chain_two_rounds(spark):
+    """k=1 chain topology (each node's sole neighbor is the next one
+    toward the seed): the seed's label walks one hop per round, so node 1
+    resolves in round 1, node 2 in round 2, and node 3 — three hops out —
+    stays absent at rounds=2."""
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    pad = [0.0] * 12
+
+    def v(deg):
+        return [math.cos(math.radians(deg)),
+                math.sin(math.radians(deg)), 0.0, 0.0] + pad
+
+    emb = _emb(spark, [
+        (0, v(0), 7),    # seed (0 % 5 == 0), label 7
+        (1, v(10), 99),  # non-seed labels must be ignored
+        (2, v(25), 99),
+        (3, v(45), 99),
+    ])
+    out = {r.vec_id: (r.label, r.assigned_round)
+           for r in S.knn_label_prop(emb, seed_mod=5, rounds=2, k=1).collect()}
+    assert out == {0: (7, 0), 1: (7, 1), 2: (7, 2)}
+
+
 def test_label_outliers_rank_and_tiebreak(spark):
     from hbase_packet_inspector_spark.operators import similarity as S
 
