@@ -91,6 +91,49 @@ def test_warc_datasource_plain_and_gzip(spark, tmp_path):
     assert a == b
 
 
+def test_warc_stream_reader_incremental_files(spark, tmp_path):
+    """readStream.format('warc'): run 1 drains the file present at start;
+    a file landing afterwards is picked up — alone — by run 2 resuming
+    from the same checkpoint; run 3 with nothing new emits nothing. The
+    crawl-drop-directory cadence, checkpoint-exact."""
+    from hbase_packet_inspector_spark.sources import warc as W
+
+    W.register(spark)
+    src = tmp_path / "drop"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    (src / "a.warc").write_bytes(b"".join(_archive()))
+
+    def drain():
+        out = []
+        q = (
+            spark.readStream.format("warc").load(str(src))
+            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    first = drain()
+    assert len(first) == 3
+    assert {r.path.rsplit("/", 1)[-1] for r in first} == {"a.warc"}
+
+    (src / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _archive())
+    )
+    second = drain()
+    assert len(second) == 3
+    assert {r.path.rsplit("/", 1)[-1] for r in second} == {"b.warc.gz"}
+    # stream rows === batch rows for the same file, column for column
+    batch = spark.read.format("warc").load(str(src / "b.warc.gz")).collect()
+    key = lambda rows: sorted(tuple(str(x) for x in r) for r in rows)
+    assert key(second) == key(batch)
+
+    assert drain() == []  # checkpoint resume: nothing new, nothing emitted
+
+
 def test_warc_to_documents_feeds_curation(spark, tmp_path):
     from hbase_packet_inspector_spark.operators.text import quality_features
     from hbase_packet_inspector_spark.sources import warc as W
