@@ -163,6 +163,7 @@ HEADLINE = [
     "bpe_source_fit",
     "source_diversity",
     "knn_label_prop",
+    "corpus_diff",
 ]
 
 

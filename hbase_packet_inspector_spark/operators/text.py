@@ -965,6 +965,35 @@ def bpe_token_counts(docs: DataFrame, *, rounds: int = 4,
     )
 
 
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-versioning
+    report a release pipeline prints before shipping v(N+1): per-doc
+    status from the normalized content fingerprint (``fingerprint`` —
+    whitespace-collapsed, lowercased md5, so cosmetic edits don't count
+    as changes), rolled up to (status, n_docs) over {added, removed,
+    changed, unchanged}.
+
+    Scale shape: two narrow fingerprint passes + ONE full-outer join on
+    doc_id (co-partitioned for free when both snapshots are bucketed on
+    doc_id, the persisted-corpus layout) + a 4-row aggregate. Nothing is
+    quadratic, nothing carries text past the md5."""
+    o = fingerprint(old, text_col).select("doc_id", F.col("fp").alias("_fo"))
+    n = fingerprint(new, text_col).select("doc_id", F.col("fp").alias("_fn"))
+    status = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def source_diversity(docs: DataFrame, *, n: int = 3,
                      text_col: str = "text", by: str = "source") -> DataFrame:
     """Lexical-diversity report per source: type-token ratio over words

@@ -26,6 +26,7 @@ _UNVERIFIED_FIRST = (
     "bpe_source_fit",  # latest green r0
     "source_diversity",  # latest green r0
     "knn_label_prop",  # latest green r0
+    "corpus_diff",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

@@ -3687,6 +3687,49 @@ def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_diff",
+    r"""
+    WITH old AS (SELECT doc_id,
+                        CASE WHEN doc_id % 11 = 0 THEN reverse(text)
+                             ELSE text END AS text
+                 FROM documents WHERE doc_id % 9 <> 0),
+    new AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    o AS (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fo
+          FROM old),
+    n AS (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fn
+          FROM new),
+    j AS (SELECT CASE WHEN fo IS NULL THEN 'added'
+                      WHEN fn IS NULL THEN 'removed'
+                      WHEN fo = fn THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n USING (doc_id))
+    SELECT status, count(*) AS n_docs FROM j GROUP BY 1
+    """,
+    doc="Corpus snapshot diff (operators/text.py::corpus_diff): per-doc "
+    "added/removed/changed/unchanged from the normalized content "
+    "fingerprint, rolled to (status, n_docs) — the dataset-versioning "
+    "report a release pipeline prints before shipping v(N+1); cosmetic "
+    "whitespace/case edits don't count as changes. The snapshots here "
+    "are modulo-carved from documents (old: %9 rows with %11 texts "
+    "reversed; new: %13 rows) so every status is exercised. Two narrow "
+    "fingerprint passes + one doc_id full-outer join (co-partitioned "
+    "free on bucketed snapshots) + a 4-row aggregate.",
+    tags=("dataprep", "report", "versioning", "fingerprint"),
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 9 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.reverse("text"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    return X.corpus_diff(old, new)
+
+
+@register(
     "span_dsir_pipeline",
     f"""
     WITH {_SPAN_CLEAN_CTES},

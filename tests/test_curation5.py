@@ -482,6 +482,26 @@ def test_source_diversity_template_farm_vs_short(spark):
     assert tiny.dup_gram_ratio is None
 
 
+def test_corpus_diff_statuses_and_normalization(spark):
+    """All four statuses from a hand-built pair of snapshots — and a
+    whitespace/case-only edit must count as UNCHANGED (the fingerprint
+    normalizes before hashing)."""
+    from hbase_packet_inspector_spark.operators import text as X
+
+    old = spark.createDataFrame(
+        [(1, "Hello   world"), (2, "stable doc"), (3, "gone soon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "hello world"),       # cosmetic edit -> unchanged
+         (2, "stable doc edited"),  # changed
+         (4, "brand new doc")],     # added; 3 removed
+        "doc_id long, text string",
+    )
+    out = {r.status: r.n_docs for r in X.corpus_diff(old, new).collect()}
+    assert out == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
 def test_bpe_source_fit_hand_rolled(spark):
     """rounds=1 on a two-source corpus: the only merge is (a,a) -> 'aa'
     (corpus-weighted count 4), so 'aaab' segments to [aa, a, b] (greedy
