@@ -164,6 +164,7 @@ HEADLINE = [
     "source_diversity",
     "knn_label_prop",
     "corpus_diff",
+    "multimodal_ppm_resize",
 ]
 
 

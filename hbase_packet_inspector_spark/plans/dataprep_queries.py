@@ -748,6 +748,58 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ppm_resize",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CAST(id % 5 + 2 AS INTEGER) AS w,
+                      CAST(id % 3 + 2 AS INTEGER) AS h,
+                      substr(repeat(md5(CAST(id AS VARCHAR)), 5), 1,
+                             (id % 5 + 2) * (id % 3 + 2) * 6) AS hx
+               FROM range(48) t(id)),
+    p AS (SELECT media_id, w, h, hx,
+                 CAST(x.x AS INTEGER) AS xo, CAST(y.y AS INTEGER) AS yo
+          FROM m, LATERAL (SELECT unnest(range(0, 3)) AS x) x,
+                  LATERAL (SELECT unnest(range(0, 2)) AS y) y),
+    b AS (SELECT media_id,
+                 ((yo * h) // 2 * w + (xo * w) // 3) * 3 AS base, hx,
+                 CAST(c.c AS INTEGER) AS ch
+          FROM p, LATERAL (SELECT unnest(range(0, 3)) AS c) c),
+    v AS (SELECT media_id, ch,
+                 instr('123456789abcdef', substr(hx, 2 * (base + ch) + 1, 1))
+                 * 16
+                 + instr('123456789abcdef', substr(hx, 2 * (base + ch) + 2, 1))
+                   AS byte
+          FROM b)
+    SELECT media_id, CAST(3 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           round(CAST(sum(CASE WHEN ch = 0 THEN byte END) AS DOUBLE) / 6, 6)
+             AS mean_r,
+           round(CAST(sum(CASE WHEN ch = 1 THEN byte END) AS DOUBLE) / 6, 6)
+             AS mean_g,
+           round(CAST(sum(CASE WHEN ch = 2 THEN byte END) AS DOUBLE) / 6, 6)
+             AS mean_b
+    FROM v GROUP BY 1
+    """,
+    doc="REAL image resize, codec-free (operators/multimodal.py::"
+    "resize_ppm): decode the P6 raster, nearest-neighbor-sample to 3x2 "
+    "(src pixel = (x'*w//W, y'*h//H), the standard floor mapping), "
+    "re-encode, and report the RESIZED image's channel means. The "
+    "oracle follows every sampled pixel into the synthesized md5-hex "
+    "byte stream, so decode -> index-map -> re-aggregate is verified "
+    "end-to-end — upgrading the resize story from metadata plumbing "
+    "(multimodal_resize_plan) to a decoded-pixel transform. Arrow-"
+    "batched mapInPandas, payloads never leave executors; the payload "
+    "column is re-emitted for downstream stages but excluded here so "
+    "the compare stays value-typed.",
+    tags=("dataprep", "multimodal", "image", "resize"),
+)
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.resize_ppm(M.synthesize_ppm(spark, 48), 3, 2).drop("payload")
+
+
+@register(
     "multimodal_wav_decode",
     """
     WITH m AS (SELECT id AS media_id,

@@ -103,6 +103,36 @@ def test_ppm_decode_via_decode_image_batch():
     assert (w, h) == (1, 1) and arr[0, 0].tolist() == [255, 0, 128]
 
 
+def test_ppm_resize_nearest_hand_checked():
+    # 2x2 image, distinct pixels; downscale to 1x1 keeps pixel (0,0),
+    # upscale to 4x2 replicates each source column twice (floor mapping)
+    raster = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+    payload = b"P6\n2 2\n255\n" + raster
+    out, enc = M.resize_ppm_bytes(payload, 1, 1)
+    assert out.shape == (1, 1, 3) and out[0, 0].tolist() == [10, 11, 12]
+    assert enc.startswith(b"P6\n1 1\n255\n")
+    out4, enc4 = M.resize_ppm_bytes(payload, 4, 2)
+    assert out4.shape == (2, 4, 3)
+    assert out4[0, 0].tolist() == out4[0, 1].tolist() == [10, 11, 12]
+    assert out4[0, 2].tolist() == out4[0, 3].tolist() == [20, 21, 22]
+    assert out4[1, 0].tolist() == [30, 31, 32]
+    # the re-encoded payload round-trips through the decoder
+    w, h, arr = M.decode_ppm_bytes(enc4)
+    assert (w, h) == (4, 2) and (arr == out4).all()
+
+
+def test_ppm_resize_operator_matches_python(spark):
+    media = M.synthesize_ppm(spark, 12)
+    out = {r.media_id: r for r in M.resize_ppm(media, 3, 2).collect()}
+    for r in media.collect():
+        want, payload = M.resize_ppm_bytes(bytes(r.payload), 3, 2)
+        got = out[r.media_id]
+        assert (got.width, got.height) == (3, 2)
+        assert bytes(got.payload) == payload
+        sums = want.reshape(-1, 3).sum(axis=0)
+        assert got.mean_g == round(float(sums[1]) / 6, 6)
+
+
 def test_ppm_corpus_decode_matches_python(spark):
     media = M.synthesize_ppm(spark, 12)
     out = {r.media_id: r for r in M.decode_ppm(media).collect()}
