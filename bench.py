@@ -165,6 +165,7 @@ HEADLINE = [
     "knn_label_prop",
     "corpus_diff",
     "multimodal_ppm_resize",
+    "multimodal_wav_resample",
 ]
 
 

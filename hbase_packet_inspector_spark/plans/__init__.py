@@ -28,6 +28,7 @@ _UNVERIFIED_FIRST = (
     "knn_label_prop",  # latest green r0
     "corpus_diff",  # latest green r0
     "multimodal_ppm_resize",  # latest green r0
+    "multimodal_wav_resample",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

@@ -800,6 +800,51 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_resample",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CAST(id % 50 + 10 AS INTEGER) AS ns,
+                      substr(repeat(md5(CAST(id AS VARCHAR)), 8), 1,
+                             (id % 50 + 10) * 4) AS hx
+               FROM range(48) t(id)),
+    b AS (SELECT media_id, ns, CAST(i.i AS INTEGER) AS i, hx
+          FROM m, LATERAL (SELECT unnest(range(0, ns)) AS i) i
+          WHERE i.i % 2 = 0),
+    v AS (SELECT media_id, ns,
+                 instr('123456789abcdef', substr(hx, 4 * i + 1, 1)) * 16
+                 + instr('123456789abcdef', substr(hx, 4 * i + 2, 1))
+                 + 256 * (instr('123456789abcdef', substr(hx, 4 * i + 3, 1)) * 16
+                          + instr('123456789abcdef', substr(hx, 4 * i + 4, 1)))
+                   AS u16
+          FROM b),
+    s AS (SELECT media_id, ns,
+                 u16 - CASE WHEN u16 >= 32768 THEN 65536 ELSE 0 END AS amp
+          FROM v)
+    SELECT media_id, CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           round(CAST(sum(amp) AS DOUBLE) / count(*), 6) AS mean_amp,
+           round(sqrt(CAST(sum(amp * amp) AS DOUBLE) / count(*)), 6) AS rms
+    FROM s GROUP BY 1
+    """,
+    doc="REAL audio downsample, codec-free (operators/multimodal.py::"
+    "resample_wav — the audio sibling of multimodal_ppm_resize): decode "
+    "the PCM16 stream, decimate by 2 (keep even-index samples), "
+    "re-encode at half the sample rate, report the resampled stream's "
+    "mean/RMS. The oracle keeps exactly the surviving sample indices of "
+    "the synthesized int16-LE hex stream, so decode -> decimate -> "
+    "re-aggregate is verified end-to-end; the re-encoded payload column "
+    "is emitted for downstream stages but excluded here so the compare "
+    "stays value-typed.",
+    tags=("dataprep", "multimodal", "audio", "resample"),
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.resample_wav(M.synthesize_wav(spark, 48), 2).drop("payload")
+
+
+@register(
     "multimodal_wav_decode",
     """
     WITH m AS (SELECT id AS media_id,

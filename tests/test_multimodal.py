@@ -133,6 +133,25 @@ def test_ppm_resize_operator_matches_python(spark):
         assert got.mean_g == round(float(sums[1]) / 6, 6)
 
 
+def test_wav_resample_decimates_and_roundtrips(spark):
+    import numpy as np
+
+    s = np.array([100, -200, 300, -400, 500], dtype="<i2")
+    payload = M.encode_wav_bytes(s, 8000)
+    sr, back = M.decode_wav_bytes(payload)
+    assert sr == 8000 and (back == s).all()  # encoder inverts the decoder
+
+    media = spark.createDataFrame(
+        [(0, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = M.resample_wav(media, 2).collect()[0]
+    kept = s[::2]  # 100, 300, 500
+    assert (row.sample_rate, row.n_samples) == (4000, 3)
+    assert row.mean_amp == round(float(kept.mean()), 6)
+    sr2, back2 = M.decode_wav_bytes(bytes(row.payload))
+    assert sr2 == 4000 and (back2 == kept).all()
+
+
 def test_ppm_corpus_decode_matches_python(spark):
     media = M.synthesize_ppm(spark, 12)
     out = {r.media_id: r for r in M.decode_ppm(media).collect()}
