@@ -410,6 +410,16 @@ def test_ingest_gate_stream_matches_one_shot(spark, tmp_path):
     kept = spark.read.parquet(out + "/kept")
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [11]
 
+    # the decisions sink is batch_id-partitioned, so the generic
+    # small-files maintenance job folds it without racing the stream
+    from hbase_packet_inspector_spark.streaming.pipeline import compact_batches
+
+    folded_to = str(tmp_path / "dec_compact")
+    max_id = compact_batches(spark, out + "/decisions", folded_to)
+    assert max_id == 2  # three one-doc micro-batches: ids 0, 1, 2
+    compacted = spark.read.parquet(folded_to).collect()
+    assert key(compacted) == key(got.collect())
+
 
 def test_ingest_gate_stream_grows_index_and_checkpoints(spark, tmp_path):
     """append_accepted=True: a doc kept in run 1 must reject its own
