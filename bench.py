@@ -166,6 +166,8 @@ HEADLINE = [
     "corpus_diff",
     "multimodal_ppm_resize",
     "multimodal_wav_resample",
+    "sq8_topk",
+    "sq8_recall",
 ]
 
 

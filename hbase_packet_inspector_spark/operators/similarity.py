@@ -275,6 +275,65 @@ def embedding_neardup(emb: DataFrame, *, bits: int = 16, n_bands: int = 4,
     )
 
 
+def sq8_quantize(emb: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Scalar quantization to uint8 (SQ8): each dimension affinely mapped
+    to a 0..255 code using the corpus's per-dimension min/max — the
+    memory-bandwidth ANN path next to PQ (4x smaller than float32, no
+    codebook training, exact affine reconstruction error bounds). The
+    per-dim stats are a dim-sized collect (the PCA/kmeans sufficient-
+    statistics discipline: only 2*dim doubles ride the driver, re-entering
+    as literals), then codes are one in-row transform over a narrow scan.
+
+    Returns the input frame with ``vec_col`` REPLACED by the
+    reconstructed vector x̂ (min_j + c_j*span_j/255) and a ``codes``
+    column (array<int>) — x̂ is what search ranks against (asymmetric:
+    queries stay full-precision), codes are what a deployment stores.
+    Constant dimensions (span 0) code to 0 and reconstruct exactly."""
+    x = _as_double(F.col(vec_col))
+    dims = (
+        emb.select(F.posexplode(x).alias("j", "v"))
+        .groupBy("j")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    mins = [0.0] * len(dims)
+    spans = [1.0] * len(dims)
+    for r in dims:
+        mins[r.j] = float(r.mn)
+        spans[r.j] = float(r.mx - r.mn) or 1.0
+    mins_a = F.array(*[F.lit(v) for v in mins])
+    spans_a = F.array(*[F.lit(v) for v in spans])
+    codes = F.transform(
+        x,
+        lambda v, j: F.round(
+            F.lit(255.0) * (v - F.element_at(mins_a, j + 1))
+            / F.element_at(spans_a, j + 1)
+        ).cast("int"),
+    )
+    xhat = F.transform(
+        F.col("codes"),
+        lambda c, j: F.element_at(mins_a, j + 1)
+        + c.cast("double") * F.element_at(spans_a, j + 1) / F.lit(255.0),
+    )
+    return (
+        emb.withColumn("codes", codes)
+        .withColumn(vec_col, xhat)
+    )
+
+
+def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5, *,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SQ8 approximate top-k: full-precision queries ranked against the
+    scalar-quantized corpus reconstruction (the standard asymmetric
+    search). One dim-sized stats collect + in-row quantize + the
+    cosine_topk broadcast-query scan — same plan shape as the exact
+    baseline, 4x less vector payload in a deployment that stores codes.
+    Audit the quantization's ranking damage with sq8_recall."""
+    quant = sq8_quantize(emb, id_col=id_col, vec_col=vec_col).drop("codes")
+    return cosine_topk(quant, queries, k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_graph(emb: DataFrame, k: int = 3, *, bits: int = 16,
               n_bands: int = 4, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

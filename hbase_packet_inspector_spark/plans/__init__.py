@@ -29,6 +29,8 @@ _UNVERIFIED_FIRST = (
     "corpus_diff",  # latest green r0
     "multimodal_ppm_resize",  # latest green r0
     "multimodal_wav_resample",  # latest green r0
+    "sq8_topk",  # latest green r0
+    "sq8_recall",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

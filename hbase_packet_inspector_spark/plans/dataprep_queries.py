@@ -372,6 +372,123 @@ def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_topk(emb, qs, k=5, bits=16, n_bands=4)
 
 
+def _sq8_ctes(p: str = "") -> str:
+    """SQ8 CTE chain (quantize -> reconstruct -> asymmetric cosine ->
+    rank), name-prefixed so it composes with _COS_CTE in one query."""
+    return f"""
+    {p}e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 CAST(unnest(range(1, len(embedding) + 1)) AS INTEGER) AS i
+          FROM embeddings),
+    {p}st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM {p}e GROUP BY 1),
+    {p}sp AS (SELECT i, mn,
+                  CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS span
+           FROM {p}st),
+    {p}xh AS (SELECT {p}e.vec_id, {p}e.i,
+                  mn + CAST(round(255.0 * ({p}e.v - mn) / span) AS INTEGER)
+                       * span / 255.0 AS xv
+           FROM {p}e JOIN {p}sp USING (i)),
+    {p}nq AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM {p}e GROUP BY 1),
+    {p}nb AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nrm FROM {p}xh GROUP BY 1),
+    {p}d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 sum(q.v * b.xv) AS dp
+          FROM {p}e q JOIN {p}xh b ON q.i = b.i AND b.vec_id <> q.vec_id
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    {p}s AS (SELECT q_id, neighbor_id,
+                 round(dp / ({p}nq.nrm * {p}nb.nrm), 6) AS cos
+          FROM {p}d JOIN {p}nq ON {p}nq.vec_id = q_id
+                  JOIN {p}nb ON {p}nb.vec_id = neighbor_id),
+    {p}r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM {p}s)"""
+
+
+@register(
+    "sq8_topk",
+    f"""
+    WITH {_sq8_ctes()}
+    SELECT q_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+    """,
+    doc="SQ8 scalar-quantized ANN top-k (operators/similarity.py::"
+    "sq8_topk) — the memory-bandwidth path next to PQ: every dimension "
+    "affinely mapped to a 0..255 code from corpus per-dim min/max (no "
+    "codebook training), search ranks full-precision queries against "
+    "the reconstruction (asymmetric, the standard SQ deployment). Stats "
+    "are a dim-sized driver collect (the PCA/kmeans sufficient-stats "
+    "discipline), quantize is one in-row transform, search is the "
+    "cosine_topk broadcast-query scan; a deployment stores the 4x-"
+    "smaller codes column.",
+    tags=("dataprep", "similarity", "ann", "quantization"),
+)
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.sq8_topk(emb, qs, k=5)
+
+
+@register(
+    "sq8_recall",
+    f"""
+    WITH {_COS_CTE},
+    xd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  sum(q.v * b.v) AS dp
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    xs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(x.sq) * sqrt(y.sq)), 6) AS cos
+           FROM xd JOIN nrm x ON x.vec_id = q_id
+                   JOIN nrm y ON y.vec_id = neighbor_id),
+    xr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM xs),
+    exact AS (SELECT q_id, neighbor_id FROM xr WHERE rnk <= 3),
+    {_sq8_ctes("q8")},
+    approx AS (SELECT q_id, neighbor_id FROM q8r WHERE rnk <= 3),
+    hits AS (SELECT e1.q_id, count(*) AS h
+             FROM exact e1 JOIN approx a USING (q_id, neighbor_id)
+             GROUP BY 1)
+    SELECT q.q_id,
+           coalesce(CAST(h AS DOUBLE), 0.0) / 3 AS recall
+    FROM (SELECT DISTINCT vec_id AS q_id FROM embeddings
+          WHERE vec_id % 25 = 0) q
+    LEFT JOIN hits USING (q_id)
+    """,
+    doc="Recall@3 of the SQ8-quantized ranking against the exact cosine "
+    "ranking — the calibration audit every ANN path in this engine "
+    "carries (ann_recall for IVF, pq_recall for PQ, srp_recall for "
+    "SRP): per-query |sq8_top3 ∩ exact_top3| / 3, both rankings under "
+    "the round-6 + id tie-break total order so recall is deterministic. "
+    "This is the dial for whether 8-bit affine codes keep enough "
+    "resolution for the corpus's cosine geometry.",
+    tags=("dataprep", "similarity", "ann", "quantization", "recall"),
+)
+def sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = S.cosine_topk(emb, qs, k=3).select("q_id", "neighbor_id")
+    approx = S.sq8_topk(emb, qs, k=3).select("q_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / 3)
+            .alias("recall"),
+        )
+    )
+
+
 @register(
     "srp_recall",
     f"""

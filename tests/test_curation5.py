@@ -232,6 +232,24 @@ def test_knn_outliers_bottom_n_order(spark):
     assert out[0].mean_knn_cos < out[1].mean_knn_cos
 
 
+def test_sq8_quantize_codes_and_reconstruction(spark):
+    """Hand-checked affine codes: per-dim range [0,10] maps 0->0, 10->255,
+    5->128 (255*0.5 = 127.5 rounds HALF_UP); reconstruction is the exact
+    affine inverse of the code."""
+    from hbase_packet_inspector_spark.operators import similarity as S
+
+    emb = _emb(spark, [
+        (0, [0.0, 10.0], 0), (1, [10.0, 0.0], 0), (2, [5.0, 5.0], 0),
+    ])
+    out = {r.vec_id: r for r in S.sq8_quantize(emb).collect()}
+    assert out[0].codes == [0, 255] and out[1].codes == [255, 0]
+    assert out[2].codes == [128, 128]
+    got = round(out[2].embedding[0], 6)
+    assert got == round(128 * 10 / 255, 6)
+    # endpoints reconstruct exactly
+    assert out[0].embedding == [0.0, 10.0]
+
+
 def test_knn_label_prop_chain_two_rounds(spark):
     """k=1 chain topology (each node's sole neighbor is the next one
     toward the seed): the seed's label walks one hop per round, so node 1

@@ -100,6 +100,11 @@ ALLOWED = {
     # broadcast-queries pass (ann_recall's rationale); the SRP half is an
     # equi join on the band key
     "srp_recall": {"NESTED-LOOP-JOIN"},
+    # SQ8 search IS cosine_topk's broadcast-queries pass over the
+    # reconstructed corpus (asymmetric SQ deployment); the recall audit
+    # adds the exact baseline half (ann_recall's rationale)
+    "sq8_topk": {"NESTED-LOOP-JOIN"},
+    "sq8_recall": {"NESTED-LOOP-JOIN"},
     # corpus stats (N, avgdl, per-term df) re-enter as a broadcast ONE-ROW
     # aggregate — a 1-row nested loop by construction (source_token_mix's
     # rationale)
