@@ -168,6 +168,7 @@ HEADLINE = [
     "multimodal_wav_resample",
     "sq8_topk",
     "sq8_recall",
+    "quality_drift",
 ]
 
 

@@ -965,6 +965,50 @@ def bpe_token_counts(docs: DataFrame, *, rounds: int = 4,
     )
 
 
+def quality_drift(docs: DataFrame, *, ts_col: str = "ts",
+                  window: str = "1 hour", text_col: str = "text",
+                  watermark: str | None = None) -> DataFrame:
+    """Windowed curation telemetry: per event-time window, arrival volume
+    and the quality gate's aggregate signals — the chart a streaming
+    ingest deployment watches to catch a quality regression in the
+    firehose (a source turning to boilerplate moves avg_quality /
+    low_quality_frac within one window of arrival, long before a batch
+    re-audit would).
+
+    The quality score is the SAME expression the gate uses
+    (quality_features), so the monitor moves exactly when the gate's
+    keep-rate does. Pure column exprs + one windowed aggregate: runs
+    identically under readStream (pass ``watermark`` for state eviction;
+    append mode emits each closed window exactly once) and in batch,
+    where the rollup is oracle-checkable. State is #open-windows-sized —
+    arrival-rate independent."""
+    n_words = F.size(_tok(text_col))
+    n_stop = F.size(F.filter(_tok(text_col), lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    score = (
+        F.when(n_words >= 20, F.lit(1)).otherwise(0)
+        + F.when(stop_ratio <= 0.2, F.lit(1)).otherwise(0)
+    )
+    src = docs
+    if watermark:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.select(F.col(ts_col), score.alias("_q"))
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_q"), 6).alias("avg_quality"),
+            F.round(F.avg((F.col("_q") < 2).cast("double")), 6)
+            .alias("low_quality_frac"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs", "avg_quality", "low_quality_frac",
+        )
+    )
+
+
 def corpus_diff(old: DataFrame, new: DataFrame,
                 text_col: str = "text") -> DataFrame:
     """Snapshot diff between two corpus versions — the dataset-versioning

@@ -3901,6 +3901,53 @@ def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_drift",
+    """
+    WITH d AS (SELECT doc_id,
+                      1700000000 + doc_id * 97 AS ep,
+                      CAST(len(string_split(text, ' ')) AS INTEGER) AS nw,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x = 'the' OR x = 'a'))
+                        AS INTEGER) AS ns
+               FROM documents),
+    q AS (SELECT CAST(floor(ep / 3600) * 3600 AS BIGINT) AS window_epoch,
+                 (CASE WHEN nw >= 20 THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(ns AS DOUBLE) / nw <= 0.2
+                    THEN 1 ELSE 0 END) AS qs
+          FROM d)
+    SELECT window_epoch, count(*) AS n_docs,
+           round(avg(qs), 6) AS avg_quality,
+           round(avg(CASE WHEN qs < 2 THEN 1.0 ELSE 0.0 END), 6)
+             AS low_quality_frac
+    FROM q GROUP BY 1
+    """,
+    doc="Windowed curation telemetry (operators/text.py::quality_drift): "
+    "per event-time window, arrival volume + the quality gate's "
+    "aggregate signals — the chart a streaming deployment watches to "
+    "catch a source turning to boilerplate within one window of "
+    "arrival. The score is the SAME expression the ingest gate keys on, "
+    "so the monitor moves exactly when the keep-rate does; one windowed "
+    "aggregate, #open-windows state under a stream. Arrival times here "
+    "are synthesized deterministically from doc_id (the documents table "
+    "carries no ts); the window is emitted as epoch seconds — "
+    "timezone-proof across engines (events_per_minute convention).",
+    tags=("dataprep", "quality", "streaming", "timeseries", "report"),
+)
+def quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "ts",
+        F.to_timestamp(F.lit(1700000000) + F.col("doc_id") * 97),
+    )
+    return (
+        X.quality_drift(docs, window="1 hour")
+        .select(
+            F.col("window_start").cast("long").alias("window_epoch"),
+            "n_docs", "avg_quality", "low_quality_frac",
+        )
+    )
+
+
+@register(
     "corpus_diff",
     r"""
     WITH old AS (SELECT doc_id,

@@ -738,6 +738,48 @@ def test_stream_cdc_chunks_exactly_matches_batch(spark, tmp_path):
     assert key(out) == key(batch)
 
 
+def test_stream_quality_drift_matches_batch_windows(spark, tmp_path):
+    """Windowed curation telemetry batch===stream: quality_drift under
+    readStream with a watermark must emit exactly the batch rollup for
+    every CLOSED window (append mode, one emission per window). The
+    far-future sentinel closes all real windows; its own window stays
+    open and is the only row the stream may omit."""
+    import datetime as dt
+
+    from hbase_packet_inspector_spark.operators.text import quality_drift
+
+    t0 = dt.datetime(2024, 1, 1, 8, 30, 0)
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega zero")
+    rows = [
+        (0, good, t0),                                  # hour 8: quality 2
+        (1, "the the the", t0 + dt.timedelta(minutes=5)),  # hour 8: low
+        (2, good, t0 + dt.timedelta(hours=1)),          # hour 9
+        (3, "short", t0 + dt.timedelta(hours=1, minutes=10)),  # hour 9
+        (9, good, t0 + dt.timedelta(days=7)),           # watermark sentinel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    out = _replay(
+        spark, df,
+        lambda s: quality_drift(s, window="1 hour", watermark="30 minutes"),
+        str(tmp_path / "qd"),
+    )
+    batch = {
+        r.window_start: r
+        for r in quality_drift(df, window="1 hour").collect()
+        if r.window_start < t0 + dt.timedelta(days=1)
+    }
+    got = {r.window_start: r for r in out}
+    assert set(got) == set(batch) and len(batch) == 2
+    for k, want in batch.items():
+        have = got[k]
+        assert (have.n_docs, have.avg_quality, have.low_quality_frac) == \
+            (want.n_docs, want.avg_quality, want.low_quality_frac)
+    h8 = batch[dt.datetime(2024, 1, 1, 8, 0, 0)]
+    assert (h8.n_docs, h8.avg_quality, h8.low_quality_frac) == (2, 1.0, 0.5)
+
+
 def test_stream_quality_gate_exactly_matches_batch(spark, tmp_path):
     """Curation quality gate batch===stream equivalence: quality_features
     is pure column expressions (no shuffle, no state), so the SAME
