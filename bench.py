@@ -169,6 +169,7 @@ HEADLINE = [
     "sq8_topk",
     "sq8_recall",
     "quality_drift",
+    "zorder_layout",
 ]
 
 

@@ -32,6 +32,7 @@ _UNVERIFIED_FIRST = (
     "sq8_topk",  # latest green r0
     "sq8_recall",  # latest green r0
     "quality_drift",  # latest green r0
+    "zorder_layout",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

@@ -3947,6 +3947,47 @@ def quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle(bits: int = 8, bucket_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH s AS (SELECT l_orderkey % 256 AS a, l_partkey % 256 AS b
+               FROM lineitem),
+    z AS (SELECT a, b, ({terms}) AS zkey FROM s)
+    SELECT zkey >> {2 * bits - bucket_bits} AS zbucket,
+           count(*) AS n_rows,
+           min(a) AS a_min, max(a) AS a_max,
+           min(b) AS b_min, max(b) AS b_max
+    FROM z GROUP BY 1
+    """
+
+
+@register(
+    "zorder_layout",
+    _zorder_oracle(),
+    doc="Z-order layout diagnostic (operators/layout.py::zorder_stats "
+    "over zorder_key): Morton-interleave two lineitem key buckets and "
+    "report each coarse Z-range's row count + per-dimension min/max "
+    "envelope — the evidence that range-partitioning on the key "
+    "(cluster_by_zorder) gives every output file a small hyper-"
+    "rectangle, so parquet min/max stats prune scans on EITHER column "
+    "(the OPTIMIZE ZORDER BY technique). Pure integer bit math in "
+    "built-in expressions, bit-exact on any engine; one narrow scan + "
+    "a 256-row bucket aggregate at any data size.",
+    tags=("dataprep", "layout", "zorder", "pruning"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout as LY
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("a"),
+        (F.col("l_partkey") % 256).alias("b"),
+    )
+    return LY.zorder_stats(li, "a", "b", bits=8, bucket_bits=8)
+
+
 @register(
     "corpus_diff",
     r"""

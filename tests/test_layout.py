@@ -1,0 +1,64 @@
+"""Z-order layout tests: Morton-key bit math and the range-clustered
+write layout's contiguity contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import layout as LY
+
+
+def test_zorder_key_hand_checked_bits(spark):
+    rows = [(3, 0), (0, 3), (1, 1), (5, 5), (0, 0), (255, 255)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    out = {(r.a, r.b): r.z
+           for r in df.select("a", "b",
+                              LY.zorder_key("a", "b", 8).alias("z")).collect()}
+    # a's bit i -> position 2i, b's bit i -> position 2i+1
+    assert out[(3, 0)] == 0b0101          # 5
+    assert out[(0, 3)] == 0b1010          # 10
+    assert out[(1, 1)] == 0b11            # 3
+    assert out[(5, 5)] == 51              # (1+16) | (2+32)
+    assert out[(0, 0)] == 0
+    assert out[(255, 255)] == 2 ** 16 - 1  # all 16 result bits set
+
+
+def test_cluster_by_zorder_ranges_are_contiguous(spark):
+    """repartitionByRange on the Morton key: every partition owns one
+    contiguous Z-range (partition i's max key < partition i+1's min key)
+    and within a partition keys are sorted — the property that turns
+    per-file min/max stats into two-dimensional pruning."""
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "a int, b int"
+    )
+    parts = (
+        LY.cluster_by_zorder(grid, "a", "b", bits=4, n_files=4)
+        .withColumn("pid", F.spark_partition_id())
+        .collect()
+    )
+    by_pid: dict = {}
+    for r in parts:
+        by_pid.setdefault(r.pid, []).append(r._zkey)
+    assert len(by_pid) == 4 and sum(len(v) for v in by_pid.values()) == 256
+    for keys in by_pid.values():
+        assert keys == sorted(keys)  # sortWithinPartitions held
+    spans = sorted((min(v), max(v)) for v in by_pid.values())
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint contiguous ranges
+
+
+def test_zorder_stats_envelopes_quadrants(spark):
+    """On the full 16x16 grid with 2-bit coarse buckets, the 4 Z-ranges
+    are EXACTLY the four 8x8 quadrants — the tight-envelope evidence."""
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "a int, b int"
+    )
+    out = {r.zbucket: r
+           for r in LY.zorder_stats(grid, "a", "b",
+                                    bits=4, bucket_bits=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r.n_rows == 64
+        assert r.a_max - r.a_min == 7 and r.b_max - r.b_min == 7
+    assert (out[0].a_min, out[0].b_min) == (0, 0)
+    assert (out[3].a_max, out[3].b_max) == (15, 15)
