@@ -170,6 +170,7 @@ HEADLINE = [
     "sq8_recall",
     "quality_drift",
     "zorder_layout",
+    "gate_cutoffs",
 ]
 
 

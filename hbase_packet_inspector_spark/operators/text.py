@@ -474,6 +474,38 @@ def unigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gate_cutoffs(docs: DataFrame, rates=(0.5, 0.75, 0.9),
+                 text_col: str = "text") -> DataFrame:
+    """Gate calibration: the surprise-score cutoff that yields each
+    target keep-rate — the threshold table a deployment STORES next to
+    its quality gate ("keep the best 75%" needs a number, and that
+    number drifts with the corpus; recompute per release, apply per
+    batch). Cutoff at keep-rate p = the exact interpolated p-quantile of
+    per-doc mean unigram surprise, so keeping docs with score <= cutoff
+    keeps ~p of the corpus by construction.
+
+    Scale shape: unigram_surprise's two vocab-bounded aggregates, then
+    ONE array-form percentile aggregate (single buffer for all rates —
+    the source_length_quartiles discipline) collapsing to a
+    len(rates)-row table. Quantiles interpolate on round-6 scores and
+    emit at round 4, the percentile portability rule."""
+    ms = unigram_surprise(docs, text_col)
+    arr = ", ".join(repr(float(r)) for r in rates)
+    agg = ms.agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"percentile(mean_surprise, array({arr}))").alias("_q"),
+    )
+    rate_arr = F.array(*[F.lit(float(r)) for r in rates])
+    return (
+        agg.select("n_docs", F.posexplode("_q").alias("i", "_c"))
+        .select(
+            F.element_at(rate_arr, F.col("i") + 1).alias("keep_rate"),
+            "n_docs",
+            F.round("_c", 4).alias("surprise_cutoff"),
+        )
+    )
+
+
 def bigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc mean bigram surprise under an interpolated corpus bigram LM
     — the step up from ``unigram_surprise`` that catches word-salad whose

@@ -3901,6 +3901,41 @@ def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gate_cutoffs",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    lm AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM lm),
+    ms AS (SELECT doc_id,
+                  round(sum(-ln(CAST(c AS DOUBLE) / total)) / count(*), 6)
+                      AS mean_surprise
+           FROM t JOIN lm USING (w) CROSS JOIN tot
+           GROUP BY doc_id),
+    n AS (SELECT count(*) AS n_docs FROM ms),
+    q AS (SELECT unnest([0.5, 0.75, 0.9]) AS keep_rate,
+                 unnest(quantile_cont(mean_surprise, [0.5, 0.75, 0.9]))
+                     AS cutoff
+          FROM ms)
+    SELECT keep_rate, n_docs, round(cutoff, 4) AS surprise_cutoff
+    FROM q CROSS JOIN n
+    """,
+    doc="Gate calibration (operators/text.py::gate_cutoffs): the "
+    "surprise-score cutoff yielding each target keep-rate — the "
+    "threshold table a deployment stores next to its quality gate "
+    "('keep the best 75%' needs a number, and it drifts with the "
+    "corpus; recompute per release, apply per batch). Exact "
+    "interpolated quantiles of per-doc mean unigram surprise, one "
+    "array-form percentile aggregate (single buffer for all rates) "
+    "over the vocab-bounded LM scoring pass; a 3-row table at any "
+    "corpus size.",
+    tags=("dataprep", "quality", "percentile", "calibration"),
+)
+def gate_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.gate_cutoffs(_docs(spark, sf_dir))
+
+
+@register(
     "quality_drift",
     """
     WITH d AS (SELECT doc_id,

@@ -232,6 +232,31 @@ def test_knn_outliers_bottom_n_order(spark):
     assert out[0].mean_knn_cos < out[1].mean_knn_cos
 
 
+def test_gate_cutoffs_monotone_and_keep_counts(spark):
+    """4 docs with strictly increasing surprise: interpolated cutoffs are
+    nondecreasing in keep-rate and keeping score <= cutoff keeps exactly
+    floor(1 + (n-1)p) docs — 2 at p=.5, 3 at p=.75 and p=.9."""
+    from hbase_packet_inspector_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(0, "the the the the"),       # most-common words -> lowest nll
+         (1, "the the alpha beta"),
+         (2, "alpha beta gamma delta"),
+         (3, "unique words only here")],
+        "doc_id long, text string",
+    )
+    ms = sorted(r.mean_surprise
+                for r in X.unigram_surprise(docs).collect())
+    assert ms == sorted(set(ms))  # strictly increasing fixture
+    out = {r.keep_rate: r for r in X.gate_cutoffs(docs).collect()}
+    assert all(r.n_docs == 4 for r in out.values())
+    cuts = [out[p].surprise_cutoff for p in (0.5, 0.75, 0.9)]
+    assert cuts == sorted(cuts)
+    kept = {p: sum(1 for s in ms if s <= out[p].surprise_cutoff)
+            for p in (0.5, 0.75, 0.9)}
+    assert kept == {0.5: 2, 0.75: 3, 0.9: 3}
+
+
 def test_sq8_quantize_codes_and_reconstruction(spark):
     """Hand-checked affine codes: per-dim range [0,10] maps 0->0, 10->255,
     5->128 (255*0.5 = 127.5 rounds HALF_UP); reconstruction is the exact

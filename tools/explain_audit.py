@@ -111,6 +111,9 @@ ALLOWED = {
     "bm25_topk": {"NESTED-LOOP-JOIN"},
     # the LM total re-enters as a broadcast ONE-ROW aggregate
     "unigram_surprise": {"NESTED-LOOP-JOIN"},
+    # gate_cutoffs runs unigram_surprise's scoring pass (same ONE-ROW
+    # total broadcast) before the single-buffer percentile collapse
+    "gate_cutoffs": {"NESTED-LOOP-JOIN"},
     "bigram_surprise": {"NESTED-LOOP-JOIN"},
     # this query EXISTS to oracle-check the library's only two sanctioned
     # Python UDFs (toStringBinary, region-name decode) on a 64-row
