@@ -171,6 +171,7 @@ HEADLINE = [
     "quality_drift",
     "zorder_layout",
     "gate_cutoffs",
+    "gate_cutoffs_binned",
 ]
 
 

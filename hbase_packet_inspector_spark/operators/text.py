@@ -506,6 +506,59 @@ def gate_cutoffs(docs: DataFrame, rates=(0.5, 0.75, 0.9),
     )
 
 
+def gate_cutoffs_binned(docs: DataFrame, rates=(0.5, 0.75, 0.9),
+                        n_bins: int = 256,
+                        text_col: str = "text") -> DataFrame:
+    """The SCALE path for gate calibration: exact interpolated
+    percentile (gate_cutoffs) buffers every score in one aggregation
+    buffer — fine per-group, wrong for 10^11 docs. This computes the
+    same threshold table from a fixed-width histogram: score range from
+    one min/max aggregate, then ``n_bins`` bin counts (a partial+final
+    aggregate with map-side combine — mergeable, so the identical shape
+    maintains cutoffs incrementally under a stream or across corpus
+    shards). Only the n_bins-row histogram rides the driver (the
+    kmeans/PCA sufficient-statistics discipline; the scored frame is
+    persisted across the two passes and released); cutoff(p) = the upper
+    edge of the first bin whose cumulative fraction reaches p —
+    conservative by at most one bin width ((max-min)/n_bins) — and
+    ``achieved_keep_frac`` reports the exact count-based rate at that
+    edge, so the calibration error is visible in the output, never
+    silent."""
+    ms = unigram_surprise(docs, text_col).select("mean_surprise").persist()
+    lo, hi = ms.agg(F.min("mean_surprise"), F.max("mean_surprise")).first()
+    span = (hi - lo) or 1.0
+    b = F.least(
+        F.floor((F.col("mean_surprise") - F.lit(lo)) / F.lit(span)
+                * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    hist = dict(
+        (r.bin, r.c)
+        for r in ms.groupBy(b.alias("bin")).agg(F.count("*").alias("c"))
+        .collect()
+    )
+    ms.unpersist()
+    total = sum(hist.values())
+    rows, cum = [], 0
+    edges = sorted(hist)
+    for p in rates:
+        cum = 0
+        for bin_ in edges:
+            cum += hist[bin_]
+            frac = cum / total
+            if frac >= p:
+                rows.append((
+                    float(p),
+                    round(lo + (bin_ + 1) / n_bins * span, 4),
+                    round(frac, 6),
+                ))
+                break
+    return docs.sparkSession.createDataFrame(
+        rows, "keep_rate double, surprise_cutoff double, "
+        "achieved_keep_frac double"
+    )
+
+
 def bigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc mean bigram surprise under an interpolated corpus bigram LM
     — the step up from ``unigram_surprise`` that catches word-salad whose

@@ -34,6 +34,7 @@ _UNVERIFIED_FIRST = (
     "quality_drift",  # latest green r0
     "zorder_layout",  # latest green r0
     "gate_cutoffs",  # latest green r0
+    "gate_cutoffs_binned",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

@@ -3936,6 +3936,53 @@ def gate_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gate_cutoffs_binned",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    lm AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM lm),
+    ms AS (SELECT doc_id,
+                  round(sum(-ln(CAST(c AS DOUBLE) / total)) / count(*), 6)
+                      AS s
+           FROM t JOIN lm USING (w) CROSS JOIN tot
+           GROUP BY doc_id),
+    rng AS (SELECT min(s) AS lo, max(s) AS hi,
+                   CASE WHEN max(s) = min(s) THEN 1.0
+                        ELSE max(s) - min(s) END AS span
+            FROM ms),
+    bs AS (SELECT least(CAST(floor((s - lo) / span * 256) AS INTEGER),
+                        255) AS bin
+           FROM ms CROSS JOIN rng),
+    h AS (SELECT bin, count(*) AS c FROM bs GROUP BY 1),
+    cm AS (SELECT bin,
+                  CAST(sum(c) OVER (ORDER BY bin) AS DOUBLE)
+                  / sum(c) OVER () AS frac
+           FROM h),
+    q AS (SELECT unnest([0.5, 0.75, 0.9]) AS keep_rate),
+    sel AS (SELECT keep_rate, min(bin) AS bin
+            FROM q JOIN cm ON frac >= keep_rate GROUP BY 1)
+    SELECT keep_rate,
+           round(lo + (sel.bin + 1) / 256.0 * span, 4) AS surprise_cutoff,
+           round(cm.frac, 6) AS achieved_keep_frac
+    FROM sel JOIN cm ON cm.bin = sel.bin CROSS JOIN rng
+    """,
+    doc="The SCALE path for gate calibration (operators/text.py::"
+    "gate_cutoffs_binned): exact percentile buffers every score — fine "
+    "per group, wrong for 10^11 docs. Same threshold table from a "
+    "256-bin fixed-width histogram: min/max pass + mergeable bin-count "
+    "aggregate (map-side combine; the identical shape maintains cutoffs "
+    "incrementally under a stream or across shards), only the histogram "
+    "rides the driver. Cutoff is conservative by at most one bin width "
+    "and achieved_keep_frac makes the calibration error visible, never "
+    "silent.",
+    tags=("dataprep", "quality", "calibration", "sketch"),
+)
+def gate_cutoffs_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.gate_cutoffs_binned(_docs(spark, sf_dir))
+
+
+@register(
     "quality_drift",
     """
     WITH d AS (SELECT doc_id,

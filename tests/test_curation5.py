@@ -257,6 +257,36 @@ def test_gate_cutoffs_monotone_and_keep_counts(spark):
     assert kept == {0.5: 2, 0.75: 3, 0.9: 3}
 
 
+def test_gate_cutoffs_binned_brackets_exact(spark):
+    """The histogram path must land within one bin width of the exact
+    interpolated cutoff, report achieved_keep_frac >= keep_rate, and
+    actually keep that fraction when applied."""
+    from hbase_packet_inspector_spark.operators import text as X
+
+    words = ["w%d" % i for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j % 40] for j in range(i, i + 6)) +
+          (" common common" if i % 3 == 0 else ""))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    ms = sorted(r.mean_surprise
+                for r in X.unigram_surprise(docs).collect())
+    span = ms[-1] - ms[0]
+    out = {r.keep_rate: r for r in X.gate_cutoffs_binned(docs).collect()}
+    assert set(out) == {0.5, 0.75, 0.9}
+    for p, r in out.items():
+        # the guarantee: applying the cutoff keeps >= the target rate,
+        # and the reported achieved rate is the exact applied rate
+        assert r.achieved_keep_frac >= p
+        kept = sum(1 for s in ms if s <= r.surprise_cutoff) / len(ms)
+        assert abs(kept - r.achieved_keep_frac) < 1e-6
+        # tightness: the bin edge sits at most one bin width above the
+        # last score it keeps (no over-keeping beyond quantization)
+        last_kept = max(s for s in ms if s <= r.surprise_cutoff)
+        assert r.surprise_cutoff - last_kept <= span / 256 + 1e-4
+
+
 def test_sq8_quantize_codes_and_reconstruction(spark):
     """Hand-checked affine codes: per-dim range [0,10] maps 0->0, 10->255,
     5->128 (255*0.5 = 127.5 rounds HALF_UP); reconstruction is the exact

@@ -112,8 +112,10 @@ ALLOWED = {
     # the LM total re-enters as a broadcast ONE-ROW aggregate
     "unigram_surprise": {"NESTED-LOOP-JOIN"},
     # gate_cutoffs runs unigram_surprise's scoring pass (same ONE-ROW
-    # total broadcast) before the single-buffer percentile collapse
+    # total broadcast) before the single-buffer percentile collapse;
+    # the binned variant runs the same pass before the histogram
     "gate_cutoffs": {"NESTED-LOOP-JOIN"},
+    "gate_cutoffs_binned": {"NESTED-LOOP-JOIN"},
     "bigram_surprise": {"NESTED-LOOP-JOIN"},
     # this query EXISTS to oracle-check the library's only two sanctioned
     # Python UDFs (toStringBinary, region-name decode) on a 64-row
