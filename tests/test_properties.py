@@ -182,3 +182,119 @@ def test_wire_varint_and_packed():
     # unpacked form of the same repeated field merges identically
     unpacked = bytes([0x10, 0x01, 0x10, 0x02, 0x10, 0xAC, 0x02])
     assert W._varints(W.fields(unpacked)[2]) == [1, 2, 300]
+
+
+# --- WARC record parser (sources.warc) ---------------------------------------
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_warc_parser_never_raises_on_garbage(blob):
+    """Arbitrary bytes yield zero or more complete records, never an
+    exception — the drop-malformed-tails contract a crawl reader needs."""
+    from hbase_packet_inspector_spark.sources.warc import parse_warc_bytes
+
+    for rec in parse_warc_bytes("mem", blob):
+        assert rec["content_length"] == len(rec["payload"])
+
+
+_warc_payloads = st.lists(st.binary(max_size=80), min_size=1, max_size=5)
+_warc_uris = st.lists(
+    st.text(alphabet="abcdefghij.:/", min_size=1, max_size=20),
+    min_size=1, max_size=5,
+)
+
+
+@given(_warc_payloads, _warc_uris, st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_warc_roundtrip_generated_records(payloads, uris, gzip_members):
+    """Generated archives round-trip: every record's type, id, URI,
+    length, and exact payload bytes come back, in order — for both the
+    plain and the per-record-gzip-member (Common Crawl) layouts."""
+    import gzip as _gz
+
+    from hbase_packet_inspector_spark.sources.warc import (
+        _read_blob, parse_warc_bytes,
+    )
+
+    recs = []
+    for i, p in enumerate(payloads):
+        uri = uris[i % len(uris)]
+        head = (
+            f"WARC/1.0\r\nWARC-Type: resource\r\n"
+            f"WARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"WARC-Date: 2017-03-01T12:00:0{i % 10}Z\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(p)}\r\n\r\n"
+        ).encode()
+        recs.append(head + p + b"\r\n\r\n")
+    blob = (
+        b"".join(_gz.compress(r) for r in recs) if gzip_members
+        else b"".join(recs)
+    )
+    if gzip_members:
+        import os
+        import tempfile
+        fd, path = tempfile.mkstemp(suffix=".warc.gz")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            raw = _read_blob(path)
+        finally:
+            os.unlink(path)
+    else:
+        raw = blob
+    out = list(parse_warc_bytes("mem", raw))
+    assert len(out) == len(payloads)
+    for i, (rec, p) in enumerate(zip(out, payloads)):
+        assert rec["record_id"] == f"<urn:uuid:r{i}>"
+        assert rec["warc_type"] == "resource"
+        assert rec["payload"] == p and rec["content_length"] == len(p)
+        assert rec["target_uri"] == uris[i % len(uris)]
+
+
+# --- multimodal codecs (operators.multimodal) --------------------------------
+
+_dims = st.tuples(st.integers(1, 6), st.integers(1, 5))
+
+
+@given(_dims, st.binary(min_size=90, max_size=90), _dims)
+@settings(max_examples=200, deadline=None)
+def test_ppm_resize_identity_and_index_mapping(dims, raster, out_dims):
+    """Resize to the SAME dims is the identity; any resize obeys the
+    nearest-neighbor floor mapping pixel for pixel."""
+    from hbase_packet_inspector_spark.operators.multimodal import (
+        decode_ppm_bytes, resize_ppm_bytes,
+    )
+
+    w, h = dims
+    payload = b"P6\n%d %d\n255\n" % (w, h) + raster[: w * h * 3]
+    _, _, src = decode_ppm_bytes(payload)
+    same, enc = resize_ppm_bytes(payload, w, h)
+    assert (same == src).all()
+    w2, h2 = out_dims
+    out, enc2 = resize_ppm_bytes(payload, w2, h2)
+    for y in range(h2):
+        for x in range(w2):
+            assert (out[y, x] == src[y * h // h2, x * w // w2]).all()
+    # the re-encoded payload decodes back to the resized raster
+    _, _, back = decode_ppm_bytes(enc2)
+    assert (back == out).all()
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=40),
+       st.integers(1, 5))
+@settings(max_examples=200, deadline=None)
+def test_wav_encode_decode_roundtrip_and_decimation(samples, factor):
+    import numpy as np
+
+    from hbase_packet_inspector_spark.operators.multimodal import (
+        decode_wav_bytes, encode_wav_bytes,
+    )
+
+    s = np.array(samples, dtype="<i2")
+    sr, back = decode_wav_bytes(encode_wav_bytes(s, 8000))
+    assert sr == 8000 and (back == s).all()
+    kept = s[::factor]
+    sr2, back2 = decode_wav_bytes(encode_wav_bytes(kept, 8000 // factor))
+    assert sr2 == 8000 // factor and (back2 == kept).all()
