@@ -172,6 +172,7 @@ HEADLINE = [
     "zorder_layout",
     "gate_cutoffs",
     "gate_cutoffs_binned",
+    "layout_skip_rates",
 ]
 
 

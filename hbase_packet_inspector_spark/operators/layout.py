@@ -53,6 +53,47 @@ def cluster_by_zorder(df: DataFrame, a: str, b: str, *, bits: int = 16,
     )
 
 
+def layout_skip_rates(df: DataFrame, a: str, b: str, *, bits: int = 8,
+                      bucket_bits: int = 8, cut: int = 32) -> DataFrame:
+    """The pruning evidence, measured: for single-column predicates
+    ``a < cut`` and ``b < cut``, how many 'files' (coarse buckets) each
+    layout's min/max envelopes let a scan SKIP — comparing the Z-order
+    layout against the classic sort-by-``a`` layout (one file per a
+    value). Sorted-by-a prunes a-predicates perfectly and b-predicates
+    not at all (every file's b-envelope spans the domain); Z-order
+    prunes BOTH at roughly the sqrt rate — this report prints those
+    numbers from the data instead of asserting them.
+
+    Output: (layout, predicate, n_buckets, touched, skip_rate), four
+    rows. Each side is one narrow scan + a bucket-keyed aggregate over
+    at most 2^bucket_bits envelope rows — a diagnostic you can afford on
+    the full table before committing to a rewrite."""
+    # each envelope frame is <= 2^bucket_bits rows: collect ONCE per
+    # layout (one table scan each) and count touches in Python — the
+    # bounded-sufficient-statistics discipline; per-predicate .count()
+    # calls would rescan the table per predicate
+    rows = []
+    for layout, env in (
+        ("zorder",
+         zorder_stats(df, a, b, bits=bits, bucket_bits=bucket_bits)),
+        ("sorted_by_a",
+         df.groupBy(F.col(a).alias("_k")).agg(
+             F.min(a).alias("a_min"), F.max(a).alias("a_max"),
+             F.min(b).alias("b_min"), F.max(b).alias("b_max"),
+         )),
+    ):
+        envs = env.collect()
+        tot = len(envs)
+        for pred, lo in (("a", "a_min"), ("b", "b_min")):
+            t = sum(1 for r in envs if r[lo] < cut)
+            rows.append((layout, f"{pred}<{cut}", tot, t,
+                         round(1.0 - t / tot, 6)))
+    return df.sparkSession.createDataFrame(
+        rows, "layout string, predicate string, n_buckets long, "
+        "touched long, skip_rate double"
+    )
+
+
 def zorder_stats(df: DataFrame, a: str, b: str, *, bits: int = 16,
                  bucket_bits: int = 8) -> DataFrame:
     """Layout diagnostic: carve the Morton key space into 2**bucket_bits

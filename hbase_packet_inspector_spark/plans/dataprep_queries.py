@@ -4046,6 +4046,60 @@ def _zorder_oracle(bits: int = 8, bucket_bits: int = 8) -> str:
     """
 
 
+def _layout_skip_oracle(bits: int = 8, cut: int = 32,
+                        bucket_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    def sel(env: str, layout: str, pred: str, lo: str) -> str:
+        return (
+            f"SELECT '{layout}' AS layout, '{pred}<{cut}' AS predicate, "
+            f"count(*) AS n_buckets, "
+            f"CAST(sum(CASE WHEN {lo} < {cut} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS touched, "
+            f"round(1.0 - CAST(sum(CASE WHEN {lo} < {cut} THEN 1 ELSE 0 "
+            f"END) AS DOUBLE) / count(*), 6) AS skip_rate FROM {env}"
+        )
+    return f"""
+    WITH s AS (SELECT l_orderkey % 256 AS a, l_partkey % 256 AS b
+               FROM lineitem),
+    z AS (SELECT a, b, ({terms}) AS zkey FROM s),
+    ze AS (SELECT zkey >> {2 * bits - bucket_bits} AS bucket,
+                  min(a) AS a_min, min(b) AS b_min
+           FROM z GROUP BY 1),
+    le AS (SELECT a AS k, min(a) AS a_min, min(b) AS b_min
+           FROM s GROUP BY 1)
+    {sel('ze', 'zorder', 'a', 'a_min')}
+    UNION ALL {sel('ze', 'zorder', 'b', 'b_min')}
+    UNION ALL {sel('le', 'sorted_by_a', 'a', 'a_min')}
+    UNION ALL {sel('le', 'sorted_by_a', 'b', 'b_min')}
+    """
+
+
+@register(
+    "layout_skip_rates",
+    _layout_skip_oracle(),
+    doc="The pruning evidence, measured (operators/layout.py::"
+    "layout_skip_rates): for single-column predicates a<32 and b<32, the "
+    "fraction of coarse buckets ('files') each layout's min/max "
+    "envelopes let a scan SKIP — sorted-by-a prunes a-predicates "
+    "perfectly and b-predicates not at all; Z-order prunes BOTH at "
+    "roughly the sqrt rate. Four report rows from two narrow scans with "
+    "bucket-bounded envelope collects — the diagnostic to run on the "
+    "full table before committing to a layout rewrite.",
+    tags=("dataprep", "layout", "zorder", "pruning", "report"),
+)
+def layout_skip_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout as LY
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("a"),
+        (F.col("l_partkey") % 256).alias("b"),
+    )
+    return LY.layout_skip_rates(li, "a", "b", bits=8, bucket_bits=8, cut=32)
+
+
 @register(
     "zorder_layout",
     _zorder_oracle(),

@@ -47,6 +47,25 @@ def test_cluster_by_zorder_ranges_are_contiguous(spark):
         assert hi1 < lo2  # disjoint contiguous ranges
 
 
+def test_layout_skip_rates_grid(spark):
+    """16x16 grid, 4 coarse Z-quadrants: Z-order skips half the buckets
+    for a predicate on EITHER dimension; the sort-by-a layout skips half
+    for a-predicates and nothing for b-predicates."""
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "a int, b int"
+    )
+    out = {(r.layout, r.predicate): r
+           for r in LY.layout_skip_rates(grid, "a", "b", bits=4,
+                                         bucket_bits=2, cut=8).collect()}
+    z_a, z_b = out[("zorder", "a<8")], out[("zorder", "b<8")]
+    assert (z_a.n_buckets, z_a.touched, z_a.skip_rate) == (4, 2, 0.5)
+    assert (z_b.touched, z_b.skip_rate) == (2, 0.5)
+    l_a = out[("sorted_by_a", "a<8")]
+    l_b = out[("sorted_by_a", "b<8")]
+    assert (l_a.n_buckets, l_a.touched, l_a.skip_rate) == (16, 8, 0.5)
+    assert (l_b.touched, l_b.skip_rate) == (16, 0.0)
+
+
 def test_zorder_stats_envelopes_quadrants(spark):
     """On the full 16x16 grid with 2-bit coarse buckets, the 4 Z-ranges
     are EXACTLY the four 8x8 quadrants — the tight-envelope evidence."""
