@@ -173,6 +173,7 @@ HEADLINE = [
     "gate_cutoffs",
     "gate_cutoffs_binned",
     "layout_skip_rates",
+    "knn_graph_wide",
 ]
 
 

@@ -36,6 +36,7 @@ _UNVERIFIED_FIRST = (
     "gate_cutoffs",  # latest green r0
     "gate_cutoffs_binned",  # latest green r0
     "layout_skip_rates",  # latest green r0
+    "knn_graph_wide",  # latest green r0
     "srp_bucket_topk",  # latest green r0
     "srp_recall",  # latest green r0
     "multimodal_ppm_decode",  # latest green r0

@@ -675,6 +675,32 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_graph_wide",
+    f"""
+    WITH pairs AS ({_srp_oracle(bits=64, n_bands=8, min_cos=-1.0)}),
+    sym AS (SELECT d1 AS src, d2 AS neighbor_id, cos FROM pairs
+            UNION ALL
+            SELECT d2 AS src, d1 AS neighbor_id, cos FROM pairs),
+    r AS (SELECT *, rank() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM sym)
+    SELECT src, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="The kNN graph at the SCALE knob setting (knn_graph with "
+    "bits=64 / 8 bands = 8-bit band keys, 256 buckets per band): the "
+    "configuration SCALE.md's 10x probe showed absorbing a 10x-denser "
+    "corpus at ~7x cost with full neighbor coverage, where the 4-bit "
+    "default saturates its 16 buckets and goes quadratic. Registered "
+    "as its own query so the wide-band path is hash-verified, not just "
+    "probed — band width is THE dial for corpus density, and both ends "
+    "of it are now under the correctness gate.",
+    tags=("dataprep", "similarity", "ann", "lsh", "graph", "scale"),
+)
+def knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_graph(_emb(spark, sf_dir), k=3, bits=64, n_bands=8)
+
+
+@register(
     "knn_outliers",
     f"""
     WITH pairs AS ({_srp_oracle(min_cos=-1.0)}),
