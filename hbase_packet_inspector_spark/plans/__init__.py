@@ -21,56 +21,6 @@ except ImportError:
 # each round's CORRECTNESS_r{N}.json lands; new queries register with no
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
-    "knn_graph",  # latest green r0
-    "knn_outliers",  # latest green r0
-    "bpe_source_fit",  # latest green r0
-    "source_diversity",  # latest green r0
-    "knn_label_prop",  # latest green r0
-    "corpus_diff",  # latest green r0
-    "multimodal_ppm_resize",  # latest green r0
-    "multimodal_wav_resample",  # latest green r0
-    "sq8_topk",  # latest green r0
-    "sq8_recall",  # latest green r0
-    "quality_drift",  # latest green r0
-    "zorder_layout",  # latest green r0
-    "gate_cutoffs",  # latest green r0
-    "gate_cutoffs_binned",  # latest green r0
-    "layout_skip_rates",  # latest green r0
-    "knn_graph_wide",  # latest green r0
-    "srp_bucket_topk",  # latest green r0
-    "srp_recall",  # latest green r0
-    "multimodal_ppm_decode",  # latest green r0
-    "multimodal_wav_decode",  # latest green r0
-    "multimodal_video_frames",  # latest green r0
-    "dedup_incremental",  # latest green r0
-    "lsh_bucket_stats",  # latest green r0
-    "split_leakage_audit",  # latest green r0
-    "label_centroid_sim",  # latest green r0
-    "label_outliers",  # latest green r0
-    "dsir_resample",  # latest green r0
-    "simhash_pairs",  # latest green r0
-    "ingest_gate",  # latest green r0
-    "corpus_card",  # latest green r0
-    "ivf_quantized_topk",  # latest green r1
-    "ivf_kmeans_topk",  # latest green r1
-    "dedup_clusters",  # latest green r1
-    "order_lineitem_counts",  # latest green r2
-    "parts_both_flags_intersect",  # latest green r2
-    "lineitem_status_cube",  # latest green r2
-    "customer_order_gaps",  # latest green r2
-    "quantity_outliers",  # latest green r2
-    "big_ticket_customers",  # latest green r2
-    "dedup_exact",  # latest green r2
-    "doc_fingerprint",  # latest green r2
-    "dedup_ngram_jaccard",  # latest green r2
-    "dedup_minhash_lsh",  # latest green r2
-    "dedup_simhash",  # latest green r2
-    "text_quality",  # latest green r2
-    "lang_id",  # latest green r2
-    "token_count",  # latest green r2
-    "cosine_topk",  # latest green r2
-    "ivf_topk_by_label",  # latest green r2
-    "dedup_embedding",  # latest green r2
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2
@@ -166,6 +116,56 @@ _UNVERIFIED_FIRST = (
     "source_length_quartiles",  # latest green r4
     "hbase_pcap_decode",  # latest green r4
     "hbase_pcap_tables",  # latest green r4
+    "order_lineitem_counts",  # latest green r5
+    "parts_both_flags_intersect",  # latest green r5
+    "lineitem_status_cube",  # latest green r5
+    "customer_order_gaps",  # latest green r5
+    "quantity_outliers",  # latest green r5
+    "big_ticket_customers",  # latest green r5
+    "dedup_exact",  # latest green r5
+    "doc_fingerprint",  # latest green r5
+    "dedup_ngram_jaccard",  # latest green r5
+    "dedup_minhash_lsh",  # latest green r5
+    "dedup_simhash",  # latest green r5
+    "text_quality",  # latest green r5
+    "lang_id",  # latest green r5
+    "token_count",  # latest green r5
+    "cosine_topk",  # latest green r5
+    "srp_bucket_topk",  # latest green r5
+    "sq8_topk",  # latest green r5
+    "sq8_recall",  # latest green r5
+    "srp_recall",  # latest green r5
+    "ivf_topk_by_label",  # latest green r5
+    "dedup_embedding",  # latest green r5
+    "knn_graph",  # latest green r5
+    "knn_graph_wide",  # latest green r5
+    "knn_outliers",  # latest green r5
+    "knn_label_prop",  # latest green r5
+    "multimodal_ppm_decode",  # latest green r5
+    "multimodal_ppm_resize",  # latest green r5
+    "multimodal_wav_resample",  # latest green r5
+    "multimodal_wav_decode",  # latest green r5
+    "multimodal_video_frames",  # latest green r5
+    "ivf_quantized_topk",  # latest green r5
+    "ivf_kmeans_topk",  # latest green r5
+    "dedup_clusters",  # latest green r5
+    "bpe_source_fit",  # latest green r5
+    "source_diversity",  # latest green r5
+    "gate_cutoffs",  # latest green r5
+    "gate_cutoffs_binned",  # latest green r5
+    "quality_drift",  # latest green r5
+    "layout_skip_rates",  # latest green r5
+    "zorder_layout",  # latest green r5
+    "corpus_diff",  # latest green r5
+    "dedup_incremental",  # latest green r5
+    "lsh_bucket_stats",  # latest green r5
+    "split_leakage_audit",  # latest green r5
+    "label_centroid_sim",  # latest green r5
+    "label_outliers",  # latest green r5
+    "dsir_resample",  # latest green r5
+    "simhash_pairs",  # latest green r5
+    "ingest_gate",  # latest green r5
+    "corpus_card",  # latest green r5
 )
 
 
