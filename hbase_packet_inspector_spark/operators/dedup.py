@@ -462,7 +462,8 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
                           n_bands: int = DEFAULT_BANDS,
                           min_est: float = 0.4,
                           min_jaccard: float = 0.35,
-                          broadcast_bytes: int = 128 << 20) -> DataFrame:
+                          broadcast_bytes: int = 128 << 20,
+                          return_persisted: bool = False):
     """Incremental near-dup probe: verified MinHash pairs between an
     ARRIVING batch and the EXISTING corpus — the continuous-ingest shape
     where the full corpus self-join is never re-run. Each batch only
@@ -485,16 +486,20 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
 
     The returned plan reads the batch signatures persisted here (they feed
     the band probe, the estimate AND the verification); as with
-    minhash_lsh_dedup, the caller owns that frame's lifetime — unpersist /
-    clearCache after materializing the result."""
+    minhash_lsh_dedup, the caller owns that frame's lifetime — pass
+    ``return_persisted=True`` to receive ``(pairs, signatures)`` and
+    unpersist the signature frame after materializing the result."""
     sets_old = shingle_sets(corpus_docs, n)
     keyed_old = band_keyed(
         minhash_signatures_wide(sets_old, n_hashes), n_hashes, n_bands
     )
-    return _probe_lsh(keyed_old, sets_old, new_docs, n=n, n_hashes=n_hashes,
-                      n_bands=n_bands, min_est=min_est,
-                      min_jaccard=min_jaccard,
-                      broadcast_bytes=broadcast_bytes)
+    return _with_persist_handle(
+        _probe_lsh(keyed_old, sets_old, new_docs, n=n, n_hashes=n_hashes,
+                   n_bands=n_bands, min_est=min_est,
+                   min_jaccard=min_jaccard,
+                   broadcast_bytes=broadcast_bytes),
+        return_persisted=return_persisted,
+    )
 
 
 def _probe_lsh(keyed_old: DataFrame, sets_old: DataFrame,
@@ -555,10 +560,22 @@ def _probe_lsh(keyed_old: DataFrame, sets_old: DataFrame,
         .where(F.col("jaccard") >= min_jaccard)
         .select("d_new", "d_old", "jaccard")
     )
-    # long-lived callers (the streaming ingest gate runs one probe per
-    # micro-batch, forever) need to release the batch-signature persist
-    # without clearCache'ing the whole session; hand them the frame
-    out._hpi_persisted = sigs_new
+    return out, sigs_new
+
+
+def _with_persist_handle(result, *, return_persisted: bool):
+    """Public-wrapper tail for the probe: long-lived callers (the
+    streaming ingest gate runs one probe per micro-batch, forever) need
+    to release the batch-signature persist without clearCache'ing the
+    whole session. ``return_persisted=True`` hands back ``(pairs,
+    signatures)`` explicitly — the structural contract; the legacy
+    ``pairs._hpi_persisted`` attribute is still attached for one release,
+    but any wrapper transformation drops it silently, so prefer the
+    tuple."""
+    out, sigs = result
+    if return_persisted:
+        return out, sigs
+    out._hpi_persisted = sigs
     return out
 
 
@@ -619,7 +636,7 @@ def append_lsh_index(docs: DataFrame, *, table: str = "lsh_index",
 
 
 def compact_lsh_index(spark, path: str, *, table: str = "lsh_index",
-                      buckets: int = 8) -> dict:
+                      buckets: int | None = None) -> dict:
     """Fold the standing index's append debris back into one file per
     bucket — the maintenance half of the build-once/probe-many lifecycle.
 
@@ -639,18 +656,21 @@ def compact_lsh_index(spark, path: str, *, table: str = "lsh_index",
 
     The superseded location is NOT deleted — it is returned in the report
     for deferred removal once in-flight readers drain; at 100 TB you never
-    unlink under a live reader. Returns
+    unlink under a live reader. ``buckets`` defaults to the table's own
+    bucket spec (read from the catalog), so a maintenance caller can't
+    accidentally re-bucket the index away from its save-time layout.
+    Returns
     ``{suffix: {files_before, files_after, old_location, new_location}}``.
     """
     report = {}
     for suffix, key in (("bands", "bkey"), ("sets", "doc_id")):
         name = f"{table}_{suffix}"
         files_before = len(spark.table(name).inputFiles())
-        loc = [
-            r.data_type
-            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
-            if r.col_name == "Location"
-        ][0]
+        desc = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        loc = [r.data_type for r in desc if r.col_name == "Location"][0]
+        n_buckets = buckets or int(
+            [r.data_type for r in desc if r.col_name == "Num Buckets"][0]
+        )
         base = loc.rsplit("__c", 1)
         version = int(base[1]) + 1 if len(base) == 2 and base[1].isdigit() else 1
         new_loc = f"{path}/{suffix}__c{version}"
@@ -666,10 +686,10 @@ def compact_lsh_index(spark, path: str, *, table: str = "lsh_index",
         # writer's bucket hash (same Murmur3-pmod expression).
         (
             spark.read.parquet(loc)
-            .repartition(buckets, key)
+            .repartition(n_buckets, key)
             .write.mode("overwrite")
             .option("path", new_loc)
-            .bucketBy(buckets, key)
+            .bucketBy(n_buckets, key)
             .saveAsTable(tmp)
         )
         spark.sql(f"DROP TABLE {name}")
@@ -688,17 +708,23 @@ def probe_lsh_index(bands: DataFrame, sets: DataFrame, batch_docs: DataFrame,
                     n_hashes: int = DEFAULT_HASHES,
                     n_bands: int = DEFAULT_BANDS,
                     min_est: float = 0.4, min_jaccard: float = 0.35,
-                    broadcast_bytes: int = 128 << 20) -> DataFrame:
+                    broadcast_bytes: int = 128 << 20,
+                    return_persisted: bool = False):
     """Probe an arriving batch against a PERSISTED corpus index (from
     save_lsh_index / load_lsh_index): identical contract and output to
     incremental_lsh_pairs — (d_new, d_old, jaccard) — but the corpus side
     is the pre-hashed bucketed tables, so the per-batch plan touches only
     batch-sized frames plus bucket-pruned index reads. This is the body a
-    streaming ingest gate runs per micro-batch under foreachBatch."""
-    return _probe_lsh(bands, sets, batch_docs, n=n, n_hashes=n_hashes,
-                      n_bands=n_bands, min_est=min_est,
-                      min_jaccard=min_jaccard,
-                      broadcast_bytes=broadcast_bytes)
+    streaming ingest gate runs per micro-batch under foreachBatch; such
+    long-lived callers pass ``return_persisted=True`` and unpersist the
+    returned signature frame each batch."""
+    return _with_persist_handle(
+        _probe_lsh(bands, sets, batch_docs, n=n, n_hashes=n_hashes,
+                   n_bands=n_bands, min_est=min_est,
+                   min_jaccard=min_jaccard,
+                   broadcast_bytes=broadcast_bytes),
+        return_persisted=return_persisted,
+    )
 
 
 def lsh_bucket_profile(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,

@@ -21,8 +21,18 @@ Scale shape — the pcap_datasource precedent: planning-time listing makes
 one InputPartition per archive file (WARC framing is sequential; the file
 is the split unit, exactly how distributed Common Crawl jobs shard), so a
 100k-file crawl dump fans out across executors with per-file retry and
-speculation; rows stream lazily out of the parser — the archive never
-materializes whole.
+speculation; rows stream lazily out of the parser — ``parse_warc_stream``
+consumes the (gzip) stream incrementally, holding at most one record plus
+one read chunk in memory, so a ~1 GB ``.warc.gz`` that inflates to ~5 GB
+never materializes whole in a task.
+
+Landing convention (the crawl drop directory): writers MUST land archives
+by atomic rename from a dot- or underscore-prefixed temp name (the
+Hadoop/Spark convention) — the reader skips hidden/underscore names and
+non-files, so a half-copied ``_tmp.x`` is never parsed and then pinned in
+the stream offset. For writers that cannot rename atomically, the
+``min_age_seconds`` option defers a file until its mtime is at least that
+old.
 
 Reference parity note: the reference engine reads packet captures, not web
 archives (pcap.clj); WARC is part of this repo's LLM-data-pipeline surface.
@@ -66,7 +76,13 @@ WARC_SCHEMA = StructType([
 ])
 
 
+_CHUNK = 1 << 20  # stream read granularity: 1 MiB
+_MAX_HEADER = 1 << 20  # a header block larger than this is garbage → stop
+
+
 def _read_blob(path: str) -> bytes:
+    """Whole-archive decompress — test/debug helper ONLY. The source paths
+    use :func:`_iter_records`, which never materializes the archive."""
     with open(path, "rb") as f:
         head = f.read(2)
         f.seek(0)
@@ -76,6 +92,69 @@ def _read_blob(path: str) -> bytes:
             with gzip.GzipFile(fileobj=io.BytesIO(f.read())) as gz:
                 return gz.read()
         return f.read()
+
+
+def _gzip_chunks(raw, chunk: int = _CHUNK):
+    """Yield decompressed chunks across concatenated gzip members using
+    zlib.decompressobj directly (not GzipFile: its read() raises EOFError
+    on a truncated member and DISCARDS the plaintext it had already
+    inflated in that call — a corrupt tail would eat up to a whole chunk
+    of good records). Here every byte inflated before the corruption
+    point is yielded; a bad tail just ends iteration. max_length bounds
+    plaintext per step, so a hyper-compressed member can't balloon one
+    call's memory."""
+    import zlib
+
+    d = zlib.decompressobj(31)  # 31 = gzip wrapper
+    buf = b""  # compressed bytes awaiting decompression
+    while True:
+        if not buf:
+            buf = raw.read(chunk)
+            if not buf:
+                return  # clean EOF, or truncated mid-member: stop quietly
+        try:
+            out = d.decompress(buf, chunk)
+        except zlib.error:
+            return  # corrupt member: keep everything already yielded
+        buf = d.unconsumed_tail
+        if out:
+            yield out
+        if d.eof:  # member boundary; unused_data starts the next member
+            buf = d.unused_data
+            d = zlib.decompressobj(31)
+
+
+class _ChunkStream:
+    """read(n) adapter over an iterator of byte chunks, for feeding
+    parse_warc_stream from the incremental gzip inflater."""
+
+    def __init__(self, chunks):
+        self._chunks = chunks
+        self._buf = bytearray()
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            nxt = next(self._chunks, None)
+            if nxt is None:
+                break
+            self._buf.extend(nxt)
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+
+def _iter_records(path: str):
+    """Stream records out of one archive file, sniffing gzip by magic.
+    Decompression is incremental — compressed bytes are pulled only as
+    the parser consumes plaintext — so peak task memory is one record
+    plus one chunk, never the inflated archive."""
+    with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            f.seek(0)
+            yield from parse_warc_stream(path, _ChunkStream(_gzip_chunks(f)))
+        else:
+            f.seek(0)
+            yield from parse_warc_stream(path, f)
 
 
 def _parse_warc_date(s: str):
@@ -105,26 +184,58 @@ def _split_http(payload: bytes):
     return status, body.decode("utf-8", errors="replace")
 
 
-def parse_warc_bytes(path: str, blob: bytes):
-    """Yield record dicts from a decompressed WARC byte stream. Tolerant:
-    a truncated or malformed tail ends iteration instead of raising."""
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and blob[pos:pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if not blob[pos:pos + 5] == b"WARC/":
+def parse_warc_stream(path: str, fp, chunk_size: int = _CHUNK):
+    """Yield record dicts from a binary stream of decompressed WARC bytes,
+    consuming it incrementally: read the header block, then exactly
+    ``Content-Length`` payload bytes, yield, drop the consumed prefix.
+    Peak memory is one record + one read chunk, never the archive.
+    Tolerant: a truncated or malformed tail (including a corrupt gzip
+    member upstream raising ``EOFError``/``OSError``) ends iteration
+    instead of raising — the pcap garbage-never-raises discipline."""
+    buf = bytearray()
+    eof = False
+
+    def _fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            chunk = fp.read(chunk_size)
+        except (OSError, EOFError):  # corrupt/truncated gzip tail
+            chunk = b""
+        if not chunk:
+            eof = True
+            return False
+        buf.extend(chunk)
+        return True
+
+    while True:
+        # skip inter-record blank lines (refilling across chunk edges)
+        while True:
+            i = 0
+            while i < len(buf) and buf[i] in (0x0D, 0x0A):
+                i += 1
+            del buf[:i]
+            if buf or not _fill():
+                break
+        while len(buf) < 5 and _fill():
+            pass
+        if bytes(buf[:5]) != b"WARC/":
             return
-        hdr_end = blob.find(b"\r\n\r\n", pos)
-        seplen = 4
-        lf_end = blob.find(b"\n\n", pos)
-        if hdr_end < 0 or (0 <= lf_end < hdr_end):
-            hdr_end, seplen = lf_end, 2
-        if hdr_end < 0:
-            return
+        # header block terminator: CRLF-CRLF or bare LF-LF, whichever
+        # comes first; grow the buffer until one appears
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n")
+            seplen = 4
+            lf_end = buf.find(b"\n\n")
+            if hdr_end < 0 or (0 <= lf_end < hdr_end):
+                hdr_end, seplen = lf_end, 2
+            if hdr_end >= 0:
+                break
+            if len(buf) > _MAX_HEADER or not _fill():
+                return
         headers: dict[str, str] = {}
-        for line in blob[pos:hdr_end].decode(
+        for line in bytes(buf[:hdr_end]).decode(
                 "utf-8", errors="replace").splitlines()[1:]:
             k, _, v = line.partition(":")
             if _:
@@ -133,10 +244,14 @@ def parse_warc_bytes(path: str, blob: bytes):
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            return
         body_start = hdr_end + seplen
-        if body_start + length > n:
-            return  # truncated record: stop, don't guess
-        payload = blob[body_start:body_start + length]
+        while len(buf) < body_start + length:
+            if not _fill():
+                return  # truncated record: stop, don't guess
+        payload = bytes(buf[body_start:body_start + length])
+        del buf[:body_start + length]
         status, text = _split_http(payload)
         yield {
             "path": path,
@@ -150,7 +265,12 @@ def parse_warc_bytes(path: str, blob: bytes):
             "text": text,
             "payload": payload,
         }
-        pos = body_start + length
+
+
+def parse_warc_bytes(path: str, blob: bytes):
+    """Bytes-in convenience wrapper over :func:`parse_warc_stream` (tests
+    and in-memory callers); the source itself streams from the file."""
+    yield from parse_warc_stream(path, io.BytesIO(blob))
 
 
 def warc_to_documents(warc):
@@ -184,26 +304,59 @@ class WarcFilePartition(InputPartition):
         self.path = path
 
 
+def _landed(path: str, min_age: float, now: float) -> bool:
+    """Admit only archives that have finished landing: skip hidden /
+    underscore-prefixed names (in-flight temp files under the atomic-rename
+    convention, plus _SUCCESS/.crc/checkpoint sidecars), skip
+    subdirectories, and — when ``min_age_seconds`` is set — skip files
+    whose mtime is younger than the grace interval (for writers that
+    cannot rename atomically). A skipped file is simply not listed, so the
+    stream offset never pins a half-copied archive."""
+    if os.path.basename(path).startswith((".", "_")):
+        return False
+    if not os.path.isfile(path):
+        return False
+    if min_age > 0:
+        try:
+            if now - os.path.getmtime(path) < min_age:
+                return False
+        except OSError:  # vanished between listing and stat
+            return False
+    return True
+
+
+def _list_archives(spec: str, min_age: float) -> list[str]:
+    """Expand a dir / glob / literal path to landed archive files. A
+    literal path is returned as-is when it exists (explicit user intent
+    overrides the hidden-name convention) and [] when it does not —
+    batch raises on empty, streaming just waits."""
+    import time
+
+    now = time.time()
+    if os.path.isdir(spec):
+        cands = (os.path.join(spec, f) for f in os.listdir(spec))
+    elif any(c in spec for c in "*?["):
+        cands = iter(_glob.glob(spec))
+    else:
+        return [spec] if os.path.isfile(spec) else []
+    return sorted(p for p in cands if _landed(p, min_age, now))
+
+
 class WarcDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("warc source requires a path")
+        self._min_age = float(options.get("min_age_seconds", 0))
 
     def partitions(self):
-        paths = sorted(_glob.glob(self._path)) if any(
-            c in self._path for c in "*?[") else [self._path]
-        if os.path.isdir(self._path):
-            paths = sorted(
-                os.path.join(self._path, f) for f in os.listdir(self._path)
-            )
+        paths = _list_archives(self._path, self._min_age)
         if not paths:
             raise FileNotFoundError(self._path)
         return [WarcFilePartition(p) for p in paths]
 
     def read(self, partition: WarcFilePartition):
-        blob = _read_blob(partition.path)
-        for rec in parse_warc_bytes(partition.path, blob):
+        for rec in _iter_records(partition.path):
             yield _record_tuple(rec)
 
 
@@ -235,14 +388,10 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("warc source requires a path")
+        self._min_age = float(options.get("min_age_seconds", 0))
 
     def _list(self) -> list[str]:
-        p = self._path
-        if os.path.isdir(p):
-            return sorted(os.path.join(p, f) for f in os.listdir(p))
-        if any(c in p for c in "*?["):
-            return sorted(_glob.glob(p))
-        return [p] if os.path.exists(p) else []
+        return _list_archives(self._path, self._min_age)
 
     def initialOffset(self) -> dict:
         return {"seen": []}
@@ -266,7 +415,7 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         return [
             _record_tuple(rec)
             for p in paths
-            for rec in parse_warc_bytes(p, _read_blob(p))
+            for rec in _iter_records(p)
         ]
 
     def commit(self, end: dict) -> None:

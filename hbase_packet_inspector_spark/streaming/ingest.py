@@ -28,8 +28,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import append_lsh_index, load_lsh_index, probe_lsh_index
+from ..operators.dedup import (
+    append_lsh_index,
+    compact_lsh_index,
+    load_lsh_index,
+    probe_lsh_index,
+)
 from ..operators.text import gate_decisions
+
+
+def _index_root(spark, table: str) -> str:
+    """The index's base directory, derived from the bands table location
+    (save_lsh_index wrote ``<path>/bands``; compaction versions siblings
+    under the same parent)."""
+    loc = [
+        r.data_type
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}_bands").collect()
+        if r.col_name == "Location"
+    ][0]
+    return loc.removeprefix("file:").rsplit("/", 1)[0]
 
 
 def run_ingest_gate_stream(
@@ -37,6 +54,8 @@ def run_ingest_gate_stream(
     min_est: float = 0.5, min_jaccard: float = 0.45,
     max_files_per_trigger: int | None = None,
     append_accepted: bool = True,
+    compact_every: int | None = None,
+    index_path: str | None = None,
 ) -> None:
     """Gate a parquet firehose against the persisted corpus index.
 
@@ -56,20 +75,34 @@ def run_ingest_gate_stream(
     is bucket-pruned reads with no Exchange, and the kept filter is a
     broadcast semi-join of the batch-sized decision frame. Nothing here
     re-touches the standing corpus.
+
+    ``compact_every=N`` folds the index's append debris every N
+    micro-batches (compact_lsh_index): an always-on gate accretes one
+    file set per batch via insertInto, and without a cadence every probe
+    eventually pays thousands of file opens. The fold is a metadata-only
+    cut-over — a replayed or concurrent reader on the old file list
+    finishes unharmed — and it also drops the duplicate rows an
+    at-least-once replayed append left behind. The index root is derived
+    from the bands table's location unless ``index_path`` overrides it.
+    Cadence counts on batch_id, which Structured Streaming makes
+    monotonic across restarts, so "every N batches" survives resume.
     """
     schema = spark.read.parquet(source_dir).schema
     bands, sets = load_lsh_index(spark, table)
+    root = index_path or (_index_root(spark, table) if compact_every else None)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal bands, sets
         batch = batch_df
         if "n_chars" not in batch.columns:
             batch = batch.withColumn("n_chars", F.length("text"))
         batch = batch.persist()
-        pairs = None
+        sigs = None
         try:
-            pairs = probe_lsh_index(
+            pairs, sigs = probe_lsh_index(
                 bands, sets, batch,
                 min_est=min_est, min_jaccard=min_jaccard,
+                return_persisted=True,
             )
             decisions = gate_decisions(batch, pairs)
             dec_dir = f"{out_dir}/decisions/batch_id={batch_id}"
@@ -89,12 +122,17 @@ def run_ingest_gate_stream(
                 )
                 if kept_docs.limit(1).count() > 0:
                     append_lsh_index(kept_docs, table=table)
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_lsh_index(spark, root, table=table)
+                # the fold swapped the metastore entry to a fresh
+                # location; re-resolve so later probes read the compacted
+                # table (the pre-stream frames captured the old one)
+                bands, sets = load_lsh_index(spark, table)
         finally:
             batch.unpersist()
             # the probe persists the batch's minhash signatures (fed to
             # three consumers inside one batch); release per batch so an
             # always-on stream holds zero pinned frames between triggers
-            sigs = getattr(pairs, "_hpi_persisted", None)
             if sigs is not None:
                 sigs.unpersist()
 

@@ -421,6 +421,42 @@ def test_compact_lsh_index_folds_files_and_preserves_probe(spark, tmp_path):
     assert report2["bands"]["new_location"].endswith("__c2")
 
 
+def test_probe_lsh_explicit_persist_handle(spark):
+    """return_persisted=True hands back (pairs, signatures) structurally —
+    the lifetime contract the streaming gate relies on; the legacy
+    attribute stays attached for one release when not requested."""
+    corpus = _docs(spark, [(0, _BASE), (1, _OTHER)])
+    batch = _docs(spark, [(10, _NEAR)])
+    pairs, sigs = D.incremental_lsh_pairs(
+        batch, corpus, min_est=0.3, min_jaccard=0.3, return_persisted=True
+    )
+    assert pairs.count() > 0
+    assert sigs.storageLevel.useMemory  # pinned for the probe's three scans
+    sigs.unpersist()
+    assert not sigs.storageLevel.useMemory
+    legacy = D.incremental_lsh_pairs(batch, corpus,
+                                     min_est=0.3, min_jaccard=0.3)
+    assert legacy._hpi_persisted is not None
+    legacy._hpi_persisted.unpersist()
+
+
+def test_compact_lsh_index_derives_bucket_spec(spark, tmp_path):
+    """buckets=None (the maintenance-caller default) reads the table's own
+    bucket count from the catalog, so a fold can never re-bucket the
+    index away from its save-time layout."""
+    corpus = _docs(spark, [(0, _BASE), (1, _OTHER), (2, _THIRD)])
+    D.save_lsh_index(corpus, str(tmp_path / "idx5"), table="t_lsh5",
+                     buckets=3)
+    D.append_lsh_index(_docs(spark, [(3, _GOOD)]), table="t_lsh5")
+    report = D.compact_lsh_index(spark, str(tmp_path / "idx5"),
+                                 table="t_lsh5")
+    for suffix in ("bands", "sets"):
+        assert report[suffix]["files_after"] <= 3, report
+    desc = spark.sql("DESCRIBE FORMATTED t_lsh5_bands").collect()
+    n = [r.data_type for r in desc if r.col_name == "Num Buckets"][0]
+    assert int(n) == 3  # the save-time spec survived the fold
+
+
 # 25 words, zero stopwords -> quality_score == 2 (the gate's keep bar)
 _GOOD = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
          "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega zero")
@@ -537,6 +573,57 @@ def test_ingest_gate_stream_grows_index_and_checkpoints(spark, tmp_path):
     _, sets = D.load_lsh_index(spark, "t_gate2")
     assert sorted(r.doc_id for r in sets.select("doc_id").collect()) \
         == [0, 20, 22]
+
+
+def test_ingest_gate_stream_compacts_on_cadence(spark, tmp_path):
+    """compact_every=2 over a 4-micro-batch run: the stream ends with the
+    index folded to at most one file per bucket despite one insertInto
+    file set per batch, every kept doc is still in the standing index,
+    and a second run's near-dups are rejected against the COMPACTED
+    incarnation (the gate re-resolved the swapped tables mid-stream)."""
+    from hbase_packet_inspector_spark.streaming.ingest import (
+        run_ingest_gate_stream,
+    )
+
+    corpus = _docs(spark, [(0, _BASE)])
+    D.save_lsh_index(corpus, str(tmp_path / "gidx3"), table="t_gate3",
+                     buckets=4)
+
+    def doc(p):  # 25 unique words per doc; docs mutually dissimilar
+        return " ".join(p + w for w in _GOOD.split())
+
+    src, out = str(tmp_path / "arr3"), str(tmp_path / "out3")
+    texts = {30: doc("k"), 31: doc("m"), 32: doc("r"), 33: doc("v")}
+    for i in sorted(texts):
+        _arrivals(spark, [(i, texts[i])]).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    run_ingest_gate_stream(spark, src, out, table="t_gate3",
+                           min_est=0.3, min_jaccard=0.3,
+                           max_files_per_trigger=1, compact_every=2)
+    dec = {r.doc_id: r.keep for r in
+           spark.read.parquet(out + "/decisions").collect()}
+    assert dec == {30: True, 31: True, 32: True, 33: True}
+
+    # batch ids 0..3, folds after ids 1 and 3 -> the run ended compacted
+    bands, sets = D.load_lsh_index(spark, "t_gate3")
+    assert len(bands.inputFiles()) <= 4 and len(sets.inputFiles()) <= 4
+    assert sorted(r.doc_id for r in sets.select("doc_id").collect()) \
+        == [0, 30, 31, 32, 33]
+
+    # run 2: near-dups of a pre-fold and a post-fold keeper — both must
+    # be rejected by probes against the compacted tables
+    _arrivals(spark, [
+        (40, texts[30].replace("kzero", "kxq")),
+        (41, texts[33].replace("vzero", "vxq")),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    run_ingest_gate_stream(spark, src, out, table="t_gate3",
+                           min_est=0.3, min_jaccard=0.3, compact_every=2)
+    dec2 = {r.doc_id: (r.keep, r.n_matches) for r in
+            spark.read.parquet(out + "/decisions").collect()
+            if r.doc_id >= 40}
+    assert dec2[40][0] is False and dec2[40][1] > 0
+    assert dec2[41][0] is False and dec2[41][1] > 0
 
 
 def test_source_diversity_template_farm_vs_short(spark):

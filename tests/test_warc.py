@@ -134,6 +134,172 @@ def test_warc_stream_reader_incremental_files(spark, tmp_path):
     assert drain() == []  # checkpoint resume: nothing new, nothing emitted
 
 
+class _CountingReader:
+    """File wrapper that records how many bytes were pulled — the probe
+    that proves the parser streams instead of slurping."""
+
+    def __init__(self, fp):
+        self._fp = fp
+        self.bytes_read = 0
+
+    def read(self, n=-1):
+        b = self._fp.read(n)
+        self.bytes_read += len(b)
+        return b
+
+
+def _big_archive(n_records=100, payload_size=80_000):
+    import os as _os
+
+    recs, payloads = [], []
+    for i in range(n_records):
+        p = _os.urandom(payload_size)  # incompressible: keeps gzip honest
+        payloads.append(p)
+        head = (
+            f"WARC/1.0\r\nWARC-Type: resource\r\n"
+            f"WARC-Record-ID: <urn:uuid:big{i}>\r\n"
+            f"WARC-Date: 2017-03-01T12:00:00Z\r\n"
+            f"Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(p)}\r\n\r\n"
+        ).encode()
+        recs.append(head + p + b"\r\n\r\n")
+    return recs, payloads
+
+
+def test_parse_warc_stream_bounded_memory_plain(tmp_path):
+    """The parser yields records long before the file is fully read —
+    peak buffered bytes are one record + one chunk, not the archive."""
+    from hbase_packet_inspector_spark.sources.warc import parse_warc_stream
+
+    recs, payloads = _big_archive()
+    path = tmp_path / "big.warc"
+    path.write_bytes(b"".join(recs))
+    total = path.stat().st_size
+    with open(path, "rb") as f:
+        cr = _CountingReader(f)
+        it = parse_warc_stream("big", cr)
+        first = next(it)
+        # one 1 MiB chunk (+ slack) pulled for the first record of an ~8 MB
+        # archive — the whole-file slurp would show bytes_read == total here
+        assert cr.bytes_read <= 2 * (1 << 20) < total / 2
+        rest = list(it)
+    assert cr.bytes_read == total  # drained exactly, no over-read loop
+    out = [first] + rest
+    assert len(out) == len(payloads)
+    assert all(r["payload"] == p for r, p in zip(out, payloads))
+
+
+def test_parse_warc_stream_bounded_memory_gzip(tmp_path):
+    """Same proof through the gzip path: compressed bytes are pulled
+    incrementally as the parser consumes plaintext (per-record members,
+    the Common Crawl layout)."""
+    import gzip as _gz
+
+    from hbase_packet_inspector_spark.sources.warc import parse_warc_stream
+
+    recs, payloads = _big_archive()
+    path = tmp_path / "big.warc.gz"
+    path.write_bytes(b"".join(_gz.compress(r) for r in recs))
+    total = path.stat().st_size
+    with open(path, "rb") as f:
+        cr = _CountingReader(f)
+        with _gz.GzipFile(fileobj=cr) as gz:
+            it = parse_warc_stream("big", gz)
+            next(it)
+            assert cr.bytes_read < total / 2
+            n = 1 + sum(1 for _ in it)
+    assert n == len(payloads)
+
+
+def test_parse_warc_stream_truncated_gzip_never_raises(tmp_path):
+    """A gzip member chopped mid-payload ends iteration (EOFError is
+    swallowed by the fill loop), it does not raise into the task."""
+    import gzip as _gz
+
+    from hbase_packet_inspector_spark.sources.warc import _iter_records
+
+    recs, _ = _big_archive(n_records=3, payload_size=10_000)
+    blob = b"".join(_gz.compress(r) for r in recs)
+    path = tmp_path / "cut.warc.gz"
+    path.write_bytes(blob[: len(blob) - 4000])  # chop inside the last member
+    out = list(_iter_records(str(path)))
+    assert 0 < len(out) < 3  # earlier members parse, the cut tail is dropped
+
+
+def test_warc_listing_skips_temp_and_sidecars(spark, tmp_path):
+    """Batch + stream listings honor the atomic-rename landing convention:
+    dot/underscore names and subdirectories are invisible, so an archive
+    being copied in is never half-parsed and pinned in the offset."""
+    from hbase_packet_inspector_spark.sources import warc as W
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"".join(_archive()))
+    (d / "_tmp.b.warc").write_bytes(b"".join(_archive())[:40])  # in-flight
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".a.warc.crc").write_bytes(b"\0\0")
+    (d / "sub").mkdir()  # would IsADirectoryError in open()
+
+    W.register(spark)
+    rows = spark.read.format("warc").load(str(d)).collect()
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"a.warc"}
+
+    ck = str(tmp_path / "ck")
+    out = []
+    q = (
+        spark.readStream.format("warc").load(str(d))
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.path.rsplit("/", 1)[-1] for r in out} == {"a.warc"}
+
+    # the atomic rename lands the file; the next run picks up ONLY it —
+    # the temp name never entered the offset
+    import os as _os
+
+    _os.rename(d / "_tmp.b.warc", d / "b.warc")
+    (d / "b.warc").write_bytes(b"".join(_archive()))
+    out2 = []
+    q = (
+        spark.readStream.format("warc").load(str(d))
+        .writeStream.foreachBatch(lambda b, _i: out2.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.path.rsplit("/", 1)[-1] for r in out2} == {"b.warc"}
+    assert len(out2) == 3  # the FULL file, not the 40-byte prefix
+
+
+def test_warc_min_age_and_missing_path(tmp_path):
+    """min_age_seconds defers fresh files (non-atomic writers); a literal
+    path that does not exist fails at planning time, not mid-task."""
+    import os as _os
+    import time as _time
+
+    import pytest
+
+    from hbase_packet_inspector_spark.sources.warc import (
+        WarcDataSourceReader, _list_archives,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    f = d / "fresh.warc"
+    f.write_bytes(b"".join(_archive()))
+    assert _list_archives(str(d), min_age=3600) == []  # too young
+    old = _time.time() - 7200
+    _os.utime(f, (old, old))
+    assert _list_archives(str(d), min_age=3600) == [str(f)]
+
+    with pytest.raises(FileNotFoundError):
+        WarcDataSourceReader({"path": str(tmp_path / "nope.warc")}).partitions()
+
+
 def test_warc_to_documents_feeds_curation(spark, tmp_path):
     from hbase_packet_inspector_spark.operators.text import quality_features
     from hbase_packet_inspector_spark.sources import warc as W
