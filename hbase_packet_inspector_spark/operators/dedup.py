@@ -757,12 +757,20 @@ def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
             bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit_j = majority over shingles of (hex digit j of
     md5(shingle)) mod 2, emitted as a '0'/'1' string (portable bit
-    extraction: works identically on any engine with md5 + ascii)."""
+    extraction: works identically on any engine with md5 + ascii). An
+    md5 hex string has 32 digits, so bits 32..63 draw from a SECOND,
+    salted hash md5('w:' || shingle) — without it the upper half of a
+    64-bit signature would read past the string and freeze at '0' on
+    every engine. Supports bits <= 64."""
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
     sh = char_shingles(docs, n)
-    h = F.md5(F.col("shingle"))
+    h0 = F.md5(F.col("shingle"))
+    h1 = F.md5(F.concat(F.lit("w:"), F.col("shingle")))
     votes = [
         F.sum(
-            (F.ascii(F.substring(h, j + 1, 1)) % 2 * 2 - 1)
+            (F.ascii(F.substring(h0 if j < 32 else h1, j % 32 + 1, 1))
+             % 2 * 2 - 1)
         ).alias(f"v{j}")
         for j in range(bits)
     ]

@@ -65,9 +65,22 @@ def layout_skip_rates(df: DataFrame, a: str, b: str, *, bits: int = 8,
     numbers from the data instead of asserting them.
 
     Output: (layout, predicate, n_buckets, touched, skip_rate), four
-    rows. Each side is one narrow scan + a bucket-keyed aggregate over
-    at most 2^bucket_bits envelope rows — a diagnostic you can afford on
-    the full table before committing to a rewrite."""
+    rows (empty on an empty frame — an unattended diagnostic must not
+    divide by zero). Each side is one narrow scan + a bucket-keyed
+    aggregate over at most 2^bucket_bits envelope rows — the sorted-by-a
+    comparison buckets ``a`` into equal-width ranges exactly like the
+    z-side buckets its key (identity when a's domain is <= 2^bucket_bits
+    dense values, so 'one file per a value' holds there), never one row
+    per distinct value of a raw high-cardinality column."""
+    schema = ("layout string, predicate string, n_buckets long, "
+              "touched long, skip_rate double")
+    spark = df.sparkSession
+    amin, amax = df.agg(F.min(a), F.max(a)).first()
+    if amin is None:
+        return spark.createDataFrame([], schema)
+    nb = 1 << bucket_bits
+    width = max(1, -(-(int(amax) - int(amin) + 1) // nb))  # ceil(range/nb)
+    a_bucket = ((F.col(a) - F.lit(int(amin))) / F.lit(width)).cast("long")
     # each envelope frame is <= 2^bucket_bits rows: collect ONCE per
     # layout (one table scan each) and count touches in Python — the
     # bounded-sufficient-statistics discipline; per-predicate .count()
@@ -77,7 +90,7 @@ def layout_skip_rates(df: DataFrame, a: str, b: str, *, bits: int = 8,
         ("zorder",
          zorder_stats(df, a, b, bits=bits, bucket_bits=bucket_bits)),
         ("sorted_by_a",
-         df.groupBy(F.col(a).alias("_k")).agg(
+         df.groupBy(a_bucket.alias("_k")).agg(
              F.min(a).alias("a_min"), F.max(a).alias("a_max"),
              F.min(b).alias("b_min"), F.max(b).alias("b_max"),
          )),
@@ -88,10 +101,79 @@ def layout_skip_rates(df: DataFrame, a: str, b: str, *, bits: int = 8,
             t = sum(1 for r in envs if r[lo] < cut)
             rows.append((layout, f"{pred}<{cut}", tot, t,
                          round(1.0 - t / tot, 6)))
-    return df.sparkSession.createDataFrame(
-        rows, "layout string, predicate string, n_buckets long, "
-        "touched long, skip_rate double"
+    return spark.createDataFrame(rows, schema)
+
+
+def footer_envelopes(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max envelopes read from REAL parquet footers — the
+    ground truth behind every data-skipping claim (this is the stats
+    index Delta/Iceberg maintain; vanilla parquet has it in each file's
+    footer already). One row per file: (file, <c>_min, <c>_max per
+    requested numeric column), min-of-row-group-mins / max-of-maxes.
+
+    Scale shape: the driver handles FILE NAMES only; footers are opened
+    and decoded on executors (mapInPandas over the path list — a 100k-file
+    table fans out, ~KBs of footer per task, payload columns never read).
+    A column with missing statistics yields nulls, which prune_files
+    treats as always-touched — absent stats can only cost speed, never
+    correctness."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    schema = StructType(
+        [StructField("file", StringType())]
+        + [StructField(f"{c}_{m}", DoubleType())
+           for c in cols for m in ("min", "max")]
     )
+
+    def _read(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["file"]:
+                md = pq.ParquetFile(p).metadata
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                row = {"file": p}
+                for c in cols:
+                    j = names[c]
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(j).statistics
+                        if st is None or not st.has_min_max:
+                            mins, maxs = [], []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    row[f"{c}_min"] = float(min(mins)) if mins else None
+                    row[f"{c}_max"] = float(max(maxs)) if maxs else None
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    return paths.repartition(max(1, min(len(files), 64))).mapInPandas(
+        _read, schema
+    )
+
+
+def prune_files(envelopes: DataFrame, col: str, *, lo=None, hi=None) -> list:
+    """File paths whose footer [min, max] envelope INTERSECTS [lo, hi] —
+    the files a stats-aware scan must touch; everything else is skipped
+    without opening it. Null envelopes (stats missing) are kept: skipping
+    may only ever remove provably-disjoint files. The collect is
+    file-count-sized (one path string per surviving file); feed the list
+    to ``spark.read.parquet(*files)`` for the pruned scan."""
+    e = envelopes
+    if hi is not None:
+        e = e.where(F.col(f"{col}_min").isNull() | (F.col(f"{col}_min") <= hi))
+    if lo is not None:
+        e = e.where(F.col(f"{col}_max").isNull() | (F.col(f"{col}_max") >= lo))
+    return [r.file for r in e.select("file").collect()]
 
 
 def zorder_stats(df: DataFrame, a: str, b: str, *, bits: int = 16,

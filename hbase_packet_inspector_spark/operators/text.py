@@ -524,8 +524,13 @@ def gate_cutoffs_binned(docs: DataFrame, rates=(0.5, 0.75, 0.9),
     ``achieved_keep_frac`` reports the exact count-based rate at that
     edge, so the calibration error is visible in the output, never
     silent."""
+    schema = ("keep_rate double, surprise_cutoff double, "
+              "achieved_keep_frac double")
     ms = unigram_surprise(docs, text_col).select("mean_surprise").persist()
     lo, hi = ms.agg(F.min("mean_surprise"), F.max("mean_surprise")).first()
+    if lo is None:  # empty corpus: an unattended calibrator must return
+        ms.unpersist()  # the empty threshold table, not TypeError on hi-lo
+        return docs.sparkSession.createDataFrame([], schema)
     span = (hi - lo) or 1.0
     b = F.least(
         F.floor((F.col("mean_surprise") - F.lit(lo)) / F.lit(span)
@@ -553,10 +558,7 @@ def gate_cutoffs_binned(docs: DataFrame, rates=(0.5, 0.75, 0.9),
                     round(frac, 6),
                 ))
                 break
-    return docs.sparkSession.createDataFrame(
-        rows, "keep_rate double, surprise_cutoff double, "
-        "achieved_keep_frac double"
-    )
+    return docs.sparkSession.createDataFrame(rows, schema)
 
 
 def bigram_surprise(docs: DataFrame, text_col: str = "text") -> DataFrame:

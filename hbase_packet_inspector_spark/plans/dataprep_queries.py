@@ -4544,8 +4544,13 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_oracle(bits: int = 16, n_bands: int = 4,
                           max_hamming: int = 3) -> str:
     width = bits // n_bands
+    # bits 32..63 draw from the salted second hash (matches operators/
+    # dedup.py::simhash — an md5 hex string has only 32 digits)
     votes = ",\n           ".join(
-        f"sum((ascii(substr(md5(shingle), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        "sum((ascii(substr(md5({src}), {pos}, 1)) % 2) * 2 - 1) AS v{j}".format(
+            src="shingle" if j < 32 else "'w:' || shingle",
+            pos=j % 32 + 1, j=j,
+        )
         for j in range(bits)
     )
     sig = " || ".join(
@@ -4593,6 +4598,25 @@ def _simhash_pairs_oracle(bits: int = 16, n_bands: int = 4,
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), bits=32)
+
+
+@register(
+    "simhash_pairs_wide",
+    _simhash_pairs_oracle(bits=64, n_bands=8),
+    doc="The 64-bit/8-band density knob on simhash_pairs (operators/"
+    "dedup.py::simhash_pairs) — the knn_graph_wide precedent applied to "
+    "the SimHash family: crawl-scale corpora widen the fingerprint so "
+    "band buckets stay sparse (8-bit bands keep 256 keys per band but "
+    "twice as many bands spread collisions, and the 64-bit distance is "
+    "a finer verifier). Bits 32..63 come from the salted second hash "
+    "md5('w:'||shingle), identically on both engines, so the upper half "
+    "carries real signal. Same plan shape as the 32-bit query: "
+    "signature rollup, (doc, band-key)-only self-join, exact Hamming "
+    "verify on deduped collisions — never all-pairs.",
+    tags=("dataprep", "dedup", "simhash", "lsh"),
+)
+def simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_docs(spark, sf_dir), bits=64, n_bands=8)
 
 
 @register(

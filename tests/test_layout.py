@@ -48,9 +48,10 @@ def test_cluster_by_zorder_ranges_are_contiguous(spark):
 
 
 def test_layout_skip_rates_grid(spark):
-    """16x16 grid, 4 coarse Z-quadrants: Z-order skips half the buckets
-    for a predicate on EITHER dimension; the sort-by-a layout skips half
-    for a-predicates and nothing for b-predicates."""
+    """16x16 grid, 4 coarse buckets per layout (both sides cap at
+    2^bucket_bits 'files' — apples to apples): Z-order skips half the
+    buckets for a predicate on EITHER dimension; the sort-by-a layout
+    skips half for a-predicates and nothing for b-predicates."""
     grid = spark.createDataFrame(
         [(x, y) for x in range(16) for y in range(16)], "a int, b int"
     )
@@ -62,8 +63,36 @@ def test_layout_skip_rates_grid(spark):
     assert (z_b.touched, z_b.skip_rate) == (2, 0.5)
     l_a = out[("sorted_by_a", "a<8")]
     l_b = out[("sorted_by_a", "b<8")]
-    assert (l_a.n_buckets, l_a.touched, l_a.skip_rate) == (16, 8, 0.5)
-    assert (l_b.touched, l_b.skip_rate) == (16, 0.0)
+    assert (l_a.n_buckets, l_a.touched, l_a.skip_rate) == (4, 2, 0.5)
+    assert (l_b.touched, l_b.skip_rate) == (4, 0.0)
+
+
+def test_layout_skip_rates_bounds_high_cardinality_a(spark):
+    """A raw high-cardinality sort column must NOT produce one envelope
+    row per distinct value — the sorted side buckets into at most
+    2^bucket_bits ranges, like the z-side (the diagnostic stays
+    collect-safe on raw keys)."""
+    df = spark.createDataFrame(
+        [(i * 7 % 100_003, i % 256) for i in range(5000)], "a int, b int"
+    )
+    out = LY.layout_skip_rates(df, "a", "b", bits=8, bucket_bits=4,
+                               cut=50_000).collect()
+    for r in out:
+        assert r.n_buckets <= 16, r  # 2^4 cap held on ~5000 distinct a
+
+
+def test_layout_skip_rates_and_gate_cutoffs_empty_inputs(spark):
+    """Unattended calibration/diagnostic utilities return empty report
+    tables on empty frames instead of TypeError / ZeroDivisionError."""
+    from hbase_packet_inspector_spark.operators.text import (
+        gate_cutoffs, gate_cutoffs_binned,
+    )
+
+    empty2 = spark.createDataFrame([], "a int, b int")
+    assert LY.layout_skip_rates(empty2, "a", "b").collect() == []
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    assert gate_cutoffs_binned(edocs).collect() == []
+    assert gate_cutoffs(edocs).collect() == []
 
 
 def test_zorder_stats_envelopes_quadrants(spark):
@@ -81,3 +110,46 @@ def test_zorder_stats_envelopes_quadrants(spark):
         assert r.a_max - r.a_min == 7 and r.b_max - r.b_min == 7
     assert (out[0].a_min, out[0].b_min) == (0, 0)
     assert (out[3].a_max, out[3].b_max) == (15, 15)
+
+
+def test_zorder_prunes_real_parquet_files(spark, tmp_path):
+    """The end-to-end layout claim on REAL files: write the same 64x64
+    grid (a) Z-order-clustered and (b) sorted by a, read the parquet
+    FOOTERS back, and count which files a stats-aware scan touches.
+    Z-order must skip files for predicates on BOTH dimensions; the
+    single-sort layout skips only on a — and the pruned read returns
+    exactly the rows of the full filtered scan."""
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "a int, b int"
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    LY.cluster_by_zorder(grid, "a", "b", bits=6, n_files=16) \
+        .drop("_zkey").write.parquet(zdir)
+    grid.repartitionByRange(16, "a").sortWithinPartitions("a") \
+        .write.parquet(sdir)
+
+    zenv = LY.footer_envelopes(spark, zdir, ["a", "b"]).persist()
+    senv = LY.footer_envelopes(spark, sdir, ["a", "b"]).persist()
+    zn, sn = zenv.count(), senv.count()
+    assert zn >= 8 and sn >= 8  # the writes really did fan out
+
+    z_a = LY.prune_files(zenv, "a", hi=7)
+    z_b = LY.prune_files(zenv, "b", hi=7)
+    s_a = LY.prune_files(senv, "a", hi=7)
+    s_b = LY.prune_files(senv, "b", hi=7)
+    # Z-order: real file skipping on BOTH dimensions
+    assert len(z_a) <= zn // 2, (len(z_a), zn)
+    assert len(z_b) <= zn // 2, (len(z_b), zn)
+    # single sort: a prunes hard, b touches every file
+    assert len(s_a) <= sn // 4, (len(s_a), sn)
+    assert len(s_b) == sn
+    zenv.unpersist()
+    senv.unpersist()
+
+    # the pruned scan is CORRECT: reading only surviving files under the
+    # same predicate returns exactly the full scan's rows
+    want = sorted((r.a, r.b) for r in
+                  spark.read.parquet(zdir).where("b < 8").collect())
+    got = sorted((r.a, r.b) for r in
+                 spark.read.parquet(*z_b).where("b < 8").collect())
+    assert got == want and len(want) == 8 * 64
