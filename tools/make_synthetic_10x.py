@@ -1,4 +1,4 @@
-"""Build the synthetic Nx documents corpus used for beyond-sf0.1 scaling
+"""Build the synthetic Nx documents + embeddings corpus used for beyond-sf0.1 scaling
 probes (SCALE.md round-4 notes): each copy is caesar-rotated per copy index,
 which preserves text length, gram structure, and the within-copy similarity
 profile while making copies mutually disjoint — so a 10x corpus scales the
@@ -67,6 +67,35 @@ def main() -> None:
     ).fetchall()[0]
     print(f"{out}/documents.parquet: {n} docs, {chars} chars "
           f"(stride {stride}, {copies} copies)")
+
+    # embeddings Nx: per-copy deterministic per-dimension SIGN FLIPS —
+    # norms and within-copy distances are exactly preserved (so the
+    # density/recall profile of each copy matches the source) while
+    # copies land in different octants, spreading over ANN buckets like
+    # genuinely new content instead of piling into the same ones.
+    vstride = duckdb.sql(
+        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'"
+    ).fetchone()[0]
+    duckdb.sql(f"""
+    COPY (
+      SELECT e.vec_id + {vstride} * CAST(g.g AS BIGINT) AS vec_id,
+             CASE WHEN g.g = 0 THEN e.embedding
+                  ELSE list_transform(
+                         e.embedding,
+                         (x, i) -> x * CAST(CASE WHEN
+                             hash(g.g * 131 + i) % 2 = 0
+                             THEN 1 ELSE -1 END AS FLOAT))
+             END AS embedding,
+             e.label
+      FROM '{src}/embeddings.parquet' e,
+           range({copies}) AS g(g)
+    ) TO '{out}/embeddings.parquet' (FORMAT parquet)
+    """)
+    nv = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/embeddings.parquet'"
+    ).fetchone()[0]
+    print(f"{out}/embeddings.parquet: {nv} vectors "
+          f"(stride {vstride}, {copies} copies)")
 
 
 if __name__ == "__main__":
