@@ -156,8 +156,11 @@ HEADLINE = [
     "label_outliers",
     "dsir_resample",
     "simhash_pairs",
+    "simhash_pairs_wide",
     "ingest_gate",
     "corpus_card",
+    "boilerplate_lines",
+    "boilerplate_strip",
     "knn_graph",
     "knn_outliers",
     "bpe_source_fit",

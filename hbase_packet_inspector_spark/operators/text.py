@@ -81,6 +81,99 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     )
 
 
+def boilerplate_lines(docs: DataFrame, *, min_docs: int = 3,
+                      min_frac: float = 0.3, min_chars: int = 4,
+                      source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-source repeated-line detection — the CCNet/trafilatura-style
+    boilerplate rule for web corpora: a line that appears in at least
+    ``min_frac`` of a source's documents (and at least ``min_docs`` of
+    them) is navigation/footer/cookie-banner furniture, not content.
+    Lines are trimmed before counting and must clear ``min_chars``; each
+    doc contributes a line at most once (DISTINCT before the count), so a
+    page repeating its own menu doesn't inflate the vote.
+
+    Output: (source, line, n_docs_with_line, doc_frac). Complements the
+    span-dedup family: spans catch arbitrary repeated passages anywhere,
+    this catches the structured per-domain furniture a crawl actually
+    has, cheaply enough to run per snapshot.
+
+    Scale shape: one explode + distinct, one (source, line)-keyed count
+    (the only corpus-sized shuffle), and the per-source doc totals are a
+    #sources-row aggregate broadcast back — nothing quadratic, no
+    windows."""
+    lines = (
+        docs.select(source_col, "doc_id",
+                    F.explode(F.split(text_col, "\n")).alias("_raw"))
+        .select(source_col, "doc_id", F.trim(F.col("_raw")).alias("line"))
+        .where(F.length("line") >= min_chars)
+        .distinct()
+    )
+    per_line = lines.groupBy(source_col, "line").agg(
+        F.count("*").alias("n_docs_with_line")
+    )
+    totals = docs.groupBy(source_col).agg(
+        F.count_distinct("doc_id").alias("_n")
+    )
+    return (
+        per_line.join(F.broadcast(totals), source_col)
+        .withColumn(
+            "doc_frac",
+            F.round(F.col("n_docs_with_line") / F.col("_n"), 6),
+        )
+        .where((F.col("n_docs_with_line") >= min_docs)
+               & (F.col("doc_frac") >= min_frac))
+        .select(source_col, "line", "n_docs_with_line", "doc_frac")
+    )
+
+
+def strip_boilerplate(docs: DataFrame, boilerplate: DataFrame, *,
+                      max_lines_per_source: int = 1000,
+                      source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Remove detected boilerplate lines IN-ROW: the per-source line set
+    (capped at ``max_lines_per_source`` by document frequency, so a
+    pathological source can't balloon the broadcast) joins on as one
+    array column — #sources × cap rows, broadcast — and each document
+    filters its own lines with a JVM higher-order function. The corpus
+    is never exploded or re-grouped per line: one broadcast join over
+    the doc scan is the whole plan, the 100 TB shape. Docs from sources
+    with no boilerplate pass through byte-identical.
+
+    Returns the input columns with ``text`` rewritten (kept lines
+    re-joined with newlines, raw bytes preserved — matching is on the
+    trimmed line, remembering how detection counted) plus
+    ``n_lines_removed``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("n_docs_with_line"), "line"
+    )
+    sets = (
+        boilerplate.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_lines_per_source)
+        .groupBy(source_col)
+        .agg(F.collect_list("line").alias("_bl"))
+    )
+    kept = F.when(
+        F.col("_bl").isNull(), F.col("_lines")
+    ).otherwise(
+        F.filter(
+            "_lines",
+            lambda line: ~F.array_contains(F.col("_bl"), F.trim(line)),
+        )
+    )
+    return (
+        docs.join(F.broadcast(sets), source_col, "left")
+        .withColumn("_lines", F.split(text_col, "\n"))
+        .withColumn("_kept", kept)
+        .withColumn("n_lines_removed",
+                    F.size("_lines") - F.size("_kept"))
+        .withColumn(text_col, F.concat_ws("\n", F.col("_kept")))
+        .drop("_lines", "_kept", "_bl")
+    )
+
+
 def gate_decisions(batch_docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """THE per-batch ingest decision, composed from a near-dup pair frame
     and the quality gate: one row per arriving doc with (n_matches,

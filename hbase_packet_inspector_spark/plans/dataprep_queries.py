@@ -4719,3 +4719,106 @@ def ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.corpus_card(_docs(spark, sf_dir))
+
+
+# The synthetic documents are single-line prose, so the boilerplate
+# queries synthesize the multi-line page shape deterministically (the
+# quality_drift precedent for missing columns): every page of a source
+# gets that source's nav header and footer line around its body.
+_BL_DOC_CTE = """
+    d AS (SELECT doc_id, source,
+                 'nav home about ' || source || chr(10) || text ||
+                 chr(10) || 'footer copyright ' || source AS text
+          FROM documents)
+"""
+
+_BL_SET_CTE = """
+    l AS (SELECT DISTINCT source, doc_id, trim(line) AS line
+          FROM (SELECT source, doc_id,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM d)
+          WHERE length(trim(line)) >= 4),
+    c AS (SELECT source, line, count(*) AS n_docs_with_line
+          FROM l GROUP BY 1, 2),
+    t AS (SELECT source, count(DISTINCT doc_id) AS n FROM d GROUP BY 1),
+    bl AS (SELECT c.source, c.line, c.n_docs_with_line,
+                  round(CAST(c.n_docs_with_line AS DOUBLE) / t.n, 6)
+                    AS doc_frac
+           FROM c JOIN t ON c.source = t.source
+           WHERE c.n_docs_with_line >= 3
+             AND round(CAST(c.n_docs_with_line AS DOUBLE) / t.n, 6) >= 0.5)
+"""
+
+
+def _ml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.lit("nav home about "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nfooter copyright "), F.col("source"),
+        ),
+    )
+
+
+@register(
+    "boilerplate_lines",
+    f"WITH {_BL_DOC_CTE}, {_BL_SET_CTE} SELECT * FROM bl",
+    doc="Per-source repeated-line boilerplate detection (operators/"
+    "text.py::boilerplate_lines — the CCNet/trafilatura rule): a line "
+    "present in >= 50% of a source's pages (>= 3 pages) is "
+    "navigation/footer furniture. Each doc votes once per line "
+    "(DISTINCT before the count). Complements span dedup: spans catch "
+    "arbitrary repeated passages, this catches per-domain page "
+    "furniture with one explode + one (source, line) count and a "
+    "#sources-row broadcast join — nothing quadratic, no windows.",
+    tags=("dataprep", "quality", "dedup", "web"),
+)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.boilerplate_lines(
+        _ml_docs(spark, sf_dir), min_docs=3, min_frac=0.5
+    )
+
+
+@register(
+    "boilerplate_strip",
+    f"""
+    WITH {_BL_DOC_CTE}, {_BL_SET_CTE},
+    raw AS (SELECT doc_id, source,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM d),
+    k AS (SELECT r.doc_id,
+                 sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_removed,
+                 sum(CASE WHEN b.line IS NULL THEN length(r.line)
+                     ELSE 0 END) AS kept_chars,
+                 sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS n_kept
+          FROM raw r
+          LEFT JOIN bl b
+            ON r.source = b.source AND trim(r.line) = b.line
+          GROUP BY r.doc_id)
+    SELECT doc_id,
+           CAST(n_removed AS BIGINT) AS n_lines_removed,
+           CAST(kept_chars + CASE WHEN n_kept > 0 THEN n_kept - 1
+                ELSE 0 END AS BIGINT) AS clean_chars
+    FROM k
+    """,
+    doc="Boilerplate removal EXECUTED in-row (operators/text.py::"
+    "strip_boilerplate): the detected per-source line sets join on as "
+    "ONE broadcast array column (df-ranked, capped per source) and each "
+    "page filters its own lines with a JVM higher-order function — the "
+    "corpus is never exploded or re-grouped per line. Output is the "
+    "per-doc removal audit (n_lines_removed, clean_chars = length of "
+    "the re-joined kept text), hash-pinning both the membership "
+    "decision and the exact reassembled byte count.",
+    tags=("dataprep", "quality", "dedup", "web"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ml_docs(spark, sf_dir)
+    bl = X.boilerplate_lines(docs, min_docs=3, min_frac=0.5)
+    out = X.strip_boilerplate(docs, bl)
+    return out.select(
+        "doc_id",
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+        F.length("text").cast("long").alias("clean_chars"),
+    )

@@ -1,0 +1,101 @@
+"""Round-6 curation operators: per-source boilerplate line detection and
+in-row removal (the CCNet/trafilatura page-furniture rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators.text import (
+    boilerplate_lines,
+    strip_boilerplate,
+)
+
+_NAV = "nav home about products"
+_FOOT = "footer copyright acme"
+
+
+def _pages(spark):
+    rows = [
+        # siteA: 4 pages sharing nav+footer; bodies unique
+        (1, "siteA", f"{_NAV}\nalpha body one\n{_FOOT}"),
+        (2, "siteA", f"{_NAV}\nbeta body two\n{_FOOT}"),
+        (3, "siteA", f"{_NAV}\ngamma body three\n{_FOOT}"),
+        (4, "siteA", f"{_NAV}\ndelta body four\n{_FOOT}"),
+        # siteB: 2 pages only — below min_docs, nothing is boilerplate
+        (5, "siteB", f"{_NAV}\nepsilon body\n{_FOOT}"),
+        (6, "siteB", f"{_NAV}\nzeta body\n{_FOOT}"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_boilerplate_lines_votes_once_per_doc(spark):
+    """Detection: a line crossing min_docs AND min_frac within its source
+    is boilerplate; a page repeating its own menu still votes once; a
+    source with too few pages contributes nothing."""
+    docs = _pages(spark)
+    # page 1 repeats the nav three times — must still count as ONE doc
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1,
+               F.concat(F.lit(f"{_NAV}\n{_NAV}\n"), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    out = {(r.source, r.line): r
+           for r in boilerplate_lines(docs, min_docs=3, min_frac=0.5)
+           .collect()}
+    assert set(out) == {("siteA", _NAV), ("siteA", _FOOT)}
+    assert out[("siteA", _NAV)].n_docs_with_line == 4
+    assert out[("siteA", _NAV)].doc_frac == 1.0
+
+
+def test_strip_boilerplate_in_row(spark):
+    """Removal: detected lines vanish (with multiplicity), bodies and
+    line order survive byte-identically, and sources with no detected
+    boilerplate pass through unchanged."""
+    docs = _pages(spark)
+    bl = boilerplate_lines(docs, min_docs=3, min_frac=0.5)
+    out = {r.doc_id: r for r in strip_boilerplate(docs, bl).collect()}
+    assert out[1].text == "alpha body one" and out[1].n_lines_removed == 2
+    assert out[4].text == "delta body four"
+    # siteB had no boilerplate: byte-identical pass-through
+    assert out[5].text == f"{_NAV}\nepsilon body\n{_FOOT}"
+    assert out[5].n_lines_removed == 0
+
+
+def test_strip_boilerplate_caps_per_source_set(spark):
+    """max_lines_per_source bounds the broadcast array: only the top-df
+    lines are applied, ranked (df desc, line) — the deterministic cap."""
+    docs = _pages(spark)
+    # make the footer rarer than the nav within siteA
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 4,
+               F.lit(f"{_NAV}\ndelta body four\nno footer here"))
+        .otherwise(F.col("text")),
+    )
+    bl = boilerplate_lines(docs, min_docs=3, min_frac=0.5)
+    got = {(r.source, r.line) for r in bl.collect()}
+    assert got == {("siteA", _NAV), ("siteA", _FOOT)}  # 4 vs 3 docs
+    out = {r.doc_id: r
+           for r in strip_boilerplate(docs, bl, max_lines_per_source=1)
+           .collect()}
+    # cap=1 keeps only the nav (higher df): footers survive
+    assert out[1].text == f"alpha body one\n{_FOOT}"
+    assert out[1].n_lines_removed == 1
+
+
+def test_strip_boilerplate_matches_trimmed(spark):
+    """Matching is on the TRIMMED line (how detection counted), so an
+    indented copy of a boilerplate line is removed too."""
+    docs = _pages(spark)
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 2,
+               F.lit(f"  {_NAV}  \nbeta body two\n{_FOOT}"))
+        .otherwise(F.col("text")),
+    )
+    bl = boilerplate_lines(docs, min_docs=3, min_frac=0.5)
+    out = {r.doc_id: r for r in strip_boilerplate(docs, bl).collect()}
+    assert out[2].text == "beta body two" and out[2].n_lines_removed == 2
