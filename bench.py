@@ -155,6 +155,7 @@ HEADLINE = [
     "label_centroid_sim",
     "label_outliers",
     "dsir_resample",
+    "token_budget_select",
     "simhash_pairs",
     "simhash_pairs_wide",
     "ingest_gate",

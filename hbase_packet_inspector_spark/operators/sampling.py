@@ -196,3 +196,69 @@ def train_test_split(
         "split",
         F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def budget_select(scored: DataFrame, budget: int, *, score_col: str,
+                  tokens_col: str, id_col: str = "doc_id",
+                  n_bins: int = 256) -> DataFrame:
+    """Fill a token budget with the highest-scoring documents — the cut
+    every data-selection method (DSIR, classifier scores, quality gates)
+    ends with: "take the most target-like docs until the budget is
+    spent." Keeps the maximal prefix of docs ordered by (score desc,
+    id asc) whose cumulative ``tokens_col`` fits ``budget``; membership
+    is exact and deterministic (rows with a null score are excluded).
+
+    Scale shape — NO global sort: a fixed-width score histogram (one
+    min/max pass + one n_bins-row aggregate, the gate_cutoffs_binned
+    sufficient-statistics discipline) locates the boundary bin on the
+    driver. Bins above the boundary are kept with a plain filter — no
+    ordering needed, because fixed-width binning is order-consistent
+    (equal scores share a bin; every doc in a higher bin outranks every
+    doc in a lower one) — and only the boundary bin's rows pay the
+    running-sum window. Degenerate case (all scores equal → one bin)
+    decays to sorting that bin, which is the global sort any exact
+    selection would then require; pre-round scores or raise n_bins if
+    the boundary bin is crowded. Two scans of ``scored`` total (the
+    histogram and the filters) — persist upstream if it is expensive to
+    recompute."""
+    from pyspark.sql import Window
+
+    sc = F.col(score_col)
+    scored = scored.where(sc.isNotNull())
+    lo, hi = scored.agg(F.min(score_col), F.max(score_col)).first()
+    if lo is None:
+        return scored.limit(0)
+    span = (hi - lo) or 1.0
+    binned = scored.withColumn(
+        "_bin",
+        F.least(
+            F.floor((sc - F.lit(lo)) / F.lit(span) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    hist = {
+        r["_bin"]: r["t"]
+        for r in binned.groupBy("_bin")
+        .agg(F.sum(tokens_col).alias("t")).collect()
+    }
+    cum, boundary = 0, None
+    for b in range(n_bins - 1, -1, -1):
+        t = hist.get(b, 0)
+        if cum + t <= budget:
+            cum += t
+        else:
+            boundary = b
+            break
+    if boundary is None:
+        return scored  # everything fits
+    remaining = budget - cum
+    kept_full = binned.where(F.col("_bin") > boundary).drop("_bin")
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bnd = (
+        binned.where(F.col("_bin") == boundary)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .where(F.col("_cum") <= remaining)
+        .drop("_bin", "_cum")
+    )
+    return kept_full.unionByName(bnd)

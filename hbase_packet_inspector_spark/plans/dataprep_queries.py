@@ -4822,3 +4822,39 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
         F.length("text").cast("long").alias("clean_chars"),
     )
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH {_dsir_ctes()},
+    o AS (SELECT doc_id, n_tokens, dsir_logweight,
+                 sum(n_tokens) OVER (ORDER BY dsir_logweight DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+          FROM dsw)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dsir_logweight
+    FROM o WHERE cum <= 40000
+    """,
+    doc="Token-budget data selection EXECUTED (operators/sampling.py::"
+    "budget_select): keep the maximal (DSIR-score desc, doc_id) prefix "
+    "whose cumulative token count fits a 40k budget — the cut every "
+    "data-selection method ends with. The oracle states the semantics "
+    "as one global running-sum window; the Spark plan REFUSES the "
+    "global sort: a 256-bin score histogram (driver-sized sufficient "
+    "statistics) locates the boundary bin, bins above it are kept by "
+    "filter alone (fixed-width binning is order-consistent), and only "
+    "the boundary bin's rows pay a running-sum window. Weights are "
+    "round-6 before ordering (house ln rule), doc_id tie-break, so "
+    "membership is engine-exact.",
+    tags=("dataprep", "sampling", "lm", "dsir"),
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    w = X.dsir_logweights(
+        _docs(spark, sf_dir), F.col("lang") == "en", buckets=64
+    )
+    return SA.budget_select(
+        w, 40_000, score_col="dsir_logweight", tokens_col="n_tokens"
+    )

@@ -99,3 +99,55 @@ def test_strip_boilerplate_matches_trimmed(spark):
     bl = boilerplate_lines(docs, min_docs=3, min_frac=0.5)
     out = {r.doc_id: r for r in strip_boilerplate(docs, bl).collect()}
     assert out[2].text == "beta body two" and out[2].n_lines_removed == 2
+
+
+def test_budget_select_exact_prefix(spark):
+    """budget_select keeps exactly the maximal (score desc, id) prefix
+    whose cumulative tokens fit — including a cut INSIDE the boundary
+    bin, score ties broken by id, and exact-fit budgets."""
+    from hbase_packet_inspector_spark.operators.sampling import budget_select
+
+    rows = [  # (doc_id, tokens, score)
+        (1, 10, 9.0), (2, 10, 8.0), (3, 10, 8.0), (4, 10, 7.0),
+        (5, 10, 1.0), (6, 10, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, s double")
+
+    def ids(budget, n_bins=256):
+        return sorted(
+            r.doc_id for r in budget_select(
+                df, budget, score_col="s", tokens_col="n_tokens",
+                n_bins=n_bins,
+            ).collect()
+        )
+
+    assert ids(35) == [1, 2, 3]       # cut mid-prefix; 4 doesn't fit
+    assert ids(30) == [1, 2, 3]       # exact fit kept (<=)
+    assert ids(25) == [1, 2]          # tie at 8.0: doc 2 before doc 3
+    assert ids(1000) == [1, 2, 3, 4, 5, 6]  # everything fits
+    assert ids(5) == []               # nothing fits
+    # degenerate: one bin holds the whole range -> still exact
+    assert ids(35, n_bins=1) == [1, 2, 3]
+
+
+def test_budget_select_all_equal_scores_and_empty(spark):
+    """All-equal scores collapse to one bin (the documented global-sort
+    fallback) — selection is then ordered by id; empty/null-score input
+    yields empty output."""
+    from hbase_packet_inspector_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(i, 10, 5.0) for i in range(1, 7)],
+        "doc_id long, n_tokens long, s double",
+    )
+    got = sorted(r.doc_id for r in budget_select(
+        df, 30, score_col="s", tokens_col="n_tokens").collect())
+    assert got == [1, 2, 3]
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long, s double")
+    assert budget_select(empty, 10, score_col="s",
+                         tokens_col="n_tokens").collect() == []
+    nulls = spark.createDataFrame(
+        [(1, 10, None)], "doc_id long, n_tokens long, s double"
+    )
+    assert budget_select(nulls, 10, score_col="s",
+                         tokens_col="n_tokens").collect() == []

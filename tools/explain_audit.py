@@ -148,6 +148,10 @@ ALLOWED = {
     # the resample reuses the DSIR weight chain verbatim (dsir_weights'
     # stats x totals rationale); the sample cut itself is TakeOrdered
     "dsir_resample": {"NESTED-LOOP-JOIN"},
+    # reuses the DSIR weight chain (dsir_weights' stats x totals
+    # rationale); the budget cut itself is filters + a window over the
+    # boundary bin only — no global sort
+    "token_budget_select": {"NESTED-LOOP-JOIN"},
 }
 
 
