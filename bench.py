@@ -160,6 +160,7 @@ HEADLINE = [
     "simhash_pairs_wide",
     "ingest_gate",
     "corpus_card",
+    "url_dedup",
     "boilerplate_lines",
     "boilerplate_strip",
     "knn_graph",

@@ -1,0 +1,88 @@
+"""Web/URL curation operators: URL canonicalization and URL-level dedup.
+
+A crawl sees the same page under many spellings — uppercase scheme/host,
+default ports, tracking parameters, fragments — and URL-level dedup is the
+cheapest dedup in the whole pipeline (string normalization + one groupBy,
+run BEFORE any content hashing). The normalization here is the CCNet-style
+conservative subset: nothing that can merge two genuinely different pages.
+
+Everything is pure column expressions (regexp + array higher-order
+functions — JVM-side, codegen'd), deliberately limited to constructs with
+exact DuckDB equivalents so the registered queries hash-verify:
+``regexp_extract`` returning '' on no-match, ``split``/``list_filter``,
+``array_join``/``array_to_string``.
+
+Reference parity note: the reference engine has no web surface (pcap in,
+SQL out); URL curation is part of this repo's LLM-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that never identify content (analytics campaign tags)
+TRACKING_PARAMS = ("fbclid", "gclid", "ref")
+TRACKING_PREFIX = "utm_"
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def normalize_url(url) -> Column:
+    """Canonical URL: fragment stripped; scheme and host lowercased;
+    default port dropped (:80 for http, :443 for https); utm_*/fbclid/
+    gclid/ref query parameters removed (parameter ORDER is preserved —
+    reordering could merge distinct keys on sites that abuse duplicate
+    params); empty path becomes '/'. A string with no '://' scheme is
+    returned trimmed + fragment-stripped only — garbage in, garbage
+    comparable out, never an error."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(F.trim(u), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    query = F.regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(
+            p.startswith(TRACKING_PREFIX)
+            | F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS)
+        ),
+    )
+    q2 = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_dedup(docs: DataFrame, *, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: one row per canonical URL with the keeper (min
+    id — deterministic, re-crawl stable) and the variant count. Runs as
+    a single aggregate on the normalized key — an aggregate argmin, not
+    a window, so a hot URL (every crawl has one) is a partial+final
+    combine, never a single-task sort. At 100 TB this is the first
+    dedup pass: it needs only the URL column, so the scan prunes every
+    other column away."""
+    return (
+        docs.select(
+            normalize_url(url_col).alias("url_norm"),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

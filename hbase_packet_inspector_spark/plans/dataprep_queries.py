@@ -4858,3 +4858,96 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.budget_select(
         w, 40_000, score_col="dsir_logweight", tokens_col="n_tokens"
     )
+
+
+@register(
+    "url_dedup",
+    """
+    WITH dd AS (
+      SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS g, doc_id % 4 AS v
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+        CASE v
+          WHEN 0 THEN 'http://www.site' || CAST(g % 25 AS VARCHAR)
+                      || '.com/p/' || CAST(g AS VARCHAR)
+          WHEN 1 THEN 'HTTP://WWW.SITE' || CAST(g % 25 AS VARCHAR)
+                      || '.COM/p/' || CAST(g AS VARCHAR)
+          WHEN 2 THEN 'http://www.site' || CAST(g % 25 AS VARCHAR)
+                      || '.com/p/' || CAST(g AS VARCHAR)
+                      || '?utm_source=x&fbclid=z'
+          ELSE 'http://www.site' || CAST(g % 25 AS VARCHAR)
+               || '.com:80/p/' || CAST(g AS VARCHAR)
+        END AS url
+      FROM dd),
+    n AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u0 FROM u),
+    p AS (
+      SELECT doc_id, u0,
+        lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+          AS hostport,
+        regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+          AS rest
+      FROM n),
+    q AS (
+      SELECT doc_id, u0, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+        regexp_extract(rest, '^([^?]*)', 1) AS path,
+        regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS qs
+      FROM p),
+    r AS (
+      SELECT doc_id, u0, scheme, host, path,
+        coalesce(array_to_string(
+          list_filter(string_split(qs, '&'),
+            x -> NOT (starts_with(x, 'utm_')
+                      OR split_part(x, '=', 1) IN ('fbclid', 'gclid',
+                                                   'ref'))),
+          '&'), '') AS q2
+      FROM q),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN scheme = '' THEN u0
+             ELSE scheme || '://' || host
+                  || CASE WHEN path = '' THEN '/' ELSE path END
+                  || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+        END AS url_norm
+      FROM r)
+    SELECT url_norm, min(doc_id) AS keep_id,
+           count(*) AS n_variants
+    FROM f GROUP BY 1
+    """,
+    doc="URL-level dedup EXECUTED (operators/web.py::url_dedup over "
+    "normalize_url): canonicalize — fragment stripped, scheme/host "
+    "lowercased, default port dropped, utm_*/fbclid/gclid/ref params "
+    "removed — then keep min doc_id per canonical URL via an aggregate "
+    "argmin (partial+final combine; a hot URL never single-task-sorts). "
+    "The cheapest dedup pass in the pipeline: URL column only, so the "
+    "scan prunes everything else. The synthetic corpus has no url "
+    "column, so each doc synthesizes one of four spellings of its "
+    "group's page (case noise, tracking params, :80, fragment — the "
+    "quality_drift precedent); groups of four collapse to one canonical "
+    "row, hash-pinning every normalization rule.",
+    tags=("dataprep", "dedup", "web"),
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    gs, hs = g.cast("string"), (g % 25).cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://WWW.SITE"), hs, F.lit(".COM/p/"), gs))
+        .when(v == 2, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs,
+            F.lit("?utm_source=x&fbclid=z")))
+        .otherwise(F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com:80/p/"), gs))
+    )
+    return WB.url_dedup(d.select("doc_id", url.alias("url")))

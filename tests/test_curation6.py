@@ -151,3 +151,48 @@ def test_budget_select_all_equal_scores_and_empty(spark):
     )
     assert budget_select(nulls, 10, score_col="s",
                          tokens_col="n_tokens").collect() == []
+
+
+def test_normalize_url_rules(spark):
+    """Canonicalization rules, one by one: case, default ports, tracking
+    params (order of survivors preserved), fragments, empty path, and
+    the garbage passthrough."""
+    from hbase_packet_inspector_spark.operators.web import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM/Path/X", "http://www.ex.com/Path/X"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),  # non-default
+        ("http://ex.com/a?utm_source=x&id=7&utm_medium=y&b=2",
+         "http://ex.com/a?id=7&b=2"),
+        ("http://ex.com/a?fbclid=abc", "http://ex.com/a"),
+        ("http://ex.com/a?id=7#section", "http://ex.com/a?id=7"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com?gclid=1", "http://ex.com/"),
+        ("http://ex.com/a?flag", "http://ex.com/a?flag"),  # no '=' param
+        ("  http://ex.com/a  ", "http://ex.com/a"),
+        ("not a url #x", "not a url "),  # garbage: trim+defrag only
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.n for r in
+           df.select(normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from hbase_packet_inspector_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "http://EX.com/a?utm_x=1"),
+            (1, "http://ex.com:80/a"),
+            (2, "http://ex.com/a#frag"),
+            (9, "http://ex.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.url_norm: r for r in url_dedup(df).collect()}
+    assert out["http://ex.com/a"].keep_id == 1
+    assert out["http://ex.com/a"].n_variants == 3
+    assert out["http://ex.com/b"].n_variants == 1
