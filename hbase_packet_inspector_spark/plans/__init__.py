@@ -21,6 +21,11 @@ except ImportError:
 # each round's CORRECTNESS_r{N}.json lands; new queries register with no
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
+    "simhash_pairs_wide",  # latest green r0
+    "boilerplate_lines",  # latest green r0
+    "boilerplate_strip",  # latest green r0
+    "token_budget_select",  # latest green r0
+    "url_dedup",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2
