@@ -19,12 +19,22 @@ signal.  The harness now:
   * REPEATS — every query runs ``$SPARK_GRAFT_BENCH_REPEATS`` times
     (default 3).  ``queries`` carries the per-query MIN (the least
     contention-biased estimate of the plan's true cost and the number to
-    compare across rounds); ``queries_median`` the median; ``spread`` the
-    relative spread ``(max-min)/median`` per query, so a reader can see
-    exactly which numbers were noisy.
+    compare across rounds).  Per-query spreads are summarized in
+    ``spread_median``/``spread_max`` (relative, (max-min)/median), with
+    ``noisy`` listing any query whose spread exceeded 0.5 so a reader
+    still sees exactly which numbers to distrust.
   * ``value`` is the sum of per-query minimums.  Back-to-back totals on a
     quiet box agree within a few percent under this scheme (vs 40%+ for
     single-shot walls).
+
+KEY ORDER MATTERS (round-6 fix): consumers that archive only the TAIL of
+the emitted line used to capture the per-query SPREAD dict — dimensionless
+ratios that read exactly like seconds — while the real ``queries`` minima
+sat truncated in the middle (the round-5 archive records 0.03 "s" for a
+query that takes ~7 s; those were spreads).  The line now ends with
+``slowest`` (top-25 min-seconds, descending) followed by unit/sf metadata,
+so any tail window captures real, labeled seconds; the full ``queries``
+dict rides earlier in the line for whole-line consumers.
 """
 
 from __future__ import annotations
@@ -263,18 +273,27 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    spreads = sorted(spread.values())
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "spread": spread,
                 "repeats": repeats,
                 "contended": contended,
                 "load_at_start": load0,
+                "queries_median_total": round(sum(medians.values()), 3),
+                "spread_median": spreads[len(spreads) // 2] if spreads else 0.0,
+                "spread_max": spreads[-1] if spreads else 0.0,
+                "noisy": sorted(n for n, s in spread.items() if s > 0.5),
+                "queries": timings,
+                # tail-visible summary: real seconds, worst first — any
+                # consumer that archives only the end of this line sees
+                # labeled per-query minima, not dimensionless spreads
+                "slowest_unit": "sec(min of repeats)",
+                "slowest": slowest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

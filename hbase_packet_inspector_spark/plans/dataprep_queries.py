@@ -171,9 +171,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(_docs(spark, sf_dir), min_est=0.5, min_jaccard=0.45)
 
 
+def _sh_bit(j: int, src: str = "shingle") -> str:
+    """Bit j of the SimHash derivation: bit (j mod 4) of lowercase-hex
+    digit (j div 4) of md5 — mirrors operators/dedup.py::simhash (all
+    four bits per digit: one md5 covers 128 bits)."""
+    a = f"ascii(substr(md5({src}), {j // 4 + 1}, 1))"
+    return (f"(((({a}) - 48 - CASE WHEN ({a}) >= 97 THEN 39 ELSE 0 END)"
+            f" >> {j % 4}) & 1)")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     votes = ",\n           ".join(
-        f"sum((ascii(substr(md5(shingle), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        f"sum({_sh_bit(j)} * 2 - 1) AS v{j}"
         for j in range(bits)
     )
     sig = " || ".join(
@@ -4544,13 +4553,8 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_oracle(bits: int = 16, n_bands: int = 4,
                           max_hamming: int = 3) -> str:
     width = bits // n_bands
-    # bits 32..63 draw from the salted second hash (matches operators/
-    # dedup.py::simhash — an md5 hex string has only 32 digits)
     votes = ",\n           ".join(
-        "sum((ascii(substr(md5({src}), {pos}, 1)) % 2) * 2 - 1) AS v{j}".format(
-            src="shingle" if j < 32 else "'w:' || shingle",
-            pos=j % 32 + 1, j=j,
-        )
+        f"sum({_sh_bit(j)} * 2 - 1) AS v{j}"
         for j in range(bits)
     )
     sig = " || ".join(
@@ -4608,9 +4612,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the SimHash family: crawl-scale corpora widen the fingerprint so "
     "band buckets stay sparse (8-bit bands keep 256 keys per band but "
     "twice as many bands spread collisions, and the 64-bit distance is "
-    "a finer verifier). Bits 32..63 come from the salted second hash "
-    "md5('w:'||shingle), identically on both engines, so the upper half "
-    "carries real signal. Same plan shape as the 32-bit query: "
+    "a finer verifier). All four bits of each md5 hex digit feed the "
+    "vote — identically on both engines — so one hash covers all 64 "
+    "bits. Same plan shape as the 32-bit query: "
     "signature rollup, (doc, band-key)-only self-join, exact Hamming "
     "verify on deduped collisions — never all-pairs.",
     tags=("dataprep", "dedup", "simhash", "lsh"),

@@ -737,10 +737,14 @@ def test_simhash_pairs_copies_and_unrelated(spark):
 
 def test_simhash_pairs_near_miss_within_bands(spark):
     """A lightly edited copy lands within the hamming budget and is
-    found; the reported distance is the exact signature distance."""
+    found; the reported distance is the exact signature distance.
+    n_bands=8 so the pigeonhole guarantee (recall 1 for hamming <
+    n_bands) actually covers the max_hamming=6 budget — with the default
+    4 bands a 5-flip pair may touch every band and recall is luck."""
     docs = _docs(spark, [(0, _BASE), (1, _NEAR), (2, _OTHER)])
     out = {(r.d1, r.d2): r.hamming
-           for r in D.simhash_pairs(docs, bits=32, max_hamming=6).collect()}
+           for r in D.simhash_pairs(docs, bits=32, n_bands=8,
+                                    max_hamming=6).collect()}
     assert set(out) == {(0, 1)}
     assert 0 <= out[(0, 1)] <= 6
 
