@@ -166,6 +166,7 @@ HEADLINE = [
     "label_outliers",
     "dsir_resample",
     "token_budget_select",
+    "classifier_pr_curve",
     "simhash_pairs",
     "simhash_pairs_wide",
     "ingest_gate",

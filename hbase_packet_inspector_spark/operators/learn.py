@@ -127,3 +127,59 @@ def logreg_predict(
     boundary is engine-deterministic."""
     p = _sigmoid(_logit(weights, feature_cols))
     return feats.withColumn("score", F.round(p, round_to))
+
+
+def pr_curve_binned(scored: DataFrame, *, score_col: str = "score",
+                    label_col: str = "y", n_bins: int = 20) -> DataFrame:
+    """Precision/recall calibration table at binned score thresholds —
+    the report that picks a quality classifier's operating point after
+    training ("keep everything the model scores above t": what does each
+    t cost in precision and recall?). One row per threshold i/n_bins:
+    (threshold, tp, fp, fn, prec, rec, f1), where predictions are
+    "score lands in bin >= i" — bin membership, not a per-threshold
+    rescan, so BOTH engines agree bitwise at the boundaries.
+
+    Scale shape: ONE (bin, label) histogram aggregate over the scored
+    corpus — a 2*n_bins-row mergeable sufficient statistic (the
+    gate_cutoffs_binned discipline: partials combine, so the same shape
+    calibrates under a stream or across shards) — then reverse running
+    sums over the n_bins-row grid (a window over n_bins rows, nothing
+    corpus-sized). prec/rec round to 6 BEFORE f1 so the derived metric
+    is engine-exact; thresholds with no predicted positives report null
+    prec/f1 rather than dividing by zero."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    hist = scored.groupBy(b.alias("bin")).agg(
+        F.sum(y).alias("pos"),
+        F.sum(F.lit(1) - y).alias("neg"),
+    )
+    spark = scored.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = grid.join(hist, "bin", "left").fillna(0, ["pos", "neg"])
+    w_ge = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = full.select(
+        "bin",
+        F.sum("pos").over(w_ge).alias("tp"),
+        F.sum("neg").over(w_ge).alias("fp"),
+        (F.sum("pos").over(w_all) - F.sum("pos").over(w_ge)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    out = cum.select(
+        F.round(F.col("bin").cast("double") / n_bins, 6).alias("threshold"),
+        "tp", "fp", "fn",
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6)).alias("prec"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("rec"),
+    )
+    p, r = F.col("prec"), F.col("rec")
+    return out.withColumn(
+        "f1", F.when(p + r > 0, F.round(2 * p * r / (p + r), 6))
+    )

@@ -2480,7 +2480,7 @@ def _logreg_feats(docs: DataFrame) -> DataFrame:
 
 
 def _logreg_oracle(rounds: int = 2, lr: float = 0.5,
-                   per_doc: bool = False) -> str:
+                   per_doc: bool = False, tail: str | None = None) -> str:
     # chained-CTE batch gradient descent; weights re-rounded each step like
     # the Spark driver loop (operators/learn.py::logreg_fit)
     def p(w: str) -> str:  # sigmoid of the clamped logit at weight-CTE w
@@ -2501,7 +2501,14 @@ def _logreg_oracle(rounds: int = 2, lr: float = 0.5,
         )
     steps_sql = ",\n    ".join(steps)
     pf = p(f"w{rounds}")
-    if per_doc:
+    if tail is not None:
+        # expose the scored frame as CTE `s` and append the caller's
+        # report SQL — the pr-curve/calibration consumers
+        final = f""",
+    s AS (SELECT f.doc_id, round({pf}, 6) AS score, f.y AS y
+          FROM f CROSS JOIN w{rounds})
+    {tail}"""
+    elif per_doc:
         # per-doc classifier scores at the trained weights instead of the
         # fit summary; pred thresholds the ROUNDED score so the decision
         # is deterministic given an identical rounded probability
@@ -4955,3 +4962,65 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://www.site"), hs, F.lit(".com:80/p/"), gs))
     )
     return WB.url_dedup(d.select("doc_id", url.alias("url")))
+
+
+_PR_TAIL = """
+    b AS (SELECT least(CAST(floor(score * 20) AS INTEGER), 19) AS bin,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM s GROUP BY 1),
+    g AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
+    fb AS (SELECT g.bin, coalesce(b.pos, 0) AS pos,
+                  coalesce(b.neg, 0) AS neg
+           FROM g LEFT JOIN b ON g.bin = b.bin),
+    c AS (SELECT bin,
+            sum(pos) OVER (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+            sum(neg) OVER (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+            sum(pos) OVER () AS tot
+          FROM fb),
+    d AS (SELECT round(CAST(bin AS DOUBLE) / 20, 6) AS threshold,
+                 CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                 CAST(tot - tp AS BIGINT) AS fn,
+                 CASE WHEN tp + fp > 0
+                      THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+                 END AS prec,
+                 CASE WHEN tot > 0
+                      THEN round(CAST(tp AS DOUBLE) / tot, 6)
+                 END AS rec
+          FROM c)
+    SELECT threshold, tp, fp, fn, prec, rec,
+           CASE WHEN prec + rec > 0
+                THEN round(2 * prec * rec / (prec + rec), 6)
+           END AS f1
+    FROM d
+"""
+
+
+@register(
+    "classifier_pr_curve",
+    _logreg_oracle(rounds=2, lr=0.5, tail="," + _PR_TAIL),
+    doc="Classifier operating-point calibration (operators/learn.py::"
+    "pr_curve_binned): train the logreg2 quality classifier, score the "
+    "corpus, and report precision/recall/F1 at each of 20 binned "
+    "thresholds — the table that answers 'keep everything above t: "
+    "what does t cost?' before the gate ships. Predictions are bin "
+    "membership (score's bin >= threshold's bin), so boundary floats "
+    "agree bitwise across engines. One (bin, label) histogram over the "
+    "scored corpus — a 2x20-row MERGEABLE sufficient statistic (the "
+    "gate_cutoffs_binned discipline; shards/streams combine partials) — "
+    "then reverse running sums over the 20-row grid; prec/rec round to "
+    "6 BEFORE f1, and zero-prediction thresholds report nulls, never "
+    "division errors.",
+    tags=("dataprep", "ml", "quality", "calibration", "report"),
+)
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import learn as L
+
+    feats = _logreg_feats(_docs(spark, sf_dir))
+    weights, _ = L.logreg_fit(feats, ["awl", "sr"], "y", lr=0.5, rounds=2)
+    scored = L.logreg_predict(feats, weights, ["awl", "sr"]).select(
+        "doc_id", "score", "y"
+    )
+    return L.pr_curve_binned(scored, n_bins=20)

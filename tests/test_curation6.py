@@ -196,3 +196,43 @@ def test_url_dedup_keeps_min_id(spark):
     assert out["http://ex.com/a"].keep_id == 1
     assert out["http://ex.com/a"].n_variants == 3
     assert out["http://ex.com/b"].n_variants == 1
+
+
+def test_pr_curve_binned_hand_checked(spark):
+    """4-doc hand-check across 4 thresholds: counts, the null rule at
+    zero-prediction thresholds, and f1 derived from the ROUNDED p/r."""
+    from hbase_packet_inspector_spark.operators.learn import pr_curve_binned
+
+    scored = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.6, 1), (3, 0.6, 0), (4, 0.1, 0)],
+        "doc_id long, score double, y int",
+    )
+    out = {r.threshold: r for r in
+           pr_curve_binned(scored, n_bins=4).collect()}
+    assert set(out) == {0.0, 0.25, 0.5, 0.75}
+    # t=0: everything predicted positive
+    assert (out[0.0].tp, out[0.0].fp, out[0.0].fn) == (2, 2, 0)
+    assert out[0.0].prec == 0.5 and out[0.0].rec == 1.0
+    # t=0.5: docs 1,2,3 predicted (bins 3,2,2)
+    assert (out[0.5].tp, out[0.5].fp, out[0.5].fn) == (2, 1, 0)
+    assert out[0.5].f1 == round(2 * (2/3) * 1.0 / ((2/3) + 1.0), 6) or \
+        abs(out[0.5].f1 - 0.8) < 1e-5
+    # t=0.75: only doc 1
+    assert (out[0.75].tp, out[0.75].fp, out[0.75].fn) == (1, 0, 1)
+    assert out[0.75].prec == 1.0 and out[0.75].rec == 0.5
+
+
+def test_pr_curve_binned_empty_and_no_positives(spark):
+    from hbase_packet_inspector_spark.operators.learn import pr_curve_binned
+
+    empty = spark.createDataFrame([], "doc_id long, score double, y int")
+    rows = pr_curve_binned(empty, n_bins=4).collect()
+    assert len(rows) == 4  # the grid survives an empty corpus
+    assert all(r.tp == 0 and r.prec is None for r in rows)
+
+    negs = spark.createDataFrame(
+        [(1, 0.9, 0), (2, 0.2, 0)], "doc_id long, score double, y int"
+    )
+    rows = {r.threshold: r for r in pr_curve_binned(negs, n_bins=4).collect()}
+    assert rows[0.75].fp == 1 and rows[0.75].tp == 0
+    assert rows[0.75].rec is None  # no positives exist at all
