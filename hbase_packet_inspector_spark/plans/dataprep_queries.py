@@ -4871,10 +4871,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "url_dedup",
-    """
-    WITH dd AS (
+_URL_CTES = """dd AS (
       SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS g, doc_id % 4 AS v
       FROM documents),
     u AS (
@@ -4925,7 +4922,13 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                   || CASE WHEN path = '' THEN '/' ELSE path END
                   || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
         END AS url_norm
-      FROM r)
+      FROM r)"""
+
+
+@register(
+    "url_dedup",
+    f"""
+    WITH {_URL_CTES}
     SELECT url_norm, min(doc_id) AS keep_id,
            count(*) AS n_variants
     FROM f GROUP BY 1
@@ -5024,3 +5027,112 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "score", "y"
     )
     return L.pr_curve_binned(scored, n_bins=20)
+
+
+@register(
+    "web_curation_pipeline",
+    f"""
+    WITH {_URL_CTES},
+    k AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY url_norm),
+    d AS (SELECT dd2.doc_id, dd2.source,
+                 'nav home about ' || dd2.source || chr(10) || dd2.text ||
+                 chr(10) || 'footer copyright ' || dd2.source AS text
+          FROM documents dd2 JOIN k ON dd2.doc_id = k.keep_id),
+    {_BL_SET_CTE},
+    bs AS (SELECT source, list(line) AS bls FROM bl GROUP BY 1),
+    pk AS (SELECT d.doc_id, d.source,
+             string_split(d.text, chr(10)) AS lines,
+             list_filter(string_split(d.text, chr(10)),
+                 x -> bs.bls IS NULL
+                      OR NOT list_contains(bs.bls, trim(x))) AS kept
+           FROM d LEFT JOIN bs ON d.source = bs.source),
+    pd AS (SELECT doc_id, source,
+             len(lines) - len(kept) AS removed,
+             array_to_string(kept, chr(10)) AS clean
+           FROM pk),
+    qq AS (SELECT doc_id, source, removed,
+             CAST(len(string_split(clean, ' ')) AS INTEGER) AS nw,
+             CAST(len(list_filter(string_split(clean, ' '),
+                                  x -> x = 'the' OR x = 'a'))
+               AS INTEGER) AS ns
+           FROM pd),
+    sc AS (SELECT doc_id, source, removed,
+             (CASE WHEN nw >= 20 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(ns AS DOUBLE) / nw <= 0.2
+                THEN 1 ELSE 0 END) AS qs
+           FROM qq),
+    tot AS (SELECT source, count(*) AS n_pages_in FROM documents GROUP BY 1)
+    SELECT sc.source,
+           CAST(tot.n_pages_in AS BIGINT) AS n_pages_in,
+           CAST(count(*) AS BIGINT) AS n_pages_kept,
+           CAST(sum(sc.removed) AS BIGINT) AS n_lines_removed,
+           round(avg(sc.qs), 6) AS avg_quality,
+           CAST(sum(CASE WHEN sc.qs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep
+    FROM sc JOIN tot ON sc.source = tot.source
+    GROUP BY 1, 2
+    """,
+    doc="The composed web-curation flagship: ONE declarative plan "
+    "running the whole crawl-cleanup front half — URL canonicalization "
+    "+ URL-level dedup (operators/web.py, keep-min-id), per-source "
+    "boilerplate detection + in-row strip (operators/text.py), and the "
+    "quality gate over the CLEANED text — rolled up per source "
+    "(pages in, pages kept after URL dedup, lines stripped, average "
+    "quality, gate passes). Every stage is the registered operator, so "
+    "this hash-pins their composition, not just each piece: the strip "
+    "feeds quality through the reassembled bytes. Plan shape: the URL "
+    "keep-set joins back on doc_id (equi), the boilerplate sets "
+    "broadcast as df-capped arrays, quality is narrow expressions, and "
+    "the report is one partial+final rollup — no stage widens with "
+    "corpus size beyond its own documented shuffle.",
+    tags=("dataprep", "web", "dedup", "quality", "pipeline", "report"),
+)
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    gs, hs = g.cast("string"), (g % 25).cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://WWW.SITE"), hs, F.lit(".COM/p/"), gs))
+        .when(v == 2, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs,
+            F.lit("?utm_source=x&fbclid=z")))
+        .otherwise(F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com:80/p/"), gs))
+    )
+    pages = base.withColumn("url", url).withColumn(
+        "text",
+        F.concat(
+            F.lit("nav home about "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nfooter copyright "), F.col("source"),
+        ),
+    )
+    keep = WB.url_dedup(pages).select(F.col("keep_id").alias("doc_id"))
+    kept = pages.join(keep, "doc_id")
+    bl = X.boilerplate_lines(kept, min_docs=3, min_frac=0.5)
+    clean = X.strip_boilerplate(kept, bl)
+    feats = X.quality_features(
+        clean.withColumn("n_chars", F.length("text"))
+    )
+    per_doc = clean.select("doc_id", "source", "n_lines_removed").join(
+        feats.select("doc_id", "quality_score"), "doc_id"
+    )
+    tot = base.groupBy("source").agg(F.count("*").alias("n_pages_in"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pages_kept"),
+            F.sum("n_lines_removed").cast("long").alias("n_lines_removed"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum((F.col("quality_score") == 2).cast("long")).alias("n_keep"),
+        )
+        .join(tot, "source")
+        .select("source", "n_pages_in", "n_pages_kept",
+                "n_lines_removed", "avg_quality", "n_keep")
+    )
