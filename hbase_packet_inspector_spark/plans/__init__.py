@@ -27,6 +27,7 @@ _UNVERIFIED_FIRST = (
     "token_budget_select",  # latest green r0
     "url_dedup",  # latest green r0
     "classifier_pr_curve",  # latest green r0
+    "web_curation_pipeline",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2
