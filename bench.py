@@ -190,6 +190,9 @@ HEADLINE = [
     "gate_cutoffs_binned",
     "layout_skip_rates",
     "knn_graph_wide",
+    "web_curation_pipeline",
+    "hard_negatives",
+    "image_ahash_pairs",
 ]
 
 

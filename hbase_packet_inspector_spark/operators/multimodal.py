@@ -305,6 +305,133 @@ def resize_ppm(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(_resize, PPM_RESIZE_SCHEMA)
 
 
+def synthesize_ppm_variants(spark: SparkSession, n: int = 48) -> DataFrame:
+    """synthesize_ppm plus one planted near-duplicate per base image:
+    media_id i in [0, n) is the base (identical bytes to synthesize_ppm),
+    media_id i + n is the same raster with the FIRST pixel's red channel
+    forced to 0xff — the re-encoded/re-crawled copy that differs by a few
+    pixels, which exact byte dedup misses and perceptual hashing exists
+    to catch. Deterministic (md5 of the base id), so a SQL oracle can
+    rebuild every payload of both halves."""
+    bid = F.when(F.col("id") >= n, F.col("id") - n).otherwise(F.col("id"))
+    w = (bid % 5 + 2).cast("int")
+    h = (bid % 3 + 2).cast("int")
+    pix_hex = F.substring(
+        F.repeat(F.md5(bid.cast("string")), 5), 1, w * h * F.lit(6)
+    )
+    pix_hex = F.when(
+        F.col("id") >= n,
+        F.concat(F.lit("ff"), F.substring(pix_hex, 3, w * h * F.lit(6) - 2)),
+    ).otherwise(pix_hex)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    ).cast("binary")
+    return spark.range(2 * n).select(
+        F.col("id").alias("media_id"),
+        F.concat(header, F.to_binary(pix_hex, F.lit("hex"))).alias("payload"),
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.IntegerType()),
+    ]
+)
+
+
+def ahash_ppm_bytes(data: bytes, grid: int = 4) -> int:
+    """Average-hash (aHash) of a P6 payload — the classic perceptual
+    image fingerprint: decode, nearest-neighbor-sample the raster to a
+    ``grid`` x ``grid`` patch (same floor mapping as resize_ppm_bytes),
+    gray = r+g+b per cell (exact ints, no luma weights — keeps the SQL
+    oracle integer-exact), bit i = 1 iff cell gray * grid^2 > total gray
+    (strictly; ties -> 0, deterministic), i = y*grid + x from the LSB.
+    Two images whose hashes sit within a few bits of Hamming distance
+    are near-duplicates under global brightness/detail changes."""
+    import numpy as np
+
+    w, h, arr = decode_ppm_bytes(data)
+    sx = (np.arange(grid) * w) // grid
+    sy = (np.arange(grid) * h) // grid
+    cells = arr[sy][:, sx].astype("int64").sum(axis=2)  # grid x grid grays
+    total = int(cells.sum())
+    bits = (cells * (grid * grid) > total).astype("int64")
+    weights = (1 << np.arange(grid * grid)).reshape(grid, grid)
+    return int((bits * weights).sum())
+
+
+def ahash_ppm(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Per-image aHash as an Arrow-batched mapInPandas stage — one narrow
+    pass, payloads never leave the executors, output is (media_id, one
+    int): the cheapest possible shuffle row for the pair stage."""
+
+    def _hash(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        ahash_ppm_bytes(bytes(p), grid)
+                        for p in pdf["payload"]
+                    ],
+                },
+                columns=["media_id", "ahash"],
+            )
+
+    return media.mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
+                max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate image pairs via Hamming-banded aHash —
+    the multimodal sibling of dedup.simhash_pairs: the grid^2-bit hash
+    splits into ``n_bands`` bands; by pigeonhole any pair within
+    ``max_hamming`` < ``n_bands`` bit flips shares a whole band, so a
+    band-key self-join finds every such pair with recall 1 and the exact
+    xor+bit_count Hamming check verifies only the collisions — no
+    all-pairs stage over the image corpus.
+
+    Scale shape: the decode runs ONCE into a persisted (media_id, int)
+    frame (three consumers: band explode + both verify joins — released
+    via the ``_hpi_persisted`` handle, the probe-lsh convention); the
+    band join shuffles (id, nibble) rows only; payload bytes never
+    reach any shuffle. Output: (d1, d2, hamming)."""
+    bits = grid * grid
+    width = bits // n_bands
+    sigs = ahash_ppm(media, grid).persist()
+    keyed = sigs.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("ahash"), b * width)
+                .bitwiseAND((1 << width) - 1).alias("key"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select("media_id", "bk.band", "bk.key")
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "key"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(F.col("a.media_id").alias("d1"),
+                F.col("b.media_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("media_id").alias("d1"), F.col("ahash").alias("_x"))
+    s2 = sigs.select(F.col("media_id").alias("d2"), F.col("ahash").alias("_y"))
+    out = (
+        cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("hamming", F.bit_count(F.col("_x").bitwiseXOR(F.col("_y"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+    out._hpi_persisted = sigs
+    return out
+
+
 WAV_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

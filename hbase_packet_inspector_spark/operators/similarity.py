@@ -78,6 +78,48 @@ def cosine_topk(
     )
 
 
+def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 5, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar vectors whose ``label_col`` DIFFERS from the
+    anchor's — the near-miss negatives that make an embedding model's
+    loss informative (random negatives are trivially far; the hard ones
+    sit just across the decision boundary). ``anchors`` must carry
+    (q_id, q_emb, q_label).
+
+    Scale shape: identical to cosine_topk — anchor sets are bounded
+    (a training batch / audit sample) however big the corpus, so the
+    anchor side broadcasts and the corpus streams through one narrow
+    pass; norms hoisted per-vector, JVM HOF dot products, per-anchor
+    rank with the house total order (cos desc, neighbor_id asc). The
+    cross-label predicate prunes BEFORE the O(dim) dot product, so
+    same-label rows cost one int compare. Output: (q_id, q_label,
+    neighbor_id, neighbor_label, cos, rnk)."""
+    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
+        "_n", F.sqrt(sq_norm(F.col("_v")))
+    )
+    qs = anchors.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
+        "_qn", F.sqrt(sq_norm(F.col("_qv")))
+    )
+    pairs = base.join(F.broadcast(qs), F.col(label_col) != F.col("q_label"))
+    cos = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    scored = pairs.select(
+        "q_id",
+        "q_label",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.round(cos, 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "q_label", "neighbor_id", "neighbor_label",
+                "cos", "rnk")
+    )
+
+
 def decontaminate_embeddings(train: DataFrame, eval_set: DataFrame, *,
                              min_cos: float = 0.9,
                              id_col: str = "vec_id",

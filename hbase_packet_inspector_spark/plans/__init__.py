@@ -28,6 +28,8 @@ _UNVERIFIED_FIRST = (
     "url_dedup",  # latest green r0
     "classifier_pr_curve",  # latest green r0
     "web_curation_pipeline",  # latest green r0
+    "hard_negatives",  # latest green r0
+    "image_ahash_pairs",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2

@@ -5136,3 +5136,120 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_pages_in", "n_pages_kept",
                 "n_lines_removed", "avg_quality", "n_keep")
     )
+
+
+@register(
+    "hard_negatives",
+    f"""
+    WITH {_COS_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 sum(q.v * b.v) AS dp
+          FROM e q JOIN e b ON q.i = b.i
+          JOIN lab lq ON lq.vec_id = q.vec_id
+          JOIN lab lb ON lb.vec_id = b.vec_id AND lb.label <> lq.label
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, lq.label AS q_label, neighbor_id,
+                 lb.label AS neighbor_label,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id
+                JOIN lab lq ON lq.vec_id = q_id
+                JOIN lab lb ON lb.vec_id = neighbor_id),
+    r AS (SELECT *, rank() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    SELECT q_id, q_label, neighbor_id, neighbor_label, cos, rnk
+    FROM r WHERE rnk <= 5
+    """,
+    doc="Hard-negative mining for contrastive training (operators/"
+    "similarity.py::hard_negatives): for each anchor (vec_id % 25 = 0) "
+    "the top-5 most-cosine-similar vectors with a DIFFERENT label — the "
+    "near-miss negatives that sit just across the decision boundary and "
+    "make a contrastive loss informative (random negatives are trivially "
+    "far). Same broadcast-anchors + one-narrow-corpus-pass shape as "
+    "cosine_topk, with the cross-label predicate pruning before the "
+    "O(dim) dot product; per-anchor rank, house total order (cos desc, "
+    "neighbor_id asc).",
+    tags=("dataprep", "similarity", "contrastive", "ann"),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return S.hard_negatives(emb, qs, k=5)
+
+
+@register(
+    "image_ahash_pairs",
+    """
+    WITH ids AS (SELECT id AS media_id,
+                        CASE WHEN id >= 48 THEN id - 48 ELSE id END AS bid
+                 FROM range(96) t(id)),
+    m AS (SELECT media_id,
+                 CAST(bid % 5 + 2 AS INTEGER) AS w,
+                 CAST(bid % 3 + 2 AS INTEGER) AS h,
+                 substr(repeat(md5(CAST(bid AS VARCHAR)), 5), 1,
+                        (bid % 5 + 2) * (bid % 3 + 2) * 6) AS hx0
+          FROM ids),
+    mm AS (SELECT media_id, w, h,
+                  CASE WHEN media_id >= 48
+                       THEN 'ff' || substr(hx0, 3) ELSE hx0 END AS hx
+           FROM m),
+    p AS (SELECT media_id, w, h, hx,
+                 CAST(x.x AS INTEGER) AS xo, CAST(y.y AS INTEGER) AS yo
+          FROM mm, LATERAL (SELECT unnest(range(0, 4)) AS x) x,
+                   LATERAL (SELECT unnest(range(0, 4)) AS y) y),
+    b AS (SELECT media_id, xo, yo,
+                 ((yo * h) // 4 * w + (xo * w) // 4) * 3 AS base, hx,
+                 CAST(c.c AS INTEGER) AS ch
+          FROM p, LATERAL (SELECT unnest(range(0, 3)) AS c) c),
+    v AS (SELECT media_id, xo, yo,
+                 instr('123456789abcdef', substr(hx, 2 * (base + ch) + 1, 1))
+                 * 16
+                 + instr('123456789abcdef', substr(hx, 2 * (base + ch) + 2, 1))
+                   AS byte
+          FROM b),
+    g AS (SELECT media_id, xo, yo, sum(byte) AS gray
+          FROM v GROUP BY 1, 2, 3),
+    t AS (SELECT media_id, sum(gray) AS tot FROM g GROUP BY 1),
+    hsh AS (SELECT g.media_id,
+                   CAST(sum(CASE WHEN 16 * gray > tot
+                            THEN 1 << (yo * 4 + xo) ELSE 0 END)
+                        AS INTEGER) AS ahash
+            FROM g JOIN t USING (media_id) GROUP BY 1),
+    bd AS (SELECT media_id, ahash,
+                  (ahash >> (4 * CAST(bb.b AS INTEGER))) & 15 AS key,
+                  CAST(bb.b AS INTEGER) AS band
+           FROM hsh, LATERAL (SELECT unnest(range(0, 4)) AS b) bb),
+    cand AS (SELECT DISTINCT a.media_id AS d1, b2.media_id AS d2
+             FROM bd a JOIN bd b2 ON a.band = b2.band AND a.key = b2.key
+             WHERE a.media_id < b2.media_id)
+    SELECT d1, d2,
+           CAST(bit_count(xor(h1.ahash, h2.ahash)) AS INTEGER) AS hamming
+    FROM cand JOIN hsh h1 ON h1.media_id = d1
+              JOIN hsh h2 ON h2.media_id = d2
+    WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
+    """,
+    doc="Perceptual near-duplicate image detection (operators/"
+    "multimodal.py::ahash_pairs) — the multimodal sibling of "
+    "simhash_pairs: every P6 payload is DECODED (real raster parse), "
+    "average-hashed (4x4 nearest-neighbor patch, gray = r+g+b, bit = "
+    "cell above image mean — integer-exact so the oracle follows every "
+    "sampled pixel), and pairs within Hamming 3 surface via 4-band "
+    "pigeonhole banding — recall 1 at that radius, no all-pairs stage. "
+    "The corpus plants one perturbed copy per base image "
+    "(synthesize_ppm_variants: first pixel's R forced to 0xff — the "
+    "re-encoded/re-crawled copy exact byte dedup misses). Decode runs "
+    "once into a persisted (id, int) frame; the band join shuffles "
+    "(id, nibble) rows only; payloads never reach a shuffle.",
+    tags=("dataprep", "multimodal", "image", "dedup", "lsh"),
+)
+def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.ahash_pairs(M.synthesize_ppm_variants(spark, 48))

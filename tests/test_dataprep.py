@@ -90,6 +90,28 @@ def test_cosine_topk_exact(spark):
     assert out == [1, 2, 3]  # descending cosine: ~0.995, 0, -1
 
 
+def test_hard_negatives_cross_label_only(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.05], 0),   # nearest overall but SAME label: excluded
+        (2, [1.0, 0.2], 1),    # the hard negative: near-miss, other label
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    out = S.hard_negatives(emb, qs, k=2).orderBy("rnk").collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert all(r.neighbor_label != r.q_label for r in out)
+    assert out[0].cos > out[1].cos
+
+
 def test_ivf_prunes_to_cell(spark):
     rows = [
         (0, [1.0, 0.0], 0),

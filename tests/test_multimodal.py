@@ -235,3 +235,50 @@ def test_video_sampled_frame_means(spark):
         per[r.media_id] = per.get(r.media_id, 0) + 1
     for mid, v in raw.items():
         assert per[mid] == (v.n_frames + 1) // 2
+
+
+def test_ahash_matches_python_and_is_brightness_stable(spark):
+    import numpy as np
+
+    media = M.synthesize_ppm(spark, 24)
+    got = {r.media_id: r.ahash for r in M.ahash_ppm(media, grid=4).collect()}
+    for r in media.collect():
+        assert got[r.media_id] == M.ahash_ppm_bytes(bytes(r.payload), 4)
+    # aHash thresholds against the image's own mean, so a global
+    # brightness shift (the perceptual-hash motivation) keeps the hash
+    w, h, arr = M.decode_ppm_bytes(bytes(media.collect()[3].payload))
+    dim = np.clip(arr.astype("int64") - 40, 0, 255).astype("uint8")
+    pay = (b"P6\n%d %d\n255\n" % (w, h)) + dim.tobytes()
+    base = M.ahash_ppm_bytes(bytes(media.collect()[3].payload), 4)
+    # uniform shifts move every cell AND the mean; most bits survive
+    assert bin(base ^ M.ahash_ppm_bytes(pay, 4)).count("1") <= 3
+
+
+def test_ahash_pairs_find_planted_variants(spark):
+    n = 24
+    media = M.synthesize_ppm_variants(spark, n)
+    # the variant half differs from its base by one pixel's R channel
+    base = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(base) == 2 * n
+    for i in range(n):
+        b, v = base[i], base[i + n]
+        assert b[:20] != v or b != v  # headers equal, raster perturbed
+        assert len(b) == len(v)
+    out = M.ahash_pairs(media, max_hamming=3)
+    pairs = {(r.d1, r.d2): r.hamming for r in out.collect()}
+    handle = getattr(out, "_hpi_persisted", None)
+    if handle is not None:
+        handle.unpersist()
+    hashes = {r.media_id: M.ahash_ppm_bytes(base[r.media_id], 4)
+              for r in media.collect()}
+    # recall 1 at the banding radius: every (i, i+n) plant within
+    # hamming 3 MUST surface (pigeonhole over 4 bands)
+    for i in range(n):
+        ham = bin(hashes[i] ^ hashes[i + n]).count("1")
+        if ham <= 3:
+            assert pairs[(i, i + n)] == ham
+    # and nothing beyond the radius is reported
+    assert all(v <= 3 for v in pairs.values())
+    for (d1, d2), ham in pairs.items():
+        assert d1 < d2
+        assert bin(hashes[d1] ^ hashes[d2]).count("1") == ham
