@@ -193,6 +193,7 @@ HEADLINE = [
     "web_curation_pipeline",
     "hard_negatives",
     "image_ahash_pairs",
+    "host_reputation",
 ]
 
 

@@ -336,7 +336,7 @@ def synthesize_ppm_variants(spark: SparkSession, n: int = 48) -> DataFrame:
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("ahash", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
     ]
 )
 
@@ -349,17 +349,26 @@ def ahash_ppm_bytes(data: bytes, grid: int = 4) -> int:
     oracle integer-exact), bit i = 1 iff cell gray * grid^2 > total gray
     (strictly; ties -> 0, deterministic), i = y*grid + x from the LSB.
     Two images whose hashes sit within a few bits of Hamming distance
-    are near-duplicates under global brightness/detail changes."""
+    are near-duplicates under global brightness/detail changes.
+
+    Returned as a SIGNED 64-bit bit pattern (grid up to 8 = 64 bits;
+    bit 63 wraps negative, matching Spark's LongType) — xor and popcount
+    downstream are sign-agnostic. Grids above 8 overflow and raise."""
     import numpy as np
 
+    if grid > 8:
+        raise ValueError(f"grid {grid} > 8 overflows the 64-bit hash")
     w, h, arr = decode_ppm_bytes(data)
     sx = (np.arange(grid) * w) // grid
     sy = (np.arange(grid) * h) // grid
     cells = arr[sy][:, sx].astype("int64").sum(axis=2)  # grid x grid grays
     total = int(cells.sum())
-    bits = (cells * (grid * grid) > total).astype("int64")
-    weights = (1 << np.arange(grid * grid)).reshape(grid, grid)
-    return int((bits * weights).sum())
+    bits = (cells * (grid * grid) > total).astype("uint64")
+    weights = np.left_shift(
+        np.uint64(1), np.arange(grid * grid, dtype=np.uint64)
+    ).reshape(grid, grid)
+    h_u = int((bits * weights).sum(dtype=np.uint64))
+    return h_u - (1 << 64) if h_u >= (1 << 63) else h_u
 
 
 def ahash_ppm(media: DataFrame, grid: int = 4) -> DataFrame:

@@ -86,3 +86,58 @@ def url_dedup(docs: DataFrame, *, url_col: str = "url",
             F.count("*").alias("n_variants"),
         )
     )
+
+
+def url_host(url) -> Column:
+    """Canonical host of a URL: lowercased authority with the scheme's
+    default port dropped (same rules as normalize_url — the two must
+    agree or host rollups would split a host from its own canonical
+    URLs). Schemeless strings yield '' — they group under the empty
+    host rather than erroring, the garbage-tolerant contract."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(F.trim(u), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    return (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+
+
+def host_stats(docs: DataFrame, *, url_col: str = "url",
+               quality_col: str | None = None,
+               max_dup_rate: float = 0.5) -> DataFrame:
+    """Per-host crawl curation rollup — the domain-reputation table that
+    drives host-level keep/drop decisions (a page's strongest quality
+    prior is its domain: link farms and mirror hosts are dropped
+    wholesale before any per-page scoring). Per host: page count,
+    distinct canonical URLs, dup_rate = 1 - urls/pages (URL-variant
+    spam), optional mean of ``quality_col``, and a ``flagged`` verdict
+    at ``max_dup_rate``.
+
+    Scale shape: one groupBy(host, url_norm) partial+final distinct,
+    then a host rollup — both combine map-side; the scan needs only the
+    URL (+ quality) columns. Host key skew (a giant host) stays safe:
+    every aggregate is a partial combine, no windows, no sorts."""
+    cols = [
+        url_host(url_col).alias("host"),
+        normalize_url(url_col).alias("url_norm"),
+    ]
+    if quality_col is not None:
+        cols.append(F.col(quality_col).cast("double").alias("_q"))
+    base = docs.select(*cols)
+    aggs = [
+        F.count("*").alias("n_pages"),
+        F.countDistinct("url_norm").alias("n_urls"),
+    ]
+    if quality_col is not None:
+        aggs.append(F.round(F.avg("_q"), 6).alias("avg_quality"))
+    out = base.groupBy("host").agg(*aggs).withColumn(
+        "dup_rate",
+        F.round(1 - F.col("n_urls") / F.col("n_pages"), 6),
+    ).withColumn("flagged", F.col("dup_rate") > F.lit(max_dup_rate))
+    order = ["host", "n_pages", "n_urls", "dup_rate"]
+    if quality_col is not None:
+        order.append("avg_quality")
+    return out.select(*order, "flagged")

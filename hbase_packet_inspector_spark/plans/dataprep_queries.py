@@ -4871,7 +4871,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_URL_CTES = """dd AS (
+_URL_GEN_CTE = """dd AS (
       SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS g, doc_id % 4 AS v
       FROM documents),
     u AS (
@@ -4887,8 +4887,11 @@ _URL_CTES = """dd AS (
           ELSE 'http://www.site' || CAST(g % 25 AS VARCHAR)
                || '.com:80/p/' || CAST(g AS VARCHAR)
         END AS url
-      FROM dd),
-    n AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u0 FROM u),
+      FROM dd)"""
+
+# normalization chain over relation u(doc_id, url) -> f(doc_id, url_norm),
+# with q(doc_id, host, ...) exposed for host-level rollups
+_URL_NORM_CTES = """n AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u0 FROM u),
     p AS (
       SELECT doc_id, u0,
         lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -4923,6 +4926,8 @@ _URL_CTES = """dd AS (
                   || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
         END AS url_norm
       FROM r)"""
+
+_URL_CTES = _URL_GEN_CTE + ",\n    " + _URL_NORM_CTES
 
 
 @register(
@@ -5253,3 +5258,94 @@ def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return M.ahash_pairs(M.synthesize_ppm_variants(spark, 48))
+
+
+@register(
+    "host_reputation",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS g, doc_id % 4 AS v
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+        CASE WHEN (g % 25) % 3 = 0 THEN
+          CASE v
+            WHEN 0 THEN 'http://www.site' || CAST(g % 25 AS VARCHAR)
+                        || '.com/p/' || CAST(g AS VARCHAR)
+            WHEN 1 THEN 'HTTP://WWW.SITE' || CAST(g % 25 AS VARCHAR)
+                        || '.COM/p/' || CAST(g AS VARCHAR)
+            WHEN 2 THEN 'http://www.site' || CAST(g % 25 AS VARCHAR)
+                        || '.com/p/' || CAST(g AS VARCHAR)
+                        || '?utm_source=x&fbclid=z'
+            ELSE 'http://www.site' || CAST(g % 25 AS VARCHAR)
+                 || '.com:80/p/' || CAST(g AS VARCHAR)
+          END
+        ELSE 'http://www.site' || CAST(g % 25 AS VARCHAR)
+             || '.com/p/d' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM dd),
+    {_URL_NORM_CTES},
+    tq AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                  CAST(len(list_filter(string_split(text, ' '),
+                           x -> x = 'the' OR x = 'a')) AS INTEGER) AS n_stop
+           FROM documents),
+    qa AS (SELECT doc_id,
+                  (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                   + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.2
+                     THEN 1 ELSE 0 END) AS quality_score
+           FROM tq),
+    j AS (SELECT q.host, f.url_norm, qa.quality_score
+          FROM f JOIN q USING (doc_id) JOIN qa USING (doc_id)),
+    h2 AS (SELECT host, count(*) AS n_pages,
+                  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+                  round(1 - CAST(count(DISTINCT url_norm) AS DOUBLE)
+                        / count(*), 6) AS dup_rate,
+                  round(avg(CAST(quality_score AS DOUBLE)), 6) AS avg_quality
+           FROM j GROUP BY 1)
+    SELECT host, n_pages, n_urls, dup_rate, avg_quality,
+           dup_rate > 0.5 AS flagged
+    FROM h2
+    """,
+    doc="Domain-reputation rollup (operators/web.py::host_stats): per "
+    "canonical host — page count, distinct canonical URLs, dup_rate = "
+    "1 - urls/pages (URL-variant spam), mean page quality, and the "
+    "flagged verdict above 50% dup rate. A page's strongest quality "
+    "prior is its domain: link farms and mirror hosts drop wholesale "
+    "BEFORE per-page scoring, making this the cheapest big lever in "
+    "crawl curation. The synthetic crawl gives every third site the "
+    "four-spelling variant generator (those hosts flag at 0.75) and "
+    "the rest one clean URL per page (0.0, unflagged), so both "
+    "verdicts are exercised. Plan: groupBy(host, url_norm) distinct + "
+    "host rollup — both partial+final combines, no windows; the scan "
+    "prunes to URL + quality columns.",
+    tags=("dataprep", "web", "quality", "report"),
+)
+def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    gs, hs = g.cast("string"), (g % 25).cast("string")
+    dup_url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://WWW.SITE"), hs, F.lit(".COM/p/"), gs))
+        .when(v == 2, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs,
+            F.lit("?utm_source=x&fbclid=z")))
+        .otherwise(F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com:80/p/"), gs))
+    )
+    uniq_url = F.concat(
+        F.lit("http://www.site"), hs, F.lit(".com/p/d"),
+        F.col("doc_id").cast("string"),
+    )
+    url = F.when((g % 25) % 3 == 0, dup_url).otherwise(uniq_url)
+    feats = X.quality_features(base).select("doc_id", "quality_score")
+    pages = base.select("doc_id", url.alias("url")).join(feats, "doc_id")
+    return WB.host_stats(
+        pages, quality_col="quality_score", max_dup_rate=0.5
+    )

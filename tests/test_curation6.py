@@ -236,3 +236,45 @@ def test_pr_curve_binned_empty_and_no_positives(spark):
     rows = {r.threshold: r for r in pr_curve_binned(negs, n_bins=4).collect()}
     assert rows[0.75].fp == 1 and rows[0.75].tp == 0
     assert rows[0.75].rec is None  # no positives exist at all
+
+
+def test_host_stats_rollup_and_flag(spark):
+    from hbase_packet_inspector_spark.operators.web import host_stats
+
+    df = spark.createDataFrame(
+        [
+            # spam.com: 4 pages, all one canonical URL -> dup_rate 0.75
+            (0, "http://SPAM.com/a?utm_x=1", 1),
+            (1, "http://spam.com:80/a", 1),
+            (2, "http://spam.com/a#frag", 0),
+            (3, "http://spam.com/a", 0),
+            # clean.org: 2 pages, 2 URLs -> dup_rate 0.0
+            (4, "https://clean.org/x", 2),
+            (5, "https://clean.org:443/y", 2),
+        ],
+        "doc_id long, url string, quality_score int",
+    )
+    out = {r.host: r for r in
+           host_stats(df, quality_col="quality_score").collect()}
+    spam, clean = out["spam.com"], out["clean.org"]
+    assert spam.n_pages == 4 and spam.n_urls == 1
+    assert spam.dup_rate == 0.75 and spam.flagged
+    assert spam.avg_quality == 0.5
+    assert clean.n_pages == 2 and clean.n_urls == 2
+    assert clean.dup_rate == 0.0 and not clean.flagged
+    assert clean.avg_quality == 2.0
+    # host key agrees with normalize_url's host (default-port strip)
+    assert "clean.org:443" not in out
+
+
+def test_host_stats_without_quality_column(spark):
+    from hbase_packet_inspector_spark.operators.web import host_stats
+
+    df = spark.createDataFrame(
+        [(0, "http://a.com/x"), (1, "nonsense no scheme")],
+        "doc_id long, url string",
+    )
+    out = {r.host: r for r in host_stats(df).collect()}
+    assert out["a.com"].n_pages == 1
+    assert "" in out  # schemeless garbage groups under the empty host
+    assert "avg_quality" not in out["a.com"].asDict()
