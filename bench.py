@@ -194,6 +194,7 @@ HEADLINE = [
     "hard_negatives",
     "image_ahash_pairs",
     "host_reputation",
+    "contrastive_triplets",
 ]
 
 

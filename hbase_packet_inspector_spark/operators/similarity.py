@@ -120,6 +120,60 @@ def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 5, *,
     )
 
 
+def mine_triplets(emb: DataFrame, anchors: DataFrame, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """Triplet mining for metric learning: per anchor, the hardest
+    positive (most-similar SAME-label vector, self excluded) and the
+    hardest negative (most-similar cross-label vector), plus the margin
+    pos_cos - neg_cos — the quantity triplet losses train on and
+    semi-hard mining filters by (margin near zero = the informative
+    triplets; large positive = easy, negative = label noise suspects).
+
+    One broadcast-anchors corpus pass scores every candidate ONCE; the
+    same scored frame feeds both selections (a (q_id, is_pos) window
+    keeps rank 1 of each polarity), then a conditional-aggregate pivot
+    folds the two rows per anchor into one triplet row. An anchor whose
+    label has no second member keeps its row with null pos columns —
+    nothing silently drops. Output: (q_id, q_label, pos_id, pos_cos,
+    neg_id, neg_cos, margin)."""
+    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
+        "_n", F.sqrt(sq_norm(F.col("_v")))
+    )
+    qs = anchors.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
+        "_qn", F.sqrt(sq_norm(F.col("_qv")))
+    )
+    pairs = base.join(F.broadcast(qs), F.col(id_col) != F.col("q_id"))
+    cos = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    scored = pairs.select(
+        "q_id",
+        "q_label",
+        F.col(id_col).alias("cand_id"),
+        (F.col(label_col) == F.col("q_label")).alias("is_pos"),
+        F.round(cos, 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    pos_if = lambda c: F.when(F.col("is_pos"), F.col(c))  # noqa: E731
+    neg_if = lambda c: F.when(~F.col("is_pos"), F.col(c))  # noqa: E731
+    return (
+        top.groupBy("q_id", "q_label")
+        .agg(
+            F.max(pos_if("cand_id")).alias("pos_id"),
+            F.max(pos_if("cos")).alias("pos_cos"),
+            F.max(neg_if("cand_id")).alias("neg_id"),
+            F.max(neg_if("cos")).alias("neg_cos"),
+        )
+        .withColumn(
+            "margin", F.round(F.col("pos_cos") - F.col("neg_cos"), 6)
+        )
+    )
+
+
 def decontaminate_embeddings(train: DataFrame, eval_set: DataFrame, *,
                              min_cos: float = 0.9,
                              id_col: str = "vec_id",

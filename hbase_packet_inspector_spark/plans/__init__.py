@@ -31,6 +31,7 @@ _UNVERIFIED_FIRST = (
     "hard_negatives",  # latest green r0
     "image_ahash_pairs",  # latest green r0
     "host_reputation",  # latest green r0
+    "contrastive_triplets",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2

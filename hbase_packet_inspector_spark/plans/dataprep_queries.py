@@ -5349,3 +5349,55 @@ def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.host_stats(
         pages, quality_col="quality_score", max_dup_rate=0.5
     )
+
+
+@register(
+    "contrastive_triplets",
+    f"""
+    WITH {_COS_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS cand_id,
+                 sum(q.v * b.v) AS dp
+          FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, lq.label AS q_label, cand_id,
+                 (lb.label = lq.label) AS is_pos,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = cand_id
+                JOIN lab lq ON lq.vec_id = q_id
+                JOIN lab lb ON lb.vec_id = cand_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id, is_pos
+                                       ORDER BY cos DESC, cand_id) AS rn
+          FROM s),
+    t AS (SELECT q_id, q_label,
+                 max(CASE WHEN is_pos THEN cand_id END) AS pos_id,
+                 max(CASE WHEN is_pos THEN cos END) AS pos_cos,
+                 max(CASE WHEN NOT is_pos THEN cand_id END) AS neg_id,
+                 max(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
+          FROM r WHERE rn = 1 GROUP BY 1, 2)
+    SELECT q_id, q_label, pos_id, pos_cos, neg_id, neg_cos,
+           round(pos_cos - neg_cos, 6) AS margin
+    FROM t
+    """,
+    doc="Triplet mining for metric learning (operators/similarity.py::"
+    "mine_triplets): per anchor (vec_id % 25 = 0) the hardest positive "
+    "(most-similar same-label, self excluded) and hardest negative "
+    "(most-similar cross-label), with margin = pos_cos - neg_cos — the "
+    "quantity triplet losses train on; semi-hard mining filters this "
+    "table by margin. One broadcast-anchors corpus pass scores every "
+    "candidate once; a (q_id, is_pos) window keeps rank 1 per polarity "
+    "and a conditional-aggregate pivot folds the pair of rows into one "
+    "triplet. Anchors with no same-label peer keep null pos columns — "
+    "no silent drop.",
+    tags=("dataprep", "similarity", "contrastive"),
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return S.mine_triplets(emb, qs)

@@ -444,3 +444,31 @@ def test_srp_topk_identical_vector_found(spark):
     out = S.srp_topk(emb, qs, k=2, bits=16, n_bands=4).collect()
     top = min(out, key=lambda r: (r.rnk, r.neighbor_id))
     assert top.cos == 1.0 and top.neighbor_id == 3  # same direction as 0
+
+
+def test_mine_triplets_hardest_and_nulls(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.05], 0),   # hardest positive for 0
+        (2, [0.7, 0.3], 0),    # easier positive (not collinear)
+        (3, [1.0, 0.2], 1),    # hardest negative for 0
+        (4, [0.0, 1.0], 1),
+        (5, [0.0, -1.0], 2),   # label 2 singleton: no positive exists
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = emb.where(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    out = {r.q_id: r for r in S.mine_triplets(emb, qs).collect()}
+    t0 = out[0]
+    assert t0.pos_id == 1 and t0.neg_id == 3
+    assert t0.margin == round(t0.pos_cos - t0.neg_cos, 6)
+    assert t0.margin > 0
+    # singleton-label anchor: row kept, pos side null, negative present
+    t5 = out[5]
+    assert t5.pos_id is None and t5.pos_cos is None
+    assert t5.neg_id is not None and t5.margin is None
