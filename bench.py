@@ -195,6 +195,7 @@ HEADLINE = [
     "image_ahash_pairs",
     "host_reputation",
     "contrastive_triplets",
+    "video_frame_dedup",
 ]
 
 

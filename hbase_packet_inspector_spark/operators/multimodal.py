@@ -759,3 +759,95 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             ).alias("meta"),
         )
     )
+
+
+def synthesize_video_variants(spark: SparkSession, n: int = 24) -> DataFrame:
+    """synthesize_raw_video plus one planted near-duplicate per base:
+    media_id i + n is base i with the FIRST frame's first byte forced to
+    0xff — the re-encoded copy whose other frames are byte-identical,
+    which frame-fingerprint dedup catches and whole-file hashing misses.
+    Deterministic md5-hex byte streams, SQL-reproducible."""
+    bid = F.when(F.col("id") >= n, F.col("id") - n).otherwise(F.col("id"))
+    w = (bid % 4 + 2).cast("int")
+    h = (bid % 2 + 2).cast("int")
+    nf = (bid % 5 + 2).cast("int")
+    tot = nf * w * h * F.lit(6)
+    pix_hex = F.substring(F.repeat(F.md5(bid.cast("string")), 17), 1, tot)
+    pix_hex = F.when(
+        F.col("id") >= n,
+        F.concat(F.lit("ff"), F.substring(pix_hex, 3, tot - 2)),
+    ).otherwise(pix_hex)
+    return spark.range(2 * n).select(
+        F.col("id").alias("media_id"),
+        w.alias("width"),
+        h.alias("height"),
+        nf.alias("n_frames"),
+        F.to_binary(pix_hex, F.lit("hex")).alias("payload"),
+    )
+
+
+def frame_fingerprints(video: DataFrame) -> DataFrame:
+    """One fingerprint per frame of a raw-RGB video column — entirely
+    declarative (sequence + explode + binary substring), no Python
+    worker: the frame slice is the fingerprint (lower-hex). At
+    production frame sizes wrap the slice in md5() to shrink the join
+    key to 32 chars; equality semantics are unchanged. Output:
+    (media_id, n_frames, frame_idx, fhash)."""
+    flen = F.col("width") * F.col("height") * 3
+    return (
+        video.select(
+            "media_id", "n_frames", "width", "height",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+            "payload",
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_idx",
+            F.lower(F.hex(
+                F.expr("substring(payload, frame_idx * width * height * 3 "
+                       "+ 1, width * height * 3)")
+            )).alias("fhash"),
+        )
+    )
+
+
+def video_dup_pairs(video: DataFrame, *, min_share: float = 0.5) -> DataFrame:
+    """Frame-fingerprint video dedup — the shot-level near-dup detector:
+    two videos are near-duplicates when the DISTINCT frame fingerprints
+    they share cover at least ``min_share`` of the shorter video
+    (re-encoded, trimmed, or re-containered copies keep most frames
+    byte-identical after decode; whole-file hashing sees none of it).
+
+    Scale shape: the frame explode is narrow (indices + slices); ONE
+    equi-join on fhash finds candidate pairs — videos sharing no frame
+    never meet, so cost is collision-proportional, not corpus²; the
+    per-pair rollup is a partial+final combine carrying (d1, d2, hash)
+    rows only. Output: (d1, d2, n_shared, share >= min_share filtered)."""
+    fr = frame_fingerprints(video)
+    a = fr.select(
+        F.col("media_id").alias("d1"), F.col("n_frames").alias("_nf1"),
+        "fhash",
+    )
+    b = fr.select(
+        F.col("media_id").alias("d2"), F.col("n_frames").alias("_nf2"),
+        "fhash",
+    )
+    return (
+        a.join(b, "fhash")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.countDistinct("fhash").alias("n_shared"),
+            F.max("_nf1").alias("_n1"),
+            F.max("_nf2").alias("_n2"),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("n_shared") / F.least("_n1", "_n2"), 6),
+        )
+        .where(F.col("share") >= min_share)
+        .select("d1", "d2", "n_shared", "share")
+    )

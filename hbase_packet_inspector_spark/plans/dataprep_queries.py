@@ -5401,3 +5401,58 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
     )
     return S.mine_triplets(emb, qs)
+
+
+@register(
+    "video_frame_dedup",
+    """
+    WITH ids AS (SELECT id AS media_id,
+                        CASE WHEN id >= 24 THEN id - 24 ELSE id END AS bid
+                 FROM range(48) t(id)),
+    vm AS (SELECT media_id,
+                  CAST(bid % 4 + 2 AS INTEGER) AS w,
+                  CAST(bid % 2 + 2 AS INTEGER) AS h,
+                  CAST(bid % 5 + 2 AS INTEGER) AS nf,
+                  substr(repeat(md5(CAST(bid AS VARCHAR)), 17), 1,
+                         (bid % 4 + 2) * (bid % 2 + 2) * (bid % 5 + 2) * 6)
+                    AS hx0
+           FROM ids),
+    v2 AS (SELECT media_id, w, h, nf,
+                  CASE WHEN media_id >= 24
+                       THEN 'ff' || substr(hx0, 3) ELSE hx0 END AS hx
+           FROM vm),
+    fr AS (SELECT media_id, nf,
+                  substr(hx, CAST(f.f AS INTEGER) * w * h * 6 + 1,
+                         w * h * 6) AS fhash
+           FROM v2, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+    p AS (SELECT a.media_id AS d1, b.media_id AS d2,
+                 count(DISTINCT a.fhash) AS n_shared,
+                 max(a.nf) AS n1, max(b.nf) AS n2
+          FROM fr a JOIN fr b ON a.fhash = b.fhash
+                              AND a.media_id < b.media_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(n1, n2), 6) AS share
+    FROM p
+    WHERE round(CAST(n_shared AS DOUBLE) / least(n1, n2), 6) >= 0.5
+    """,
+    doc="Frame-fingerprint video dedup (operators/multimodal.py::"
+    "video_dup_pairs over frame_fingerprints): two videos are near-"
+    "duplicates when the distinct frame fingerprints they share cover "
+    ">= 50% of the shorter one — the shot-level detector that catches "
+    "re-encoded/trimmed/re-containered copies whose decoded frames stay "
+    "byte-identical while whole-file hashes differ. Fully declarative: "
+    "sequence+explode frame indices, binary-substring slice per frame "
+    "(the slice IS the fingerprint here; production wraps it in md5 to "
+    "shrink the join key), ONE equi-join on fhash (videos sharing no "
+    "frame never meet — collision-proportional, not corpus²), partial+"
+    "final pair rollup. The corpus plants one copy per base video with "
+    "only its first frame perturbed (synthesize_video_variants), so "
+    "every planted pair shares all-but-one frame.",
+    tags=("dataprep", "multimodal", "video", "dedup"),
+)
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.video_dup_pairs(M.synthesize_video_variants(spark, 24))
