@@ -196,6 +196,7 @@ HEADLINE = [
     "host_reputation",
     "contrastive_triplets",
     "video_frame_dedup",
+    "wav_silence_trim",
 ]
 
 

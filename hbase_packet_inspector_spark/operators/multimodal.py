@@ -851,3 +851,108 @@ def video_dup_pairs(video: DataFrame, *, min_share: float = 0.5) -> DataFrame:
         .where(F.col("share") >= min_share)
         .select("d1", "d2", "n_shared", "share")
     )
+
+
+def synthesize_wav_padded(spark: SparkSession, n: int = 48) -> DataFrame:
+    """synthesize_wav with planted leading/trailing silence: id % 4 + 1
+    zero samples before and id % 3 + 2 after the md5-derived signal —
+    the head/tail dead air a silence-trim stage exists to remove.
+    Deterministic and hex-reproducible for the SQL oracle."""
+    ns = (F.col("id") % 50 + 10).cast("int")
+    ph = (F.col("id") % 4 + 1).cast("int")
+    pt = (F.col("id") % 3 + 2).cast("int")
+    total = ns + ph + pt
+    dlen = (total * 2).cast("int")
+    sample_hex = F.concat(
+        F.repeat(F.lit("0000"), ph),
+        F.substring(
+            F.repeat(F.md5(F.col("id").cast("string")), 8), 1, ns * 4
+        ),
+        F.repeat(F.lit("0000"), pt),
+    )
+    payload = F.concat(
+        F.lit("RIFF").cast("binary"),
+        F.to_binary(_le_hex(dlen + 36, 4), F.lit("hex")),
+        F.lit("WAVEfmt ").cast("binary"),
+        F.to_binary(
+            F.lit(
+                _WAV_FMT_SIZE_HEX + _WAV_PCM_HEX + _WAV_MONO_HEX
+                + _WAV_SR_HEX + _WAV_BYTERATE_HEX + _WAV_ALIGN_HEX
+                + _WAV_BITS_HEX
+            ),
+            F.lit("hex"),
+        ),
+        F.lit("data").cast("binary"),
+        F.to_binary(_le_hex(dlen, 4), F.lit("hex")),
+        F.to_binary(sample_hex, F.lit("hex")),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), payload.alias("payload")
+    )
+
+
+WAV_TRIM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("trim_head", T.IntegerType()),
+        T.StructField("trim_tail", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def trim_silence_bytes(data: bytes, threshold: int = 256):
+    """Trim leading/trailing silence from a PCM16 WAV: keep the span
+    [first, last] of samples with |amp| >= threshold (everything between
+    survives — interior quiet passages are content, not dead air).
+    Returns (n_samples, n_kept, trim_head, trim_tail, mean_amp,
+    re-encoded payload); an all-silent clip keeps nothing
+    (trim_head = n, mean_amp None, empty-data container)."""
+    import numpy as np
+
+    sr, samples = decode_wav_bytes(data)
+    loud = np.nonzero(np.abs(samples.astype(np.int32)) >= threshold)[0]
+    n = len(samples)
+    if len(loud) == 0:
+        kept = samples[:0]
+        head, tail = n, 0
+    else:
+        lo, hi = int(loud[0]), int(loud[-1])
+        kept = samples[lo:hi + 1]
+        head, tail = lo, n - 1 - hi
+    mean_amp = (
+        round(float(kept.astype(np.int64).sum()) / len(kept), 6)
+        if len(kept) else None
+    )
+    return n, len(kept), head, tail, mean_amp, encode_wav_bytes(kept, sr)
+
+
+def trim_silence(media: DataFrame, threshold: int = 256) -> DataFrame:
+    """Silence trimming as an Arrow-batched mapInPandas stage — same
+    narrow shape as decode_wav: payloads stay on executors, per-row
+    error isolation, the trimmed container re-emitted for downstream
+    audio stages."""
+    cols = [f.name for f in WAV_TRIM_SCHEMA]
+
+    def _trim(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples():
+                n, k, head, tail, mean_amp, payload = trim_silence_bytes(
+                    bytes(r.payload), threshold
+                )
+                rows.append({
+                    "media_id": r.media_id,
+                    "n_samples": n,
+                    "n_kept": k,
+                    "trim_head": head,
+                    "trim_tail": tail,
+                    "mean_amp": mean_amp,
+                    "payload": payload,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_trim, WAV_TRIM_SCHEMA)

@@ -5456,3 +5456,67 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return M.video_dup_pairs(M.synthesize_video_variants(spark, 24))
+
+
+@register(
+    "wav_silence_trim",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      CAST(id % 50 + 10 AS INTEGER) AS ns,
+                      CAST(id % 4 + 1 AS INTEGER) AS ph,
+                      CAST(id % 3 + 2 AS INTEGER) AS pt,
+                      repeat('0000', id % 4 + 1)
+                      || substr(repeat(md5(CAST(id AS VARCHAR)), 8), 1,
+                                (id % 50 + 10) * 4)
+                      || repeat('0000', id % 3 + 2) AS hx
+               FROM range(48) t(id)),
+    b AS (SELECT media_id, ns + ph + pt AS n, CAST(i.i AS INTEGER) AS i, hx
+          FROM m, LATERAL (SELECT unnest(range(0, ns + ph + pt)) AS i) i),
+    v AS (SELECT media_id, n, i,
+                 instr('123456789abcdef', substr(hx, 4 * i + 1, 1)) * 16
+                 + instr('123456789abcdef', substr(hx, 4 * i + 2, 1))
+                 + 256 * (instr('123456789abcdef', substr(hx, 4 * i + 3, 1))
+                          * 16
+                          + instr('123456789abcdef', substr(hx, 4 * i + 4, 1)))
+                   AS u16
+          FROM b),
+    s AS (SELECT media_id, n, i,
+                 u16 - CASE WHEN u16 >= 32768 THEN 65536 ELSE 0 END AS amp
+          FROM v),
+    k AS (SELECT media_id, max(n) AS n,
+                 min(CASE WHEN abs(amp) >= 256 THEN i END) AS lo,
+                 max(CASE WHEN abs(amp) >= 256 THEN i END) AS hi
+          FROM s GROUP BY 1),
+    agg AS (SELECT s.media_id, k.n, k.lo, k.hi,
+                   sum(CASE WHEN s.i BETWEEN k.lo AND k.hi
+                       THEN amp END) AS ksum
+            FROM s JOIN k USING (media_id)
+            GROUP BY 1, 2, 3, 4)
+    SELECT media_id, CAST(n AS INTEGER) AS n_samples,
+           CAST(coalesce(hi - lo + 1, 0) AS INTEGER) AS n_kept,
+           CAST(coalesce(lo, n) AS INTEGER) AS trim_head,
+           CAST(CASE WHEN hi IS NULL THEN 0 ELSE n - 1 - hi END
+                AS INTEGER) AS trim_tail,
+           CASE WHEN hi IS NOT NULL
+                THEN round(CAST(ksum AS DOUBLE) / (hi - lo + 1), 6)
+           END AS mean_amp
+    FROM agg
+    """,
+    doc="Audio silence trimming (operators/multimodal.py::trim_silence): "
+    "decode the PCM16 container, keep the [first, last] span of samples "
+    "with |amp| >= 256 (interior quiet is content, not dead air), "
+    "re-encode, and report kept/trimmed counts + kept-span mean "
+    "amplitude. The corpus plants id-varying runs of zero samples at "
+    "both ends (synthesize_wav_padded), so the oracle can follow every "
+    "int16-LE sample into the hex stream and pin the trim boundaries "
+    "exactly. Same Arrow-batched mapInPandas shape as decode_wav — "
+    "narrow, payloads never leave executors; the trimmed payload "
+    "re-emits for downstream stages but is excluded here so the "
+    "compare stays value-typed.",
+    tags=("dataprep", "multimodal", "audio", "decode"),
+)
+def wav_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.trim_silence(M.synthesize_wav_padded(spark, 48)).drop("payload")

@@ -315,3 +315,42 @@ def test_video_frame_dedup_planted_pairs(spark):
         assert r.n_shared >= len(tail)
     # share is computed over DISTINCT fingerprints and never exceeds 1
     assert all(r.share <= 1.0 for r in pairs.values())
+
+
+def test_trim_silence_boundaries_and_roundtrip(spark):
+    import numpy as np
+
+    media = M.synthesize_wav_padded(spark, 16)
+    out = {r.media_id: r for r in M.trim_silence(media).collect()}
+    for r in media.collect():
+        sr, s = M.decode_wav_bytes(bytes(r.payload))
+        got = out[r.media_id]
+        ph, pt = r.media_id % 4 + 1, r.media_id % 3 + 2
+        # planted zero pads: trim removes AT LEAST them (md5 boundary
+        # samples may also fall under the threshold)
+        assert got.trim_head >= ph and got.trim_tail >= pt
+        assert got.n_samples == len(s)
+        assert got.n_kept == len(s) - got.trim_head - got.trim_tail
+        # the re-encoded payload decodes to exactly the kept span
+        sr2, s2 = M.decode_wav_bytes(bytes(got.payload))
+        assert sr2 == sr
+        kept = s[got.trim_head:len(s) - got.trim_tail]
+        assert np.array_equal(s2, kept)
+        if got.n_kept:
+            assert abs(s[got.trim_head]) >= 256
+            assert abs(kept[-1]) >= 256
+            assert got.mean_amp == round(
+                float(kept.astype(np.int64).sum()) / len(kept), 6)
+
+
+def test_trim_silence_all_silent_clip(spark):
+    import numpy as np
+
+    payload = M.encode_wav_bytes(np.zeros(7, dtype="<i2"), 8000)
+    df = spark.createDataFrame([(0, bytearray(payload))],
+                               "media_id long, payload binary")
+    r = M.trim_silence(df).collect()[0]
+    assert r.n_kept == 0 and r.trim_head == 7 and r.trim_tail == 0
+    assert r.mean_amp is None
+    sr, s = M.decode_wav_bytes(bytes(r.payload))
+    assert sr == 8000 and len(s) == 0
