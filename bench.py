@@ -197,6 +197,7 @@ HEADLINE = [
     "contrastive_triplets",
     "video_frame_dedup",
     "wav_silence_trim",
+    "image_dedup_keep_best",
 ]
 
 

@@ -5188,10 +5188,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(emb, qs, k=5)
 
 
-@register(
-    "image_ahash_pairs",
-    """
-    WITH ids AS (SELECT id AS media_id,
+_AHASH_CTES = """ids AS (SELECT id AS media_id,
                         CASE WHEN id >= 48 THEN id - 48 ELSE id END AS bid
                  FROM range(96) t(id)),
     m AS (SELECT media_id,
@@ -5232,12 +5229,20 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM hsh, LATERAL (SELECT unnest(range(0, 4)) AS b) bb),
     cand AS (SELECT DISTINCT a.media_id AS d1, b2.media_id AS d2
              FROM bd a JOIN bd b2 ON a.band = b2.band AND a.key = b2.key
-             WHERE a.media_id < b2.media_id)
-    SELECT d1, d2,
+             WHERE a.media_id < b2.media_id)"""
+
+_AHASH_PAIRS_SELECT = """SELECT d1, d2,
            CAST(bit_count(xor(h1.ahash, h2.ahash)) AS INTEGER) AS hamming
     FROM cand JOIN hsh h1 ON h1.media_id = d1
               JOIN hsh h2 ON h2.media_id = d2
-    WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
+    WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3"""
+
+
+@register(
+    "image_ahash_pairs",
+    f"""
+    WITH {_AHASH_CTES}
+    {_AHASH_PAIRS_SELECT}
     """,
     doc="Perceptual near-duplicate image detection (operators/"
     "multimodal.py::ahash_pairs) — the multimodal sibling of "
@@ -5520,3 +5525,55 @@ def wav_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return M.trim_silence(M.synthesize_wav_padded(spark, 48)).drop("payload")
+
+
+@register(
+    "image_dedup_keep_best",
+    f"""
+    WITH {_AHASH_CTES},
+    pairs AS MATERIALIZED ({_AHASH_PAIRS_SELECT}),
+    edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+    {_propagation_steps(4)},
+    cl AS (SELECT doc_id, label AS cluster FROM l4),
+    px AS (SELECT media_id AS doc_id, CAST(w * h AS INTEGER) AS n_pixels
+           FROM mm),
+    base AS (SELECT p.doc_id, coalesce(c.cluster, p.doc_id) AS cluster,
+                    p.n_pixels
+             FROM px p LEFT JOIN cl c USING (doc_id))
+    SELECT doc_id, cluster, n_pixels,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_pixels DESC, doc_id ASC) = 1 AS keep
+    FROM base
+    """,
+    doc="The multimodal dedup last mile, composed end-to-end: perceptual "
+    "aHash pairs (real P6 decode -> 4x4 average hash -> Hamming-banded "
+    "candidates, image_ahash_pairs' exact plan) -> 4-round min-label "
+    "clustering (dedup_clusters) -> keep_best's aggregate argmax with "
+    "quality = DECODED pixel count (largest resolution survives, "
+    "tie-break lowest id — so each planted same-size variant drops in "
+    "favor of its base). Hash-pins the composition of three operator "
+    "families (multimodal decode, LSH banding, graph clustering), not "
+    "just each piece; every image not in any pair is its own singleton "
+    "cluster and always kept. Lineage localCheckpoint-cut at the "
+    "(tiny) graph boundaries, the dedup_keep_best discipline.",
+    tags=("dataprep", "multimodal", "image", "dedup", "clustering",
+          "curation", "pipeline"),
+)
+def image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    media = M.synthesize_ppm_variants(spark, 48)
+    pairs = M.ahash_pairs(media).select("d1", "d2").localCheckpoint(
+        eager=False
+    )
+    clusters = D.dedup_clusters(pairs, iterations=4).localCheckpoint(
+        eager=False
+    )
+    decoded = M.decode_ppm(media).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("width") * F.col("height")).cast("int").alias("n_pixels"),
+    )
+    return D.keep_best(decoded, clusters, quality_col="n_pixels")

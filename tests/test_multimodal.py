@@ -354,3 +354,37 @@ def test_trim_silence_all_silent_clip(spark):
     assert r.mean_amp is None
     sr, s = M.decode_wav_bytes(bytes(r.payload))
     assert sr == 8000 and len(s) == 0
+
+
+def test_image_dedup_keep_best_drops_variants(spark):
+    from hbase_packet_inspector_spark.operators import dedup as D
+
+    n = 16
+    media = M.synthesize_ppm_variants(spark, n)
+    pairs = M.ahash_pairs(media).select("d1", "d2")
+    clusters = D.dedup_clusters(pairs, iterations=4)
+    decoded = M.decode_ppm(media).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("width") * F.col("height")).cast("int").alias("n_pixels"),
+    )
+    out = {r.doc_id: r for r in
+           D.keep_best(decoded, clusters, quality_col="n_pixels").collect()}
+    assert len(out) == 2 * n  # every image verdicted, none silently lost
+    # exactly one keeper per cluster
+    keep_per_cluster = {}
+    for r in out.values():
+        keep_per_cluster.setdefault(r.cluster, 0)
+        keep_per_cluster[r.cluster] += bool(r.keep)
+    assert all(v == 1 for v in keep_per_cluster.values())
+    # the keeper is the argmax: max pixel count, tie-break lowest id
+    # (a variant never beats its base — same size, higher id — though a
+    # LARGER accidental cluster-mate may beat both)
+    members = {}
+    for r in out.values():
+        members.setdefault(r.cluster, []).append(r)
+    for rows in members.values():
+        best = min(rows, key=lambda r: (-r.n_pixels, r.doc_id))
+        assert best.keep and all(not r.keep for r in rows if r is not best)
+    for i in range(n):
+        if out[i + n].cluster == out[i].cluster:
+            assert not (out[i + n].keep and not out[i].keep)
