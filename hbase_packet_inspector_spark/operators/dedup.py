@@ -800,7 +800,8 @@ def simhash(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
 
 def simhash_pairs(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
                   bits: int = 16, n_bands: int = 4,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  return_persisted: bool = False):
     """SimHash near-dup pairs via Hamming banding (the web-crawl dedup
     shape of Manku et al. 2007): split each ``bits``-bit signature into
     ``n_bands`` bands; by pigeonhole any pair within ``max_hamming`` <
@@ -865,8 +866,8 @@ def simhash_pairs(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
-    out._hpi_persisted = sigs
-    return out
+    return _with_persist_handle((out, sigs),
+                                return_persisted=return_persisted)
 
 
 def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:

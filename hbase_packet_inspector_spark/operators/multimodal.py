@@ -393,7 +393,8 @@ def ahash_ppm(media: DataFrame, grid: int = 4) -> DataFrame:
 
 
 def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
-                max_hamming: int = 3) -> DataFrame:
+                max_hamming: int = 3,
+                return_persisted: bool = False):
     """Perceptual near-duplicate image pairs via Hamming-banded aHash —
     the multimodal sibling of dedup.simhash_pairs: the grid^2-bit hash
     splits into ``n_bands`` bands; by pigeonhole any pair within
@@ -403,8 +404,10 @@ def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
     all-pairs stage over the image corpus.
 
     Scale shape: the decode runs ONCE into a persisted (media_id, int)
-    frame (three consumers: band explode + both verify joins — released
-    via the ``_hpi_persisted`` handle, the probe-lsh convention); the
+    frame (three consumers: band explode + both verify joins — long-lived
+    callers pass ``return_persisted=True`` for ``(pairs, sigs)`` and
+    unpersist explicitly; the legacy ``_hpi_persisted`` attribute remains
+    one release); the
     band join shuffles (id, nibble) rows only; payload bytes never
     reach any shuffle. Output: (d1, d2, hamming)."""
     bits = grid * grid
@@ -437,8 +440,10 @@ def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
-    out._hpi_persisted = sigs
-    return out
+    from .dedup import _with_persist_handle
+
+    return _with_persist_handle((out, sigs),
+                                return_persisted=return_persisted)
 
 
 WAV_DECODE_SCHEMA = T.StructType(

@@ -264,11 +264,10 @@ def test_ahash_pairs_find_planted_variants(spark):
         b, v = base[i], base[i + n]
         assert b[:20] != v or b != v  # headers equal, raster perturbed
         assert len(b) == len(v)
-    out = M.ahash_pairs(media, max_hamming=3)
+    out, sigs = M.ahash_pairs(media, max_hamming=3,
+                              return_persisted=True)
     pairs = {(r.d1, r.d2): r.hamming for r in out.collect()}
-    handle = getattr(out, "_hpi_persisted", None)
-    if handle is not None:
-        handle.unpersist()
+    sigs.unpersist()
     hashes = {r.media_id: M.ahash_ppm_bytes(base[r.media_id], 4)
               for r in media.collect()}
     # recall 1 at the banding radius: every (i, i+n) plant within
