@@ -807,3 +807,37 @@ def test_stream_quality_gate_exactly_matches_batch(spark, tmp_path):
 
     assert len(batch) == 3
     assert key(out) == key(batch)
+
+
+def test_stream_multimodal_decode_matches_batch(spark, tmp_path):
+    """The multimodal Arrow stages (decode_ppm, ahash_ppm) are stateless
+    mapInPandas — they run unchanged under readStream and must emit
+    exactly the batch rows: the streaming-ingest form of the image
+    pipeline (decode/fingerprint on arrival, batch probe later)."""
+    from hbase_packet_inspector_spark.operators import multimodal as M
+
+    src = str(tmp_path / "media")
+    media = M.synthesize_ppm(spark, 24)
+    media.where("media_id < 12").coalesce(1).write.parquet(src)
+    media.where("media_id >= 12").coalesce(1).write.mode(
+        "append").parquet(src)
+    reader = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    def key(rows):
+        return sorted(tuple(str(x) for x in r) for r in rows)
+
+    for tag, stage in (("ahash", M.ahash_ppm), ("decode", M.decode_ppm)):
+        out: list = []
+        q = (
+            stage(reader)
+            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{src}/_ck_{tag}")
+            .start()
+        )
+        q.awaitTermination()
+        batch = stage(media).collect()
+        assert len(batch) == 24 and key(out) == key(batch)
