@@ -298,3 +298,62 @@ def test_wav_encode_decode_roundtrip_and_decimation(samples, factor):
     kept = s[::factor]
     sr2, back2 = decode_wav_bytes(encode_wav_bytes(kept, 8000 // factor))
     assert sr2 == 8000 // factor and (back2 == kept).all()
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=60),
+       st.integers(1, 2048))
+@settings(max_examples=200, deadline=None)
+def test_trim_silence_partition_and_roundtrip(samples, threshold):
+    """trim_head + n_kept + trim_tail == n; the kept span's endpoints are
+    loud, the trimmed margins quiet; the re-encoded payload decodes to
+    exactly the kept span."""
+    import numpy as np
+
+    from hbase_packet_inspector_spark.operators.multimodal import (
+        decode_wav_bytes, encode_wav_bytes, trim_silence_bytes,
+    )
+
+    s = np.array(samples, dtype="<i2")
+    n, k, head, tail, mean_amp, payload = trim_silence_bytes(
+        encode_wav_bytes(s, 8000), threshold)
+    assert n == len(s) and head + k + tail == n
+    sr, back = decode_wav_bytes(payload)
+    assert sr == 8000 and (back == s[head:n - tail]).all()
+    assert all(abs(int(x)) < threshold for x in s[:head])
+    assert all(abs(int(x)) < threshold for x in s[n - tail:])
+    if k:
+        assert abs(int(s[head])) >= threshold
+        assert abs(int(s[n - tail - 1])) >= threshold
+        assert mean_amp == round(
+            float(s[head:n - tail].astype(np.int64).sum()) / k, 6)
+    else:
+        assert mean_amp is None and head == n and tail == 0
+
+
+@given(_dims, st.binary(min_size=90, max_size=90),
+       st.integers(0, 40), st.sampled_from([4, 8]))
+@settings(max_examples=200, deadline=None)
+def test_ahash_invariant_under_uniform_brightness_shift(dims, raster,
+                                                        shift, grid):
+    """aHash thresholds each cell against the image's own mean, so a
+    uniform (unclipped) brightness shift or 2x gain never changes the
+    hash — the perceptual-hash property; and the hash fits grid*grid
+    bits as a signed 64-bit pattern."""
+    import numpy as np
+
+    from hbase_packet_inspector_spark.operators.multimodal import (
+        ahash_ppm_bytes,
+    )
+
+    w, h = dims
+    base = np.frombuffer(raster[: w * h * 3], dtype=np.uint8) % 100
+    pay = lambda a: (b"P6\n%d %d\n255\n" % (w, h)) + bytes(a)  # noqa: E731
+    h0 = ahash_ppm_bytes(pay(base.astype(np.uint8)), grid)
+    if grid * grid < 64:
+        assert 0 <= h0 < (1 << grid * grid)
+    else:
+        assert -(1 << 63) <= h0 < (1 << 63)
+    shifted = (base.astype(np.int32) + shift).astype(np.uint8)  # <= 139
+    assert ahash_ppm_bytes(pay(shifted), grid) == h0
+    doubled = (base.astype(np.int32) * 2).astype(np.uint8)  # <= 198
+    assert ahash_ppm_bytes(pay(doubled), grid) == h0
