@@ -392,6 +392,28 @@ def ahash_ppm(media: DataFrame, grid: int = 4) -> DataFrame:
     return media.mapInPandas(_hash, AHASH_SCHEMA)
 
 
+def ahash_band_keyed(hashes: DataFrame, *, grid: int = 4,
+                     n_bands: int = 4) -> DataFrame:
+    """One row per (image, band): bkey = '<band>:<nibble-value>' — the
+    string band key both the in-corpus pair detector and the persisted
+    index share, so a probe against a bkey-bucketed index table joins
+    on exactly the stored layout (the lsh_index bkey precedent)."""
+    bits = grid * grid
+    width = bits // n_bands
+    return hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(F.array(*[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftrightunsigned(F.col("ahash"), b * width)
+                .bitwiseAND((1 << width) - 1).cast("string"),
+            )
+            for b in range(n_bands)
+        ])).alias("bkey"),
+    )
+
+
 def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
                 max_hamming: int = 3,
                 return_persisted: bool = False):
@@ -410,23 +432,13 @@ def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
     one release); the
     band join shuffles (id, nibble) rows only; payload bytes never
     reach any shuffle. Output: (d1, d2, hamming)."""
-    bits = grid * grid
-    width = bits // n_bands
     sigs = ahash_ppm(media, grid).persist()
-    keyed = sigs.select(
-        "media_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("ahash"), b * width)
-                .bitwiseAND((1 << width) - 1).alias("key"),
-            )
-            for b in range(n_bands)
-        ])).alias("bk"),
-    ).select("media_id", "bk.band", "bk.key")
+    keyed = ahash_band_keyed(sigs, grid=grid, n_bands=n_bands).select(
+        "media_id", "bkey"
+    )
     cand = (
         keyed.alias("a")
-        .join(keyed.alias("b"), ["band", "key"])
+        .join(keyed.alias("b"), ["bkey"])
         .where(F.col("a.media_id") < F.col("b.media_id"))
         .select(F.col("a.media_id").alias("d1"),
                 F.col("b.media_id").alias("d2"))
@@ -444,6 +456,86 @@ def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
 
     return _with_persist_handle((out, sigs),
                                 return_persisted=return_persisted)
+
+
+def save_ahash_index(media: DataFrame, path: str, *,
+                     table: str = "ahash_index", grid: int = 4,
+                     n_bands: int = 4, buckets: int = 8) -> None:
+    """Persist the image corpus's aHash band index for build-once/
+    probe-many ingest — the multimodal twin of dedup.save_lsh_index,
+    but ONE table suffices: the 64-bit-max hash rides in every band row,
+    so a probe verifies by xor+popcount with no second corpus join
+    (text needs a separate shingle-set table for exact Jaccard).
+    Written BUCKETED on bkey so every probe's band join arrives
+    pre-partitioned — no corpus-side Exchange, ever."""
+    keyed = ahash_band_keyed(ahash_ppm(media, grid), grid=grid,
+                             n_bands=n_bands)
+    (
+        keyed.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "bkey")
+        .saveAsTable(table)
+    )
+
+
+def load_ahash_index(spark: SparkSession,
+                     table: str = "ahash_index") -> DataFrame:
+    """The band index back from the metastore, bucket layout intact."""
+    return spark.table(table)
+
+
+def probe_ahash_index(index: DataFrame, new_media: DataFrame, *,
+                      grid: int = 4, n_bands: int = 4,
+                      max_hamming: int = 3,
+                      return_persisted: bool = False):
+    """New images vs the standing corpus: decode + hash the BATCH only,
+    broadcast its band keys against the bucketed index (batch-sized
+    however big the corpus), verify collisions by xor+popcount on the
+    hashes already in the index rows. Output: (d_new, d_old, hamming).
+    Long-lived callers (a streaming gate) pass ``return_persisted=True``
+    and unpersist the batch-signature frame per micro-batch."""
+    from .dedup import _with_persist_handle
+
+    sigs_new = ahash_ppm(new_media, grid).persist()
+    keyed_new = ahash_band_keyed(sigs_new, grid=grid, n_bands=n_bands)
+    cand = (
+        index.join(
+            F.broadcast(keyed_new.select(
+                F.col("media_id").alias("d_new"),
+                F.col("ahash").alias("_hn"),
+                "bkey",
+            )),
+            "bkey",
+        )
+        .where(F.col("media_id") != F.col("d_new"))
+        .select(
+            "d_new", F.col("media_id").alias("d_old"), "_hn",
+            F.col("ahash").alias("_ho"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_hn").bitwiseXOR(F.col("_ho")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d_new", "d_old", "hamming")
+    )
+    return _with_persist_handle((out, sigs_new),
+                                return_persisted=return_persisted)
+
+
+def append_ahash_index(new_media: DataFrame, *,
+                       table: str = "ahash_index", grid: int = 4,
+                       n_bands: int = 4) -> None:
+    """Fold an accepted batch into the standing index: hash the batch
+    only and APPEND via insertInto, which routes rows through the
+    table's existing bucket spec — the layout (and every future probe's
+    no-Exchange plan) survives arbitrarily many appends. Compact with
+    the lsh-index discipline when file counts grow."""
+    keyed = ahash_band_keyed(ahash_ppm(new_media, grid), grid=grid,
+                             n_bands=n_bands)
+    keyed.write.mode("append").insertInto(table)
 
 
 WAV_DECODE_SCHEMA = T.StructType(

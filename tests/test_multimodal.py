@@ -387,3 +387,52 @@ def test_image_dedup_keep_best_drops_variants(spark):
     for i in range(n):
         if out[i + n].cluster == out[i].cluster:
             assert not (out[i + n].keep and not out[i].keep)
+
+
+def test_ahash_index_roundtrip_probe_and_append(spark, tmp_path):
+    """save_ahash_index -> probe: every (batch, corpus) pair within the
+    banding radius surfaces with its exact Hamming distance; the probe
+    plans with NO corpus-side Exchange (bucketed index layout is the
+    hash layout — only the broadcast batch moves); append folds new
+    images in and the next probe sees them."""
+    corpus = M.synthesize_ppm(spark, 12)
+    batch = M.synthesize_ppm_variants(spark, 12).where(
+        F.col("media_id") >= 12
+    )  # the planted variants of the corpus images, ids 12..23
+    M.save_ahash_index(corpus, str(tmp_path / "aidx"), table="t_ahash",
+                       buckets=4)
+    idx = M.load_ahash_index(spark, "t_ahash")
+    assert idx.count() == 12 * 4
+
+    got, sigs = M.probe_ahash_index(idx, batch, return_persisted=True)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows = {(r.d_new, r.d_old): r.hamming for r in got.collect()}
+    sigs.unpersist()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(bkey" not in plan, plan
+
+    # brute-force truth over the decoded hashes
+    ch = {r.media_id: M.ahash_ppm_bytes(bytes(r.payload))
+          for r in corpus.collect()}
+    bh = {r.media_id: M.ahash_ppm_bytes(bytes(r.payload))
+          for r in batch.collect()}
+    for bid, bhash in bh.items():
+        for cid, chash in ch.items():
+            ham = bin(bhash ^ chash).count("1")
+            if ham <= 3:
+                assert rows[(bid, cid)] == ham
+    assert all(v <= 3 for v in rows.values())
+    # every planted variant finds its base (hamming small by design
+    # for most; assert at least half surface to catch wiring bugs)
+    found = sum(1 for i in range(12) if (i + 12, i) in rows)
+    assert found >= 6
+
+    # append the batch; a re-probe of the SAME batch now also matches
+    # the newly indexed copies (self-match excluded by id guard)
+    M.append_ahash_index(batch, table="t_ahash")
+    got2, sigs2 = M.probe_ahash_index(idx, batch, return_persisted=True)
+    rows2 = {(r.d_new, r.d_old) for r in got2.collect()}
+    sigs2.unpersist()
+    assert set(rows) <= rows2
+    assert idx.count() == 24 * 4
+    spark.sql("DROP TABLE IF EXISTS t_ahash")

@@ -841,3 +841,45 @@ def test_stream_multimodal_decode_matches_batch(spark, tmp_path):
         q.awaitTermination()
         batch = stage(media).collect()
         assert len(batch) == 24 and key(out) == key(batch)
+
+
+def test_streaming_image_gate_foreachbatch(spark, tmp_path):
+    """The multimodal ingest gate: micro-batches of arriving images
+    probed against the persisted aHash index under foreachBatch —
+    flagged pairs across all batches equal the one-shot probe, however
+    arrivals are batched. Build the index once, gate the firehose."""
+    from hbase_packet_inspector_spark.operators import multimodal as M
+
+    corpus = M.synthesize_ppm(spark, 8)
+    M.save_ahash_index(corpus, str(tmp_path / "gidx"), table="t_ahash_s",
+                       buckets=4)
+    idx = M.load_ahash_index(spark, "t_ahash_s")
+
+    arrivals = M.synthesize_ppm_variants(spark, 8).where(
+        "media_id >= 8")  # variants of the corpus, ids 8..15
+    src = str(tmp_path / "imgs")
+    arrivals.repartition(3, "media_id").write.parquet(src)
+
+    flagged: list = []
+
+    def gate(b, _i):
+        pairs, sigs = M.probe_ahash_index(idx, b, return_persisted=True)
+        flagged.extend(pairs.collect())
+        sigs.unpersist()
+
+    q = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(gate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.d_new, r.d_old, r.hamming) for r in flagged}
+    one, sigs = M.probe_ahash_index(idx, arrivals, return_persisted=True)
+    want = {(r.d_new, r.d_old, r.hamming) for r in one.collect()}
+    sigs.unpersist()
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS t_ahash_s")
