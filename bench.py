@@ -198,6 +198,7 @@ HEADLINE = [
     "video_frame_dedup",
     "wav_silence_trim",
     "image_dedup_keep_best",
+    "media_ingest_gate",
 ]
 
 

@@ -458,6 +458,70 @@ def ahash_pairs(media: DataFrame, *, grid: int = 4, n_bands: int = 4,
                                 return_persisted=return_persisted)
 
 
+def incremental_ahash_pairs(new_media: DataFrame,
+                            corpus_media: DataFrame, *, grid: int = 4,
+                            n_bands: int = 4, max_hamming: int = 3,
+                            return_persisted: bool = False):
+    """Batch-vs-corpus perceptual pairs WITHOUT a persisted index — the
+    on-the-fly form probe_ahash_index replaces in an always-on ingest
+    loop (which reads the bucketed index instead of re-hashing the
+    corpus). Pairs only ACROSS the two sides, never within. Output:
+    (d_new, d_old, hamming)."""
+    from .dedup import _with_persist_handle
+
+    sigs_new = ahash_ppm(new_media, grid).persist()
+    keyed_old = ahash_band_keyed(ahash_ppm(corpus_media, grid),
+                                 grid=grid, n_bands=n_bands)
+    keyed_new = ahash_band_keyed(sigs_new, grid=grid, n_bands=n_bands)
+    cand = (
+        keyed_old.join(
+            F.broadcast(keyed_new.select(
+                F.col("media_id").alias("d_new"),
+                F.col("ahash").alias("_hn"),
+                "bkey",
+            )),
+            "bkey",
+        )
+        .select(
+            "d_new", F.col("media_id").alias("d_old"), "_hn",
+            F.col("ahash").alias("_ho"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_hn").bitwiseXOR(F.col("_ho")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d_new", "d_old", "hamming")
+    )
+    return _with_persist_handle((out, sigs_new),
+                                return_persisted=return_persisted)
+
+
+def media_gate_decisions(new_media: DataFrame,
+                         pairs: DataFrame) -> DataFrame:
+    """Per-arriving-image ingest verdict from a probe's pair frame: how
+    many standing near-dups it hit, the closest Hamming distance, and
+    keep = matched nothing. Every batch image gets a row — audit-table
+    contract, nothing silently drops. One batch-sized aggregate + left
+    join."""
+    agg = pairs.groupBy(F.col("d_new").alias("media_id")).agg(
+        F.count("*").alias("_nm"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return (
+        new_media.select("media_id")
+        .join(agg, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("_nm"), F.lit(0)).alias("n_matches"),
+            "min_hamming",
+            F.col("_nm").isNull().alias("keep"),
+        )
+    )
+
+
 def save_ahash_index(media: DataFrame, path: str, *,
                      table: str = "ahash_index", grid: int = 4,
                      n_bands: int = 4, buckets: int = 8) -> None:

@@ -5577,3 +5577,52 @@ def image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("width") * F.col("height")).cast("int").alias("n_pixels"),
     )
     return D.keep_best(decoded, clusters, quality_col="n_pixels")
+
+
+@register(
+    "media_ingest_gate",
+    f"""
+    WITH {_AHASH_CTES},
+    cand2 AS (SELECT DISTINCT b2.media_id AS d_new, a.media_id AS d_old
+              FROM bd b2 JOIN bd a ON b2.band = a.band AND b2.key = a.key
+              WHERE b2.media_id >= 48 AND a.media_id < 48),
+    pr AS (SELECT d_new, d_old,
+                  CAST(bit_count(xor(h1.ahash, h2.ahash)) AS INTEGER)
+                    AS hamming
+           FROM cand2 JOIN hsh h1 ON h1.media_id = d_new
+                      JOIN hsh h2 ON h2.media_id = d_old
+           WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3),
+    agg AS (SELECT d_new AS media_id, count(*) AS nm,
+                   min(hamming) AS min_hamming
+            FROM pr GROUP BY 1)
+    SELECT m.media_id,
+           CAST(coalesce(a.nm, 0) AS BIGINT) AS n_matches,
+           a.min_hamming,
+           a.nm IS NULL AS keep
+    FROM (SELECT media_id FROM mm WHERE media_id >= 48) m
+    LEFT JOIN agg a USING (media_id)
+    """,
+    doc="The multimodal ingest gate (operators/multimodal.py::"
+    "incremental_ahash_pairs + media_gate_decisions): arriving images "
+    "(the planted-variant half) probe the standing corpus (the base "
+    "half) by banded aHash — pairs only ACROSS the sides — and every "
+    "arrival gets a verdict row: near-dup match count, closest Hamming "
+    "distance, keep = matched nothing. The registered form hashes the "
+    "corpus on the fly; the always-on deployment reads the persisted "
+    "bkey-bucketed index instead (probe_ahash_index — plan pinned "
+    "no-corpus-Exchange in tests) and appends kept arrivals "
+    "(append_ahash_index), mirroring the text ingest_gate's "
+    "index-backed loop. Batch keys broadcast; the gate aggregate and "
+    "left join are batch-sized.",
+    tags=("dataprep", "multimodal", "image", "dedup", "streaming-twin",
+          "report"),
+)
+def media_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    media = M.synthesize_ppm_variants(spark, 48)
+    batch = media.where(F.col("media_id") >= 48)
+    corpus = media.where(F.col("media_id") < 48)
+    pairs = M.incremental_ahash_pairs(batch, corpus)
+    return M.media_gate_decisions(batch, pairs)

@@ -436,3 +436,30 @@ def test_ahash_index_roundtrip_probe_and_append(spark, tmp_path):
     assert set(rows) <= rows2
     assert idx.count() == 24 * 4
     spark.sql("DROP TABLE IF EXISTS t_ahash")
+
+
+def test_incremental_ahash_cross_side_only_and_gate(spark):
+    media = M.synthesize_ppm_variants(spark, 10)
+    batch = media.where(F.col("media_id") >= 10)
+    corpus = media.where(F.col("media_id") < 10)
+    pairs, sigs = M.incremental_ahash_pairs(batch, corpus,
+                                            return_persisted=True)
+    rows = pairs.collect()
+    sigs.unpersist()
+    # pairs cross sides only, oriented new -> old
+    assert all(r.d_new >= 10 and r.d_old < 10 for r in rows)
+    hashes = {r.media_id: M.ahash_ppm_bytes(bytes(r.payload))
+              for r in media.collect()}
+    for r in rows:
+        assert bin(hashes[r.d_new] ^ hashes[r.d_old]).count("1") == r.hamming
+    verdicts = {r.media_id: r for r in
+                M.media_gate_decisions(batch, pairs).collect()}
+    assert len(verdicts) == 10  # every arrival verdicted
+    matched = {r.d_new for r in rows}
+    for mid, v in verdicts.items():
+        if mid in matched:
+            assert not v.keep and v.n_matches >= 1
+            assert v.min_hamming == min(
+                r.hamming for r in rows if r.d_new == mid)
+        else:
+            assert v.keep and v.n_matches == 0 and v.min_hamming is None
