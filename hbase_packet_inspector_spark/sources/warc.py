@@ -448,3 +448,77 @@ def register(spark) -> None:
 
     _ship_package(spark)
     spark.dataSource.register(WarcDataSource)
+
+
+WARC_MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("format", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def warc_to_media(warc, kinds=("image", "audio", "video")):
+    """HTTP response records whose HTTP Content-Type is a media type ->
+    the media-table shape the multimodal operators consume: (media_id,
+    kind, format, target_uri, payload = HTTP BODY bytes). The envelope
+    split and HTTP header read are imperative byte work, so they run in
+    ONE Arrow-batched mapInPandas pass — the multimodal edge-adapter
+    discipline (payloads never leave executors; per-row tolerance: rows
+    without an HTTP envelope or a media content type drop here — the
+    text path is warc_to_documents). media_id = xxhash64 of the WARC
+    record id, computed JVM-side, so ids agree with warc_to_documents'
+    doc_id for the same record. Chains straight into decode_ppm /
+    ahash_ppm / trim_silence / extract_features."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = (
+        warc.where(
+            (F.col("warc_type") == "response")
+            & F.col("payload").isNotNull()
+        )
+        .select(
+            F.xxhash64("record_id").alias("media_id"),
+            "target_uri",
+            "payload",
+        )
+    )
+    cols = [f.name for f in WARC_MEDIA_SCHEMA]
+
+    def _split(batch_iter):
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples():
+                data = bytes(r.payload)
+                if not data.startswith(b"HTTP/"):
+                    continue
+                sep, seplen = data.find(b"\r\n\r\n"), 4
+                if sep < 0:
+                    sep, seplen = data.find(b"\n\n"), 2
+                if sep < 0:
+                    continue
+                head = data[:sep].decode("latin-1", "replace")
+                ctype = None
+                for line in head.splitlines()[1:]:
+                    k, _, v = line.partition(":")
+                    if k.strip().lower() == "content-type":
+                        ctype = v.strip().lower()
+                        break
+                if not ctype:
+                    continue
+                kind, _, fmt = ctype.partition("/")
+                if kind not in kinds:
+                    continue
+                rows.append({
+                    "media_id": r.media_id,
+                    "kind": kind,
+                    "format": fmt.split(";")[0].strip(),
+                    "target_uri": r.target_uri,
+                    "payload": data[sep + seplen:],
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return base.mapInPandas(_split, WARC_MEDIA_SCHEMA)

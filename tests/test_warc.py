@@ -315,3 +315,53 @@ def test_warc_to_documents_feeds_curation(spark, tmp_path):
     # chains straight into the quality gate (pure column exprs)
     q = quality_features(docs).collect()
     assert len(q) == 1 and q[0].n_words >= 1
+
+
+def test_warc_to_media_bridges_into_decode(spark, tmp_path):
+    """WARC media records (HTTP Content-Type image/audio) land in the
+    media-table shape with the HTTP envelope stripped, and the image
+    payload decodes through the real PPM decoder — the crawl-to-
+    multimodal pipeline end-to-end. Text/html responses and envelope-
+    less payloads stay out (they belong to warc_to_documents)."""
+    from hbase_packet_inspector_spark.operators.multimodal import (
+        decode_ppm, decode_ppm_bytes,
+    )
+    from hbase_packet_inspector_spark.sources.warc import warc_to_media
+
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    wav_body = b"RIFF\x00\x00\x00\x00WAVE"
+    recs = [
+        _record("response", "img1", "http://ex.com/a.ppm",
+                b"HTTP/1.1 200 OK\r\nContent-Type: image/x-portable-pixmap"
+                b"\r\n\r\n" + ppm),
+        _record("response", "aud1", "http://ex.com/b.wav",
+                b"HTTP/1.1 200 OK\r\nContent-Type: audio/wav\r\n\r\n"
+                + wav_body),
+        _record("response", "htm1", "http://ex.com/c.html",
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                b"<html>x</html>"),
+        _record("resource", "res1", "http://ex.com/d", b"raw bytes",
+                ctype="application/octet-stream"),
+    ]
+    p = tmp_path / "m.warc"
+    p.write_bytes(b"".join(recs))
+    warc = spark.read.format("warc").load(str(p))
+    out = {r.kind: r for r in warc_to_media(warc).collect()}
+    assert set(out) == {"image", "audio"}
+    img = out["image"]
+    assert img.format == "x-portable-pixmap"
+    assert bytes(img.payload) == ppm  # envelope stripped exactly
+    w, h, arr = decode_ppm_bytes(bytes(img.payload))
+    assert (w, h) == (2, 1)
+    assert bytes(out["audio"].payload) == wav_body
+    # ids agree with the documents bridge for the same record
+    from pyspark.sql import functions as F
+    want = warc.where(F.col("target_uri") == "http://ex.com/a.ppm").select(
+        F.xxhash64("record_id")).collect()[0][0]
+    assert img.media_id == want
+    # and the Spark-side decode stage consumes the bridged frame
+    decoded = decode_ppm(
+        warc_to_media(warc).where(F.col("kind") == "image")
+        .select("media_id", "payload")
+    ).collect()
+    assert len(decoded) == 1 and decoded[0].width == 2
