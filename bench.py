@@ -199,6 +199,7 @@ HEADLINE = [
     "wav_silence_trim",
     "image_dedup_keep_best",
     "media_ingest_gate",
+    "ann_ndcg",
 ]
 
 

@@ -5626,3 +5626,104 @@ def media_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = media.where(F.col("media_id") < 48)
     pairs = M.incremental_ahash_pairs(batch, corpus)
     return M.media_gate_decisions(batch, pairs)
+
+
+@register(
+    "ann_ndcg",
+    f"""
+    WITH {_COS_CTE},
+    xd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  sum(q.v * b.v) AS dp
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    xs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM xd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    x AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM xs) WHERE rnk <= 5),
+    bk AS (SELECT vec_id, CAST((i - 1) // 4 AS INTEGER) AS band,
+                  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS key
+           FROM e WHERE i <= 16 GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS neighbor_id
+             FROM bk q JOIN bk b ON q.band = b.band AND q.key = b.key
+             WHERE q.vec_id % 25 = 0 AND b.vec_id <> q.vec_id),
+    yd AS (SELECT c.q_id, c.neighbor_id, sum(eq.v * eb.v) AS dp
+           FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+                       JOIN e eb ON eb.vec_id = c.neighbor_id
+                                 AND eb.i = eq.i
+           GROUP BY 1, 2),
+    ys AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM yd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    y AS (SELECT q_id, neighbor_id, rnk FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM ys) WHERE rnk <= 5),
+    rel AS (SELECT y.q_id, y.rnk,
+                   CASE WHEN x.neighbor_id IS NOT NULL
+                        THEN 1.0 ELSE 0.0 END AS r
+            FROM y LEFT JOIN x ON x.q_id = y.q_id
+                              AND x.neighbor_id = y.neighbor_id),
+    d AS (SELECT q_id, sum(r / log2(CAST(rnk AS DOUBLE) + 1)) AS dcg
+          FROM rel GROUP BY 1),
+    i AS (SELECT sum(1.0 / log2(CAST(p.p AS DOUBLE) + 1)) AS idcg
+          FROM (SELECT unnest(range(1, 6)) AS p) p),
+    qq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT qq.q_id, round(coalesce(d.dcg, 0), 6) AS dcg,
+           round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg
+    FROM qq LEFT JOIN d USING (q_id) CROSS JOIN i
+    """,
+    doc="Ranking-quality audit for the ANN paths: per-query nDCG@5 of "
+    "the SRP-bucketed search against the exact brute-force ranking — "
+    "recall counts WHICH true neighbors survive pruning; nDCG also "
+    "grades WHERE the survivors land (binary relevance = membership in "
+    "the exact top-5, DCG positions from the system ranking under the "
+    "shared deterministic tie-break, IDCG computed in-engine over "
+    "positions 1..5). Together with ann_recall/pq_recall/srp_recall/"
+    "sq8_recall this completes the index-quality loop: one query "
+    "answers 'is the cheap index not just finding the right "
+    "neighbors, but ordering them right?'. Anchors that lose every "
+    "true neighbor to pruning keep a row at ndcg 0 — no silent drop.",
+    tags=("dataprep", "similarity", "ann", "calibration"),
+)
+def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = S.cosine_topk(emb, qs, k=5).select("q_id", "neighbor_id")
+    system = S.srp_topk(emb, qs, k=5, bits=16, n_bands=4).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    rel = system.join(
+        exact.withColumn("_rel", F.lit(1.0)), ["q_id", "neighbor_id"],
+        "left",
+    )
+    dcg = rel.groupBy("q_id").agg(
+        F.sum(
+            F.coalesce(F.col("_rel"), F.lit(0.0))
+            / F.log2(F.col("rnk").cast("double") + 1)
+        ).alias("_dcg")
+    )
+    idcg = spark.range(1, 6).agg(
+        F.sum(F.lit(1.0) / F.log2(F.col("id").cast("double") + 1))
+        .alias("_idcg")
+    )
+    return (
+        qs.select("q_id")
+        .join(dcg, "q_id", "left")
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg"),
+        )
+    )

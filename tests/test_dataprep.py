@@ -472,3 +472,47 @@ def test_mine_triplets_hardest_and_nulls(spark):
     t5 = out[5]
     assert t5.pos_id is None and t5.pos_cos is None
     assert t5.neg_id is not None and t5.margin is None
+
+
+def test_ann_ndcg_hand_rolled(spark):
+    import math
+
+    # SRP sign-bits read the first `bits` components -> dim >= bits
+    def v(a, b):
+        return [a, b, a - b, a + b, a * 0.5, b - 0.25, a - 0.75, b + 0.1]
+
+    rows = [
+        (0, v(1.0, 0.0), 0),     # anchor
+        (1, v(1.0, 0.02), 0),
+        (2, v(1.0, 0.3), 1),
+        (3, v(0.5, 0.5), 1),
+        (4, v(-1.0, 0.1), 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = S.cosine_topk(emb, qs, k=3).select("q_id", "neighbor_id")
+    system = S.srp_topk(emb, qs, k=3, bits=8, n_bands=2).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    ex = {r.neighbor_id for r in exact.collect()}
+    sy = [(r.neighbor_id, r.rnk) for r in system.collect()]
+    want_dcg = sum(
+        (1.0 if nid in ex else 0.0) / math.log2(rnk + 1) for nid, rnk in sy
+    )
+    idcg = sum(1.0 / math.log2(p + 1) for p in range(1, 4))
+    rel = system.join(
+        exact.withColumn("_rel", F.lit(1.0)), ["q_id", "neighbor_id"],
+        "left",
+    )
+    got = rel.groupBy("q_id").agg(
+        F.round(F.sum(
+            F.coalesce(F.col("_rel"), F.lit(0.0))
+            / F.log2(F.col("rnk").cast("double") + 1)
+        ), 6).alias("dcg")
+    ).collect()[0]
+    assert got.dcg == round(want_dcg, 6)
+    assert 0 <= got.dcg / idcg <= 1
