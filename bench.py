@@ -200,6 +200,7 @@ HEADLINE = [
     "image_dedup_keep_best",
     "media_ingest_gate",
     "ann_ndcg",
+    "host_drift",
 ]
 
 

@@ -141,3 +141,53 @@ def host_stats(docs: DataFrame, *, url_col: str = "url",
     if quality_col is not None:
         order.append("avg_quality")
     return out.select(*order, "flagged")
+
+
+def host_drift(pages: DataFrame, *, ts_col: str = "ts",
+               url_col: str = "url", text_col: str = "text",
+               window: str = "1 hour",
+               watermark: str | None = None) -> DataFrame:
+    """Per-host windowed crawl telemetry — host_reputation's streaming
+    twin: per (event-time window, canonical host), arrival volume and
+    the quality gate's aggregate signals, so a single domain turning to
+    boilerplate (or a link farm spinning up) surfaces within one window
+    of arrival, attributed to the host that caused it — the whole-corpus
+    quality_drift can't say WHO moved the needle.
+
+    Same streaming contract as quality_drift: counts and means only
+    (no distinct aggregates, so the identical plan runs under
+    readStream; pass ``watermark`` for state eviction, append mode
+    emits each closed (window, host) group exactly once); state is
+    #open-windows × #active-hosts — bounded by the crawl frontier, not
+    arrival volume."""
+    from .text import STOPWORDS, _tok
+
+    n_words = F.size(_tok(text_col))
+    n_stop = F.size(F.filter(_tok(text_col), lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    score = (
+        F.when(n_words >= 20, F.lit(1)).otherwise(0)
+        + F.when(stop_ratio <= 0.2, F.lit(1)).otherwise(0)
+    )
+    src = pages
+    if watermark:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.select(
+            F.col(ts_col),
+            url_host(url_col).alias("host"),
+            score.alias("_q"),
+        )
+        .groupBy(F.window(ts_col, window).alias("w"), "host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.round(F.avg("_q"), 6).alias("avg_quality"),
+            F.round(F.avg((F.col("_q") < 2).cast("double")), 6)
+            .alias("low_quality_frac"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host", "n_pages", "avg_quality", "low_quality_frac",
+        )
+    )

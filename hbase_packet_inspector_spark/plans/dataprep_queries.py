@@ -5727,3 +5727,69 @@ def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+@register(
+    "host_drift",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id // 4 AS BIGINT) AS g,
+                      1700000000 + doc_id * 97 AS ep,
+                      CAST(len(string_split(text, ' ')) AS INTEGER) AS nw,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x = 'the' OR x = 'a'))
+                        AS INTEGER) AS ns
+               FROM documents),
+    q AS (SELECT CAST(floor(ep / 3600) * 3600 AS BIGINT) AS window_epoch,
+                 'www.site' || CAST(g % 25 AS VARCHAR) || '.com' AS host,
+                 (CASE WHEN nw >= 20 THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(ns AS DOUBLE) / nw <= 0.2
+                    THEN 1 ELSE 0 END) AS qs
+          FROM d)
+    SELECT window_epoch, host, count(*) AS n_pages,
+           round(avg(qs), 6) AS avg_quality,
+           round(avg(CASE WHEN qs < 2 THEN 1.0 ELSE 0.0 END), 6)
+             AS low_quality_frac
+    FROM q GROUP BY 1, 2
+    """,
+    doc="Per-host windowed crawl telemetry (operators/web.py::"
+    "host_drift) — host_reputation's streaming twin: per (event-time "
+    "window, canonical host) arrival volume + the quality gate's "
+    "aggregate signals, attributing a quality regression to the DOMAIN "
+    "that caused it within one window of arrival (whole-corpus "
+    "quality_drift can't say who moved the needle). Counts and means "
+    "only, so the identical plan runs under readStream with a "
+    "watermark; state = open windows x active hosts, bounded by the "
+    "crawl frontier. Arrival times synthesized from doc_id, URLs from "
+    "the four-spelling generator — all spellings of a site normalize "
+    "to ONE host, which this hash-pins.",
+    tags=("dataprep", "web", "quality", "streaming", "timeseries",
+          "report"),
+)
+def host_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    gs, hs = g.cast("string"), (g % 25).cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://WWW.SITE"), hs, F.lit(".COM/p/"), gs))
+        .when(v == 2, F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com/p/"), gs,
+            F.lit("?utm_source=x&fbclid=z")))
+        .otherwise(F.concat(
+            F.lit("http://www.site"), hs, F.lit(".com:80/p/"), gs))
+    )
+    pages = base.select(
+        F.to_timestamp(F.lit(1700000000) + F.col("doc_id") * 97).alias("ts"),
+        url.alias("url"),
+        "text",
+    )
+    return WB.host_drift(pages, window="1 hour").select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "host", "n_pages", "avg_quality", "low_quality_frac",
+    )

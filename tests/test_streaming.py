@@ -883,3 +883,45 @@ def test_streaming_image_gate_foreachbatch(spark, tmp_path):
     sigs.unpersist()
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS t_ahash_s")
+
+
+def test_stream_host_drift_matches_batch_windows(spark, tmp_path):
+    """Per-host windowed telemetry batch===stream: host_drift under
+    readStream with a watermark emits exactly the batch rollup for every
+    closed (window, host) group — the quality_drift discipline with the
+    host dimension added."""
+    import datetime as dt
+
+    from hbase_packet_inspector_spark.operators.web import host_drift
+
+    t0 = dt.datetime(2024, 1, 1, 8, 30, 0)
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega zero")
+    rows = [
+        ("http://A.com/x", good, t0),
+        ("http://a.com:80/y", "the the the", t0 + dt.timedelta(minutes=5)),
+        ("http://b.com/z", good, t0 + dt.timedelta(minutes=10)),
+        ("http://a.com/w", good, t0 + dt.timedelta(hours=1)),
+        ("http://z.com/s", good, t0 + dt.timedelta(days=7)),  # sentinel
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, ts timestamp")
+    out = _replay(
+        spark, df,
+        lambda s: host_drift(s, window="1 hour", watermark="30 minutes"),
+        str(tmp_path / "hd"),
+    )
+    batch = {
+        (r.window_start, r.host): r
+        for r in host_drift(df, window="1 hour").collect()
+        if r.window_start < t0 + dt.timedelta(days=1)
+    }
+    got = {(r.window_start, r.host): r for r in out}
+    assert set(got) == set(batch) and len(batch) == 3
+    k8a = (dt.datetime(2024, 1, 1, 8, 0, 0), "a.com")
+    assert batch[k8a].n_pages == 2  # case + :80 spellings fold into a.com
+    assert batch[k8a].low_quality_frac == 0.5
+    for k, want in batch.items():
+        have = got[k]
+        assert (have.n_pages, have.avg_quality, have.low_quality_frac) == \
+            (want.n_pages, want.avg_quality, want.low_quality_frac)
