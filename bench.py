@@ -201,6 +201,7 @@ HEADLINE = [
     "media_ingest_gate",
     "ann_ndcg",
     "host_drift",
+    "media_corpus_card",
 ]
 
 

@@ -5793,3 +5793,57 @@ def host_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_epoch"),
         "host", "n_pages", "avg_quality", "low_quality_frac",
     )
+
+
+@register(
+    "media_corpus_card",
+    """
+    WITH m AS (SELECT id AS media_id,
+                      ['image', 'audio', 'video'][CAST(id % 3 + 1 AS INTEGER)]
+                        AS kind,
+                      ['png', 'wav', 'mp4'][CAST(id % 3 + 1 AS INTEGER)]
+                        AS fmt,
+                      repeat(md5(CAST(id AS VARCHAR)), CAST(id % 7 + 1
+                             AS INTEGER)) AS hx
+               FROM range(64) t(id)),
+    b AS (SELECT media_id, kind, CAST(i.i AS INTEGER) AS i, hx
+          FROM m, LATERAL (SELECT unnest(range(0, len(hx) // 2)) AS i) i),
+    v AS (SELECT media_id, kind,
+                 instr('123456789abcdef', substr(hx, 2 * i + 1, 1)) * 16
+                 + instr('123456789abcdef', substr(hx, 2 * i + 2, 1)) AS byte
+          FROM b),
+    c AS (SELECT media_id, kind, byte, count(*) AS cnt FROM v
+          GROUP BY 1, 2, 3),
+    n AS (SELECT media_id, CAST(count(*) AS INTEGER) AS n_bytes
+          FROM v GROUP BY 1),
+    ent AS (SELECT c.media_id, max(c.kind) AS kind, max(n.n_bytes) AS nb,
+                   round(-sum((CAST(cnt AS DOUBLE) / n.n_bytes)
+                              * log2(CAST(cnt AS DOUBLE) / n.n_bytes)), 4)
+                     AS e4
+            FROM c JOIN n USING (media_id) GROUP BY 1),
+    fm AS (SELECT kind, CAST(count(DISTINCT fmt) AS BIGINT) AS n_formats
+           FROM m GROUP BY 1)
+    SELECT kind, count(*) AS n_assets,
+           CAST(sum(nb) AS BIGINT) AS total_bytes,
+           round(avg(nb), 6) AS avg_bytes,
+           round(avg(e4), 6) AS avg_entropy,
+           fm.n_formats
+    FROM ent JOIN fm USING (kind)
+    GROUP BY kind, fm.n_formats
+    """,
+    doc="Per-kind multimodal corpus card (operators/multimodal.py::"
+    "media_corpus_card) — corpus_card's media sibling, the dataset-"
+    "release report for binary assets: asset count, total/mean payload "
+    "bytes, mean byte-entropy (the compression/corruption signal — "
+    "encrypted or compressed payloads sit near 8 bits, mislabeled text "
+    "far below), distinct container formats from typed metadata. One "
+    "Arrow-batched byte-feature pass + one partial+final rollup; "
+    "per-asset entropy rounds to 4 before the mean so the report "
+    "hash-matches across engines.",
+    tags=("dataprep", "multimodal", "binary", "report"),
+)
+def media_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    tune_session(spark)
+    return M.media_corpus_card(M.synthesize_media(spark, 64))

@@ -463,3 +463,28 @@ def test_incremental_ahash_cross_side_only_and_gate(spark):
                 r.hamming for r in rows if r.d_new == mid)
         else:
             assert v.keep and v.n_matches == 0 and v.min_hamming is None
+
+
+def test_media_corpus_card_hand_checked(spark, media):
+    import math
+
+    card = {r.kind: r for r in M.media_corpus_card(media).collect()}
+    raw = media.collect()
+    assert set(card) == {"image", "audio", "video"}
+    for kind, row in card.items():
+        mine = [r for r in raw if r.kind == kind]
+        assert row.n_assets == len(mine)
+        sizes = [len(bytes(r.payload)) for r in mine]
+        assert row.total_bytes == sum(sizes)
+        assert row.avg_bytes == round(sum(sizes) / len(sizes), 6)
+        assert row.n_formats == 1  # kind and format co-derive from id%3
+        ents = []
+        for r in mine:
+            data = bytes(r.payload)
+            counts = {}
+            for by in data:
+                counts[by] = counts.get(by, 0) + 1
+            e = -sum((c / len(data)) * math.log2(c / len(data))
+                     for c in counts.values())
+            ents.append(round(e, 4))
+        assert row.avg_entropy == round(sum(ents) / len(ents), 6)
