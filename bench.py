@@ -202,6 +202,7 @@ HEADLINE = [
     "ann_ndcg",
     "host_drift",
     "media_corpus_card",
+    "warc_source_stats",
 ]
 
 

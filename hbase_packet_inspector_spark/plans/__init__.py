@@ -39,6 +39,7 @@ _UNVERIFIED_FIRST = (
     "ann_ndcg",  # latest green r0
     "host_drift",  # latest green r0
     "media_corpus_card",  # latest green r0
+    "warc_source_stats",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2

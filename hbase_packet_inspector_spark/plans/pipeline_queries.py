@@ -619,3 +619,55 @@ def hbase_pcap_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table")
     )
+
+
+_WARC_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "warc_capture",
+)
+_WARC_ORACLE_VALID = os.path.isfile(
+    os.path.join(_WARC_FIXDIR, "sample.warc.gz")
+) and os.path.isfile(os.path.join(_WARC_FIXDIR, "records.parquet"))
+
+
+@register(
+    "warc_source_stats",
+    f"""
+    SELECT warc_type, count(*) AS n,
+           CAST(sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           CAST(sum(content_length) AS BIGINT) AS total_len,
+           CAST(sum(n_text_chars) AS BIGINT) AS total_text_chars
+    FROM read_parquet('{_WARC_FIXDIR}/records.parquet')
+    GROUP BY 1
+    """ if _WARC_ORACLE_VALID else None,
+    doc="The WARC web-archive source end-to-end on a committed crawl "
+    "fixture (tests/fixtures/warc_capture): Spark 4 Python DataSource "
+    "scan of a gzipped archive -> incremental record framing -> HTTP "
+    "envelope split -> per-record-type rollup (counts, 200s, payload "
+    "bytes, extracted text chars). The oracle aggregates the PINNED "
+    "parse snapshot (materialized by tools/materialize_warc_fixture.py "
+    "through the library's own parser) in DuckDB — the "
+    "hbase_pcap_decode discipline applied to the crawl source: a "
+    "regression in framing, gzip handling, or the HTTP split is an "
+    "oracle mismatch, not a row-count drift. One partition per archive "
+    "file; payload bytes never shuffle (the rollup projects lengths).",
+    tags=("pipeline", "warc", "web", "source"),
+)
+def warc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import warc as W
+
+    W.register(spark)
+    scan = spark.read.format("warc").load(
+        os.path.join(_WARC_FIXDIR, "sample.warc.gz")
+    )
+    return (
+        scan.groupBy("warc_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("http_status") == 200, 1).otherwise(0))
+            .cast("long").alias("n_ok"),
+            F.sum("content_length").cast("long").alias("total_len"),
+            F.sum(F.length("text")).cast("long").alias("total_text_chars"),
+        )
+    )
