@@ -203,6 +203,7 @@ HEADLINE = [
     "host_drift",
     "media_corpus_card",
     "warc_source_stats",
+    "warc_crawl_curation",
 ]
 
 

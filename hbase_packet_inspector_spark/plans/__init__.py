@@ -40,6 +40,7 @@ _UNVERIFIED_FIRST = (
     "host_drift",  # latest green r0
     "media_corpus_card",  # latest green r0
     "warc_source_stats",  # latest green r0
+    "warc_crawl_curation",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2

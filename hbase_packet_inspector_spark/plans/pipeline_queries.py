@@ -671,3 +671,56 @@ def warc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("long").alias("total_text_chars"),
         )
     )
+
+
+_WARC_DOCS_VALID = _WARC_ORACLE_VALID and os.path.isfile(
+    os.path.join(_WARC_FIXDIR, "documents.parquet")
+)
+
+
+@register(
+    "warc_crawl_curation",
+    f"""
+    WITH d AS (SELECT source,
+                      n_chars,
+                      (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                       + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.2
+                         THEN 1 ELSE 0 END) AS qs
+               FROM read_parquet('{_WARC_FIXDIR}/documents.parquet'))
+    SELECT source, count(*) AS n_pages,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(CAST(qs AS DOUBLE)), 6) AS avg_quality
+    FROM d GROUP BY 1
+    """ if _WARC_DOCS_VALID else None,
+    doc="The crawl-to-curation bridge end-to-end on the committed WARC "
+    "fixture: DataSource scan -> warc_to_documents (HTTP responses -> "
+    "documents-table shape, doc_id = xxhash64 of the record id, source "
+    "= target host) -> quality_features -> per-host rollup. The oracle "
+    "replays the rollup over the pinned per-doc feature snapshot "
+    "(materialize_warc_fixture.py runs the SAME engine pipeline), so "
+    "the whole chain — archive framing, HTTP split, bridge column "
+    "derivations, quality scoring — sits under one hash. This is the "
+    "query a crawl drop actually runs first: which hosts, how much "
+    "text, what quality.",
+    tags=("pipeline", "warc", "web", "quality", "report"),
+)
+def warc_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+    from ..sources import warc as W
+    from ..sources.warc import warc_to_documents
+
+    W.register(spark)
+    docs = warc_to_documents(spark.read.format("warc").load(
+        os.path.join(_WARC_FIXDIR, "sample.warc.gz")
+    ))
+    feats = X.quality_features(docs).select("doc_id", "quality_score")
+    return (
+        docs.join(feats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg(F.col("quality_score").cast("double")), 6)
+            .alias("avg_quality"),
+        )
+    )

@@ -122,8 +122,35 @@ def main() -> None:
     ]
     df = pd.DataFrame(rows).sort_values("record_id").reset_index(drop=True)
     df.to_parquet(os.path.join(FIXTURE_DIR, "records.parquet"), index=False)
+
+    # documents-bridge snapshot: the same engine pipeline the
+    # warc_crawl_curation query runs (scan -> warc_to_documents), pinned
+    # at the per-doc feature level so DuckDB can replay the rollup
+    from pyspark.sql import functions as F
+
+    from hbase_packet_inspector_spark.operators.text import (
+        STOPWORDS, _tok,
+    )
+    from hbase_packet_inspector_spark.session import get_spark
+    from hbase_packet_inspector_spark.sources import warc as W
+    from hbase_packet_inspector_spark.sources.warc import warc_to_documents
+
+    spark = get_spark("warc-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    W.register(spark)
+    docs = warc_to_documents(
+        spark.read.format("warc").load(path)
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.size(_tok("text")).alias("n_words"),
+        F.size(F.filter(_tok("text"), lambda x: x.isin(*STOPWORDS)))
+        .alias("n_stop"),
+    )
+    ddf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    ddf.to_parquet(os.path.join(FIXTURE_DIR, "documents.parquet"),
+                   index=False)
     print(f"wrote {path} ({len(buf.getvalue())} bytes) + records.parquet "
-          f"({len(df)} rows)")
+          f"({len(df)} rows) + documents.parquet ({len(ddf)} rows)")
 
 
 if __name__ == "__main__":
