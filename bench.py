@@ -204,6 +204,7 @@ HEADLINE = [
     "media_corpus_card",
     "warc_source_stats",
     "warc_crawl_curation",
+    "warc_media_extract",
 ]
 
 

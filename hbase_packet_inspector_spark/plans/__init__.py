@@ -41,6 +41,7 @@ _UNVERIFIED_FIRST = (
     "media_corpus_card",  # latest green r0
     "warc_source_stats",  # latest green r0
     "warc_crawl_curation",  # latest green r0
+    "warc_media_extract",  # latest green r0
     "embedding_norms",  # latest green r2
     "multimodal_byte_features",  # latest green r2
     "rolling_fingerprint",  # latest green r2

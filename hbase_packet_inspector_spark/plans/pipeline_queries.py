@@ -724,3 +724,41 @@ def warc_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_quality"),
         )
     )
+
+
+_WARC_MEDIA_VALID = _WARC_ORACLE_VALID and os.path.isfile(
+    os.path.join(_WARC_FIXDIR, "media.parquet")
+)
+
+
+@register(
+    "warc_media_extract",
+    f"""
+    SELECT media_id, kind, format, n_bytes, body_md5
+    FROM read_parquet('{_WARC_FIXDIR}/media.parquet')
+    """ if _WARC_MEDIA_VALID else None,
+    doc="The crawl-to-multimodal bridge under the oracle gate "
+    "(sources/warc.py::warc_to_media): archive scan -> HTTP envelope "
+    "split + Content-Type read (Arrow-batched, the imperative byte "
+    "edge) -> per-asset identity row (kind, container format, "
+    "envelope-stripped body length and md5). The oracle is the PINNED "
+    "bridge snapshot, so a regression anywhere in the chain — framing, "
+    "gzip, envelope offsets (an off-by-one in the body slice flips "
+    "body_md5), content-type parsing — is a hash mismatch. The "
+    "fixture's image payload decodes through the real PPM decoder in "
+    "the warc tests, closing crawl -> decode end-to-end.",
+    tags=("pipeline", "warc", "multimodal", "source"),
+)
+def warc_media_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import warc as W
+    from ..sources.warc import warc_to_media
+
+    W.register(spark)
+    media = warc_to_media(spark.read.format("warc").load(
+        os.path.join(_WARC_FIXDIR, "sample.warc.gz")
+    ))
+    return media.select(
+        "media_id", "kind", "format",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("body_md5"),
+    )

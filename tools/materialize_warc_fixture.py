@@ -149,6 +149,19 @@ def main() -> None:
     ddf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
     ddf.to_parquet(os.path.join(FIXTURE_DIR, "documents.parquet"),
                    index=False)
+
+    # media-bridge snapshot: envelope-stripped body sizes + identities
+    from hbase_packet_inspector_spark.sources.warc import warc_to_media
+
+    media = warc_to_media(
+        spark.read.format("warc").load(path)
+    ).select(
+        "media_id", "kind", "format",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("body_md5"),
+    )
+    mdf = media.toPandas().sort_values("media_id").reset_index(drop=True)
+    mdf.to_parquet(os.path.join(FIXTURE_DIR, "media.parquet"), index=False)
     print(f"wrote {path} ({len(buf.getvalue())} bytes) + records.parquet "
           f"({len(df)} rows) + documents.parquet ({len(ddf)} rows)")
 
