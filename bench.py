@@ -205,6 +205,7 @@ HEADLINE = [
     "warc_source_stats",
     "warc_crawl_curation",
     "warc_media_extract",
+    "host_pagerank",
 ]
 
 

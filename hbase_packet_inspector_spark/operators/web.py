@@ -143,6 +143,136 @@ def host_stats(docs: DataFrame, *, url_col: str = "url",
     return out.select(*order, "flagged")
 
 
+def extract_links(pages: DataFrame, *, url_col: str = "url",
+                  html_col: str = "body") -> DataFrame:
+    """Host-level link extraction from raw HTML: one output row per
+    (src_host, dst_host) absolute ``href`` found in the page body.
+    Conservative by design — only absolute http(s) links in single- or
+    double-quoted hrefs count (relative links stay within their own
+    host and add self-edges that PageRank treats as noise; malformed
+    markup yields no row rather than an error). Everything is
+    ``regexp_extract_all`` + ``explode`` — JVM-side, no Python in the
+    loop, and the scan prunes to the two columns.
+
+    Output: (src_host, dst_host), one row per link occurrence — feed
+    through a groupBy count into :func:`host_pagerank` as weights."""
+    href = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("""href=["']((?i:https?)://[^"'<>\\s]+)["']"""), F.lit(1),
+    )
+    return (
+        pages.select(
+            url_host(url_col).alias("src_host"),
+            F.explode(href).alias("_dst_url"),
+        )
+        .select("src_host", url_host(F.col("_dst_url")).alias("dst_host"))
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    )
+
+
+def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
+                  dst_col: str = "dst_host", weight_col: str | None = None,
+                  damping: float = 0.85, iters: int = 5) -> DataFrame:
+    """Weighted PageRank over the host link graph — the crawl-frontier
+    prioritizer (which domains to fetch next, which to deepen) and the
+    spam prior that complements :func:`host_stats`' dup-rate flag: a
+    link farm links itself furiously but nothing reputable links IN,
+    so its rank stays at the teleport floor.
+
+    Semantics (the public power-iteration formulation): ranks start
+    uniform at 1/N over the node set (sources ∪ targets); each round
+    every host splits rank over its out-link weights, dangling hosts
+    (no outlinks) teleport their whole mass uniformly, and
+    ``rank' = (1-d)/N + d * (in_contrib + dangling_mass/N)``. Ranks are
+    rounded to 9 decimals each round so the fixpoint is engine-exact
+    (sum order differs across engines/partitions in the last ulp; see
+    the registry determinism rules).
+
+    Scale shape: the edge frame (with out-weight joined on once) is
+    aggregated and persisted up front; each round is ONE equi-join of
+    the node-sized rank frame onto the edges plus a groupBy(dst) sum —
+    partial+final combines, no windows — and a 1-row dangling-mass
+    aggregate cross-joined back (broadcast nested loop on a literal
+    row, the sanctioned 1-row shape). Rank frames are localCheckpointed
+    per round so the loop plan stays flat instead of re-entering
+    Catalyst with iters nested joins (the dedup_clusters_converged
+    discipline). Node/rank frames are host-cardinality — millions of
+    rows at 100 TB, never collected; the single driver scalar is N.
+
+    Output: (host, pagerank, out_links) — rank rounded to 6,
+    out_links = total outgoing link weight (0 for dangling hosts).
+
+    Reference parity note: the reference engine has no web/graph
+    surface; this is part of the repo's crawl-curation extension.
+    """
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e2 = e.join(ow, "src").persist()
+    nodes = (
+        e2.select(F.col("src").alias("host"))
+        .union(e2.select(F.col("dst").alias("host")))
+        .distinct().persist()
+    )
+    n = nodes.count()  # the one driver scalar: node count for 1/N terms
+    if n == 0:
+        e2.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "host", F.lit(0.0).alias("pagerank"),
+            F.lit(0).cast("bigint").alias("out_links"),
+        )
+    ranks = nodes.select(
+        "host", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
+    ).localCheckpoint()
+    out_hosts = ow.select(F.col("src").alias("host"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(out_hosts, "host", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            e2.join(ranks.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow"))
+                 .alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left").crossJoin(dangling)
+            .select(
+                "host",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n))),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        ranks.join(ow.withColumnRenamed("src", "host"), "host", "left")
+        .select(
+            "host",
+            F.round("rank", 6).alias("pagerank"),
+            F.coalesce(F.col("ow"), F.lit(0.0)).cast("bigint")
+            .alias("out_links"),
+        )
+    )
+    out = out.localCheckpoint()
+    e2.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def host_drift(pages: DataFrame, *, ts_col: str = "ts",
                url_col: str = "url", text_col: str = "text",
                window: str = "1 hour",

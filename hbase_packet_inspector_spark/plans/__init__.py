@@ -31,6 +31,7 @@ _UNVERIFIED_FIRST = (
     "hard_negatives",  # latest green r0
     "image_ahash_pairs",  # latest green r0
     "host_reputation",  # latest green r0
+    "host_pagerank",  # latest green r0
     "contrastive_triplets",  # latest green r0
     "video_frame_dedup",  # latest green r0
     "wav_silence_trim",  # latest green r0

@@ -7,7 +7,7 @@ running the real operators from ``operators.dedup`` / ``operators.similarity``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -5354,6 +5354,102 @@ def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.host_stats(
         pages, quality_col="quality_score", max_dup_rate=0.5
     )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Chained-CTE mirror of operators/web.py::host_pagerank over the
+    synthetic host link graph (same edge generator as the Spark side:
+    each doc links its site{(doc_id//4)%25}.com host to two targets —
+    (7*id+3)%25, and the site0 hub on id%5==0 else (11*id+5)%25 — plus
+    every 17th doc links to the dangling sink.example.com)."""
+    sql = """
+    WITH l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                            ELSE (doc_id * 11 + 5) % 25 END AS VARCHAR)
+             || '.com'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'sink.example.com'
+      FROM documents WHERE doc_id % 17 = 0),
+    e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM l GROUP BY 1, 2),
+    ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+    nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT host, round(1.0 / nn.n, 9) AS rank
+           FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i - 1}
+             WHERE host NOT IN (SELECT src FROM ow)),
+    c{i} AS (SELECT e.dst AS host, sum(r.rank * e.w / ow.ow) AS contrib
+             FROM e JOIN r{i - 1} r ON r.host = e.src
+                    JOIN ow ON ow.src = e.src
+             GROUP BY 1),
+    r{i} AS (SELECT no.host,
+                    round((1.0 - 0.85) / nn.n
+                          + 0.85 * (coalesce(c.contrib, 0)
+                                    + d.dm / nn.n), 9) AS rank
+             FROM nodes no CROSS JOIN nn CROSS JOIN d{i} d
+                  LEFT JOIN c{i} c ON c.host = no.host)"""
+    sql += f"""
+    SELECT r.host, round(r.rank, 6) AS pagerank,
+           CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_links
+    FROM r{iters} r LEFT JOIN ow ON ow.src = r.host
+    """
+    return sql
+
+
+@register(
+    "host_pagerank",
+    _pagerank_oracle(5),
+    doc="Host-level PageRank over the crawl link graph "
+    "(operators/web.py::host_pagerank): 5 damped power-iteration "
+    "rounds with uniform-teleport dangling mass — the crawl-frontier "
+    "prioritizer and the inbound-reputation prior complementing "
+    "host_reputation's dup-rate flag (a link farm links itself "
+    "furiously but earns no in-links, so it stays at the teleport "
+    "floor). The synthetic graph wires each doc's site host to two "
+    "deterministic targets plus a site0 hub edge every 5th doc (the "
+    "hub's rank visibly rises) and a dangling sink host every 17th "
+    "doc (the teleport branch is exercised, not just written). Per "
+    "round: one edge-frame equi-join + groupBy(dst) partial+final "
+    "sum, a 1-row dangling aggregate cross-joined back (sanctioned "
+    "1-row nested loop), rank frames localCheckpointed so the loop "
+    "never re-enters Catalyst with nested plans; ranks rounded to 9 "
+    "per round so the fixpoint is engine-exact. The one driver "
+    "scalar is N.",
+    tags=("dataprep", "web", "graph", "iterative", "rank"),
+)
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    h = F.floor(did / 4) % 25
+
+    def site(c) -> Column:
+        return F.concat(F.lit("site"), c.cast("string"), F.lit(".com"))
+
+    src = site(h).alias("src_host")
+    links = (
+        d.select(src, site((did * 7 + 3) % 25).alias("dst_host"))
+        .union(d.select(
+            src,
+            site(F.when(did % 5 == 0, F.lit(0))
+                 .otherwise((did * 11 + 5) % 25)).alias("dst_host"),
+        ))
+        .union(d.filter(did % 17 == 0).select(
+            src, F.lit("sink.example.com").alias("dst_host"),
+        ))
+    )
+    return WB.host_pagerank(links, iters=5)
 
 
 @register(

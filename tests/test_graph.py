@@ -1,0 +1,109 @@
+"""Host link-graph operators: PageRank power iteration and HTML link
+extraction (operators/web.py::host_pagerank / extract_links)."""
+
+from collections import defaultdict
+
+import pytest
+
+from hbase_packet_inspector_spark.operators.web import (
+    extract_links,
+    host_pagerank,
+)
+
+
+def _ref_pagerank(edges, damping=0.85, iters=5):
+    """Driver-side reference of the documented semantics: uniform init,
+    weighted split over out-links, dangling mass teleports uniformly,
+    rank' = (1-d)/N + d*(contrib + dangling/N), 9-decimal rounding per
+    round (matching the operator's engine-exactness rule)."""
+    agg = defaultdict(float)
+    for s, t, w in edges:
+        agg[(s, t)] += float(w)
+    ow = defaultdict(float)
+    for (s, _t), w in agg.items():
+        ow[s] += w
+    nodes = sorted({s for s, _ in agg} | {t for _, t in agg})
+    n = len(nodes)
+    rank = {h: round(1.0 / n, 9) for h in nodes}
+    for _ in range(iters):
+        dangling = sum(r for h, r in rank.items() if h not in ow)
+        contrib = defaultdict(float)
+        for (s, t), w in agg.items():
+            contrib[t] += rank[s] * w / ow[s]
+        rank = {
+            h: round(
+                (1.0 - damping) / n
+                + damping * (contrib.get(h, 0.0) + dangling / n),
+                9,
+            )
+            for h in nodes
+        }
+    return rank, ow
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    # A <-> B, both -> C (dangling), plus a weighted self-reinforcing D
+    edges = [
+        ("a.com", "b.com", 1), ("b.com", "a.com", 1),
+        ("a.com", "c.com", 1), ("b.com", "c.com", 3),
+        ("d.com", "a.com", 2),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, w int")
+    out = {
+        r.host: r
+        for r in host_pagerank(df, weight_col="w", iters=5).collect()
+    }
+    ref, ow = _ref_pagerank(edges)
+    assert set(out) == set(ref)
+    for h, expected in ref.items():
+        assert out[h].pagerank == pytest.approx(expected, abs=1e-6)
+        assert out[h].out_links == int(ow.get(h, 0))
+    # rank is conserved: teleport + dangling redistribution keep sum ~1
+    assert sum(r.pagerank for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+    # c is dangling: no out_links, yet holds rank via in-links
+    assert out["c.com"].out_links == 0
+    assert out["c.com"].pagerank > (1 - 0.85) / len(ref)
+
+
+def test_pagerank_hub_outranks_leaf_and_duplicate_edges_aggregate(spark):
+    # everyone links the hub; hub links one leaf. Duplicate rows must
+    # aggregate into weights, not create parallel semantics.
+    edges = [(f"s{i}.com", "hub.com", 1) for i in range(8)]
+    edges += [("hub.com", "leaf.com", 1)]
+    edges += [("s0.com", "hub.com", 1)]  # duplicate edge row
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, w int")
+    out = {r.host: r.pagerank for r in host_pagerank(df, iters=5).collect()}
+    ref, _ = _ref_pagerank([(s, t, w) for s, t, w in edges])
+    for h, expected in ref.items():
+        assert out[h] == pytest.approx(expected, abs=1e-6)
+    # the hub (and its sole target, which inherits the hub's damped
+    # mass wholesale) far outrank the teleport-floor leaves
+    assert out["hub.com"] > out["s1.com"]
+    assert out["leaf.com"] > out["s1.com"]
+
+
+def test_pagerank_empty_edges_yields_empty_frame(spark):
+    df = spark.createDataFrame([], "src_host string, dst_host string")
+    out = host_pagerank(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "host", "pagerank", "out_links"]
+
+
+def test_extract_links_absolute_only_host_level(spark):
+    html = (
+        '<a href="https://other.com/page">x</a>'
+        "<a href='HTTP://WWW.UPPER.COM:80/p'>y</a>"
+        '<a href="/relative/path">rel</a>'
+        '<a href="mailto:a@b.com">mail</a>'
+        '<img src="https://cdn.com/i.png">'
+    )
+    df = spark.createDataFrame(
+        [("http://me.com/p1", html), ("http://me.com/p2", "no links here")],
+        "url string, body string",
+    )
+    rows = {(r.src_host, r.dst_host)
+            for r in extract_links(df).collect()}
+    # only absolute http(s) hrefs count; hosts canonicalized (:80 drop,
+    # lowercase); relative/mailto/img-src ignored
+    assert rows == {("me.com", "other.com"), ("me.com", "www.upper.com")}
