@@ -206,6 +206,7 @@ HEADLINE = [
     "warc_crawl_curation",
     "warc_media_extract",
     "host_pagerank",
+    "crawl_frontier",
 ]
 
 

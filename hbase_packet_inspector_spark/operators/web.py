@@ -273,6 +273,67 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     return out
 
 
+def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:
+    """Fetch-priority table for the next crawl cycle — the decision
+    frame :func:`host_pagerank` and :func:`host_stats` exist to feed:
+    inbound reputation (rank) blended with observed crawl behavior
+    (dup-rate spam signal + mean page quality) into one score per host.
+
+    Per host in the rank frame (left join on ``host``):
+
+    - **blocked** — stats flagged (dup_rate over the threshold): the
+      URL-variant spam verdict drops the host wholesale regardless of
+      rank; priority 0.
+    - **new** — no stats row (never crawled): priority = pagerank
+      unmodified. The optimistic branch IS the frontier — an uncrawled
+      host that reputable hosts link to is exactly what a crawler
+      fetches next.
+    - **known** — priority = round(pagerank * (1 - dup_rate) *
+      (0.5 + 0.25 * avg_quality), 6); quality_score ∈ [0, 2] maps the
+      factor into [0.5, 1] (exact binary fractions — no repeating-
+      decimal drift between engines).
+
+    ``stats`` must carry ``avg_quality`` (host_stats with a
+    quality_col). Hosts with stats but absent from the link graph have
+    no inbound edge at all (nothing links them, not even themselves) —
+    they sit below the teleport floor by definition and are left out;
+    union them in at (1-d)/N manually if a deployment wants them.
+
+    Scale shape: ONE host-keyed equi-join (both sides host-cardinality
+    outputs of partial+final aggregates), pure column expressions
+    after — no new shuffle beyond the join itself."""
+    s = stats.select("host", "n_pages", "dup_rate", "avg_quality",
+                     "flagged")
+    known = F.col("n_pages").isNotNull()
+    pr = F.col("pagerank")
+    priority = (
+        F.when(F.col("flagged"), F.lit(0.0))
+        .when(
+            known,
+            F.round(
+                pr * (F.lit(1.0) - F.col("dup_rate"))
+                * (F.lit(0.5) + F.lit(0.25) * F.col("avg_quality")), 6),
+        )
+        .otherwise(pr)
+    )
+    status = (
+        F.when(F.col("flagged"), F.lit("blocked"))
+        .when(known, F.lit("known"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        ranks.join(s, "host", "left")
+        .select(
+            "host", "pagerank", "out_links",
+            F.coalesce(F.col("n_pages"), F.lit(0)).cast("bigint")
+            .alias("n_pages"),
+            "dup_rate", "avg_quality",
+            status.alias("status"),
+            priority.alias("priority"),
+        )
+    )
+
+
 def host_drift(pages: DataFrame, *, ts_col: str = "ts",
                url_col: str = "url", text_col: str = "text",
                window: str = "1 hour",

@@ -5356,14 +5356,15 @@ def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int) -> str:
+def _pagerank_ctes(iters: int) -> str:
     """Chained-CTE mirror of operators/web.py::host_pagerank over the
-    synthetic host link graph (same edge generator as the Spark side:
-    each doc links its site{(doc_id//4)%25}.com host to two targets —
-    (7*id+3)%25, and the site0 hub on id%5==0 else (11*id+5)%25 — plus
-    every 17th doc links to the dangling sink.example.com)."""
-    sql = """
-    WITH l AS (
+    synthetic host link graph (same edge generator as the Spark side —
+    see _site_links: each doc links its site{(doc_id//4)%25}.com host
+    to two targets — (7*id+3)%25, and the site0 hub on id%5==0 else
+    (11*id+5)%25 — plus every 17th doc links to the dangling
+    sink.example.com). Returns the WITH body ending at r{iters}; the
+    final rank table is ``r{iters}`` and out-weights are ``ow``."""
+    sql = """l AS (
       SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com' AS src,
              'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com' AS dst
       FROM documents
@@ -5398,12 +5399,16 @@ def _pagerank_oracle(iters: int) -> str:
                                     + d.dm / nn.n), 9) AS rank
              FROM nodes no CROSS JOIN nn CROSS JOIN d{i} d
                   LEFT JOIN c{i} c ON c.host = no.host)"""
-    sql += f"""
+    return sql
+
+
+def _pagerank_oracle(iters: int) -> str:
+    return f"""
+    WITH {_pagerank_ctes(iters)}
     SELECT r.host, round(r.rank, 6) AS pagerank,
            CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_links
     FROM r{iters} r LEFT JOIN ow ON ow.src = r.host
     """
-    return sql
 
 
 @register(
@@ -5430,26 +5435,146 @@ def _pagerank_oracle(iters: int) -> str:
 def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import web as WB
 
-    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    return WB.host_pagerank(_site_links(d), iters=5)
+
+
+def _site(c) -> Column:
+    return F.concat(F.lit("site"), c.cast("string"), F.lit(".com"))
+
+
+def _site_links(d: DataFrame) -> DataFrame:
+    """Synthetic host link graph shared by host_pagerank and
+    crawl_frontier (mirrored SQL-side in _pagerank_ctes' ``l`` CTE)."""
     did = F.col("doc_id")
-    h = F.floor(did / 4) % 25
-
-    def site(c) -> Column:
-        return F.concat(F.lit("site"), c.cast("string"), F.lit(".com"))
-
-    src = site(h).alias("src_host")
-    links = (
-        d.select(src, site((did * 7 + 3) % 25).alias("dst_host"))
+    src = _site(F.floor(did / 4) % 25).alias("src_host")
+    return (
+        d.select(src, _site((did * 7 + 3) % 25).alias("dst_host"))
         .union(d.select(
             src,
-            site(F.when(did % 5 == 0, F.lit(0))
-                 .otherwise((did * 11 + 5) % 25)).alias("dst_host"),
+            _site(F.when(did % 5 == 0, F.lit(0))
+                  .otherwise((did * 11 + 5) % 25)).alias("dst_host"),
         ))
         .union(d.filter(did % 17 == 0).select(
             src, F.lit("sink.example.com").alias("dst_host"),
         ))
     )
-    return WB.host_pagerank(links, iters=5)
+
+
+def _frontier_oracle(iters: int) -> str:
+    """crawl_frontier mirror: the pagerank CTE chain joined onto the
+    host_stats rollup of the no-www synthetic crawl (same host universe
+    as the link graph, so ranks and stats align on ``host``)."""
+    return f"""
+    WITH {_pagerank_ctes(iters)},
+    pr AS (SELECT r.host, round(r.rank, 6) AS pagerank,
+                  CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_links
+           FROM r{iters} r LEFT JOIN ow ON ow.src = r.host),
+    dd AS (SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS g, doc_id % 4 AS v
+           FROM documents),
+    u AS (
+      SELECT doc_id,
+        CASE WHEN (g % 25) % 3 = 0 THEN
+          CASE v
+            WHEN 0 THEN 'http://site' || CAST(g % 25 AS VARCHAR)
+                        || '.com/p/' || CAST(g AS VARCHAR)
+            WHEN 1 THEN 'HTTP://SITE' || CAST(g % 25 AS VARCHAR)
+                        || '.COM/p/' || CAST(g AS VARCHAR)
+            WHEN 2 THEN 'http://site' || CAST(g % 25 AS VARCHAR)
+                        || '.com/p/' || CAST(g AS VARCHAR)
+                        || '?utm_source=x&fbclid=z'
+            ELSE 'http://site' || CAST(g % 25 AS VARCHAR)
+                 || '.com:80/p/' || CAST(g AS VARCHAR)
+          END
+        ELSE 'http://site' || CAST(g % 25 AS VARCHAR)
+             || '.com/p/d' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM dd),
+    {_URL_NORM_CTES},
+    tq AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                  CAST(len(list_filter(string_split(text, ' '),
+                           x -> x = 'the' OR x = 'a')) AS INTEGER) AS n_stop
+           FROM documents),
+    qa AS (SELECT doc_id,
+                  (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                   + CASE WHEN CAST(n_stop AS DOUBLE) / n_words <= 0.2
+                     THEN 1 ELSE 0 END) AS quality_score
+           FROM tq),
+    j AS (SELECT q.host, f.url_norm, qa.quality_score
+          FROM f JOIN q USING (doc_id) JOIN qa USING (doc_id)),
+    h2 AS (SELECT host, count(*) AS n_pages,
+                  round(1 - CAST(count(DISTINCT url_norm) AS DOUBLE)
+                        / count(*), 6) AS dup_rate,
+                  round(avg(CAST(quality_score AS DOUBLE)), 6) AS avg_quality
+           FROM j GROUP BY 1)
+    SELECT pr.host, pr.pagerank, pr.out_links,
+           CAST(coalesce(h2.n_pages, 0) AS BIGINT) AS n_pages,
+           h2.dup_rate, h2.avg_quality,
+           CASE WHEN h2.dup_rate > 0.5 THEN 'blocked'
+                WHEN h2.n_pages IS NOT NULL THEN 'known'
+                ELSE 'new' END AS status,
+           CASE WHEN h2.dup_rate > 0.5 THEN 0.0
+                WHEN h2.n_pages IS NOT NULL THEN
+                  round(pr.pagerank * (1.0 - h2.dup_rate)
+                        * (0.5 + 0.25 * h2.avg_quality), 6)
+                ELSE pr.pagerank END AS priority
+    FROM pr LEFT JOIN h2 ON h2.host = pr.host
+    """
+
+
+@register(
+    "crawl_frontier",
+    _frontier_oracle(5),
+    doc="Crawl-frontier prioritization (operators/web.py::"
+    "crawl_frontier) — the decision table host_pagerank and host_stats "
+    "exist to feed: per host, inbound PageRank blended with the "
+    "observed dup-rate spam signal and mean page quality into one "
+    "fetch-priority score. Blocked hosts (URL-variant spam over the "
+    "50% dup threshold) drop to 0 regardless of rank; never-crawled "
+    "hosts keep their full rank (the optimistic branch IS the "
+    "frontier — here the dangling sink.example.com exercises it); "
+    "known hosts score round(pagerank * (1-dup_rate) * "
+    "(0.5 + 0.25*avg_quality), 6). The synthetic crawl reuses the "
+    "pagerank link graph's host universe with no-www page URLs: every "
+    "third site gets the four-spelling variant generator (flags at "
+    "0.75 dup rate -> blocked), the rest one clean URL per page. "
+    "Plan: the two host-cardinality rollups meet in ONE host-keyed "
+    "equi-join; everything downstream is pure column expressions.",
+    tags=("dataprep", "web", "graph", "quality", "rank"),
+)
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ranks = WB.host_pagerank(_site_links(d), iters=5)
+
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    gs, hs = g.cast("string"), (g % 25).cast("string")
+    dup_url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://site"), hs, F.lit(".com/p/"), gs))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://SITE"), hs, F.lit(".COM/p/"), gs))
+        .when(v == 2, F.concat(
+            F.lit("http://site"), hs, F.lit(".com/p/"), gs,
+            F.lit("?utm_source=x&fbclid=z")))
+        .otherwise(F.concat(
+            F.lit("http://site"), hs, F.lit(".com:80/p/"), gs))
+    )
+    uniq_url = F.concat(
+        F.lit("http://site"), hs, F.lit(".com/p/d"),
+        F.col("doc_id").cast("string"),
+    )
+    url = F.when((g % 25) % 3 == 0, dup_url).otherwise(uniq_url)
+    feats = X.quality_features(base).select("doc_id", "quality_score")
+    pages = base.select("doc_id", url.alias("url")).join(feats, "doc_id")
+    stats = WB.host_stats(
+        pages, quality_col="quality_score", max_dup_rate=0.5)
+    return WB.crawl_frontier(ranks, stats)
 
 
 @register(

@@ -6,6 +6,7 @@ from collections import defaultdict
 import pytest
 
 from hbase_packet_inspector_spark.operators.web import (
+    crawl_frontier,
     extract_links,
     host_pagerank,
 )
@@ -88,6 +89,37 @@ def test_pagerank_empty_edges_yields_empty_frame(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "host", "pagerank", "out_links"]
+
+
+def test_crawl_frontier_status_and_priority_rules(spark):
+    ranks = spark.createDataFrame(
+        [("spam.com", 0.4, 10), ("good.com", 0.3, 5),
+         ("fresh.com", 0.2, 0)],
+        "host string, pagerank double, out_links bigint",
+    )
+    stats = spark.createDataFrame(
+        # (host, n_pages, n_urls, dup_rate, avg_quality, flagged)
+        [("spam.com", 100, 10, 0.9, 2.0, True),
+         ("good.com", 50, 50, 0.0, 1.5, False),
+         ("unlinked.com", 5, 5, 0.0, 2.0, False)],
+        "host string, n_pages bigint, n_urls bigint, dup_rate double, "
+        "avg_quality double, flagged boolean",
+    )
+    out = {r.host: r for r in crawl_frontier(ranks, stats).collect()}
+    # stats-only hosts are not in the link graph -> not in the frontier
+    assert set(out) == {"spam.com", "good.com", "fresh.com"}
+    # blocked: flagged dup-spam host drops to 0 regardless of rank
+    assert out["spam.com"].status == "blocked"
+    assert out["spam.com"].priority == 0.0
+    # known: rank * (1 - dup) * (0.5 + 0.25 * quality)
+    assert out["good.com"].status == "known"
+    assert out["good.com"].priority == pytest.approx(
+        round(0.3 * 1.0 * (0.5 + 0.25 * 1.5), 6))
+    # new: never-crawled host keeps its full rank (the frontier branch)
+    assert out["fresh.com"].status == "new"
+    assert out["fresh.com"].priority == 0.2
+    assert out["fresh.com"].n_pages == 0
+    assert out["fresh.com"].avg_quality is None
 
 
 def test_extract_links_absolute_only_host_level(spark):
