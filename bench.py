@@ -207,6 +207,7 @@ HEADLINE = [
     "warc_media_extract",
     "host_pagerank",
     "crawl_frontier",
+    "link_graph",
 ]
 
 

@@ -33,6 +33,7 @@ _UNVERIFIED_FIRST = (
     "host_reputation",  # latest green r0
     "host_pagerank",  # latest green r0
     "crawl_frontier",  # latest green r0
+    "link_graph",  # latest green r0
     "contrastive_triplets",  # latest green r0
     "video_frame_dedup",  # latest green r0
     "wav_silence_trim",  # latest green r0

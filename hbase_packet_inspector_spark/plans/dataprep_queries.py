@@ -5525,6 +5525,70 @@ def _frontier_oracle(iters: int) -> str:
 
 
 @register(
+    "link_graph",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com'
+               AS src_host,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com'
+               AS dst_host
+      FROM d
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) || '.com'
+      FROM d)
+    SELECT src_host, dst_host, count(*) AS n_links
+    FROM l GROUP BY 1, 2
+    """,
+    doc="Host link-graph extraction from raw HTML (operators/web.py::"
+    "extract_links): regexp_extract_all over absolute http(s) hrefs + "
+    "explode + host canonicalization, rolled up to weighted "
+    "(src_host, dst_host) edges — the input frame host_pagerank ranks. "
+    "The synthetic pages embed one double-quoted lowercase link and "
+    "one single-quoted UPPERCASE https link with an explicit :443 "
+    "(exercising quote style, case folding, and default-port drop) "
+    "plus a relative href that must NOT produce an edge; every third "
+    "doc has no links at all. The oracle computes the ground-truth "
+    "edge set straight from the generator arithmetic, so the regex "
+    "extraction and the host normalization are hash-pinned end to "
+    "end. Plan: scan prunes to doc_id, pure JVM expressions, one "
+    "partial+final count — no Python, no window.",
+    tags=("dataprep", "web", "graph"),
+)
+def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    h = (F.floor(did / 4) % 25).cast("string")
+    a = ((did * 7 + 3) % 25).cast("string")
+    b = ((did * 11 + 5) % 25).cast("string")
+    body = (
+        F.when(did % 3 == 0, F.concat(
+            F.lit("<p>no links "), did.cast("string"), F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<p>filler</p><a href="http://site'), a,
+            F.lit('.com/x">l1</a>'),
+            F.lit("<a href='HTTPS://SITE"), b,
+            F.lit(".COM:443/q?t=1'>l2</a>"),
+            F.lit('<a href="/rel/path">rel</a>'),
+        ))
+    )
+    pages = d.select(
+        F.concat(F.lit("http://site"), h, F.lit(".com/p/"),
+                 did.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return (
+        WB.extract_links(pages)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+@register(
     "crawl_frontier",
     _frontier_oracle(5),
     doc="Crawl-frontier prioritization (operators/web.py::"
