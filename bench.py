@@ -208,6 +208,7 @@ HEADLINE = [
     "host_pagerank",
     "crawl_frontier",
     "link_graph",
+    "mixture_sample",
 ]
 
 

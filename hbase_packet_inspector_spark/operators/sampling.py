@@ -151,6 +151,73 @@ def source_mixture_weights(
     )
 
 
+def execute_mixture(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    token_budget: int = 1_000_000,
+    key: str = "doc_id",
+    strata: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Execute a source-mixing schedule — the step between
+    :func:`source_mixture_weights` (which computes the mix) and the
+    trainer (which consumes it): per-source deterministic hash sampling
+    at the rate the weights imply for ``token_budget``.
+
+    ``rate_ppm = least(1e6, round(1e6 * weight * budget / tokens))`` —
+    a source whose schedule wants MORE than one epoch is fully kept
+    (oversampling/repetition is the trainer's loop, priced by
+    ``expected_epochs`` upstream). A doc is kept iff its salted md5
+    bucket in [0, 1e6) falls under its source's rate: reproducible on
+    any engine, no RNG state, and stable under corpus growth — a doc's
+    verdict never depends on other docs' arrival, so an incremental
+    ingest keeps the same rows a batch run would.
+
+    Output per source: (strata, tokens, rate_ppm, target_tokens,
+    kept_docs, kept_tokens) — the audit that the executed sample hits
+    the schedule, with the hash-quantization error visible. Sources the
+    schedule zeroes out still report (kept 0), never silently vanish.
+
+    Scale shape: the schedule is a broadcast |sources|-row dim; the keep
+    decision is a narrow in-row expression (no corpus shuffle); the only
+    shuffle is the |sources|-cardinality report rollup."""
+    w = weights.select(
+        strata, "tokens", "weight",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.round(
+                F.lit(1_000_000.0) * F.col("weight")
+                * F.lit(float(token_budget)) / F.col("tokens")
+            ).cast("long"),
+        ).alias("rate_ppm"),
+        F.round(F.col("weight") * F.lit(float(token_budget)))
+        .cast("long").alias("target_tokens"),
+    )
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bucket = hash_bucket(F.col(key), salt="mix:", buckets=1_000_000)
+    kept = (
+        docs.select(F.col(strata), F.col(key), ntok.alias("_ntok"))
+        .join(F.broadcast(w.select(strata, "rate_ppm")), strata)
+        .where(bucket < F.col("rate_ppm"))
+        .groupBy(strata)
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("_ntok").alias("kept_tokens"),
+        )
+    )
+    return (
+        w.join(kept, strata, "left")
+        .select(
+            strata, "tokens", "rate_ppm", "target_tokens",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("bigint")
+            .alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
 def global_shuffle(
     docs: DataFrame,
     shards: int = 8,

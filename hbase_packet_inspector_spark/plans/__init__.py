@@ -34,6 +34,7 @@ _UNVERIFIED_FIRST = (
     "host_pagerank",  # latest green r0
     "crawl_frontier",  # latest green r0
     "link_graph",  # latest green r0
+    "mixture_sample",  # latest green r0
     "contrastive_triplets",  # latest green r0
     "video_frame_dedup",  # latest green r0
     "wav_silence_trim",  # latest green r0

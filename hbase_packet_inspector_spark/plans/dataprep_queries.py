@@ -3232,6 +3232,66 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.source_mixture_weights(_docs(spark, sf_dir), temperature=2.0)
 
 
+def _mixture_exec_oracle() -> str:
+    bucket = _hex6_int("md5('mix:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                          AS tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS t FROM per),
+    r AS (SELECT source, tokens, round(pow(tokens / t, 0.5), 6) AS raw_w
+          FROM per CROSS JOIN tot),
+    s AS (SELECT sum(raw_w) AS sw FROM r),
+    w AS (SELECT source, tokens, round(raw_w / sw, 6) AS weight
+          FROM r CROSS JOIN s),
+    sched AS (SELECT source, tokens,
+                     least(1000000, CAST(round(1000000.0 * weight
+                           * 1000000.0 / tokens) AS BIGINT)) AS rate_ppm,
+                     CAST(round(weight * 1000000.0) AS BIGINT)
+                       AS target_tokens
+              FROM w),
+    d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 {bucket} % 1000000 AS bucket
+          FROM documents),
+    k AS (SELECT d.source, count(*) AS kept_docs, sum(d.ntok) AS kept_tokens
+          FROM d JOIN sched USING (source)
+          WHERE d.bucket < sched.rate_ppm
+          GROUP BY 1)
+    SELECT sched.source, sched.tokens, sched.rate_ppm, sched.target_tokens,
+           CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM sched LEFT JOIN k USING (source)
+    """
+
+
+@register(
+    "mixture_sample",
+    _mixture_exec_oracle(),
+    doc="Source-mixing schedule EXECUTION (operators/sampling.py::"
+    "execute_mixture): the step between source_mixture_weights (which "
+    "computes the T=2 mix) and the trainer — per-source deterministic "
+    "md5-bucket sampling at rate_ppm = min(1e6, round(1e6 * weight * "
+    "budget / tokens)) for a 1M-token budget, reported per source as "
+    "(tokens, rate_ppm, target_tokens, kept_docs, kept_tokens) so the "
+    "hash-quantization error between schedule and executed sample is "
+    "visible. Sources wanting >1 epoch are fully kept (repetition is "
+    "the trainer's loop); zero-rate sources still report, never "
+    "silently vanish. A doc's verdict depends only on its own key — "
+    "incremental ingest keeps the same rows a batch run would. Plan: "
+    "broadcast |sources|-row schedule, narrow in-row keep decision, "
+    "one |sources|-cardinality rollup — the corpus never shuffles.",
+    tags=("dataprep", "sampling", "mixture"),
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    weights = SA.source_mixture_weights(docs, temperature=2.0)
+    return SA.execute_mixture(docs, weights)
+
+
 @register(
     "global_shuffle",
     f"""

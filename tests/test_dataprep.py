@@ -176,6 +176,38 @@ def test_stratified_sample_deterministic(docs, spark):
     assert len(full) == 5  # split labels, never drops rows
 
 
+def test_execute_mixture_rates_and_python_mirror(spark):
+    import hashlib
+
+    from hbase_packet_inspector_spark.operators import sampling as SA
+
+    # 'big' wants more than one epoch at this budget -> fully kept;
+    # 'small' gets a fractional rate the md5 rule must reproduce.
+    rows = [(i, "big", "w " * 4) for i in range(20)]
+    rows += [(100 + i, "small", "w " * 99) for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, source string, text string",
+    )
+    weights = SA.source_mixture_weights(docs, temperature=2.0,
+                                        token_budget=1000)
+    out = {r.source: r
+           for r in SA.execute_mixture(docs, weights,
+                                       token_budget=1000).collect()}
+    assert out["big"].rate_ppm == 1_000_000  # >1 epoch caps at keep-all
+    assert out["big"].kept_docs == 20
+    assert 0 < out["small"].rate_ppm < 1_000_000
+
+    def ppm_bucket(doc_id):
+        h = hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()
+        return int(h[:6], 16) % 1_000_000
+
+    exp = [i for i in range(100, 130)
+           if ppm_bucket(i) < out["small"].rate_ppm]
+    assert out["small"].kept_docs == len(exp)
+    assert out["small"].kept_tokens == 99 * len(exp)
+
+
 def test_ann_recall_bounds(spark):
     import math
     rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.5], i % 2)
