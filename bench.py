@@ -209,6 +209,7 @@ HEADLINE = [
     "crawl_frontier",
     "link_graph",
     "mixture_sample",
+    "curriculum_order",
 ]
 
 

@@ -252,6 +252,60 @@ def global_shuffle(
     )
 
 
+def curriculum_order(
+    docs: DataFrame,
+    *,
+    score_col: str,
+    key: str = "doc_id",
+    bins: int = 10,
+    shards: int = 8,
+    seed: str = "",
+) -> DataFrame:
+    """Curriculum training order: globally COARSE (easy→hard by score
+    bin), locally shuffled — the curriculum-learning layout at corpus
+    scale. A full global sort by score is the anti-pattern twice over:
+    one total order means one reducer lineage, and exact score order
+    trains badly anyway (batches full of near-identical difficulty).
+    Equal-width score bins give the macro curriculum; within a bin the
+    salted-md5 order decorrelates content exactly like
+    :func:`global_shuffle`.
+
+    Bin edges come from ONE 1-row (min, max) aggregate broadcast back
+    (the sanctioned model-bounded shape); ``pos`` is a row_number per
+    (bin, shard) — shard-local sorts sized corpus/(bins·shards), never
+    a global sort. A constant score degenerates to bin 0 everywhere
+    rather than dividing by zero.
+
+    Output: (key, score, bin, shard, pos) — the trainer consumes bins
+    ascending, shards within a bin in parallel."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    mm = docs.agg(F.min(s).alias("_lo"), F.max(s).alias("_hi"))
+    d = docs.select(F.col(key), s.alias("score")).crossJoin(F.broadcast(mm))
+    span = F.col("_hi") - F.col("_lo")
+    b = (
+        F.when(span == 0, F.lit(0))
+        .otherwise(F.least(
+            F.lit(bins - 1).cast("long"),
+            F.floor((F.col("score") - F.col("_lo")) / span * bins),
+        ))
+        .cast("int")
+    )
+    h = F.md5(F.concat(F.lit(f"curr:{seed}:"), F.col(key).cast("string")))
+    w = Window.partitionBy("bin", "shard").orderBy("h", key)
+    return (
+        d.select(
+            F.col(key), F.col("score"), b.alias("bin"),
+            hash_bucket(F.col(key), salt=f"cshard:{seed}:",
+                        buckets=shards).alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(key, "score", "bin", "shard", "pos")
+    )
+
+
 def train_test_split(
     docs: DataFrame, key: str = "doc_id", test_pct: int = 10
 ) -> DataFrame:

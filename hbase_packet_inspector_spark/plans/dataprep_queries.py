@@ -3293,6 +3293,51 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curriculum_order",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+               FROM documents),
+    mm AS (SELECT min(score) AS lo, max(score) AS hi FROM d),
+    b AS (SELECT doc_id, score,
+                 CAST(CASE WHEN hi = lo THEN 0
+                      ELSE least(9, CAST(floor((score - lo) / (hi - lo)
+                                               * 10) AS BIGINT))
+                      END AS INTEGER) AS bin,
+                 CAST({_hex6_int("md5('cshard::' || CAST(doc_id AS VARCHAR))")} % 4
+                      AS INTEGER) AS shard,
+                 md5('curr::' || CAST(doc_id AS VARCHAR)) AS h
+          FROM d CROSS JOIN mm)
+    SELECT doc_id, score, bin, shard,
+           CAST(row_number() OVER (PARTITION BY bin, shard
+                                   ORDER BY h, doc_id) AS INTEGER) AS pos
+    FROM b
+    """,
+    doc="Curriculum training order (operators/sampling.py::"
+    "curriculum_order): globally coarse easy-to-hard by equal-width "
+    "score bin (difficulty = token count here), locally md5-shuffled "
+    "within each (bin, shard) — the curriculum-learning layout that "
+    "avoids BOTH failure modes of a global score sort (one reducer "
+    "lineage, and batches of near-identical difficulty). Bin edges "
+    "come from one 1-row (min,max) aggregate broadcast back (the "
+    "sanctioned model-bounded cross join); pos is a row_number per "
+    "(bin, shard) — shard-local sorts sized corpus/(bins*shards), "
+    "never a global sort. The salted-hash order and the tie-break on "
+    "doc_id make the layout engine-exact, hash-pinned against the "
+    "identical SQL window.",
+    tags=("dataprep", "sampling", "curriculum"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("score"),
+    )
+    return SA.curriculum_order(scored, score_col="score", bins=10, shards=4)
+
+
+@register(
     "global_shuffle",
     f"""
     WITH h AS (SELECT doc_id,

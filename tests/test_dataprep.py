@@ -208,6 +208,34 @@ def test_execute_mixture_rates_and_python_mirror(spark):
     assert out["small"].kept_tokens == 99 * len(exp)
 
 
+def test_curriculum_order_bins_monotone_and_shard_local(spark):
+    from hbase_packet_inspector_spark.operators import sampling as SA
+
+    rows = [(i, float(10 + i)) for i in range(40)]  # scores 10..49
+    docs = spark.createDataFrame(rows, "doc_id long, s double")
+    out = SA.curriculum_order(docs, score_col="s", bins=4, shards=2).collect()
+    assert len(out) == 40
+    # equal-width bins over [10, 49]: bin is monotone in score and the
+    # max score lands in the top bin (the least() clamp)
+    by_score = sorted(out, key=lambda r: r.score)
+    bins_seq = [r.bin for r in by_score]
+    assert bins_seq == sorted(bins_seq)
+    assert by_score[-1].bin == 3 and by_score[0].bin == 0
+    # pos is dense 1..n within each (bin, shard): shard-local, no gaps
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.bin, r.shard)].append(r.pos)
+    for ps in groups.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # constant score: everything degenerates to bin 0, no div-by-zero
+    const = spark.createDataFrame([(i, 5.0) for i in range(4)],
+                                  "doc_id long, s double")
+    cbins = {r.bin for r in
+             SA.curriculum_order(const, score_col="s").collect()}
+    assert cbins == {0}
+
+
 def test_ann_recall_bounds(spark):
     import math
     rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.5], i % 2)

@@ -152,6 +152,10 @@ ALLOWED = {
     # rationale); the budget cut itself is filters + a window over the
     # boundary bin only — no global sort
     "token_budget_select": {"NESTED-LOOP-JOIN"},
+    # the (min,max) bin-edge frame re-enters as a broadcast ONE-ROW
+    # aggregate (source_token_mix's rationale); binning itself is a
+    # narrow expression and pos is a (bin, shard)-local window
+    "curriculum_order": {"NESTED-LOOP-JOIN"},
     # the reverse running sums range over the n_bins-row threshold grid
     # (20 rows by construction), never the corpus — acctbal_deciles'
     # bounded-global-window rationale
