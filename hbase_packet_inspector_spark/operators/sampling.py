@@ -151,6 +151,51 @@ def source_mixture_weights(
     )
 
 
+def mixture_schedule(
+    weights: DataFrame,
+    *,
+    token_budget: int = 1_000_000,
+    strata: str = "source",
+) -> DataFrame:
+    """Materialize a mixing schedule from :func:`source_mixture_weights`
+    output: per source, ``rate_ppm = least(1e6, round(1e6 * weight *
+    budget / tokens))`` and ``target_tokens = round(weight * budget)``.
+    A |sources|-row dim frame — save it with the model artifacts; the
+    streaming ingest gate broadcasts it per micro-batch."""
+    return weights.select(
+        strata, "tokens", "weight",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.round(
+                F.lit(1_000_000.0) * F.col("weight")
+                * F.lit(float(token_budget)) / F.col("tokens")
+            ).cast("long"),
+        ).alias("rate_ppm"),
+        F.round(F.col("weight") * F.lit(float(token_budget)))
+        .cast("long").alias("target_tokens"),
+    )
+
+
+def mixture_keep(
+    docs: DataFrame,
+    schedule: DataFrame,
+    *,
+    key: str = "doc_id",
+    strata: str = "source",
+) -> DataFrame:
+    """Row-level keep decision of a mixing schedule — the stateless half
+    :func:`execute_mixture` aggregates into its report, and the half a
+    streaming ingest applies per micro-batch (broadcast schedule dim +
+    in-row salted hash, NO state, so batch === stream row-for-row).
+    Kept rows pass through with their columns intact (plus the joined
+    ``rate_ppm``); a doc's verdict depends only on its own key."""
+    bucket = hash_bucket(F.col(key), salt="mix:", buckets=1_000_000)
+    return (
+        docs.join(F.broadcast(schedule.select(strata, "rate_ppm")), strata)
+        .where(bucket < F.col("rate_ppm"))
+    )
+
+
 def execute_mixture(
     docs: DataFrame,
     weights: DataFrame,
@@ -182,24 +227,13 @@ def execute_mixture(
     Scale shape: the schedule is a broadcast |sources|-row dim; the keep
     decision is a narrow in-row expression (no corpus shuffle); the only
     shuffle is the |sources|-cardinality report rollup."""
-    w = weights.select(
-        strata, "tokens", "weight",
-        F.least(
-            F.lit(1_000_000).cast("long"),
-            F.round(
-                F.lit(1_000_000.0) * F.col("weight")
-                * F.lit(float(token_budget)) / F.col("tokens")
-            ).cast("long"),
-        ).alias("rate_ppm"),
-        F.round(F.col("weight") * F.lit(float(token_budget)))
-        .cast("long").alias("target_tokens"),
-    )
+    w = mixture_schedule(weights, token_budget=token_budget,
+                         strata=strata)
     ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
-    bucket = hash_bucket(F.col(key), salt="mix:", buckets=1_000_000)
     kept = (
-        docs.select(F.col(strata), F.col(key), ntok.alias("_ntok"))
-        .join(F.broadcast(w.select(strata, "rate_ppm")), strata)
-        .where(bucket < F.col("rate_ppm"))
+        mixture_keep(
+            docs.select(F.col(strata), F.col(key), ntok.alias("_ntok")),
+            w, key=key, strata=strata)
         .groupBy(strata)
         .agg(
             F.count("*").alias("kept_docs"),

@@ -809,6 +809,39 @@ def test_stream_quality_gate_exactly_matches_batch(spark, tmp_path):
     assert key(out) == key(batch)
 
 
+def test_stream_mixture_gate_exactly_matches_batch(spark, tmp_path):
+    """Mixture-schedule execution batch===stream equivalence: the keep
+    rule (mixture_keep) is a broadcast schedule dim + an in-row salted
+    hash — NO state, so the SAME operator under readStream must keep
+    exactly the batch rows. This is the deployment shape: the schedule
+    is calibrated once in batch (mixture_schedule over the weights) and
+    the ingest firehose applies it per arrival."""
+    from hbase_packet_inspector_spark.operators import sampling as SA
+
+    rows = [
+        (i, "big" if i % 2 == 0 else "small",
+         ("w " * (5 if i % 2 == 0 else 60)).strip())
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    schedule = SA.mixture_schedule(
+        SA.source_mixture_weights(docs, temperature=2.0, token_budget=600),
+        token_budget=600,
+    )
+    out = _replay(
+        spark, docs,
+        lambda s: SA.mixture_keep(s, schedule),
+        str(tmp_path / "mx"),
+    )
+    batch = SA.mixture_keep(docs, schedule).collect()
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    assert 0 < len(batch) < 40  # the rate actually gates something
+    assert key(out) == key(batch)
+
+
 def test_stream_multimodal_decode_matches_batch(spark, tmp_path):
     """The multimodal Arrow stages (decode_ppm, ahash_ppm) are stateless
     mapInPandas — they run unchanged under readStream and must emit
