@@ -210,6 +210,7 @@ HEADLINE = [
     "link_graph",
     "mixture_sample",
     "curriculum_order",
+    "html_text_extract",
 ]
 
 

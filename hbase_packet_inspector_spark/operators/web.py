@@ -273,6 +273,88 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     return out
 
 
+# html_to_text's rule chain, applied strictly in order. Kept as data so
+# the DuckDB oracle emits the IDENTICAL chain (html_rules_sql below) —
+# patterns are RE2-and-Java-regex common subset ((?is) flags, non-greedy,
+# \b); replacements may contain real newlines.
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|tr|h[1-6]|ul|ol|table|thead|tbody|section|article"
+    "|header|footer|blockquote"
+)
+HTML_TEXT_RULES = (
+    ("(?is)<script[^>]*>.*?</script>", " "),
+    ("(?is)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    (f"(?i)</?(?:{_HTML_BLOCK_TAGS})\\b[^>]*>", "\n"),
+    ("<[^>]+>", " "),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    ("[ \\t]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n+", "\n"),
+    # \A/\z, not ^/$: Java's $ also matches before a FINAL newline,
+    # RE2's does not — the anchors below mean the same thing in both
+    ("\\A\\n+", ""),
+    ("\\n+\\z", ""),
+)
+
+
+def html_rules_sql(expr: str) -> str:
+    """DuckDB expression applying HTML_TEXT_RULES to ``expr`` — the
+    oracle-side mirror of :func:`html_to_text` (same patterns, same
+    order, 'g' for the global semantics Spark has by default;
+    replacements emit as E-strings so a newline is a newline)."""
+    out = expr
+    for pat, rep in HTML_TEXT_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+        out = f"regexp_replace({out}, '{p}', e'{r}', 'g')"
+    return f"trim({out})"
+
+
+def html_to_text(pages: DataFrame, *, html_col: str = "body",
+                 out_col: str = "text") -> DataFrame:
+    """Main-text extraction from raw HTML — the step between a crawl
+    body (``warc_to_documents`` hands the HTTP body through verbatim)
+    and every text-curation operator: quality features, lang-ID, and
+    dedup shingles all assume prose, and tag soup wrecks each one
+    (markup tokens inflate lengths, crush stopword ratios, and make
+    every page on a site a near-dup through shared chrome).
+
+    Deliberately a model-free regex subset of the trafilatura/jusText
+    role: <script>/<style>/comment blocks drop wholesale, block-level
+    tags become line breaks (so :func:`~..operators.text.boilerplate_lines`
+    still sees per-line furniture), remaining tags vanish, the five
+    named entities + &nbsp; decode (&amp; last, after tag removal, so
+    '&lt;tag&gt;' renders as text instead of resurrecting markup),
+    and whitespace collapses. Every rule is one ``regexp_replace`` —
+    JVM-side codegen, chain shared with the DuckDB oracle via
+    ``HTML_TEXT_RULES``. Adds ``markup_frac`` — the stripped-away
+    fraction, a cheap page-quality signal (boilerplate-heavy pages
+    strip to almost nothing).
+
+    Known regex-subset limits (documented, not bugs to fix): a literal
+    '>' inside a quoted attribute ends the tag early; numeric
+    entities pass through undecoded."""
+    t: Column = F.col(html_col)
+    for pat, rep in HTML_TEXT_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    t = F.trim(t)
+    raw_len = F.length(F.col(html_col))
+    return (
+        pages.withColumn(out_col, t)
+        .withColumn(
+            "markup_frac",
+            F.when(raw_len == 0, F.lit(0.0)).otherwise(
+                F.round(1 - F.length(F.col(out_col)) / raw_len, 6)),
+        )
+    )
+
+
 def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:
     """Fetch-priority table for the next crawl cycle — the decision
     frame :func:`host_pagerank` and :func:`host_stats` exist to feed:

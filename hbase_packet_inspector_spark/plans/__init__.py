@@ -36,6 +36,7 @@ _UNVERIFIED_FIRST = (
     "link_graph",  # latest green r0
     "mixture_sample",  # latest green r0
     "curriculum_order",  # latest green r0
+    "html_text_extract",  # latest green r0
     "contrastive_triplets",  # latest green r0
     "video_frame_dedup",  # latest green r0
     "wav_silence_trim",  # latest green r0

@@ -5693,6 +5693,84 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_PAGE_PRE = (
+    "<html><head><title>t{id}</title><style>p {{ color: red }}</style>"
+    "<script>var x = 1 < 2 && 3 > 2;</script></head>"
+    "<body><!-- chrome --><h1>heading {id}</h1><p>"
+)
+_HTML_PAGE_POST = (
+    '</p><ul><li>a &amp; b</li><li>c&nbsp;d &lt;tag&gt;</li></ul>'
+    '<div><a href="http://x.com/p">deep link</a></div></body></html>'
+)
+
+
+def _html_page_parts() -> list[str]:
+    """The literal segments around the two {id} slots of the synthetic
+    page header (title + heading)."""
+    pre = _HTML_PAGE_PRE.replace("{{", "{").replace("}}", "}")
+    parts = pre.split("{id}")
+    assert len(parts) == 3
+    return parts
+
+
+def _html_extract_oracle() -> str:
+    from ..operators.web import html_rules_sql
+
+    a1, a2, a3 = _html_page_parts()
+    page = (
+        f"'{a1}' || CAST(doc_id AS VARCHAR) || '{a2}' || "
+        f"CAST(doc_id AS VARCHAR) || '{a3}' || text || "
+        f"'{_HTML_PAGE_POST}'"
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, ({page}) AS body FROM documents),
+    x AS (SELECT doc_id, body, {html_rules_sql('body')} AS text FROM p)
+    SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars,
+           round(1 - length(text) / length(body), 6) AS markup_frac
+    FROM x
+    """
+
+
+@register(
+    "html_text_extract",
+    _html_extract_oracle(),
+    doc="Main-text extraction from raw HTML (operators/web.py::"
+    "html_to_text) — the missing step between warc_to_documents "
+    "(which hands the crawl body through verbatim) and the text "
+    "curation operators, which all assume prose: script/style/comment "
+    "blocks drop wholesale, block tags become line breaks (so "
+    "boilerplate_lines still sees per-line furniture), remaining tags "
+    "vanish, named entities decode (&amp; last so '&lt;tag&gt;' stays "
+    "text), whitespace collapses; markup_frac reports the stripped "
+    "fraction as a page-quality signal. The synthetic page wraps each "
+    "doc's text in a full head/body shell with a script containing "
+    "'<' and '>', a CSS block, an HTML comment, entities, and an "
+    "anchor whose text must survive — and the rule chain is SHARED "
+    "with the oracle (HTML_TEXT_RULES emitted as the identical DuckDB "
+    "regexp_replace chain), so any Java-vs-RE2 divergence fails the "
+    "hash. Plan: a straight-line chain of regexp_replace — narrow, "
+    "codegen'd, zero shuffles.",
+    tags=("dataprep", "web", "text"),
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir)
+    did_s = F.col("doc_id").cast("string")
+    a1, a2, a3 = _html_page_parts()
+    page = F.concat(
+        F.lit(a1), did_s, F.lit(a2), did_s, F.lit(a3),
+        F.col("text"), F.lit(_HTML_PAGE_POST),
+    )
+    pages = d.select("doc_id", page.alias("body"))
+    out = WB.html_to_text(pages)
+    return out.select(
+        "doc_id", "text",
+        F.length("text").alias("n_chars"),
+        "markup_frac",
+    )
+
+
 @register(
     "crawl_frontier",
     _frontier_oracle(5),

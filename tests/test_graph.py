@@ -9,6 +9,7 @@ from hbase_packet_inspector_spark.operators.web import (
     crawl_frontier,
     extract_links,
     host_pagerank,
+    html_to_text,
 )
 
 
@@ -120,6 +121,28 @@ def test_crawl_frontier_status_and_priority_rules(spark):
     assert out["fresh.com"].priority == 0.2
     assert out["fresh.com"].n_pages == 0
     assert out["fresh.com"].avg_quality is None
+
+
+def test_html_to_text_strips_chrome_keeps_prose(spark):
+    html = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>if (1 < 2) { var x = '<p>'; }</script></head>"
+        "<body><!-- nav --><h1>Title</h1>"
+        "<p>hello   world</p><ul><li>a &amp; b</li><li>c&nbsp;d</li></ul>"
+        '<div><a href="http://x.com/p">link text</a> &lt;kept&gt;</div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, body string")
+    r = html_to_text(df).collect()[0]
+    # script (incl. its '<p>' literal), style, and the comment are gone;
+    # block tags became line breaks; entities decoded AFTER tag removal
+    assert r.text == "Title\nhello world\na & b\nc d\nlink text <kept>"
+    assert 0 < r.markup_frac < 1
+    # empty body: no division by zero
+    e = html_to_text(
+        spark.createDataFrame([(2, "")], "doc_id long, body string")
+    ).collect()[0]
+    assert e.text == "" and e.markup_frac == 0.0
 
 
 def test_extract_links_absolute_only_host_level(spark):
