@@ -345,14 +345,13 @@ def html_to_text(pages: DataFrame, *, html_col: str = "body",
         t = F.regexp_replace(t, pat, rep)
     t = F.trim(t)
     raw_len = F.length(F.col(html_col))
-    return (
-        pages.withColumn(out_col, t)
-        .withColumn(
-            "markup_frac",
-            F.when(raw_len == 0, F.lit(0.0)).otherwise(
-                F.round(1 - F.length(F.col(out_col)) / raw_len, 6)),
-        )
-    )
+    # one withColumns so both expressions see the INPUT column even when
+    # out_col == html_col (in-place cleaning, the warc bridge's shape)
+    return pages.withColumns({
+        out_col: t,
+        "markup_frac": F.when(raw_len == 0, F.lit(0.0)).otherwise(
+            F.round(1 - F.length(t) / raw_len, 6)),
+    })
 
 
 def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:

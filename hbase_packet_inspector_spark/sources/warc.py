@@ -273,7 +273,7 @@ def parse_warc_bytes(path: str, blob: bytes):
     yield from parse_warc_stream(path, io.BytesIO(blob))
 
 
-def warc_to_documents(warc):
+def warc_to_documents(warc, *, extract_html: bool = False):
     """HTTP response records -> the documents-table shape every curation
     operator consumes (doc_id, text, n_chars, source): deterministic
     doc_id (xxhash64 of the WARC record id — stable across re-reads and
@@ -281,21 +281,36 @@ def warc_to_documents(warc):
     source, and source = the target URI's host (the natural per-domain
     rollup key for quality/mixture/dedup reports). Pure column
     expressions — chains straight into quality_features, lang_id,
-    dedup, DSIR without another Python pass."""
+    dedup, DSIR without another Python pass.
+
+    ``extract_html=True`` additionally runs
+    :func:`~..operators.web.html_to_text` on the body — the posture a
+    real crawl pipeline wants (curation operators assume prose, not tag
+    soup) — and carries its ``markup_frac`` column through. Default off
+    so existing hash-pinned consumers are unchanged."""
     from pyspark.sql import functions as F
 
-    return (
+    docs = (
         warc.where(
             (F.col("warc_type") == "response") & F.col("text").isNotNull()
         )
         .select(
             F.xxhash64("record_id").alias("doc_id"),
             "text",
-            F.length("text").alias("n_chars"),
             F.coalesce(
                 F.parse_url("target_uri", F.lit("HOST")), F.lit("")
             ).alias("source"),
         )
+    )
+    extra = []
+    if extract_html:
+        from ..operators.web import html_to_text
+
+        docs = html_to_text(docs, html_col="text", out_col="text")
+        extra = ["markup_frac"]
+    return docs.select(
+        "doc_id", "text", F.length("text").alias("n_chars"), "source",
+        *extra,
     )
 
 

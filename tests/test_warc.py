@@ -317,6 +317,26 @@ def test_warc_to_documents_feeds_curation(spark, tmp_path):
     assert len(q) == 1 and q[0].n_words >= 1
 
 
+def test_warc_to_documents_extract_html(spark, tmp_path):
+    """extract_html=True runs html_to_text on the crawl body in place:
+    the curation operators then see prose, not tag soup, and the
+    markup_frac signal rides along."""
+    from hbase_packet_inspector_spark.sources import warc as W
+
+    (tmp_path / "c.warc").write_bytes(b"".join(_archive()))
+    W.register(spark)
+    warc = spark.read.format("warc").load(str(tmp_path / "c.warc"))
+    rows = warc_to_documents(warc, extract_html=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.text == "hello crawl world"  # tags stripped in place
+    assert r.n_chars == len("hello crawl world")  # length of the CLEAN text
+    assert 0 < r.markup_frac < 1
+    # default path is unchanged (hash-pinned consumers)
+    raw = warc_to_documents(warc).collect()[0]
+    assert raw.text == _BODY and "markup_frac" not in raw.asDict()
+
+
 def test_warc_to_media_bridges_into_decode(spark, tmp_path):
     """WARC media records (HTTP Content-Type image/audio) land in the
     media-table shape with the HTTP envelope stripped, and the image
