@@ -809,6 +809,29 @@ def test_stream_quality_gate_exactly_matches_batch(spark, tmp_path):
     assert key(out) == key(batch)
 
 
+def test_stream_html_extract_exactly_matches_batch(spark, tmp_path):
+    """html_to_text is a straight-line regexp_replace chain — stateless,
+    so the SAME operator under readStream must emit exactly the batch
+    rows: the crawl-drop ingest can clean HTML on arrival with the
+    chain the batch curation was calibrated on."""
+    from hbase_packet_inspector_spark.operators.web import html_to_text
+
+    rows = [
+        (0, "<html><body><script>var x=1<2;</script><p>a b</p></body></html>"),
+        (1, "<p>plain</p><!-- c --><div>tail &amp; end</div>"),
+        (2, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    out = _replay(spark, df, lambda s: html_to_text(s), str(tmp_path / "hx"))
+    batch = html_to_text(df).collect()
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    assert len(batch) == 3
+    assert key(out) == key(batch)
+
+
 def test_stream_mixture_gate_exactly_matches_batch(spark, tmp_path):
     """Mixture-schedule execution batch===stream equivalence: the keep
     rule (mixture_keep) is a broadcast schedule dim + an in-row salted
