@@ -211,6 +211,7 @@ HEADLINE = [
     "mixture_sample",
     "curriculum_order",
     "html_text_extract",
+    "leakage_safe_split",
 ]
 
 

@@ -353,6 +353,56 @@ def train_test_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    key: str = "doc_id",
+    test_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/test split — the repair executing what
+    ``split_leakage_audit`` detects: start from the deterministic hash
+    split, then QUARANTINE every test doc with a verified near-dup in
+    train. Dropping from test cannot create new leaks (removing a row
+    leaves every remaining pair's sides unchanged — whereas moving the
+    doc INTO train can turn a former test↔test pair into fresh
+    leakage), so a single pass is a fixpoint. Train keeps every row;
+    the benchmark loses only its contaminated items, each attributable
+    via ``split_raw`` vs ``split_safe``.
+
+    ``pairs`` is a verified near-dup pair frame with ``d1``/``d2``
+    columns (minhash_lsh_dedup's output shape, or any detector that
+    matches it).
+
+    Scale shape: the pair frame is the detector's OUTPUT — tiny next
+    to the corpus; two equi-joins label its sides, the offender set
+    distincts, one left join marks the corpus. The split assignment
+    itself stays a narrow in-row hash."""
+    sp = train_test_split(docs.select(F.col(key)), key=key,
+                          test_pct=test_pct)
+    a = sp.select(F.col(key).alias("d1"), F.col("split").alias("_sa"))
+    b = sp.select(F.col(key).alias("d2"), F.col("split").alias("_sb"))
+    lab = pairs.select("d1", "d2").join(a, "d1").join(b, "d2")
+    bad = (
+        lab.where((F.col("_sa") == "test") & (F.col("_sb") == "train"))
+        .select(F.col("d1").alias(key))
+        .union(
+            lab.where((F.col("_sa") == "train") & (F.col("_sb") == "test"))
+            .select(F.col("d2").alias(key)))
+        .distinct()
+        .withColumn("_leak", F.lit(True))
+    )
+    return (
+        sp.join(bad, key, "left")
+        .select(
+            key,
+            F.col("split").alias("split_raw"),
+            F.when(F.col("_leak").isNotNull(), F.lit("quarantine"))
+            .otherwise(F.col("split")).alias("split_safe"),
+        )
+    )
+
+
 def budget_select(scored: DataFrame, budget: int, *, score_col: str,
                   tokens_col: str, id_col: str = "doc_id",
                   n_bins: int = 256) -> DataFrame:

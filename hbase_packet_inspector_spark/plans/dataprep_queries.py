@@ -4570,6 +4570,54 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split",
+    _minhash_oracle(min_jaccard=0.45, tail=f""",
+    vp AS (SELECT d1, d2
+           FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.45),
+    sp AS (SELECT doc_id,
+                  CASE WHEN
+                    {_hex6_int("md5('split:' || CAST(doc_id AS VARCHAR))")}
+                    % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+           FROM documents),
+    bad AS (
+      SELECT vp.d1 AS doc_id FROM vp
+        JOIN sp sa ON sa.doc_id = vp.d1 JOIN sp sb ON sb.doc_id = vp.d2
+      WHERE sa.split = 'test' AND sb.split = 'train'
+      UNION
+      SELECT vp.d2 FROM vp
+        JOIN sp sa ON sa.doc_id = vp.d1 JOIN sp sb ON sb.doc_id = vp.d2
+      WHERE sa.split = 'train' AND sb.split = 'test')
+    SELECT sp.doc_id, sp.split AS split_raw,
+           CASE WHEN bad.doc_id IS NOT NULL THEN 'quarantine'
+                ELSE sp.split END AS split_safe
+    FROM sp LEFT JOIN bad USING (doc_id)
+    """),
+    doc="Near-dup-aware train/test split (operators/sampling.py::"
+    "leakage_safe_split) — the repair executing what "
+    "split_leakage_audit detects: every test doc with a verified "
+    "MinHash+LSH near-dup (0.5/0.45, the audit's own detector) in "
+    "train is QUARANTINED. Dropping from test cannot create new leaks "
+    "(removing a row changes no remaining pair), so one pass is a "
+    "fixpoint — unlike moving the doc into train, which can turn a "
+    "test<->test pair into fresh leakage. Train keeps every row; the "
+    "output carries split_raw vs split_safe so each quarantined "
+    "benchmark item is attributable. The pair frame is the detector's "
+    "output (tiny next to the corpus): two equi-joins label its "
+    "sides, the offender set distincts, one left join marks the "
+    "corpus; the split itself is a narrow in-row hash.",
+    tags=("dataprep", "dedup", "lsh", "sampling"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45)
+    return SA.leakage_safe_split(docs, pairs)
+
+
 _CENTROID_CTE = """
     ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
                   unnest(range(1, len(embedding) + 1)) AS i

@@ -208,6 +208,43 @@ def test_execute_mixture_rates_and_python_mirror(spark):
     assert out["small"].kept_tokens == 99 * len(exp)
 
 
+def test_leakage_safe_split_quarantines_only_cross_split_dups(spark):
+    import hashlib
+
+    from hbase_packet_inspector_spark.operators import sampling as SA
+
+    def split_of(i):
+        h = hashlib.md5(f"split:{i}".encode()).hexdigest()
+        return "test" if int(h[:6], 16) % 100 < 10 else "train"
+
+    ids = list(range(200))
+    tests = [i for i in ids if split_of(i) == "test"]
+    trains = [i for i in ids if split_of(i) == "train"]
+    assert len(tests) >= 3 and len(trains) >= 2
+    # plant: (test, train) near-dup -> quarantine the TEST side only;
+    # (test, test) near-dup -> NOT leakage, both stay in test
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "pack my box with five dozen liquor jugs every single day now"
+    docs = spark.createDataFrame(
+        [(tests[0], dup_a), (trains[0], dup_a),
+         (tests[1], dup_b), (tests[2], dup_b)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(min(tests[0], trains[0]), max(tests[0], trains[0])),
+         (tests[1], tests[2]) if tests[1] < tests[2]
+         else (tests[2], tests[1])],
+        "d1 long, d2 long",
+    )
+    out = {r.doc_id: r for r in
+           SA.leakage_safe_split(docs, pairs).collect()}
+    assert out[tests[0]].split_safe == "quarantine"
+    assert out[trains[0]].split_safe == "train"  # train side untouched
+    assert out[tests[1]].split_safe == "test"    # test<->test is fine
+    assert out[tests[2]].split_safe == "test"
+    assert all(r.split_raw in ("test", "train") for r in out.values())
+
+
 def test_curriculum_order_bins_monotone_and_shard_local(spark):
     from hbase_packet_inspector_spark.operators import sampling as SA
 
