@@ -212,6 +212,7 @@ HEADLINE = [
     "curriculum_order",
     "html_text_extract",
     "leakage_safe_split",
+    "pagerank_convergence",
 ]
 
 

@@ -172,7 +172,8 @@ def extract_links(pages: DataFrame, *, url_col: str = "url",
 
 def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
                   dst_col: str = "dst_host", weight_col: str | None = None,
-                  damping: float = 0.85, iters: int = 5) -> DataFrame:
+                  damping: float = 0.85, iters: int = 5,
+                  return_delta: bool = False) -> DataFrame:
     """Weighted PageRank over the host link graph — the crawl-frontier
     prioritizer (which domains to fetch next, which to deepen) and the
     spam prior that complements :func:`host_stats`' dup-rate flag: a
@@ -201,6 +202,14 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
 
     Output: (host, pagerank, out_links) — rank rounded to 6,
     out_links = total outgoing link weight (0 for dangling hosts).
+
+    ``return_delta=True`` adds a ``delta`` column — the per-host
+    |rank_iters − rank_iters−1| at full 9-decimal precision (NOT the
+    6-rounded output rank), i.e. the convergence residual. The damping
+    factor contracts the per-round L1 change by ≤ d, so max(delta)
+    tells you directly whether ``iters`` was enough; it costs one extra
+    host-keyed join on the already-checkpointed frames, no extra
+    iteration.
 
     Reference parity note: the reference engine has no web/graph
     surface; this is part of the repo's crawl-curation extension.
@@ -233,7 +242,9 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         "host", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
     ).localCheckpoint()
     out_hosts = ow.select(F.col("src").alias("host"))
+    prev = ranks
     for _ in range(iters):
+        prev = ranks
         dangling = (
             ranks.join(out_hosts, "host", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
@@ -267,6 +278,16 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
             .alias("out_links"),
         )
     )
+    if return_delta:
+        dd = (
+            ranks.join(prev.withColumnRenamed("rank", "_prev"), "host")
+            .select(
+                "host",
+                F.round(F.abs(F.col("rank") - F.col("_prev")), 9)
+                .alias("delta"),
+            )
+        )
+        out = out.join(dd, "host")
     out = out.localCheckpoint()
     e2.unpersist()
     nodes.unpersist()

@@ -38,6 +38,7 @@ _UNVERIFIED_FIRST = (
     "curriculum_order",  # latest green r0
     "html_text_extract",  # latest green r0
     "leakage_safe_split",  # latest green r0
+    "pagerank_convergence",  # latest green r0
     "contrastive_triplets",  # latest green r0
     "video_frame_dedup",  # latest green r0
     "wav_silence_trim",  # latest green r0

@@ -5741,6 +5741,41 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pagerank_convergence",
+    f"""
+    WITH {_pagerank_ctes(5)}
+    SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+           round(max(round(abs(a.rank - b.rank), 9)), 9) AS max_delta,
+           round(avg(round(abs(a.rank - b.rank), 9)), 6) AS avg_delta
+    FROM r5 a JOIN r4 b ON a.host = b.host
+    """,
+    doc="PageRank convergence audit (host_pagerank's return_delta "
+    "knob): per-host |rank_5 - rank_4| at the full 9-decimal "
+    "per-round precision, rolled up to (n_hosts, max_delta, "
+    "avg_delta) — the report that tells you whether iters was enough "
+    "BEFORE you trust the frontier ordering (damping contracts the "
+    "per-round L1 change by <= d, so max_delta ~ the rank error "
+    "bound). The oracle reads r5 and r4 out of the same chained-CTE "
+    "power iteration the host_pagerank oracle runs, so the residual "
+    "itself is hash-pinned, not just the final ranks. Costs one extra "
+    "host-keyed join on the already-checkpointed rank frames — no "
+    "extra iteration.",
+    tags=("dataprep", "web", "graph", "iterative", "audit"),
+)
+def pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    out = WB.host_pagerank(_site_links(d), iters=5, return_delta=True)
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_hosts"),
+        F.round(F.max("delta"), 9).alias("max_delta"),
+        F.round(F.avg("delta"), 6).alias("avg_delta"),
+    )
+
+
 _HTML_PAGE_PRE = (
     "<html><head><title>t{id}</title><style>p {{ color: red }}</style>"
     "<script>var x = 1 < 2 && 3 > 2;</script></head>"

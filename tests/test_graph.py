@@ -84,6 +84,34 @@ def test_pagerank_hub_outranks_leaf_and_duplicate_edges_aggregate(spark):
     assert out["leaf.com"] > out["s1.com"]
 
 
+def test_pagerank_return_delta_contracts(spark):
+    edges = [
+        ("a.com", "b.com", 1), ("b.com", "a.com", 1),
+        ("a.com", "c.com", 1), ("b.com", "c.com", 3),
+        ("d.com", "a.com", 2),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, w int")
+
+    def total_delta(iters):
+        rows = host_pagerank(df, weight_col="w", iters=iters,
+                             return_delta=True).collect()
+        assert all(r.delta >= 0 for r in rows)
+        return sum(r.delta for r in rows)
+
+    # damping contracts the per-round L1 change: the residual at 5
+    # iterations is strictly smaller than at 2
+    assert total_delta(5) < total_delta(2)
+    # matches the reference per-host: |r5 - r4| on the driver mirror
+    r5, _ = _ref_pagerank(edges, iters=5)
+    r4, _ = _ref_pagerank(edges, iters=4)
+    out = {r.host: r.delta for r in
+           host_pagerank(df, weight_col="w", iters=5,
+                         return_delta=True).collect()}
+    for h in r5:
+        assert out[h] == pytest.approx(round(abs(r5[h] - r4[h]), 9),
+                                       abs=1e-9)
+
+
 def test_pagerank_empty_edges_yields_empty_frame(spark):
     df = spark.createDataFrame([], "src_host string, dst_host string")
     out = host_pagerank(df)
