@@ -809,6 +809,31 @@ def test_stream_quality_gate_exactly_matches_batch(spark, tmp_path):
     assert key(out) == key(batch)
 
 
+def test_stream_extract_links_exactly_matches_batch(spark, tmp_path):
+    """extract_links is regexp_extract_all + explode — stateless, so the
+    crawl-drop ingest can grow the link graph (host_pagerank's input)
+    incrementally with the same operator the batch graph was built
+    with."""
+    from hbase_packet_inspector_spark.operators.web import extract_links
+
+    rows = [
+        ("http://me.com/a",
+         '<a href="https://x.com/1">x</a><a href="http://y.com/2">y</a>'),
+        ("http://me.com/b", '<a href="/rel">rel only</a>'),
+        ("http://other.com/c", "<a href='HTTP://ME.COM:80/back'>b</a>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    out = _replay(spark, df, lambda s: extract_links(s),
+                  str(tmp_path / "lx"))
+    batch = extract_links(df).collect()
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    assert len(batch) == 3  # two absolute links + the back-link
+    assert key(out) == key(batch)
+
+
 def test_stream_html_extract_exactly_matches_batch(spark, tmp_path):
     """html_to_text is a straight-line regexp_replace chain — stateless,
     so the SAME operator under readStream must emit exactly the batch
