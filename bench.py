@@ -35,6 +35,16 @@ query that takes ~7 s; those were spreads).  The line now ends with
 ``slowest`` (top-25 min-seconds, descending) followed by unit/sf metadata,
 so any tail window captures real, labeled seconds; the full ``queries``
 dict rides earlier in the line for whole-line consumers.
+
+TWO LINES since round 7 (VERDICT_r6 item 2): the full line above outgrew
+the archiver's 2000-char tail window four rounds running, so the headline
+``value``/``contended``/``noisy`` fields were truncated away and
+BENCH_r3..r6 archived with ``parsed: null``.  A SECOND, short summary line
+(same ``metric``, ``summary_of: "headline_queries_total"`` marker, total,
+flags, top-5 slowest) is printed LAST: it is complete well inside any tail
+window, so a consumer that keeps only the end of stdout — or parses the
+final line — always gets a machine-readable total.  Whole-line consumers
+should prefer the FIRST line (it carries the full ``queries`` dict).
 """
 
 from __future__ import annotations
@@ -318,6 +328,29 @@ def main() -> None:
                 # labeled per-query minima, not dimensionless spreads
                 "slowest_unit": "sec(min of repeats)",
                 "slowest": slowest,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    # Short summary line, printed LAST: complete inside any tail window
+    # (~400 chars), so the archived record of "total seconds this round"
+    # survives even when the full line above is truncated.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "summary_of": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "repeats": repeats,
+                "contended": contended,
+                "load_at_start": load0,
+                "spread_median": spreads[len(spreads) // 2] if spreads else 0.0,
+                "spread_max": spreads[-1] if spreads else 0.0,
+                "n_noisy": sum(1 for s in spread.values() if s > 0.5),
+                "slowest_unit": "sec(min of repeats)",
+                "slowest": dict(list(slowest.items())[:5]),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

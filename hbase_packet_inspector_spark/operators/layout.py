@@ -141,7 +141,14 @@ def footer_envelopes(spark, path: str, cols: list[str]) -> DataFrame:
                          for i in range(md.num_columns)}
                 row = {"file": p}
                 for c in cols:
-                    j = names[c]
+                    j = names.get(c)
+                    if j is None:
+                        # column absent from this file's schema: null
+                        # envelope, same as missing statistics — prune
+                        # keeps the file (speed cost, never correctness)
+                        row[f"{c}_min"] = None
+                        row[f"{c}_max"] = None
+                        continue
                     mins, maxs = [], []
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(j).statistics

@@ -146,12 +146,23 @@ def pr_curve_binned(scored: DataFrame, *, score_col: str = "score",
     sums over the n_bins-row grid (a window over n_bins rows, nothing
     corpus-sized). prec/rec round to 6 BEFORE f1 so the derived metric
     is engine-exact; thresholds with no predicted positives report null
-    prec/f1 rather than dividing by zero."""
+    prec/f1 rather than dividing by zero.
+
+    Score domain: scores are expected in [0, 1] (sigmoid output). The
+    bin is clamped into [0, n_bins-1] at BOTH ends so an out-of-range
+    score counts in the nearest edge bin instead of silently vanishing
+    from tp/fp/fn (an unclamped negative bin would drop the row in the
+    grid left-join and overstate recall). Null scores still drop —
+    un-scored rows have no place on a threshold curve."""
     from pyspark.sql import Window
 
     y = F.col(label_col).cast("long")
-    b = F.least(
-        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
     )
     hist = scored.groupBy(b.alias("bin")).agg(
         F.sum(y).alias("pos"),

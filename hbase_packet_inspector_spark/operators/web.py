@@ -21,8 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# query parameters that never identify content (analytics campaign tags)
-TRACKING_PARAMS = ("fbclid", "gclid", "ref")
+# query parameters that never identify content (analytics campaign tags).
+# Deliberately ONLY the unambiguous analytics params: 'ref' is excluded
+# because it is content-bearing on some sites (branch/ref selectors) and
+# stripping it could merge genuinely different pages.
+TRACKING_PARAMS = ("fbclid", "gclid")
 TRACKING_PREFIX = "utm_"
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -33,7 +36,7 @@ _REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
 def normalize_url(url) -> Column:
     """Canonical URL: fragment stripped; scheme and host lowercased;
     default port dropped (:80 for http, :443 for https); utm_*/fbclid/
-    gclid/ref query parameters removed (parameter ORDER is preserved —
+    gclid query parameters removed (parameter ORDER is preserved —
     reordering could merge distinct keys on sites that abuse duplicate
     params); empty path becomes '/'. A string with no '://' scheme is
     returned trimmed + fragment-stripped only — garbage in, garbage
@@ -214,6 +217,11 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     Reference parity note: the reference engine has no web/graph
     surface; this is part of the repo's crawl-curation extension.
     """
+    if return_delta and iters < 1:
+        # delta is |rank_i - rank_{i-1}|; with zero iterations prev ==
+        # ranks and every delta would read 0.0 — a caller probing
+        # convergence would see "converged" from a run that never ran
+        raise ValueError("return_delta requires iters >= 1")
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
     e = (

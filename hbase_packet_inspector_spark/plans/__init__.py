@@ -21,56 +21,6 @@ except ImportError:
 # each round's CORRECTNESS_r{N}.json lands; new queries register with no
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
-    "simhash_pairs_wide",  # latest green r0
-    "boilerplate_lines",  # latest green r0
-    "boilerplate_strip",  # latest green r0
-    "token_budget_select",  # latest green r0
-    "url_dedup",  # latest green r0
-    "classifier_pr_curve",  # latest green r0
-    "web_curation_pipeline",  # latest green r0
-    "hard_negatives",  # latest green r0
-    "image_ahash_pairs",  # latest green r0
-    "host_reputation",  # latest green r0
-    "host_pagerank",  # latest green r0
-    "crawl_frontier",  # latest green r0
-    "link_graph",  # latest green r0
-    "mixture_sample",  # latest green r0
-    "curriculum_order",  # latest green r0
-    "html_text_extract",  # latest green r0
-    "leakage_safe_split",  # latest green r0
-    "pagerank_convergence",  # latest green r0
-    "contrastive_triplets",  # latest green r0
-    "video_frame_dedup",  # latest green r0
-    "wav_silence_trim",  # latest green r0
-    "image_dedup_keep_best",  # latest green r0
-    "media_ingest_gate",  # latest green r0
-    "ann_ndcg",  # latest green r0
-    "host_drift",  # latest green r0
-    "media_corpus_card",  # latest green r0
-    "warc_source_stats",  # latest green r0
-    "warc_crawl_curation",  # latest green r0
-    "warc_media_extract",  # latest green r0
-    "embedding_norms",  # latest green r2
-    "multimodal_byte_features",  # latest green r2
-    "rolling_fingerprint",  # latest green r2
-    "dedup_word_ngram",  # latest green r2
-    "multimodal_frame_sample",  # latest green r3
-    "multimodal_resize_plan",  # latest green r3
-    "scalar_functions",  # latest green r3
-    "corpus_topics",  # latest green r3
-    "semdedup",  # latest green r3
-    "embedding_pca",  # latest green r3
-    "ivf_kmeans2_topk",  # latest green r3
-    "repetition_ratio",  # latest green r3
-    "term_zipf",  # latest green r3
-    "tfidf_top_terms",  # latest green r3
-    "dedup_containment",  # latest green r3
-    "curation_funnel",  # latest green r3
-    "top_bigrams",  # latest green r3
-    "curation_by_source",  # latest green r3
-    "stratified_sample",  # latest green r3
-    "source_token_mix",  # latest green r3
-    "ann_recall",  # latest green r3
     "dedup_cluster_sizes",  # latest green r3
     "dedup_keep_best",  # latest green r3
     "dedup_keep_best_lsh",  # latest green r3
@@ -195,6 +145,56 @@ _UNVERIFIED_FIRST = (
     "simhash_pairs",  # latest green r5
     "ingest_gate",  # latest green r5
     "corpus_card",  # latest green r5
+    "embedding_norms",  # latest green r6
+    "multimodal_byte_features",  # latest green r6
+    "multimodal_frame_sample",  # latest green r6
+    "multimodal_resize_plan",  # latest green r6
+    "scalar_functions",  # latest green r6
+    "rolling_fingerprint",  # latest green r6
+    "dedup_word_ngram",  # latest green r6
+    "corpus_topics",  # latest green r6
+    "semdedup",  # latest green r6
+    "embedding_pca",  # latest green r6
+    "ivf_kmeans2_topk",  # latest green r6
+    "repetition_ratio",  # latest green r6
+    "term_zipf",  # latest green r6
+    "tfidf_top_terms",  # latest green r6
+    "dedup_containment",  # latest green r6
+    "curation_funnel",  # latest green r6
+    "top_bigrams",  # latest green r6
+    "curation_by_source",  # latest green r6
+    "stratified_sample",  # latest green r6
+    "source_token_mix",  # latest green r6
+    "ann_recall",  # latest green r6
+    "mixture_sample",  # latest green r6
+    "curriculum_order",  # latest green r6
+    "leakage_safe_split",  # latest green r6
+    "simhash_pairs_wide",  # latest green r6
+    "boilerplate_lines",  # latest green r6
+    "boilerplate_strip",  # latest green r6
+    "token_budget_select",  # latest green r6
+    "url_dedup",  # latest green r6
+    "classifier_pr_curve",  # latest green r6
+    "web_curation_pipeline",  # latest green r6
+    "hard_negatives",  # latest green r6
+    "image_ahash_pairs",  # latest green r6
+    "host_reputation",  # latest green r6
+    "host_pagerank",  # latest green r6
+    "link_graph",  # latest green r6
+    "pagerank_convergence",  # latest green r6
+    "html_text_extract",  # latest green r6
+    "crawl_frontier",  # latest green r6
+    "contrastive_triplets",  # latest green r6
+    "video_frame_dedup",  # latest green r6
+    "wav_silence_trim",  # latest green r6
+    "image_dedup_keep_best",  # latest green r6
+    "media_ingest_gate",  # latest green r6
+    "ann_ndcg",  # latest green r6
+    "host_drift",  # latest green r6
+    "media_corpus_card",  # latest green r6
+    "warc_source_stats",  # latest green r6
+    "warc_crawl_curation",  # latest green r6
+    "warc_media_extract",  # latest green r6
 )
 
 

@@ -5067,8 +5067,7 @@ _URL_NORM_CTES = """n AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') A
         coalesce(array_to_string(
           list_filter(string_split(qs, '&'),
             x -> NOT (starts_with(x, 'utm_')
-                      OR split_part(x, '=', 1) IN ('fbclid', 'gclid',
-                                                   'ref'))),
+                      OR split_part(x, '=', 1) IN ('fbclid', 'gclid'))),
           '&'), '') AS q2
       FROM q),
     f AS (
@@ -5093,7 +5092,7 @@ _URL_CTES = _URL_GEN_CTE + ",\n    " + _URL_NORM_CTES
     """,
     doc="URL-level dedup EXECUTED (operators/web.py::url_dedup over "
     "normalize_url): canonicalize — fragment stripped, scheme/host "
-    "lowercased, default port dropped, utm_*/fbclid/gclid/ref params "
+    "lowercased, default port dropped, utm_*/fbclid/gclid params "
     "removed — then keep min doc_id per canonical URL via an aggregate "
     "argmin (partial+final combine; a hot URL never single-task-sorts). "
     "The cheapest dedup pass in the pipeline: URL column only, so the "
@@ -5126,7 +5125,8 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PR_TAIL = """
-    b AS (SELECT least(CAST(floor(score * 20) AS INTEGER), 19) AS bin,
+    b AS (SELECT greatest(0, least(CAST(floor(score * 20) AS INTEGER), 19))
+                   AS bin,
                  CAST(sum(y) AS BIGINT) AS pos,
                  CAST(sum(1 - y) AS BIGINT) AS neg
           FROM s GROUP BY 1),

@@ -650,8 +650,15 @@ _WARC_ORACLE_VALID = os.path.isfile(
     "through the library's own parser) in DuckDB — the "
     "hbase_pcap_decode discipline applied to the crawl source: a "
     "regression in framing, gzip handling, or the HTTP split is an "
-    "oracle mismatch, not a row-count drift. One partition per archive "
-    "file; payload bytes never shuffle (the rollup projects lengths).",
+    "oracle mismatch, not a row-count drift. NB the snapshot is a "
+    "regression PIN materialized by the same parser under test — "
+    "circular for absolute correctness; the circle is broken by "
+    "hand-computed cross-checks at materialization time "
+    "(materialize_warc_fixture.py::_crosscheck: record counts, status "
+    "mix, literal-arithmetic lengths and body text) plus the "
+    "hand-asserted unit tests in test_warc.py. One partition per "
+    "archive file; payload bytes never shuffle (the rollup projects "
+    "lengths).",
     tags=("pipeline", "warc", "web", "source"),
 )
 def warc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,6 +238,25 @@ def test_pr_curve_binned_empty_and_no_positives(spark):
     assert rows[0.75].rec is None  # no positives exist at all
 
 
+def test_pr_curve_binned_out_of_range_scores_clamp_to_edge_bins(spark):
+    """A score outside [0, 1] lands in the nearest edge bin instead of
+    vanishing from tp/fp/fn (the unclamped negative bin used to drop the
+    row in the grid left-join and overstate recall)."""
+    from hbase_packet_inspector_spark.operators.learn import pr_curve_binned
+
+    scored = spark.createDataFrame(
+        [(1, -0.3, 1), (2, 1.7, 1), (3, 0.6, 0)],
+        "doc_id long, score double, y int",
+    )
+    out = {r.threshold: r for r in
+           pr_curve_binned(scored, n_bins=4).collect()}
+    # t=0: ALL three rows counted — the negative-score positive is a tp
+    assert (out[0.0].tp, out[0.0].fp, out[0.0].fn) == (2, 1, 0)
+    # t=0.75: only the clamped 1.7 row predicts positive
+    assert (out[0.75].tp, out[0.75].fp, out[0.75].fn) == (1, 0, 1)
+    assert out[0.75].rec == 0.5  # the -0.3 positive is a counted fn
+
+
 def test_host_stats_rollup_and_flag(spark):
     from hbase_packet_inspector_spark.operators.web import host_stats
 

@@ -112,6 +112,20 @@ def test_pagerank_return_delta_contracts(spark):
                                        abs=1e-9)
 
 
+def test_pagerank_return_delta_rejects_zero_iterations(spark):
+    """iters=0 with return_delta would join the initial frame against
+    itself and report delta=0 everywhere — a caller probing convergence
+    would read 'converged' from a run that never iterated. Raise."""
+    df = spark.createDataFrame(
+        [("a.com", "b.com")], "src_host string, dst_host string"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        host_pagerank(df, iters=0, return_delta=True)
+    # iters=0 WITHOUT delta stays legal: uniform 1/N ranks out
+    rows = host_pagerank(df, iters=0).collect()
+    assert {r.pagerank for r in rows} == {0.5}
+
+
 def test_pagerank_empty_edges_yields_empty_frame(spark):
     df = spark.createDataFrame([], "src_host string, dst_host string")
     out = host_pagerank(df)

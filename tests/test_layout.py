@@ -153,3 +153,20 @@ def test_zorder_prunes_real_parquet_files(spark, tmp_path):
     got = sorted((r.a, r.b) for r in
                  spark.read.parquet(*z_b).where("b < 8").collect())
     assert got == want and len(want) == 8 * 64
+
+
+def test_footer_envelopes_missing_column_yields_nulls(spark, tmp_path):
+    """A column absent from a file's schema produces a NULL envelope
+    (same as missing statistics) — never an executor-side error — and
+    prune_files keeps the file, so schema drift across files can only
+    cost speed, not correctness."""
+    d = str(tmp_path / "p")
+    spark.createDataFrame([(1, 2)], "a int, b int").write.parquet(d)
+    env = LY.footer_envelopes(spark, d, ["a", "nope"]).collect()
+    assert all(r.nope_min is None and r.nope_max is None for r in env)
+    assert any(r.a_min == 1.0 and r.a_max == 1.0 for r in env)
+    # null envelopes survive pruning on the missing column
+    kept = LY.prune_files(
+        LY.footer_envelopes(spark, d, ["nope"]), "nope", lo=0, hi=1
+    )
+    assert len(kept) == len(env)

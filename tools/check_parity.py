@@ -6,6 +6,17 @@ order-insensitive value multiset (timestamps normalized to isoformat,
 floats to repr). Usage:
 
     python tools/check_parity.py [sf_dir] [query ...]
+    python tools/check_parity.py --changed-since REF [sf_dir]
+
+``--changed-since REF`` restricts the run to queries plausibly affected by
+the git diff since REF (e.g. ``HEAD``, ``HEAD~1``, ``main``): a changed
+plan module selects its own queries; a changed operator/source/function/
+streaming module selects every plan module whose source references it by
+module name (a static, deliberately over-selecting text scan — coarse
+beats missing); a change to the entry module, session, or table loader
+selects everything. This keeps the pre-commit loop seconds-fast at 174
+registered queries while the full sweep stays the round gate. The skipped
+count is printed so a filtered run never reads as full coverage.
 """
 
 from __future__ import annotations
@@ -55,12 +66,81 @@ def to_multiset(cols, rows):
     return out
 
 
+def _changed_query_names(ref: str, qs: dict) -> set[str] | None:
+    """Names of queries plausibly affected by the git diff since ``ref``;
+    None means "everything" (a shared module changed, or git failed)."""
+    import inspect
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", ref, "--"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, OSError) as e:
+        print(f"# --changed-since: git diff failed ({e}); running ALL")
+        return None
+    changed = [l.strip() for l in out.splitlines() if l.strip().endswith(".py")]
+    if not changed:
+        return set()
+    pkg = "hbase_packet_inspector_spark"
+    # shared infrastructure: any change here can affect every query
+    shared = ("__spark_entry__.py", f"{pkg}/session.py",
+              f"{pkg}/sources/tables.py", f"{pkg}/plans/__init__.py")
+    if any(c in shared for c in changed):
+        print(f"# --changed-since: shared module changed; running ALL")
+        return None
+    # query name -> its plan module source file
+    qfile = {}
+    for name, fn in qs.items():
+        try:
+            qfile[name] = os.path.relpath(
+                inspect.getsourcefile(inspect.unwrap(fn)), repo)
+        except TypeError:
+            qfile[name] = None  # builtins/partials: treat as unknown
+    plan_changed = {c for c in changed if c.startswith(f"{pkg}/plans/")}
+    # non-plan package modules: select plan modules that mention the
+    # changed module's basename anywhere in source (over-selects; safe)
+    stems = [os.path.splitext(os.path.basename(c))[0]
+             for c in changed
+             if c.startswith(f"{pkg}/") and c not in plan_changed]
+    if stems:
+        for pf in sorted({f for f in qfile.values() if f}):
+            try:
+                src = open(os.path.join(repo, pf)).read()
+            except OSError:
+                return None
+            if any(s in src for s in stems):
+                plan_changed.add(pf)
+    return {n for n, f in qfile.items()
+            if f is None or f in plan_changed}
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    since = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        since = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if since is not None:
+        sel = _changed_query_names(since, qs)
+        if sel is not None:
+            if only:
+                sel &= only
+            skipped = len(qs) - len(sel)
+            print(f"# --changed-since {since}: {len(sel)} selected, "
+                  f"{skipped} SKIPPED (not full coverage)")
+            if not sel:
+                print("\n0 passed, 0 failed")
+                return 0
+            only = sel
     spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -95,6 +95,43 @@ def build_archive() -> bytes:
     return b"".join(recs)
 
 
+def _crosscheck(rows: list[dict]) -> None:
+    """Hand-computed expectations asserted at materialization time.
+
+    The committed snapshot is a REGRESSION PIN produced by the same
+    parser the queries exercise — circular for absolute correctness.
+    This function breaks the circle for a handful of records whose
+    expected values are derived by literal arithmetic from the archive
+    SPEC above (never from parser output): a parser bug that mangles
+    framing, lengths, status codes, or body text fails materialization
+    instead of getting silently pinned.
+    """
+    # 1 warcinfo + 30 pages + 5 requests (i % 6 == 0) + 2 media
+    assert len(rows) == 38, f"record count {len(rows)} != 38"
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r["warc_type"]] = by_type.get(r["warc_type"], 0) + 1
+    assert by_type == {"warcinfo": 1, "response": 32, "request": 5}, by_type
+    # pages i % 7 == 0 (i = 0,7,14,21,28) are 404; media are 200
+    n404 = sum(1 for r in rows if r["http_status"] == 404)
+    n200 = sum(1 for r in rows if r["http_status"] == 200)
+    assert (n404, n200) == (5, 27), (n404, n200)
+    by_id = {r["record_id"]: r for r in rows}
+    # img0: 58-byte HTTP head ("HTTP/1.1 200 OK\r\n" = 17, "Content-"
+    # "Type: image/x-portable-pixmap\r\n" = 39, blank "\r\n" = 2) +
+    # 11-byte PPM head ("P6\n2 2\n255\n") + 12 raster bytes = 81
+    img = by_id["<urn:uuid:img0>"]
+    assert img["content_length"] == 58 + 11 + 12, img["content_length"]
+    # page 1: body = "<html><body>" + 21 five-char words + 20 spaces +
+    # "</body></html>" = 12 + 105 + 20 + 14 = 151 chars; 200 status
+    p1 = by_id["<urn:uuid:resp1>"]
+    assert p1["http_status"] == 200
+    assert len(p1["text"]) == 12 + 21 * 5 + 20 + 14, len(p1["text"])
+    # and the first word of page 1's body is md5("page1:0")[:5]
+    first = hashlib.md5(b"page1:0").hexdigest()[:5]
+    assert p1["text"][12:17] == first, p1["text"][:20]
+
+
 def main() -> None:
     import pandas as pd
 
@@ -109,6 +146,8 @@ def main() -> None:
     with open(path, "wb") as f:
         f.write(buf.getvalue())
 
+    parsed = list(parse_warc_bytes(path, raw))
+    _crosscheck(parsed)
     rows = [
         {
             "record_id": r["record_id"],
@@ -118,7 +157,7 @@ def main() -> None:
             "http_status": r["http_status"],
             "n_text_chars": len(r["text"]) if r["text"] is not None else None,
         }
-        for r in parse_warc_bytes(path, raw)
+        for r in parsed
     ]
     df = pd.DataFrame(rows).sort_values("record_id").reset_index(drop=True)
     df.to_parquet(os.path.join(FIXTURE_DIR, "records.parquet"), index=False)
