@@ -49,6 +49,69 @@ def _index_root(spark, table: str) -> str:
     return loc.removeprefix("file:").rsplit("/", 1)[0]
 
 
+def _make_gate_sink(
+    spark, out_dir: str, *, table: str,
+    min_est: float, min_jaccard: float,
+    append_accepted: bool, compact_every: int | None,
+    index_path: str | None, prepare=None,
+):
+    """The per-micro-batch gate body shared by every streamed deployment
+    (parquet firehose, WARC crawl drop, ...): optional ``prepare``
+    transform (raw batch -> documents shape: doc_id, text[, n_chars]),
+    probe the persisted index, write idempotent decisions/kept
+    partitions, grow the index, fold on cadence. Returns the foreachBatch
+    callable."""
+    bands, sets = load_lsh_index(spark, table)
+    root = index_path or (_index_root(spark, table) if compact_every else None)
+    state = {"bands": bands, "sets": sets}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = prepare(batch_df) if prepare is not None else batch_df
+        if "n_chars" not in batch.columns:
+            batch = batch.withColumn("n_chars", F.length("text"))
+        batch = batch.persist()
+        sigs = None
+        try:
+            pairs, sigs = probe_lsh_index(
+                state["bands"], state["sets"], batch,
+                min_est=min_est, min_jaccard=min_jaccard,
+                return_persisted=True,
+            )
+            decisions = gate_decisions(batch, pairs)
+            dec_dir = f"{out_dir}/decisions/batch_id={batch_id}"
+            decisions.write.mode("overwrite").parquet(dec_dir)
+            # read the just-committed verdicts back (authoritative even
+            # under replay) to carve the kept rows out of the batch
+            kept_ids = (
+                spark.read.parquet(dec_dir).where("keep").select("doc_id")
+            )
+            kept = batch.join(F.broadcast(kept_ids), "doc_id")
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/kept/batch_id={batch_id}"
+            )
+            if append_accepted:
+                kept_docs = spark.read.parquet(
+                    f"{out_dir}/kept/batch_id={batch_id}"
+                )
+                if kept_docs.limit(1).count() > 0:
+                    append_lsh_index(kept_docs, table=table)
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_lsh_index(spark, root, table=table)
+                # the fold swapped the metastore entry to a fresh
+                # location; re-resolve so later probes read the compacted
+                # table (the pre-stream frames captured the old one)
+                state["bands"], state["sets"] = load_lsh_index(spark, table)
+        finally:
+            batch.unpersist()
+            # the probe persists the batch's minhash signatures (fed to
+            # three consumers inside one batch); release per batch so an
+            # always-on stream holds zero pinned frames between triggers
+            if sigs is not None:
+                sigs.unpersist()
+
+    return _sink
+
+
 def run_ingest_gate_stream(
     spark, source_dir: str, out_dir: str, *, table: str = "lsh_index",
     min_est: float = 0.5, min_jaccard: float = 0.45,
@@ -88,60 +151,79 @@ def run_ingest_gate_stream(
     monotonic across restarts, so "every N batches" survives resume.
     """
     schema = spark.read.parquet(source_dir).schema
-    bands, sets = load_lsh_index(spark, table)
-    root = index_path or (_index_root(spark, table) if compact_every else None)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal bands, sets
-        batch = batch_df
-        if "n_chars" not in batch.columns:
-            batch = batch.withColumn("n_chars", F.length("text"))
-        batch = batch.persist()
-        sigs = None
-        try:
-            pairs, sigs = probe_lsh_index(
-                bands, sets, batch,
-                min_est=min_est, min_jaccard=min_jaccard,
-                return_persisted=True,
-            )
-            decisions = gate_decisions(batch, pairs)
-            dec_dir = f"{out_dir}/decisions/batch_id={batch_id}"
-            decisions.write.mode("overwrite").parquet(dec_dir)
-            # read the just-committed verdicts back (authoritative even
-            # under replay) to carve the kept rows out of the batch
-            kept_ids = (
-                spark.read.parquet(dec_dir).where("keep").select("doc_id")
-            )
-            kept = batch.join(F.broadcast(kept_ids), "doc_id")
-            kept.write.mode("overwrite").parquet(
-                f"{out_dir}/kept/batch_id={batch_id}"
-            )
-            if append_accepted:
-                kept_docs = spark.read.parquet(
-                    f"{out_dir}/kept/batch_id={batch_id}"
-                )
-                if kept_docs.limit(1).count() > 0:
-                    append_lsh_index(kept_docs, table=table)
-            if compact_every and (batch_id + 1) % compact_every == 0:
-                compact_lsh_index(spark, root, table=table)
-                # the fold swapped the metastore entry to a fresh
-                # location; re-resolve so later probes read the compacted
-                # table (the pre-stream frames captured the old one)
-                bands, sets = load_lsh_index(spark, table)
-        finally:
-            batch.unpersist()
-            # the probe persists the batch's minhash signatures (fed to
-            # three consumers inside one batch); release per batch so an
-            # always-on stream holds zero pinned frames between triggers
-            if sigs is not None:
-                sigs.unpersist()
-
+    sink = _make_gate_sink(
+        spark, out_dir, table=table, min_est=min_est,
+        min_jaccard=min_jaccard, append_accepted=append_accepted,
+        compact_every=compact_every, index_path=index_path,
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     q = (
         reader.parquet(source_dir)
-        .writeStream.foreachBatch(_sink)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_warc_ingest_stream(
+    spark, crawl_dir: str, out_dir: str, *, table: str = "lsh_index",
+    min_est: float = 0.5, min_jaccard: float = 0.45,
+    min_age_seconds: float = 0,
+    append_accepted: bool = True,
+    compact_every: int | None = None,
+    index_path: str | None = None,
+    extract_html: bool = True,
+) -> None:
+    """The crawl front door as ONE streamed job: a WARC drop directory
+    gated straight into the corpus.
+
+      crawl_dir/*.warc[.gz] (streaming WARC DataSource, min_age /
+      atomic-landing convention) ──▶ warc_to_documents(extract_html=True)
+      (HTTP responses -> documents shape, html_to_text main-text
+      extraction) ──▶ the shared gate body (probe persisted LSH index,
+      near-dup + quality verdicts, idempotent decisions/kept partitions,
+      index growth, compact_every fold cadence)
+
+    Identical sink contract to :func:`run_ingest_gate_stream` — per-batch
+    ``decisions/batch_id=N`` and ``kept/batch_id=N`` parquet, availableNow
+    drain, checkpoint resume processes only newly-landed archives. The
+    WARC source reads each archive incrementally (one record + one chunk
+    peak memory) with one partition per file; ``min_age_seconds`` defers
+    archives still being copied by non-atomic writers, so a late-landing
+    file is simply picked up by the next drain, never half-read.
+
+    The per-batch prepare is the SAME transform the batch composition
+    uses (warc_to_documents + html_to_text), so batch and stream verdicts
+    agree by construction — pinned by the end-to-end test that runs both
+    over the same archives (test_warc.py).
+    """
+    from ..sources import warc as W
+    from ..sources.warc import warc_to_documents
+
+    W.register(spark)
+
+    def _prepare(batch: DataFrame) -> DataFrame:
+        docs = warc_to_documents(batch, extract_html=extract_html)
+        # markup_frac rides into kept/ (it is a curation signal), but the
+        # index stores the documents-table shape
+        return docs
+
+    sink = _make_gate_sink(
+        spark, out_dir, table=table, min_est=min_est,
+        min_jaccard=min_jaccard, append_accepted=append_accepted,
+        compact_every=compact_every, index_path=index_path,
+        prepare=_prepare,
+    )
+    reader = spark.readStream.format("warc")
+    if min_age_seconds:
+        reader = reader.option("min_age_seconds", str(min_age_seconds))
+    q = (
+        reader.load(crawl_dir)
+        .writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .start()

@@ -385,3 +385,144 @@ def test_warc_to_media_bridges_into_decode(spark, tmp_path):
         .select("media_id", "payload")
     ).collect()
     assert len(decoded) == 1 and decoded[0].width == 2
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streamed crawl ingest (VERDICT_r6 item 5): WARC drop dir ->
+# html_to_text -> persisted-index gate, as ONE streamed job.
+
+# 25 distinct non-stopword words -> quality_score 2 (the gate's keep bar)
+_W25 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega zero")
+_W25B = ("uno dos tres cuatro cinco seis siete ocho nueve diez once doce "
+         "trece catorce quince dieciseis diecisiete dieciocho diecinueve "
+         "veinte veintiuno veintidos veintitres veinticuatro veinticinco")
+_W25C = " ".join("k" + w for w in _W25.split())
+
+
+def _page_record(rid: str, host: str, words: str) -> bytes:
+    """A realistic page: script + style chrome that html_to_text must
+    strip, prose that must survive."""
+    body = (
+        "<html><head><script>trackPixel('" + rid + "');var x={a:1};"
+        "</script><style>nav{color:red}</style></head>"
+        "<body><p>" + words + "</p></body></html>"
+    )
+    return _record(
+        "response", rid, f"http://{host}/p/{rid}",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        .encode(),
+    )
+
+
+def test_warc_ingest_stream_end_to_end(spark, tmp_path):
+    """The full crawl front door as one streamed job, across 3
+    micro-batches with a late-landing archive and a compaction fold:
+
+      drain 1 (batch 0): archive1 -> pages A (keep) + B (keep), index grows
+      drain 2 (batch 1): archive2 -> C = near-dup of A (reject on the
+        index grown in batch 0) + D low-quality (reject); archive3 is
+        ALREADY on disk but too young under min_age_seconds -> deferred
+      drain 3 (batch 2): archive3 aged -> page E (keep); compact_every=3
+        folds the index at the end of this batch
+
+    Then batch===stream parity: a one-shot batch read of the same three
+    archives through warc_to_documents(extract_html=True) must reproduce
+    the streamed decisions' doc set, the kept rows byte-for-byte, and
+    the per-doc quality scores."""
+    import os
+    import time
+
+    from hbase_packet_inspector_spark.operators import dedup as D
+    from hbase_packet_inspector_spark.operators.text import quality_features
+    from hbase_packet_inspector_spark.streaming.ingest import (
+        run_warc_ingest_stream,
+    )
+
+    # persisted seed index (one unrelated standing doc)
+    seed = spark.createDataFrame(
+        [(0, " ".join("zz" + w for w in _W25.split()))],
+        "doc_id long, text string",
+    )
+    D.save_lsh_index(seed, str(tmp_path / "widx"), table="t_warc_gate",
+                     buckets=4)
+
+    crawl, out = tmp_path / "crawl", str(tmp_path / "wout")
+    crawl.mkdir()
+    (crawl / "a1.warc").write_bytes(
+        _page_record("pA", "site-a.com", _W25)
+        + _page_record("pB", "site-b.com", _W25B)
+    )
+
+    kw = dict(table="t_warc_gate", min_est=0.3, min_jaccard=0.3,
+              min_age_seconds=3600, compact_every=3)
+    old = time.time() - 7200
+    os.utime(crawl / "a1.warc", (old, old))
+    run_warc_ingest_stream(spark, str(crawl), out, **kw)
+
+    ids = {
+        k: spark.sql(f"SELECT xxhash64('<urn:uuid:{k}>')").collect()[0][0]
+        for k in ("pA", "pB", "pC", "pD", "pE")
+    }
+    dec1 = {r.doc_id: r for r in spark.read.parquet(out + "/decisions").collect()}
+    assert set(dec1) == {ids["pA"], ids["pB"]}
+    assert dec1[ids["pA"]].keep is True and dec1[ids["pB"]].keep is True
+
+    # archive2 lands aged; archive3 lands FRESH (still copying, say)
+    (crawl / "a2.warc").write_bytes(
+        _page_record("pC", "site-c.com", _W25.replace("zero", "one"))
+        + _page_record("pD", "site-d.com", "tiny page")
+    )
+    os.utime(crawl / "a2.warc", (old, old))
+    (crawl / "a3.warc").write_bytes(
+        _page_record("pE", "site-e.com", _W25C)
+    )
+    run_warc_ingest_stream(spark, str(crawl), out, **kw)
+    dec2 = {r.doc_id: r for r in spark.read.parquet(out + "/decisions").collect()}
+    # min_age deferred archive3: E has NO decision yet
+    assert set(dec2) == {ids["pA"], ids["pB"], ids["pC"], ids["pD"]}
+    # C rejected on near-dup evidence against the index grown in batch 0
+    assert dec2[ids["pC"]].keep is False and dec2[ids["pC"]].n_matches > 0
+    # D rejected on quality
+    assert dec2[ids["pD"]].keep is False
+    assert dec2[ids["pD"]].quality_score < 2
+    assert dec2[ids["pD"]].n_matches == 0
+
+    # archive3 finishes landing (ages past the grace interval)
+    os.utime(crawl / "a3.warc", (old, old))
+    run_warc_ingest_stream(spark, str(crawl), out, **kw)
+    dec3 = {r.doc_id: r for r in spark.read.parquet(out + "/decisions").collect()}
+    assert set(dec3) == set(ids.values())
+    assert dec3[ids["pE"]].keep is True
+
+    # the run ended COMPACTED (batch ids 0,1,2; fold after id 2): at most
+    # one file per bucket despite three insertInto appends
+    bands, sets = D.load_lsh_index(spark, "t_warc_gate")
+    assert len(bands.inputFiles()) <= 4 and len(sets.inputFiles()) <= 4
+    assert sorted(r.doc_id for r in sets.select("doc_id").collect()) == \
+        sorted([0, ids["pA"], ids["pB"], ids["pE"]])
+
+    # html_to_text REALLY ran inside the stream: kept text is prose only
+    kept = {r.doc_id: r for r in spark.read.parquet(out + "/kept").collect()}
+    assert kept[ids["pA"]].text == _W25
+    assert "trackPixel" not in kept[ids["pA"]].text
+    assert kept[ids["pA"]].source == "site-a.com"
+    assert kept[ids["pA"]].markup_frac > 0
+
+    # batch===stream parity: the one-shot batch composition over the same
+    # archives reproduces the doc set, kept rows, and quality scores
+    batch_docs = warc_to_documents(
+        spark.read.format("warc").load(str(crawl) + "/*.warc"),
+        extract_html=True,
+    )
+    brows = {r.doc_id: r for r in batch_docs.collect()}
+    assert set(brows) == set(dec3)
+    for i in (ids["pA"], ids["pB"], ids["pE"]):
+        k = kept[i]
+        b = brows[i]
+        assert (k.text, k.n_chars, k.source, k.markup_frac) == \
+            (b.text, b.n_chars, b.source, b.markup_frac)
+    q = {r.doc_id: r.quality_score
+         for r in quality_features(batch_docs).collect()}
+    for i, r in dec3.items():
+        assert q[i] == r.quality_score
