@@ -223,6 +223,9 @@ HEADLINE = [
     "html_text_extract",
     "leakage_safe_split",
     "pagerank_convergence",
+    "matryoshka_recall",
+    "hybrid_rrf",
+    "anchor_text_summary",
 ]
 
 

@@ -714,6 +714,79 @@ def ann_recall(emb: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def matryoshka_recall(emb: DataFrame, queries: DataFrame, *, k: int = 3,
+                      dims: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of DIM-TRUNCATED cosine search against the full-dimension
+    exact ranking — the audit behind Matryoshka-style embedding serving
+    (store the full vector once, search on a prefix): before routing
+    queries through a ``dims``-wide prefix you measure what that prefix
+    costs in recall, exactly the ann_recall/pq_recall/sq8_recall loop
+    applied to the cheapest compression of all (taking a prefix is free —
+    no codebooks, no re-encode; MRL-trained embedders order information
+    so prefixes stay usable, and THIS query tells you whether yours did).
+
+    Both rankings share the deterministic tie-break (cos rounded to 6
+    desc, neighbor_id asc). Output: one row per query with recall =
+    |prefix_topk ∩ full_topk| / k.
+
+    Scale shape: two broadcast-query passes over the base vectors (the
+    prefix pass does dims/D of the arithmetic and at real scale reads a
+    dims-wide materialized column, pruning the scan) + one top-k-frame
+    join; the corpus never shuffles."""
+    exact = cosine_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    t_emb = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
+    t_q = queries.withColumn("q_emb", F.slice(F.col("q_emb"), 1, dims))
+    prefix = cosine_topk(t_emb, t_q, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        exact.join(prefix, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / k)
+            .alias("recall"),
+        )
+    )
+
+
+def rrf_fuse(rankings: list[DataFrame], *, k: int = 5,
+             k_const: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion over N ranking frames (q_id, neighbor_id,
+    rnk) — the standard hybrid-retrieval combiner (Cormack et al.):
+    score(d) = Σ_rankers 1/(k_const + rnk_d), which needs no score
+    calibration between rankers (BM25 logs vs cosine in [-1,1] fuse
+    without normalization because only RANKS enter). The fused score is
+    rounded to 6 BEFORE the final rank and ties break on neighbor_id, so
+    the output is engine-exact (registry determinism rules).
+
+    Scale shape: the inputs are already top-k frames (queries × k rows —
+    retrieval-sized, not corpus-sized), so the fusion is a union + one
+    tiny groupBy + a per-query window over ≤ N·k rows. At 100 TB the
+    cost lives in the upstream rankers; fusion is free."""
+    u = None
+    for r in rankings:
+        c = r.select(
+            "q_id", "neighbor_id",
+            (F.lit(1.0) / (F.lit(k_const) + F.col("rnk"))).alias("_c"),
+        )
+        u = c if u is None else u.unionByName(c)
+    fused = (
+        u.groupBy("q_id", "neighbor_id")
+        .agg(F.round(F.sum("_c"), 6).alias("rrf"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "rrf", "rnk")
+    )
+
+
 def centroids_from_cells(emb: DataFrame, cells: DataFrame, *,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

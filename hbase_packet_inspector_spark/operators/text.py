@@ -489,6 +489,53 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, window: int = 4,
     )
 
 
+def lexical_topk(docs: DataFrame, query_docs: DataFrame, *, k: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k lexically-similar documents per QUERY DOCUMENT by word-set
+    Jaccard — doc-as-query retrieval, the lexical half of a hybrid
+    retriever (the embedding half is cosine_topk; rrf_fuse combines
+    them). Word-set Jaccard is the right lexical kinship for whole-doc
+    queries: term order and repetition drop out, so boilerplate
+    repetition can't inflate a match the way raw tf would.
+
+    ``query_docs`` must carry (q_id, q_text). Scale shape: the query set
+    is bounded (an audit sample / dedup probe batch) however big the
+    corpus, so the tokenized query side BROADCASTS and the corpus streams
+    through one narrow pass — in-row array_intersect/size for |∩|
+    (|∪| = |A|+|B|−|∩|, no second intersection), jaccard rounded to 6
+    before the per-query rank (desc, neighbor_id asc) so top-k membership
+    is engine-exact. No corpus shuffle; the window runs over
+    queries × corpus candidate rows AFTER the broadcast join prunes
+    nothing — candidate pricing is the query-set size, the documented
+    brute-force-baseline posture of cosine_topk."""
+    base = docs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.array_distinct(_tok(text_col)).alias("_w"),
+    )
+    qs = query_docs.select(
+        "q_id", F.array_distinct(F.split(F.col("q_text"), " ")).alias("_qw")
+    )
+    pairs = base.join(
+        F.broadcast(qs), F.col("q_id") != F.col("neighbor_id")
+    )
+    inter = F.size(F.array_intersect(F.col("_w"), F.col("_qw")))
+    uni = F.size("_w") + F.size("_qw") - inter
+    scored = pairs.select(
+        "q_id", "neighbor_id",
+        F.round(inter.cast("double") / uni, 6).alias("jaccard"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("jaccard"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "jaccard", "rnk")
+    )
+
+
 def bm25_topk(docs: DataFrame, terms: tuple[str, ...], *, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text") -> DataFrame:

@@ -21,6 +21,9 @@ except ImportError:
 # each round's CORRECTNESS_r{N}.json lands; new queries register with no
 # green row and land at the front automatically.
 _UNVERIFIED_FIRST = (
+    "matryoshka_recall",  # latest green r0
+    "hybrid_rrf",  # latest green r0
+    "anchor_text_summary",  # latest green r0
     "dedup_cluster_sizes",  # latest green r3
     "dedup_keep_best",  # latest green r3
     "dedup_keep_best_lsh",  # latest green r3

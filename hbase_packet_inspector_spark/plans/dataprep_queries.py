@@ -6398,3 +6398,222 @@ def media_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return M.media_corpus_card(M.synthesize_media(spark, 64))
+
+
+@register(
+    "matryoshka_recall",
+    f"""
+    WITH {_COS_CTE},
+    xd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    xs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM xd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    x AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM xs) WHERE rnk <= 3),
+    tnrm AS (SELECT vec_id, sum(v * v) AS sq FROM e WHERE i <= 16
+             GROUP BY vec_id),
+    yd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0 AND q.i <= 16
+           GROUP BY 1, 2),
+    ys AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM yd JOIN tnrm nq ON nq.vec_id = q_id
+                  JOIN tnrm nb ON nb.vec_id = neighbor_id),
+    y AS (SELECT q_id, neighbor_id FROM (
+            SELECT *, rank() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM ys) WHERE rnk <= 3),
+    hit AS (SELECT x.q_id, count(*) AS h
+            FROM x JOIN y USING (q_id, neighbor_id) GROUP BY 1),
+    q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT q.q_id, CAST(coalesce(hit.h, 0) AS DOUBLE) / 3 AS recall
+    FROM q LEFT JOIN hit USING (q_id)
+    """,
+    doc="Matryoshka-truncation audit (operators/similarity.py::"
+    "matryoshka_recall): recall@3 of dim-16-PREFIX cosine search against "
+    "the full-dimension exact ranking — the measurement behind serving "
+    "embeddings at a truncated width (prefix search is the cheapest "
+    "compression there is: no codebooks, no re-encode, just read fewer "
+    "components; MRL-style training orders information so prefixes stay "
+    "usable, and this query tells you whether a given corpus's do). "
+    "Completes the per-path recall-audit family (ann/pq/sq8/srp_recall). "
+    "Two broadcast-query passes (the prefix pass does 16/D of the "
+    "arithmetic) + one top-k-frame join; the corpus never shuffles.",
+    tags=("dataprep", "similarity", "ann", "evaluation"),
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.matryoshka_recall(emb, qs, k=3, dims=16)
+
+
+@register(
+    "hybrid_rrf",
+    f"""
+    WITH {_COS_CTE},
+    qset AS (SELECT doc_id AS q_id FROM documents WHERE doc_id % 25 = 0),
+    cd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q JOIN qset ON qset.q_id = q.vec_id
+           JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+    cs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM cd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    cr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM cs),
+    ctop AS (SELECT q_id, neighbor_id, rnk FROM cr WHERE rnk <= 5),
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+          FROM documents),
+    ld AS (SELECT q.doc_id AS q_id, b.doc_id AS neighbor_id,
+                  round(CAST(len(list_intersect(q.ws, b.ws)) AS DOUBLE)
+                        / (len(q.ws) + len(b.ws)
+                           - len(list_intersect(q.ws, b.ws))), 6) AS jac
+           FROM w q JOIN qset ON qset.q_id = q.doc_id
+           JOIN w b ON b.doc_id <> q.doc_id),
+    lr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY jac DESC, neighbor_id) AS rnk
+           FROM ld),
+    ltop AS (SELECT q_id, neighbor_id, rnk FROM lr WHERE rnk <= 5),
+    u AS (SELECT q_id, neighbor_id, 1.0 / (60 + rnk) AS c FROM ctop
+          UNION ALL
+          SELECT q_id, neighbor_id, 1.0 / (60 + rnk) AS c FROM ltop),
+    f AS (SELECT q_id, neighbor_id, round(sum(c), 6) AS rrf
+          FROM u GROUP BY 1, 2),
+    fr AS (SELECT q_id, neighbor_id, rrf,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, neighbor_id) AS rnk
+           FROM f)
+    SELECT q_id, neighbor_id, rrf, rnk FROM fr WHERE rnk <= 5
+    """,
+    doc="Hybrid retrieval EXECUTED (operators/similarity.py::rrf_fuse + "
+    "operators/text.py::lexical_topk + cosine_topk): reciprocal-rank "
+    "fusion (Cormack RRF, 1/(60+rank)) of an embedding ranker (exact "
+    "cosine top-5) and a lexical ranker (word-set Jaccard top-5, "
+    "doc-as-query) over the shared query set doc_id % 25 = 0 — the "
+    "standard two-tower retrieval front end for targeted harvesting and "
+    "RAG-style data selection, fused WITHOUT score calibration because "
+    "only ranks enter. Rank-only fusion also makes the hash pin strong: "
+    "both rankers' tie-breaks (score rounded 6 desc, id asc) must agree "
+    "across engines for the fused ranks to. Scale shape: both rankers "
+    "are broadcast-query corpus passes, the fusion is a union + groupBy "
+    "over queries x k rows — retrieval-sized, nothing corpus-shuffling.",
+    tags=("dataprep", "similarity", "text", "retrieval", "hybrid"),
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q_ids = docs.where(F.col("doc_id") % 25 == 0).select("doc_id")
+    q_emb = emb.join(
+        q_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    q_txt = docs.join(q_ids, "doc_id").select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    emb_rank = S.cosine_topk(emb, q_emb, k=5).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    lex_rank = X.lexical_topk(docs, q_txt, k=5).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    return S.rrf_fuse([emb_rank, lex_rank], k=5)
+
+
+@register(
+    "anchor_text_summary",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    l AS (
+      SELECT 'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com'
+               AS dst_host,
+             'more about topic ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM d
+      UNION ALL
+      SELECT 'site' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) || '.com',
+             'visit site ' || CAST(doc_id % 5 AS VARCHAR)
+      FROM d),
+    per AS (SELECT dst_host, anchor, count(*) AS c FROM l GROUP BY 1, 2),
+    tot AS (SELECT dst_host, CAST(sum(c) AS BIGINT) AS n_links,
+                   CAST(count(*) AS BIGINT) AS n_distinct_anchors
+            FROM per GROUP BY 1),
+    top AS (SELECT dst_host, anchor AS top_anchor FROM (
+              SELECT *, rank() OVER (PARTITION BY dst_host
+                                     ORDER BY c DESC, anchor) AS r
+              FROM per) WHERE r = 1)
+    SELECT tot.dst_host, tot.n_links, tot.n_distinct_anchors,
+           top.top_anchor
+    FROM tot JOIN top USING (dst_host)
+    """,
+    doc="Anchor-text mining (operators/web.py::extract_anchor_texts): "
+    "absolute-href <a> snippets -> (src_host, dst_host, anchor text "
+    "with nested tags stripped and whitespace collapsed) -> per-TARGET "
+    "rollup: in-link count, distinct anchor phrases, and the modal "
+    "anchor (ties broken lexicographically) — how the rest of the web "
+    "describes each host: a crawl-relevance signal richer than "
+    "link_graph's bare edges, retrieval training pairs, and a spam "
+    "tell (all-'click here' in-anchors). The synthetic pages embed two "
+    "anchored links per doc — one plain, one with a NESTED <b> tag the "
+    "strip must remove — plus a relative href that must not count; the "
+    "oracle computes the ground truth from the generator arithmetic, "
+    "hash-pinning snippet extraction, inner-tag stripping, and host "
+    "canonicalization end to end. Plan: scan pruned to two columns, "
+    "regexp+explode (no Python), one partial+final count, argmax via a "
+    "rank over the anchor-distinct frame (edge-sized, never corpus).",
+    tags=("dataprep", "web", "graph", "text"),
+)
+def anchor_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    h = (F.floor(did / 4) % 25).cast("string")
+    a = ((did * 7 + 3) % 25).cast("string")
+    b = ((did * 11 + 5) % 25).cast("string")
+    body = (
+        F.when(did % 3 == 0, F.concat(
+            F.lit("<p>no links "), did.cast("string"), F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<p>filler</p><a href="http://site'), a,
+            F.lit('.com/x">more about  topic '), (did % 7).cast("string"),
+            F.lit("</a>"),
+            F.lit("<a href='HTTPS://SITE"), b,
+            F.lit(".COM:443/q?t=1'> <b>visit</b>\nsite "),
+            (did % 5).cast("string"), F.lit(" </a>"),
+            F.lit('<a href="/rel/path">rel anchor</a>'),
+        ))
+    )
+    pages = d.select(
+        F.concat(F.lit("http://site"), h, F.lit(".com/p/"),
+                 did.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    anchors = WB.extract_anchor_texts(pages)
+    per = anchors.groupBy("dst_host", "anchor").agg(
+        F.count("*").alias("c")
+    )
+    tot = per.groupBy("dst_host").agg(
+        F.sum("c").cast("long").alias("n_links"),
+        F.count("*").cast("long").alias("n_distinct_anchors"),
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("c"), F.asc("anchor"))
+    top = (
+        per.withColumn("r", F.rank().over(w))
+        .where(F.col("r") == 1)
+        .select("dst_host", F.col("anchor").alias("top_anchor"))
+    )
+    return tot.join(top, "dst_host")

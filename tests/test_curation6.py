@@ -297,3 +297,99 @@ def test_host_stats_without_quality_column(spark):
     assert out["a.com"].n_pages == 1
     assert "" in out  # schemeless garbage groups under the empty host
     assert "avg_quality" not in out["a.com"].asDict()
+
+
+def test_matryoshka_recall_prefix_vs_full(spark):
+    """Hand-built geometry: neighbor rankings that AGREE on the first-2
+    prefix give recall 1; a vector whose late dimensions carry all the
+    similarity drops out of the prefix top-k and costs recall."""
+    from hbase_packet_inspector_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    # prefix-agreeing geometry: prefix and full rankings coincide
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.01, 0.0]),
+            (1, [0.9, 0.1, 0.01, 0.0]),    # close in prefix AND full
+            (2, [0.01, 0.01, 1.0, 0.0]),   # far in both
+            (3, [0.8, 0.0, 0.9, 0.0]),     # mid in full, top-ish prefix
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = emb.where("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = {r.q_id: r.recall for r in
+           matryoshka_recall(emb, qs, k=2, dims=2).collect()}
+    # full top-2 of q = {1, 3}; prefix(2) top-2 = {3 (cos 1.0), 1} ->
+    # same SET -> recall 1.0 (recall is set overlap, order-free)
+    assert out == {0: 1.0}
+
+    # tail-dominated geometry: doc 2's similarity lives past the prefix
+    emb2 = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 2.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.01, 0.0, 5.0]),   # top by FULL cos, prefix ⊥ q
+            (3, [0.5, 0.4, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs2 = emb2.where("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out2 = {r.q_id: r.recall for r in
+            matryoshka_recall(emb2, qs2, k=2, dims=2).collect()}
+    # full top-2 = {2 (cos ~.896), 1 (cos ~.444)}; prefix top-2 = {1, 3}
+    # (doc 2's prefix is nearly orthogonal) -> overlap {1} -> recall 0.5
+    assert out2 == {0: 0.5}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from hbase_packet_inspector_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "q_id long, neighbor_id long, rnk int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "q_id long, neighbor_id long, rnk int",
+    )
+    out = {r.neighbor_id: r for r in rrf_fuse([a, b], k=4).collect()}
+    # 11: 1/62 + 1/61 ; 10: 1/61 + 1/63 ; 12: 1/63 ; 13: 1/62
+    assert out[11].rrf == round(1 / 62 + 1 / 61, 6)
+    assert out[10].rrf == round(1 / 61 + 1 / 63, 6)
+    assert out[11].rnk == 1 and out[10].rnk == 2
+    # single-ranker ids fuse too, ranked by their lone contribution;
+    # 13 (rank 2) beats 12 (rank 3)
+    assert out[13].rnk == 3 and out[12].rnk == 4
+
+
+def test_lexical_topk_jaccard_and_tiebreak(spark):
+    from hbase_packet_inspector_spark.operators.text import lexical_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "red green blue"),
+            (1, "red green yellow"),        # jac with 0: 2/4 = 0.5
+            (2, "red green blue indigo"),   # jac with 0: 3/4 = 0.75
+            (3, "cyan magenta"),            # jac 0
+            (4, "yellow green red"),        # same SET as 1 -> tie at 0.5
+        ],
+        "doc_id long, text string",
+    )
+    qs = docs.where("doc_id = 0").select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    rows = lexical_topk(docs, qs, k=3).collect()
+    got = [(r.neighbor_id, r.jaccard, r.rnk) for r in
+           sorted(rows, key=lambda r: (r.rnk, r.neighbor_id))]
+    # rank 1: doc 2 (0.75); tie at 0.5 between 1 and 4 -> both rank 2
+    # (rank(), the house total order on id breaks the SORT but rank()
+    # assigns equal ranks to equal (jaccard) keys? no — the window
+    # orders by (jaccard desc, neighbor_id asc), so keys differ: 1 then 4
+    assert got == [(2, 0.75, 1), (1, 0.5, 2), (4, 0.5, 3)]
+    # the query doc itself is excluded
+    assert all(r.neighbor_id != 0 for r in rows)

@@ -204,3 +204,34 @@ def test_extract_links_absolute_only_host_level(spark):
     # only absolute http(s) hrefs count; hosts canonicalized (:80 drop,
     # lowercase); relative/mailto/img-src ignored
     assert rows == {("me.com", "other.com"), ("me.com", "www.upper.com")}
+
+
+def test_extract_anchor_texts_rules(spark):
+    """Hand page: nested tags stripped from the anchor, whitespace
+    collapsed, empty (image) anchors survive as '', relative hrefs and
+    schemeless targets excluded, uppercase scheme + default port fold."""
+    from hbase_packet_inspector_spark.operators.web import (
+        extract_anchor_texts,
+    )
+
+    body = (
+        '<a href="http://a.com/x">plain  text</a>'
+        "<a class='ext' href='HTTPS://B.COM:443/y'>has <b>bold</b>\nkid</a>"
+        '<a href="http://c.com/z"><img src="i.png"/></a>'
+        '<a href="/relative">skip me</a>'
+        '<a href="mailto:x@y.com">skip too</a>'
+    )
+    df = spark.createDataFrame(
+        [("http://me.com/p", body)], "url string, body string"
+    )
+    rows = sorted(
+        (r.dst_host, r.anchor) for r in extract_anchor_texts(df).collect()
+    )
+    assert rows == [
+        ("a.com", "plain text"),
+        ("b.com", "has bold kid"),
+        ("c.com", ""),
+    ]
+    assert all(
+        r.src_host == "me.com" for r in extract_anchor_texts(df).collect()
+    )

@@ -160,6 +160,13 @@ ALLOWED = {
     # (20 rows by construction), never the corpus — acctbal_deciles'
     # bounded-global-window rationale
     "classifier_pr_curve": {"GLOBAL-WINDOW"},
+    # both halves are cosine_topk's broadcast-bounded-queries pass
+    # (ann_recall's rationale); the prefix half reads 16/D of each vector
+    "matryoshka_recall": {"NESTED-LOOP-JOIN"},
+    # both rankers are broadcast-bounded-query corpus passes (cosine_topk
+    # resp. lexical word-set jaccard — ann_recall's rationale); the RRF
+    # fusion itself is a union + groupBy over queries x k rows
+    "hybrid_rrf": {"NESTED-LOOP-JOIN"},
 }
 
 

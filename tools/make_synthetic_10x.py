@@ -7,17 +7,25 @@ word-prefix salting, makes char-shingle copies MORE self-similar and turns
 the probe output-bound).
 
 Per-copy shift is ``(7*g) % 26`` (7 coprime to 26, so all shifts are
-distinct for g < 26); ``copies`` is capped at 26 because a caesar alphabet
-only has 26 distinct rotations — beyond that copies would collide. Each
-copy's full 26-char mapping is materialized Python-side (the previous
-``substr(rot||rot, g, 26)`` ran out of characters past g=27 and silently
-made translate() DELETE characters). Only lowercase rotates — the
-synthetic corpus is lowercase prose, and rotating digits/punct would
-change the tokenizer's word boundaries. The doc_id stride is derived from
-``max(doc_id)+1`` of the source, not hardcoded to the sf0.1 corpus size.
+distinct for g < 26). Copies 26+ (the 100x probe, VERDICT_r6 item 4) use
+seeded-PRNG alphabet PERMUTATIONS instead: any bijection on the alphabet
+preserves the within-copy shingle structure EXACTLY (n-gram sets map
+bijectively, so every within-copy Jaccard is unchanged), while two
+independent random permutations agree on ~1 letter in expectation — a
+char shingle survives across copies only if the permutations agree on
+every letter it contains, so cross-copy similarity stays negligible.
+Permutations are drawn from random.Random(g) per copy index: fully
+deterministic, and re-running with more copies extends the corpus without
+changing earlier copies. Each copy's full 26-char mapping is materialized
+Python-side (the previous ``substr(rot||rot, g, 26)`` ran out of
+characters past g=27 and silently made translate() DELETE characters).
+Only lowercase maps — the synthetic corpus is lowercase prose, and
+mapping digits/punct would change the tokenizer's word boundaries. The
+doc_id stride is derived from ``max(doc_id)+1`` of the source, not
+hardcoded to the sf0.1 corpus size.
 
 Usage: python tools/make_synthetic_10x.py [src_dir] [out_dir] [copies]
-       (defaults: /root/testdata/sf0.1 /tmp/sfbig 10; copies <= 26)
+       (defaults: /root/testdata/sf0.1 /tmp/sfbig 10)
 
 Probe pattern (isolated, post-warmup, clearCache between runs):
     q.fn(spark, '/root/testdata/sf0.1').count()   # 1x
@@ -38,17 +46,29 @@ def _rot(shift: int) -> str:
     return "".join(chr((ord(c) - 97 + shift) % 26 + 97) for c in _ALPHA)
 
 
+def _mapping(g: int) -> str:
+    """Copy g's alphabet image: caesar rotation for g < 26 (bit-identical
+    to the original 10x outputs), seeded random permutation beyond."""
+    if g < 26:
+        return _rot((7 * g) % 26)
+    import random
+
+    chars = list(_ALPHA)
+    random.Random(g).shuffle(chars)
+    return "".join(chars)
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    if not 1 <= copies <= 26:
-        raise SystemExit("copies must be in 1..26 (distinct caesar shifts)")
+    if copies < 1:
+        raise SystemExit("copies must be >= 1")
     stride = duckdb.sql(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()[0]
     rot_rows = ", ".join(
-        f"({g}, '{_rot((7 * g) % 26)}')" for g in range(copies)
+        f"({g}, '{_mapping(g)}')" for g in range(copies)
     )
     os.makedirs(out, exist_ok=True)
     duckdb.sql(f"""

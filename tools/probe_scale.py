@@ -1,0 +1,191 @@
+"""Scale probes for the two flagship compositions (VERDICT_r6 item 4):
+``dedup_keep_best_lsh`` (MinHash -> LSH -> cluster -> argmax) and
+``host_pagerank`` (power iteration), measured at 1x / 10x / 100x with
+per-stage wall clock AND per-stage shuffle bytes (read via the Spark UI
+REST API, enabled for this session only).
+
+    python tools/probe_scale.py dedup   [dirs...]  # default 1x/10x/100x
+    python tools/probe_scale.py pagerank [host counts...]
+
+The dedup probe replays the registered query body with EAGER lineage cuts
+at the stage boundaries (pairs / clusters / argmax) so stage walls are
+additive and each stage's shuffle delta is attributable; it also runs the
+registered query once end-to-end for the composed wall. The pagerank probe
+generates a deterministic host graph (8 out-links per host, hash-spread
+targets => mild natural skew) at increasing host counts.
+
+Results go to stdout; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_probe_spark() -> SparkSession:
+    """session.get_spark's config, plus the UI (for /api/v1 stage metrics)
+    and probe-sized driver memory (local mode: driver == all executors)."""
+    from hbase_packet_inspector_spark.session import _ship_package
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    _ship_package(spark)
+    return spark
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_write_bytes, shuffle_read_bytes) over every
+    stage the app has run — deltas around a stage attribute its shuffles."""
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ))
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return w, r
+
+
+class StageMeter:
+    def __init__(self, spark):
+        self.spark = spark
+        self.rows: list[tuple[str, float, float, float, int]] = []
+
+    def run(self, label: str, fn):
+        w0, r0 = _shuffle_totals(self.spark)
+        t0 = time.perf_counter()
+        n = fn()
+        wall = time.perf_counter() - t0
+        w1, r1 = _shuffle_totals(self.spark)
+        self.rows.append(
+            (label, wall, (w1 - w0) / 1e6, (r1 - r0) / 1e6, n)
+        )
+        print(f"    {label:<28} {wall:7.1f}s  shuffleW {(w1-w0)/1e6:9.1f} MB"
+              f"  shuffleR {(r1-r0)/1e6:9.1f} MB  rows {n}")
+        return n
+
+
+def probe_dedup(spark, dirs: list[str]) -> None:
+    from hbase_packet_inspector_spark.operators import dedup as D
+
+    for d in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n_docs = docs.count()
+        print(f"\n== dedup_keep_best_lsh @ {d} ({n_docs} docs)")
+        m = StageMeter(spark)
+
+        pairs = clusters = None
+        def stage_pairs():
+            nonlocal pairs
+            pairs = (
+                D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45)
+                .select("d1", "d2").localCheckpoint()
+            )
+            return pairs.count()
+
+        def stage_clusters():
+            nonlocal clusters
+            clusters = D.dedup_clusters(pairs, iterations=4).localCheckpoint()
+            return clusters.count()
+
+        def stage_argmax():
+            scored = docs.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).cast("int")
+                .alias("n_tokens"),
+            )
+            return D.keep_best(scored, clusters, quality_col="n_tokens").count()
+
+        m.run("pairs (minhash+LSH+verify)", stage_pairs)
+        m.run("clusters (4-round minlabel)", stage_clusters)
+        m.run("keep_best (struct argmax)", stage_argmax)
+        spark.catalog.clearCache()
+
+        # composed registered body, end-to-end (lazy checkpoints, as shipped)
+        def composed():
+            p = (
+                D.minhash_lsh_dedup(docs, min_est=0.5, min_jaccard=0.45)
+                .select("d1", "d2").localCheckpoint(eager=False)
+            )
+            c = D.dedup_clusters(p, iterations=4).localCheckpoint(eager=False)
+            scored = docs.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).cast("int")
+                .alias("n_tokens"),
+            )
+            return D.keep_best(scored, c, quality_col="n_tokens").count()
+
+        m.run("COMPOSED (registered body)", composed)
+        spark.catalog.clearCache()
+
+
+def _host_edges(spark, n_hosts: int):
+    """Deterministic host link graph: 8 out-links per host; targets spread
+    by a hash mix, so in-degree is uneven (natural mild skew) but bounded."""
+    return spark.range(8 * n_hosts).select(
+        F.concat(F.lit("h"), (F.col("id") % n_hosts).cast("string"))
+        .alias("src_host"),
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.xxhash64(F.col("id") * 2654435761), F.lit(n_hosts))
+            .cast("string"),
+        ).alias("dst_host"),
+    )
+
+
+def probe_pagerank(spark, host_counts: list[int]) -> None:
+    from hbase_packet_inspector_spark.operators.web import host_pagerank
+
+    for h in host_counts:
+        edges = _host_edges(spark, h).localCheckpoint()
+        n_e = edges.count()
+        print(f"\n== host_pagerank @ {h} hosts ({n_e} edges, iters=5)")
+        m = StageMeter(spark)
+        m.run("pagerank 5 rounds",
+              lambda: host_pagerank(edges, iters=5).count())
+        spark.catalog.clearCache()
+
+
+def main() -> None:
+    what = sys.argv[1] if len(sys.argv) > 1 else "dedup"
+    spark = get_probe_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if what == "dedup":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
+        ]
+        probe_dedup(spark, dirs)
+    elif what == "pagerank":
+        counts = [int(x) for x in sys.argv[2:]] or [10_000, 100_000, 1_000_000]
+        probe_pagerank(spark, counts)
+    else:
+        raise SystemExit(f"unknown probe {what}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
