@@ -226,6 +226,7 @@ HEADLINE = [
     "matryoshka_recall",
     "hybrid_rrf",
     "anchor_text_summary",
+    "robots_gate",
 ]
 
 

@@ -173,6 +173,78 @@ def extract_links(pages: DataFrame, *, url_col: str = "url",
     )
 
 
+def parse_robots(robots: DataFrame, *, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → (host, disallow_prefix) rules for the wildcard agent —
+    the compliance table a polite crawler joins its frontier against.
+
+    Deliberately the conservative subset every robots.txt dialect agrees
+    on: the file splits into ``User-agent:`` sections; only sections
+    whose agent is ``*`` contribute; each of their ``Disallow:`` lines
+    (case-insensitive key, one path prefix) emits a rule. ``Allow:``
+    overrides, crawl-delay, and wildcards inside paths are NOT
+    interpreted (documented: unsupported directives can only make the
+    gate MORE restrictive, never less — the safe failure direction for
+    compliance). Empty ``Disallow:`` (allow-all marker) emits nothing.
+
+    Pure split/filter/transform higher-order functions + one explode —
+    JVM-side; robots files are KB-sized so per-host rule counts are
+    bounded by construction."""
+    sections = F.split(F.col(text_col), "(?i)user-agent:")
+    star = F.filter(
+        sections,
+        lambda s: F.trim(F.substring_index(s, "\n", 1)) == "*",
+    )
+    rules = F.flatten(F.transform(
+        star,
+        lambda s: F.regexp_extract_all(
+            s, F.lit("(?im)^[ \\t]*disallow:[ \\t]*(\\S+)[ \\t]*$"),
+            F.lit(1),
+        ),
+    ))
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.explode(rules).alias("disallow_prefix"),
+        )
+        .where(F.col("disallow_prefix") != "")
+        .distinct()
+    )
+
+
+def robots_gate(frontier: DataFrame, rules: DataFrame, *,
+                url_col: str = "url") -> DataFrame:
+    """Frontier URLs × robots rules → (url, host, blocked): blocked when
+    the URL's PATH starts with any of its host's disallow prefixes.
+    The step between :func:`crawl_frontier`'s priority table and the
+    fetcher — fetch order is a ranking problem, fetch PERMISSION is this
+    join.
+
+    Scale shape: one equi-join on host. Rules-per-host is KB-bounded
+    (robots.txt is one file), so the join fans each URL out by its own
+    host's rule count only; the verdict folds back with a partial+final
+    bool_or — no windows, no skew risk beyond a hot HOST, which the
+    aggregate absorbs map-side. URLs whose host has no robots rules pass
+    (left join, coalesce false) — absent robots means allowed."""
+    f = frontier.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        F.regexp_extract(
+            F.regexp_extract(F.col(url_col), _REST_RE, 1), "^([^?#]*)", 1
+        ).alias("_path"),
+    ).withColumn("_path", F.when(F.col("_path") == "", "/")
+                 .otherwise(F.col("_path")))
+    j = f.join(rules, "host", "left")
+    hit = F.when(
+        F.col("disallow_prefix").isNotNull()
+        & F.col("_path").startswith(F.col("disallow_prefix")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("url", "host")
+        .agg((F.sum(hit) > 0).alias("blocked"))
+    )
+
+
 def extract_anchor_texts(pages: DataFrame, *, url_col: str = "url",
                          html_col: str = "body") -> DataFrame:
     """Link extraction WITH anchor text: one row per absolute http(s)

@@ -24,6 +24,7 @@ _UNVERIFIED_FIRST = (
     "matryoshka_recall",  # latest green r0
     "hybrid_rrf",  # latest green r0
     "anchor_text_summary",  # latest green r0
+    "robots_gate",  # latest green r0
     "dedup_cluster_sizes",  # latest green r3
     "dedup_keep_best",  # latest green r3
     "dedup_keep_best_lsh",  # latest green r3

@@ -6617,3 +6617,65 @@ def anchor_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dst_host", F.col("anchor").alias("top_anchor"))
     )
     return tot.join(top, "dst_host")
+
+
+@register(
+    "robots_gate",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 25 AS h, doc_id % 4 AS v
+               FROM documents)
+    SELECT 'http://site' || CAST(h AS VARCHAR) || '.com'
+             || CASE v WHEN 2 THEN '/private/' WHEN 3 THEN '/tmp/'
+                ELSE '/p/' END || CAST(doc_id AS VARCHAR) AS url,
+           'site' || CAST(h AS VARCHAR) || '.com' AS host,
+           (v = 2 OR (v = 3 AND h % 2 = 0)) AS blocked
+    FROM d
+    """,
+    doc="Crawl compliance EXECUTED (operators/web.py::parse_robots + "
+    "robots_gate): robots.txt text -> wildcard-agent Disallow prefix "
+    "rules (User-agent sections split with HOFs; non-* sections and "
+    "empty allow-all Disallow markers contribute nothing; Allow/"
+    "wildcards deliberately uninterpreted — unsupported directives can "
+    "only over-block, the safe compliance direction) -> frontier URLs "
+    "gated by host-joined path-prefix match. The permission step "
+    "between crawl_frontier's priority ranking and the fetcher. The "
+    "synthetic robots files carry a googlebot section disallowing /p "
+    "(pins section filtering: leaking it would block the allowed "
+    "URLs), a /private rule everywhere, a /tmp/ rule on even hosts, "
+    "and an empty Disallow on every third host; the oracle computes "
+    "the verdicts from the generator arithmetic. Plan: one host "
+    "equi-join (rules KB-bounded per host) + partial+final bool "
+    "fold — no windows.",
+    tags=("dataprep", "web", "crawl", "compliance"),
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    h = (did % 25).cast("string")
+    v = did % 4
+    hosts = d.select((did % 25).alias("_h")).distinct()
+    hs = F.col("_h").cast("string")
+    robots = hosts.select(
+        F.concat(F.lit("site"), hs, F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: googlebot\nDisallow: /p\n\n"
+                  "User-Agent: *\nDisallow: /private\n"),
+            F.when(F.col("_h") % 2 == 0, F.lit("Disallow: /tmp/\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("_h") % 3 == 0, F.lit("Disallow:\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    frontier = d.select(
+        F.concat(
+            F.lit("http://site"), h, F.lit(".com"),
+            F.when(v == 2, F.lit("/private/"))
+            .when(v == 3, F.lit("/tmp/"))
+            .otherwise(F.lit("/p/")),
+            did.cast("string"),
+        ).alias("url")
+    )
+    return WB.robots_gate(frontier, WB.parse_robots(robots))

@@ -235,3 +235,53 @@ def test_extract_anchor_texts_rules(spark):
     assert all(
         r.src_host == "me.com" for r in extract_anchor_texts(df).collect()
     )
+
+
+def test_parse_robots_and_gate_rules(spark):
+    """Hand robots files: wildcard-section scoping (googlebot rules must
+    NOT leak), case-insensitive keys, empty Disallow (allow-all marker)
+    contributes nothing, root '/' blocks everything, and a host with no
+    robots passes its URLs."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots,
+        robots_gate,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: googlebot\nDisallow: /\n\n"
+             "user-AGENT: *\ndisallow: /private\nDisallow: /tmp/\n"),
+            ("b.com", "User-agent: *\nDisallow:\n"),   # allow-all marker
+            ("c.com", "User-agent: *\nDisallow: /\n"),  # blocks all
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {(r.host, r.disallow_prefix) for r in
+             parse_robots(robots).collect()}
+    assert rules == {("a.com", "/private"), ("a.com", "/tmp/"),
+                     ("c.com", "/")}
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.com/private/x",),   # blocked (prefix)
+            ("http://a.com/tmp/y",),       # blocked
+            ("http://a.com/public",),      # allowed (googlebot / ignored)
+            ("http://a.com",),             # empty path -> '/' -> allowed
+            ("http://b.com/anything",),    # allow-all marker
+            ("http://c.com/any",),         # root rule blocks
+            ("http://norobots.com/x",),    # no rules -> allowed
+        ],
+        "url string",
+    )
+    out = {r.url: r.blocked for r in
+           robots_gate(frontier, parse_robots(robots)).collect()}
+    assert out == {
+        "http://a.com/private/x": True,
+        "http://a.com/tmp/y": True,
+        "http://a.com/public": False,
+        "http://a.com": False,
+        "http://b.com/anything": False,
+        "http://c.com/any": True,
+        "http://norobots.com/x": False,
+    }
