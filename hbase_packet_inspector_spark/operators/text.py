@@ -498,34 +498,56 @@ def lexical_topk(docs: DataFrame, query_docs: DataFrame, *, k: int = 5,
     queries: term order and repetition drop out, so boilerplate
     repetition can't inflate a match the way raw tf would.
 
-    ``query_docs`` must carry (q_id, q_text). Scale shape: the query set
-    is bounded (an audit sample / dedup probe batch) however big the
-    corpus, so the tokenized query side BROADCASTS and the corpus streams
-    through one narrow pass — in-row array_intersect/size for |∩|
-    (|∪| = |A|+|B|−|∩|, no second intersection), jaccard rounded to 6
-    before the per-query rank (desc, neighbor_id asc) so top-k membership
-    is engine-exact. No corpus shuffle; the window runs over
-    queries × corpus candidate rows AFTER the broadcast join prunes
-    nothing — candidate pricing is the query-set size, the documented
-    brute-force-baseline posture of cosine_topk."""
+    ``query_docs`` must carry (q_id, q_text). Candidates are docs sharing
+    AT LEAST ONE word with the query — a doc with zero lexical overlap is
+    not a retrieval result (jaccard 0 carries no evidence), which is what
+    makes the INVERTED-INDEX shape below exact, not approximate.
+
+    Scale shape: the classic postings join, not a brute-force pair pass.
+    Both sides explode to (id, distinct word) postings; the query
+    postings (bounded query set × vocabulary) BROADCAST onto the corpus
+    postings equi-join, |∩| falls out of one partial+final count per
+    (q, neighbor), and |∪| = |A|+|B|−|∩| joins the per-doc distinct
+    sizes back (corpus sizes by equi-join, query sizes broadcast). Cost
+    is proportional to MATCHING postings — shared-word occurrences —
+    not to queries × corpus; the measured rewrite took the sf0.1 bench
+    entry from ~9.5 s (in-row intersect per pair) to shared-postings
+    time. Jaccard rounds to 6 before the per-query rank (desc,
+    neighbor_id asc) so top-k membership is engine-exact."""
+    from pyspark.sql import Window
+
     base = docs.select(
         F.col("doc_id").alias("neighbor_id"),
         F.array_distinct(_tok(text_col)).alias("_w"),
     )
+    base_sz = base.select(
+        "neighbor_id", F.size("_w").alias("_nb")
+    )
     qs = query_docs.select(
         "q_id", F.array_distinct(F.split(F.col("q_text"), " ")).alias("_qw")
     )
-    pairs = base.join(
-        F.broadcast(qs), F.col("q_id") != F.col("neighbor_id")
+    q_sz = qs.select("q_id", F.size("_qw").alias("_nq"))
+    corpus_post = base.select(
+        "neighbor_id", F.explode("_w").alias("word")
     )
-    inter = F.size(F.array_intersect(F.col("_w"), F.col("_qw")))
-    uni = F.size("_w") + F.size("_qw") - inter
-    scored = pairs.select(
-        "q_id", "neighbor_id",
-        F.round(inter.cast("double") / uni, 6).alias("jaccard"),
+    q_post = qs.select("q_id", F.explode("_qw").alias("word"))
+    inter = (
+        corpus_post.join(F.broadcast(q_post), "word")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.count("*").alias("_i"))
     )
-    from pyspark.sql import Window
-
+    scored = (
+        inter.join(base_sz, "neighbor_id")
+        .join(F.broadcast(q_sz), "q_id")
+        .select(
+            "q_id", "neighbor_id",
+            F.round(
+                F.col("_i").cast("double")
+                / (F.col("_nb") + F.col("_nq") - F.col("_i")), 6
+            ).alias("jaccard"),
+        )
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.desc("jaccard"), F.asc("neighbor_id")
     )

@@ -6476,12 +6476,18 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctop AS (SELECT q_id, neighbor_id, rnk FROM cr WHERE rnk <= 5),
     w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
           FROM documents),
-    ld AS (SELECT q.doc_id AS q_id, b.doc_id AS neighbor_id,
-                  round(CAST(len(list_intersect(q.ws, b.ws)) AS DOUBLE)
-                        / (len(q.ws) + len(b.ws)
-                           - len(list_intersect(q.ws, b.ws))), 6) AS jac
-           FROM w q JOIN qset ON qset.q_id = q.doc_id
-           JOIN w b ON b.doc_id <> q.doc_id),
+    wp AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    qp AS (SELECT doc_id AS q_id, word FROM wp WHERE doc_id % 25 = 0),
+    iv AS (SELECT qp.q_id, wp.doc_id AS neighbor_id, count(*) AS i
+           FROM wp JOIN qp USING (word)
+           WHERE wp.doc_id <> qp.q_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ws) AS n FROM w),
+    ld AS (SELECT iv.q_id, iv.neighbor_id,
+                  round(CAST(iv.i AS DOUBLE)
+                        / (sb.n + sq.n - iv.i), 6) AS jac
+           FROM iv JOIN sz sb ON sb.doc_id = iv.neighbor_id
+                   JOIN sz sq ON sq.doc_id = iv.q_id),
     lr AS (SELECT q_id, neighbor_id,
                   rank() OVER (PARTITION BY q_id
                                ORDER BY jac DESC, neighbor_id) AS rnk
@@ -6507,9 +6513,12 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RAG-style data selection, fused WITHOUT score calibration because "
     "only ranks enter. Rank-only fusion also makes the hash pin strong: "
     "both rankers' tie-breaks (score rounded 6 desc, id asc) must agree "
-    "across engines for the fused ranks to. Scale shape: both rankers "
-    "are broadcast-query corpus passes, the fusion is a union + groupBy "
-    "over queries x k rows — retrieval-sized, nothing corpus-shuffling.",
+    "across engines for the fused ranks to. Scale shape: the embedding "
+    "ranker is a broadcast-query corpus pass; the lexical ranker is an "
+    "INVERTED-INDEX postings join (query postings broadcast onto the "
+    "corpus postings, |∩| from one partial+final count — cost is "
+    "shared-word occurrences, never queries x corpus); the fusion is "
+    "a union + groupBy over queries x k rows.",
     tags=("dataprep", "similarity", "text", "retrieval", "hybrid"),
 )
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
