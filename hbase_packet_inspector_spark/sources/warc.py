@@ -537,3 +537,41 @@ def warc_to_media(warc, kinds=("image", "audio", "video")):
             yield pd.DataFrame(rows, columns=cols)
 
     return base.mapInPandas(_split, WARC_MEDIA_SCHEMA)
+
+
+def warc_to_robots(warc):
+    """robots.txt responses in a crawl archive -> the (host, robots_txt)
+    frame :func:`~..operators.web.parse_robots` consumes — Common Crawl
+    ships each host's robots.txt as an ordinary WARC response record, so
+    the compliance rules for the next crawl cycle come out of the SAME
+    archives the pages do: scan once, gate forever.
+
+    Selection is by target path (``/robots.txt``, query/fragment
+    tolerated) on 200-status responses with a text body; duplicate
+    fetches of one host's robots keep the lexicographically-first record
+    id (deterministic re-crawl-stable argmin, the url_dedup rule).
+    Pure column expressions over the scanned frame — chains into
+    parse_robots -> robots_gate without another pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators.web import url_host
+
+    cand = (
+        warc.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("text").isNotNull()
+            & F.col("target_uri").rlike("^[^?#]*://[^/?#]+/robots\\.txt([?#].*)?$")
+        )
+        .select(
+            url_host(F.col("target_uri")).alias("host"),
+            F.col("text").alias("robots_txt"),
+            "record_id",
+        )
+        .where(F.col("host") != "")
+    )
+    return (
+        cand.groupBy("host")
+        .agg(F.min(F.struct("record_id", "robots_txt")).alias("_r"))
+        .select("host", F.col("_r.robots_txt").alias("robots_txt"))
+    )

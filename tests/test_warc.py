@@ -526,3 +526,62 @@ def test_warc_ingest_stream_end_to_end(spark, tmp_path):
          for r in quality_features(batch_docs).collect()}
     for i, r in dec3.items():
         assert q[i] == r.quality_score
+
+
+def test_warc_to_robots_bridges_into_compliance_gate(spark, tmp_path):
+    """Crawl archives carry robots.txt as ordinary response records;
+    warc_to_robots -> parse_robots -> robots_gate closes the compliance
+    loop from raw archives: selection by path, 404s and non-robots URLs
+    ignored, duplicate fetches resolve deterministically (min record
+    id), and the rules gate a frontier end to end."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots,
+        robots_gate,
+    )
+    from hbase_packet_inspector_spark.sources import warc as W
+    from hbase_packet_inspector_spark.sources.warc import warc_to_robots
+
+    W.register(spark)
+
+    def resp(rid, uri, status, body):
+        return _record(
+            "response", rid, uri,
+            (f"HTTP/1.1 {status} X\r\nContent-Type: text/plain\r\n\r\n"
+             + body).encode(),
+        )
+
+    recs = [
+        resp("rob1", "http://a.com/robots.txt", 200,
+             "User-agent: *\nDisallow: /private\n"),
+        # duplicate fetch with DIFFERENT rules: min record id (rob1) wins
+        resp("rob2", "http://a.com/robots.txt", 200,
+             "User-agent: *\nDisallow: /everything\n"),
+        # 404 robots: host stays unrestricted
+        resp("rob3", "http://b.com/robots.txt", 404, "not here"),
+        # page response whose path merely CONTAINS robots.txt: not rules
+        resp("pg1", "http://a.com/blog/robots.txt.html", 200, "article"),
+        # ordinary page
+        resp("pg2", "http://a.com/p/1", 200, "<html>hi</html>"),
+    ]
+    p = tmp_path / "r.warc"
+    p.write_bytes(b"".join(recs))
+    warc = spark.read.format("warc").load(str(p))
+
+    robots = warc_to_robots(warc)
+    got = {r.host: r.robots_txt for r in robots.collect()}
+    assert set(got) == {"a.com"}
+    assert "Disallow: /private" in got["a.com"]
+    assert "/everything" not in got["a.com"]  # min-record-id kept
+
+    frontier = spark.createDataFrame(
+        [("http://a.com/private/x",), ("http://a.com/p/2",),
+         ("http://b.com/private/y",)],
+        "url string",
+    )
+    out = {r.url: r.blocked for r in
+           robots_gate(frontier, parse_robots(robots)).collect()}
+    assert out == {
+        "http://a.com/private/x": True,
+        "http://a.com/p/2": False,
+        "http://b.com/private/y": False,  # 404 robots -> unrestricted
+    }
