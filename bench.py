@@ -227,6 +227,7 @@ HEADLINE = [
     "hybrid_rrf",
     "anchor_text_summary",
     "robots_gate",
+    "crawl_cycle",
 ]
 
 

@@ -5877,7 +5877,16 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import web as WB
 
-    base = _docs(spark, sf_dir)
+    ranks, stats = _frontier_inputs(_docs(spark, sf_dir))
+    return WB.crawl_frontier(ranks, stats)
+
+
+def _frontier_inputs(base: DataFrame):
+    """The (ranks, stats) pair crawl_frontier and crawl_cycle share:
+    pagerank over the synthetic link graph + host_stats over the no-www
+    synthetic crawl (mirrored SQL-side in _frontier_oracle)."""
+    from ..operators import web as WB
+
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
     ranks = WB.host_pagerank(_site_links(d), iters=5)
 
@@ -5904,7 +5913,7 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = base.select("doc_id", url.alias("url")).join(feats, "doc_id")
     stats = WB.host_stats(
         pages, quality_col="quality_score", max_dup_rate=0.5)
-    return WB.crawl_frontier(ranks, stats)
+    return ranks, stats
 
 
 @register(
@@ -6662,6 +6671,13 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"))
+    frontier, robots = _robots_inputs(d)
+    return WB.robots_gate(frontier, WB.parse_robots(robots))
+
+
+def _robots_inputs(d: DataFrame):
+    """The (frontier urls, robots texts) pair robots_gate and crawl_cycle
+    share (mirrored SQL-side by arithmetic in both oracles)."""
     did = F.col("doc_id")
     h = (did % 25).cast("string")
     v = did % 4
@@ -6687,4 +6703,55 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             did.cast("string"),
         ).alias("url")
     )
-    return WB.robots_gate(frontier, WB.parse_robots(robots))
+    return frontier, robots
+
+
+@register(
+    "crawl_cycle",
+    f"""
+    WITH cand AS (
+      SELECT 'http://site' || CAST(doc_id % 25 AS VARCHAR) || '.com'
+               || CASE doc_id % 4 WHEN 2 THEN '/private/'
+                  WHEN 3 THEN '/tmp/' ELSE '/p/' END
+               || CAST(doc_id AS VARCHAR) AS url,
+             'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS host,
+             (doc_id % 4 = 2
+              OR (doc_id % 4 = 3 AND (doc_id % 25) % 2 = 0)) AS blocked
+      FROM documents),
+    fr AS (SELECT * FROM ({_frontier_oracle(5)}))
+    SELECT c.url, c.host, fr.status, fr.priority, c.blocked,
+           (NOT c.blocked AND fr.status <> 'blocked'
+            AND fr.priority > 0) AS fetch
+    FROM cand c JOIN fr ON fr.host = c.host
+    """,
+    doc="The composed next-crawl-cycle decision — the end of the crawl "
+    "loop every other web query feeds: link graph -> host_pagerank "
+    "(inbound reputation) -> host_stats (dup-rate spam + quality) -> "
+    "crawl_frontier (priority + blocked/known/new status) JOINED with "
+    "parse_robots -> robots_gate (fetch PERMISSION per URL). One row "
+    "per candidate URL: (url, host, status, priority, blocked, fetch) "
+    "where fetch = allowed by robots AND host not dup-blocked AND "
+    "priority > 0 — the list a fetcher actually consumes. Like "
+    "web_curation_pipeline this hash-pins the COMPOSITION of the "
+    "already-verified stages, not just each piece: rank/stats meet in "
+    "one host equi-join, robots verdicts in another — all three frames "
+    "host-cardinality, URLs touched once. The oracle chains the full "
+    "pagerank CTE ladder, the host-stats rollup, and the robots "
+    "arithmetic in one statement.",
+    tags=("dataprep", "web", "graph", "crawl", "pipeline", "compliance"),
+)
+def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ranks, stats = _frontier_inputs(base)
+    fr = WB.crawl_frontier(ranks, stats).select(
+        "host", "status", "priority")
+    frontier, robots = _robots_inputs(d)
+    gated = WB.robots_gate(frontier, WB.parse_robots(robots))
+    return gated.join(fr, "host").select(
+        "url", "host", "status", "priority", "blocked",
+        (~F.col("blocked") & (F.col("status") != "blocked")
+         & (F.col("priority") > 0)).alias("fetch"),
+    )

@@ -285,3 +285,27 @@ def test_parse_robots_and_gate_rules(spark):
         "http://c.com/any": True,
         "http://norobots.com/x": False,
     }
+
+
+def test_crawl_cycle_fetch_invariants(spark):
+    """The composed next-cycle list obeys its own rules: fetch implies
+    robots-allowed AND non-blocked host AND positive priority; every
+    dup-blocked host's URLs are all fetch=false; /private URLs are
+    always robots-blocked."""
+    from hbase_packet_inspector_spark import plans
+
+    rows = plans.QUERIES["crawl_cycle"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.fetch:
+            assert not r.blocked and r.status != "blocked" \
+                and r.priority > 0
+        if "/private/" in r.url:
+            assert r.blocked and not r.fetch
+    # both outcomes actually occur (the composition is not degenerate)
+    assert any(r.fetch for r in rows) and any(not r.fetch for r in rows)
+    # dup-blocked hosts (every third site gets the variant generator)
+    blocked_hosts = {r.host for r in rows if r.status == "blocked"}
+    assert blocked_hosts
+    assert all(not r.fetch for r in rows if r.host in blocked_hosts)
