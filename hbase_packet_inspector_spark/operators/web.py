@@ -40,9 +40,12 @@ def normalize_url(url) -> Column:
     reordering could merge distinct keys on sites that abuse duplicate
     params); empty path becomes '/'. A string with no '://' scheme is
     returned trimmed + fragment-stripped only — garbage in, garbage
-    comparable out, never an error."""
+    comparable out, never an error. Fragment strip runs BEFORE the trim
+    (removing '#...' can expose trailing whitespace; trimming last makes
+    normalize_url IDEMPOTENT — a re-crawled canonical URL maps to
+    itself, pinned by the adversarial-corpus property test)."""
     u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(F.trim(u), "#.*$", "")
+    u = F.trim(F.regexp_replace(u, "#.*$", ""))
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     rest = F.regexp_extract(u, _REST_RE, 1)
@@ -96,9 +99,10 @@ def url_host(url) -> Column:
     default port dropped (same rules as normalize_url — the two must
     agree or host rollups would split a host from its own canonical
     URLs). Schemeless strings yield '' — they group under the empty
-    host rather than erroring, the garbage-tolerant contract."""
+    host rather than erroring, the garbage-tolerant contract. Same
+    defrag-then-trim order as normalize_url (the two must agree)."""
     u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(F.trim(u), "#.*$", "")
+    u = F.trim(F.regexp_replace(u, "#.*$", ""))
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     return (
@@ -191,9 +195,15 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
     JVM-side; robots files are KB-sized so per-host rule counts are
     bounded by construction."""
     sections = F.split(F.col(text_col), "(?i)user-agent:")
+    # element 0 is the PREAMBLE (everything before the first User-agent
+    # line — or the whole file when there is none): rules outside any
+    # agent group bind to no agent and must not contribute, so the
+    # filter requires index > 0 (the 2-arg lambda receives (element,
+    # index) — here that pitfall is the tool)
     star = F.filter(
         sections,
-        lambda s: F.trim(F.substring_index(s, "\n", 1)) == "*",
+        lambda s, i: (i > F.lit(0))
+        & (F.trim(F.substring_index(s, "\n", 1)) == "*"),
     )
     rules = F.flatten(F.transform(
         star,

@@ -5044,7 +5044,7 @@ _URL_GEN_CTE = """dd AS (
 
 # normalization chain over relation u(doc_id, url) -> f(doc_id, url_norm),
 # with q(doc_id, host, ...) exposed for host-level rollups
-_URL_NORM_CTES = """n AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u0 FROM u),
+_URL_NORM_CTES = """n AS (SELECT doc_id, trim(regexp_replace(url, '#.*$', '')) AS u0 FROM u),
     p AS (
       SELECT doc_id, u0,
         lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))

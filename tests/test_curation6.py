@@ -172,7 +172,7 @@ def test_normalize_url_rules(spark):
         ("http://ex.com?gclid=1", "http://ex.com/"),
         ("http://ex.com/a?flag", "http://ex.com/a?flag"),  # no '=' param
         ("  http://ex.com/a  ", "http://ex.com/a"),
-        ("not a url #x", "not a url "),  # garbage: trim+defrag only
+        ("not a url #x", "not a url"),  # garbage: defrag then trim
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.n for r in
@@ -393,3 +393,82 @@ def test_lexical_topk_jaccard_and_tiebreak(spark):
     assert got == [(2, 0.75, 1), (1, 0.5, 2), (4, 0.5, 3)]
     # the query doc itself is excluded
     assert all(r.neighbor_id != 0 for r in rows)
+
+
+def test_normalize_url_idempotent_and_total_on_adversarial_corpus(spark):
+    """Canonicalization is IDEMPOTENT (normalize ∘ normalize ≡ normalize —
+    a re-crawled canonical URL must map to itself or url_dedup merges
+    drift across cycles) and TOTAL (garbage never raises, host/url agree)
+    over an adversarial corpus: seeded random byte-strings plus every
+    structural edge case, evaluated in ONE batch pass."""
+    import random
+
+    from hbase_packet_inspector_spark.operators.web import (
+        normalize_url,
+        url_host,
+    )
+
+    rng = random.Random(7)
+    alphabet = "aZ0:/?#&=._%-+~ \t\\'\"<>@[]!(),;历😀"
+    fuzz = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+            for _ in range(300)]
+    edge = [
+        "", " ", "#", "?", "http://", "https://:443", "http://:80",
+        "HTTP://EX.COM:80", "http://ex.com:8080:90/x",
+        "http://ex.com/a?x=1&&y=2&", "http://ex.com/??#??",
+        "ftp://ex.com:21/f", "scheme+x.y://HOST/p#f",
+        "http://ex.com/a?utm_=1&UTM_s=2",  # case-sensitive param keys
+        "http://ex.com/%7Euser?gclid=",
+        "//protocol-relative.com/x", "just text", ":///",
+        "http://ex.com?fbclid=1&fbclid=2&id=3",
+    ]
+    urls = fuzz + edge
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        normalize_url("url").alias("n1"),
+        url_host("url").alias("h"),
+    ).withColumn("n2", normalize_url(F.col("n1"))).collect()
+    assert len(out) == len(urls)
+    for r in out:
+        assert r.n1 is not None and r.h is not None  # total, never null
+        assert r.n2 == r.n1, f"not idempotent: {r.url!r} -> {r.n1!r} -> {r.n2!r}"
+        # host/url agreement: the canonical URL of a schemed input embeds
+        # exactly the canonical host (host rollups align with url_dedup)
+        if r.h:
+            assert f"://{r.h}" in r.n1
+
+
+def test_parse_robots_total_on_garbage(spark):
+    """parse_robots never raises and emits only non-empty prefixes, over
+    seeded random robots-ish text including pathological section/key
+    shapes — one batch pass."""
+    import random
+
+    from hbase_packet_inspector_spark.operators.web import parse_robots
+
+    rng = random.Random(11)
+    frag = ["User-agent:", "user-agent: *", "Disallow:", "disallow: /",
+            "Disallow: /a b", "Allow: /x", "#comment", "*", "\r", "",
+            "Crawl-delay: 10", "Sitemap: http://x/s.xml", "韓 robots"]
+    texts = ["\n".join(rng.choice(frag) for _ in range(rng.randint(0, 12)))
+             for _ in range(200)]
+    df = spark.createDataFrame(
+        [(f"h{i}.com", t) for i, t in enumerate(texts)],
+        "host string, robots_txt string",
+    )
+    rows = parse_robots(df).collect()  # must not raise
+    assert all(r.disallow_prefix for r in rows)
+    # rules only ever come from REAL wildcard sections (python mirror of
+    # the section rule: split on the agent key, drop the preamble, first
+    # line '*') — in particular a file with no User-agent line at all
+    # contributes nothing however rule-like its content looks
+    import re
+
+    def has_star_section(t):
+        parts = re.split("(?i)user-agent:", t)
+        return any(p.split("\n", 1)[0].strip() == "*" for p in parts[1:])
+
+    hosts_with_rules = {r.host for r in rows}
+    star = {f"h{i}.com" for i, t in enumerate(texts) if has_star_section(t)}
+    assert hosts_with_rules <= star
