@@ -1006,3 +1006,62 @@ def test_stream_host_drift_matches_batch_windows(spark, tmp_path):
         have = got[k]
         assert (have.n_pages, have.avg_quality, have.low_quality_frac) == \
             (want.n_pages, want.avg_quality, want.low_quality_frac)
+
+
+def test_stream_anchor_and_robots_exactly_match_batch(spark, tmp_path):
+    """extract_anchor_texts and robots_gate are stateless column chains —
+    the crawl ingest can mine anchors and apply compliance verdicts per
+    arrival with exactly the operators the batch loop was calibrated on."""
+    from hbase_packet_inspector_spark.operators.web import (
+        extract_anchor_texts,
+        parse_robots,
+        robots_gate,
+    )
+
+    pages = [
+        ("http://me.com/a",
+         '<a href="https://x.com/1">first <b>link</b></a>'
+         '<a href="http://y.com/2"></a>'),
+        ("http://other.com/c", "<a href='HTTP://ME.COM:80/back'>back</a>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = _replay(spark, df, lambda s: extract_anchor_texts(s),
+                  str(tmp_path / "ax"))
+    batch = extract_anchor_texts(df).collect()
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    assert len(batch) == 3
+    assert key(out) == key(batch)
+
+    # robots_gate aggregates (the per-URL bool fold), so streaming runs
+    # it PER MICRO-BATCH under foreachBatch — the ingest-gate deployment
+    # shape — which must agree with one batch pass over the same URLs
+    rules = parse_robots(spark.createDataFrame(
+        [("x.com", "User-agent: *\nDisallow: /1\n")],
+        "host string, robots_txt string",
+    ))
+    urls = spark.createDataFrame(
+        [("https://x.com/1",), ("https://x.com/ok",), ("http://y.com/2",)],
+        "url string",
+    )
+    src = str(tmp_path / "rx")
+    urls.repartition(3).write.parquet(src)
+    out2: list = []
+    q = (
+        spark.readStream.schema(urls.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.foreachBatch(
+            lambda b, _i: out2.extend(robots_gate(b, rules).collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+    batch2 = robots_gate(urls, rules).collect()
+    assert key(out2) == key(batch2)
+    assert {r.url: r.blocked for r in batch2} == {
+        "https://x.com/1": True, "https://x.com/ok": False,
+        "http://y.com/2": False,
+    }
