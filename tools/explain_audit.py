@@ -160,6 +160,18 @@ ALLOWED = {
     # (20 rows by construction), never the corpus — acctbal_deciles'
     # bounded-global-window rationale
     "classifier_pr_curve": {"GLOBAL-WINDOW"},
+    # the anchor set is bounded (a training batch / audit sample) and
+    # broadcasts; the cross-label predicate is non-equi BY DESIGN (the
+    # negatives are everything with a DIFFERENT label), so the pass is
+    # definitionally a broadcast nested loop — cosine_topk's rationale
+    # with a label-prune that runs before the O(dim) dot product
+    "hard_negatives": {"NESTED-LOOP-JOIN"},
+    # mine_triplets runs the same bounded-anchor pass for both the
+    # positive and negative sides (hard_negatives' rationale)
+    "contrastive_triplets": {"NESTED-LOOP-JOIN"},
+    # the ranking-quality audit contains the exact brute-force baseline
+    # (cosine_topk's rationale); the pruned side plans as an equi join
+    "ann_ndcg": {"NESTED-LOOP-JOIN"},
     # both halves are cosine_topk's broadcast-bounded-queries pass
     # (ann_recall's rationale); the prefix half reads 16/D of each vector
     "matryoshka_recall": {"NESTED-LOOP-JOIN"},
