@@ -143,6 +143,47 @@ def probe_dedup(spark, dirs: list[str]) -> None:
         spark.catalog.clearCache()
 
 
+def probe_index(spark, dirs: list[str]) -> None:
+    """The continuous-ingest claim at scale: build the persisted LSH
+    index once per corpus size, then probe a FIXED 100-doc batch —
+    per-batch cost must stay ~flat as the standing corpus grows 100×
+    (the bucket-pruned reads touch collision buckets, not the corpus)."""
+    import tempfile
+
+    from hbase_packet_inspector_spark.operators import dedup as D
+
+    batch = None
+    for d in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n = docs.count()
+        if batch is None:
+            # fixed probe batch: 100 docs of the 1x corpus, ids offset so
+            # they never collide with index doc_ids
+            from pyspark.sql import functions as F
+            batch = (
+                docs.where(F.col("doc_id") < 100)
+                .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+                .localCheckpoint()
+            )
+        tag = f"probe_idx_{n}"
+        root = tempfile.mkdtemp(prefix=tag)
+        m = StageMeter(spark)
+        m.run(f"build index ({n} docs)",
+              lambda: (D.save_lsh_index(docs, root, table=tag, buckets=8),
+                       n)[1])
+        bands, sets = D.load_lsh_index(spark, tag)
+
+        def probe():
+            pairs = D.probe_lsh_index(bands, sets, batch,
+                                      min_est=0.5, min_jaccard=0.45)
+            return pairs.count()
+
+        probe()  # warm
+        m.run("probe fixed 100-doc batch", probe)
+        m.run("probe again (min-of-2 check)", probe)
+        spark.catalog.clearCache()
+
+
 def _host_edges(spark, n_hosts: int):
     """Deterministic host link graph: 8 out-links per host; targets spread
     by a hash mix, so in-degree is uneven (natural mild skew) but bounded."""
@@ -179,6 +220,11 @@ def main() -> None:
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
         ]
         probe_dedup(spark, dirs)
+    elif what == "index":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
+        ]
+        probe_index(spark, dirs)
     elif what == "pagerank":
         counts = [int(x) for x in sys.argv[2:]] or [10_000, 100_000, 1_000_000]
         probe_pagerank(spark, counts)
