@@ -228,6 +228,7 @@ HEADLINE = [
     "anchor_text_summary",
     "robots_gate",
     "crawl_cycle",
+    "hybrid_rrf_pruned",
 ]
 
 

