@@ -177,36 +177,87 @@ def extract_links(pages: DataFrame, *, url_col: str = "url",
     )
 
 
+def _star_bodies(text_col: str | Column) -> Column:
+    """Array of rule-body strings belonging to the wildcard agent —
+    the shared front half of :func:`parse_robots` and
+    :func:`parse_crawl_delays`.
+
+    Line endings normalize first (``\\r\\n``/``\\r`` → ``\\n``) so a CRLF
+    robots.txt — very common in the wild — parses identically to LF: the
+    pre-fix form compared the agent line against ``'*'`` after a
+    space-only trim, so a trailing ``\\r`` silently dropped EVERY rule
+    (fail-open, the unsafe direction).
+
+    Grouping follows RFC 9309: consecutive ``User-agent:`` lines form ONE
+    group sharing the rule block that follows, so ``User-agent: *`` /
+    ``User-agent: foo`` / ``Disallow: /x`` binds ``/x`` to the wildcard
+    group too. Implemented as a single ``aggregate`` fold over the
+    ``User-agent:``-split sections: a section whose body is blank is an
+    agent line continuing the current group (carry the star flag
+    forward); a section with body content closes the group and, when any
+    agent in the run was ``*``, contributes its body. Element 0 of the
+    split is the preamble (rules before any agent line bind to no agent)
+    and is dropped. Known conservative limit: a standalone comment line
+    BETWEEN agent lines reads as body content and closes the group —
+    rules after it bind to the later agent lines only (can only
+    under-include the wildcard group's own rules when the group is
+    star-led, i.e. over-block never under-block for the gate's
+    consumers that treat absent rules per host as allowed — documented
+    rather than chased; RFC groups separated by blank lines parse
+    exactly)."""
+    norm = F.regexp_replace(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        "\r\n?", "\n",
+    )
+    sections = F.split(norm, "(?i)user-agent:")
+    tail = F.when(
+        F.size(sections) > 1,
+        F.slice(sections, 2, F.size(sections) - 1),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit(False).alias("carry"),
+        F.array().cast("array<string>").alias("bodies"),
+    )
+
+    def _step(acc: Column, s: Column) -> Column:
+        first = F.substring_index(s, "\n", 1)
+        # first whitespace-delimited token of the agent line ('' when the
+        # line is blank); tolerant of tabs and same-line '# comments'
+        agent = F.regexp_extract(first, "^[ \\t]*([^ \\t#]+)", 1)
+        body = F.substr(s, F.length(first) + F.lit(2))
+        star = acc["carry"] | (agent == "*")
+        closes = F.trim(body) != ""
+        return F.struct(
+            (star & ~closes).alias("carry"),
+            F.when(star & closes, F.concat(acc["bodies"], F.array(body)))
+            .otherwise(acc["bodies"]).alias("bodies"),
+        )
+
+    return F.aggregate(tail, zero, _step, lambda acc: acc["bodies"])
+
+
 def parse_robots(robots: DataFrame, *, host_col: str = "host",
                  text_col: str = "robots_txt") -> DataFrame:
     """robots.txt → (host, disallow_prefix) rules for the wildcard agent —
     the compliance table a polite crawler joins its frontier against.
 
     Deliberately the conservative subset every robots.txt dialect agrees
-    on: the file splits into ``User-agent:`` sections; only sections
-    whose agent is ``*`` contribute; each of their ``Disallow:`` lines
-    (case-insensitive key, one path prefix) emits a rule. ``Allow:``
-    overrides, crawl-delay, and wildcards inside paths are NOT
-    interpreted (documented: unsupported directives can only make the
-    gate MORE restrictive, never less — the safe failure direction for
-    compliance). Empty ``Disallow:`` (allow-all marker) emits nothing.
+    on: the file splits into ``User-agent:`` groups (consecutive agent
+    lines share one group, RFC 9309; CRLF normalized — see
+    :func:`_star_bodies`); only groups naming ``*`` contribute; each of
+    their ``Disallow:`` lines (case-insensitive key, one path prefix)
+    emits a rule. ``Allow:`` overrides and wildcards inside paths are
+    NOT interpreted (documented: unsupported directives can only make
+    the gate MORE restrictive, never less — the safe failure direction
+    for compliance); ``Crawl-delay`` is surfaced separately by
+    :func:`parse_crawl_delays`. Empty ``Disallow:`` (allow-all marker)
+    emits nothing.
 
-    Pure split/filter/transform higher-order functions + one explode —
+    Pure split/aggregate/transform higher-order functions + one explode —
     JVM-side; robots files are KB-sized so per-host rule counts are
     bounded by construction."""
-    sections = F.split(F.col(text_col), "(?i)user-agent:")
-    # element 0 is the PREAMBLE (everything before the first User-agent
-    # line — or the whole file when there is none): rules outside any
-    # agent group bind to no agent and must not contribute, so the
-    # filter requires index > 0 (the 2-arg lambda receives (element,
-    # index) — here that pitfall is the tool)
-    star = F.filter(
-        sections,
-        lambda s, i: (i > F.lit(0))
-        & (F.trim(F.substring_index(s, "\n", 1)) == "*"),
-    )
     rules = F.flatten(F.transform(
-        star,
+        _star_bodies(text_col),
         lambda s: F.regexp_extract_all(
             s, F.lit("(?im)^[ \\t]*disallow:[ \\t]*(\\S+)[ \\t]*$"),
             F.lit(1),
@@ -219,6 +270,42 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
         )
         .where(F.col("disallow_prefix") != "")
         .distinct()
+    )
+
+
+def parse_crawl_delays(robots: DataFrame, *, host_col: str = "host",
+                       text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → (host, crawl_delay seconds) for the wildcard agent —
+    the politeness half of the compliance surface :func:`parse_robots`
+    starts (permission there, PACING here; :func:`schedule_fetches`
+    turns the two plus a frontier into a timed fetch plan).
+
+    Same group parsing as parse_robots (shared :func:`_star_bodies`:
+    CRLF-normalized, RFC 9309 consecutive-agent grouping, preamble
+    excluded); each wildcard group's ``Crawl-delay:`` lines
+    (case-insensitive key, non-negative decimal seconds) contribute,
+    and the MAX across lines/groups wins — when a file disagrees with
+    itself the slowest reading is the polite one. Hosts with no
+    wildcard delay emit no row (the scheduler applies its default).
+    Non-numeric values never match the extraction and are ignored —
+    a garbage delay can only leave the host at the default."""
+    ds = F.flatten(F.transform(
+        _star_bodies(text_col),
+        lambda s: F.regexp_extract_all(
+            s,
+            F.lit("(?im)^[ \\t]*crawl-delay:[ \\t]*"
+                  "([0-9]+(?:\\.[0-9]+)?)[ \\t]*$"),
+            F.lit(1),
+        ),
+    ))
+    delay = F.array_max(F.transform(ds, lambda x: x.cast("double")))
+    return (
+        robots.select(
+            F.col(host_col).alias("host"), delay.alias("crawl_delay")
+        )
+        .where(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
 
 
@@ -252,6 +339,45 @@ def robots_gate(frontier: DataFrame, rules: DataFrame, *,
     return (
         j.groupBy("url", "host")
         .agg((F.sum(hit) > 0).alias("blocked"))
+    )
+
+
+def schedule_fetches(fetches: DataFrame, delays: DataFrame, *,
+                     url_col: str = "url", host_col: str = "host",
+                     default_delay: float = 1.0) -> DataFrame:
+    """Robots-allowed fetch list × per-host crawl delays → a TIMED fetch
+    plan: per host, URL k (0-based slot, URLs ordered lexicographically
+    for a deterministic plan) fetches at ``k × delay`` seconds into the
+    cycle. This is the politeness scheduler that completes the
+    compliance loop :func:`robots_gate` (permission) and
+    :func:`parse_crawl_delays` (pacing) feed — the output a fetcher
+    fleet can consume directly: same-host requests spaced by the host's
+    own declared delay, different hosts fully parallel.
+
+    Output: (url, host, slot, crawl_delay, fetch_at_s) where
+    ``crawl_delay`` is the effective per-host delay (declared, else
+    ``default_delay``) and ``fetch_at_s = round(slot × delay, 6)``.
+
+    Scale shape: one host equi-join (delays is host-cardinality — the
+    same shape robots_gate's rules join has) and ONE host-partitioned
+    ``row_number`` — no global sort, no driver loop; per-host window
+    width is the frontier's per-host URL budget, bounded by how the
+    frontier batch was cut, never by corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.asc(url_col))
+    slot = (F.row_number().over(w) - 1).cast("long")
+    eff = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return (
+        fetches.select(url_col, host_col)
+        .join(delays.select(host_col, "crawl_delay"), host_col, "left")
+        .select(
+            F.col(url_col).alias("url"),
+            F.col(host_col).alias("host"),
+            slot.alias("slot"),
+            eff.alias("crawl_delay"),
+            F.round(slot * eff, 6).alias("fetch_at_s"),
+        )
     )
 
 
@@ -511,7 +637,44 @@ def html_to_text(pages: DataFrame, *, html_col: str = "body",
     })
 
 
-def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:
+def anchor_signal(anchors: DataFrame) -> DataFrame:
+    """Per-TARGET-host anchor-diversity rollup of
+    :func:`extract_anchor_texts` output — the spam/relevance feature
+    :func:`crawl_frontier` blends in beside rank and dup-rate: a host
+    whose in-anchors are all one phrase ('click here', 'cheap …') reads
+    as navigational/spam linkage; organic reputation shows up as many
+    distinct topical phrases.
+
+    Output per host: ``anchor_links`` (total in-anchor count),
+    ``distinct_anchors``, and ``top_anchor_share`` = modal-anchor count
+    / total, rounded to 6 (the concentration statistic — 1.0 means every
+    in-link says the same thing).
+
+    Scale shape: two partial+final aggregates (edge→(host, anchor),
+    then →host); the max-share argmax is a plain ``max`` over the
+    anchor-distinct frame — no windows, nothing corpus-sized."""
+    per = anchors.groupBy("dst_host", "anchor").agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        per.groupBy("dst_host")
+        .agg(
+            F.sum("_c").cast("long").alias("anchor_links"),
+            F.count("*").cast("long").alias("distinct_anchors"),
+            F.max("_c").alias("_top"),
+        )
+        .select(
+            F.col("dst_host").alias("host"),
+            "anchor_links", "distinct_anchors",
+            F.round(
+                F.col("_top").cast("double") / F.col("anchor_links"), 6
+            ).alias("top_anchor_share"),
+        )
+    )
+
+
+def crawl_frontier(ranks: DataFrame, stats: DataFrame,
+                   anchors: DataFrame | None = None) -> DataFrame:
     """Fetch-priority table for the next crawl cycle — the decision
     frame :func:`host_pagerank` and :func:`host_stats` exist to feed:
     inbound reputation (rank) blended with observed crawl behavior
@@ -537,9 +700,21 @@ def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:
     they sit below the teleport floor by definition and are left out;
     union them in at (1-d)/N manually if a deployment wants them.
 
+    When ``anchors`` (an :func:`anchor_signal` frame) is given, the
+    anchor-diversity feature joins in as three more columns plus
+    ``anchor_spam`` — true when the host's in-anchors are concentrated
+    (top_anchor_share ≥ 0.75 over ≥ 4 in-links: near-unanimous anchors
+    with enough evidence to mean it) — and a spam-flagged host's
+    priority HALVES (× 0.5 exact-binary, re-rounded to 6): demoted, not
+    dropped, because unlike the dup-rate verdict the signal is
+    circumstantial (legit hosts can be anchored by one brand phrase).
+    Hosts with no anchor rows keep priority with zeroed counts — absent
+    evidence is not spam.
+
     Scale shape: ONE host-keyed equi-join (both sides host-cardinality
-    outputs of partial+final aggregates), pure column expressions
-    after — no new shuffle beyond the join itself."""
+    outputs of partial+final aggregates) plus one more of the same
+    shape when anchors is given, pure column expressions after — no
+    new shuffle beyond the joins themselves."""
     s = stats.select("host", "n_pages", "dup_rate", "avg_quality",
                      "flagged")
     known = F.col("n_pages").isNotNull()
@@ -559,7 +734,7 @@ def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:
         .when(known, F.lit("known"))
         .otherwise(F.lit("new"))
     )
-    return (
+    out = (
         ranks.join(s, "host", "left")
         .select(
             "host", "pagerank", "out_links",
@@ -568,6 +743,31 @@ def crawl_frontier(ranks: DataFrame, stats: DataFrame) -> DataFrame:
             "dup_rate", "avg_quality",
             status.alias("status"),
             priority.alias("priority"),
+        )
+    )
+    if anchors is None:
+        return out
+    spam = F.coalesce(
+        (F.col("top_anchor_share") >= 0.75) & (F.col("anchor_links") >= 4),
+        F.lit(False),
+    )
+    return (
+        out.join(
+            anchors.select("host", "anchor_links", "distinct_anchors",
+                           "top_anchor_share"),
+            "host", "left",
+        )
+        .select(
+            "host", "pagerank", "out_links", "n_pages", "dup_rate",
+            "avg_quality", "status",
+            F.coalesce(F.col("anchor_links"), F.lit(0)).cast("bigint")
+            .alias("anchor_links"),
+            F.coalesce(F.col("distinct_anchors"), F.lit(0)).cast("bigint")
+            .alias("distinct_anchors"),
+            "top_anchor_share",
+            spam.alias("anchor_spam"),
+            F.when(spam, F.round(F.col("priority") * 0.5, 6))
+            .otherwise(F.col("priority")).alias("priority"),
         )
     )
 

@@ -254,13 +254,24 @@ def test_parse_robots_and_gate_rules(spark):
              "user-AGENT: *\ndisallow: /private\nDisallow: /tmp/\n"),
             ("b.com", "User-agent: *\nDisallow:\n"),   # allow-all marker
             ("c.com", "User-agent: *\nDisallow: /\n"),  # blocks all
+            # CRLF file: the r7 fail-open bug dropped every rule here
+            ("d.com", "User-agent: *\r\nDisallow: /secret\r\n"),
+            # RFC 9309 grouped agent lines: * leads the run
+            ("e.com", "User-agent: *\nUser-agent: foo\nDisallow: /x\n"),
+            # grouped, * NOT first in the run
+            ("f.com", "User-agent: foo\nUser-agent: *\nDisallow: /y\n"),
+            # grouped run with no * — must contribute nothing
+            ("g.com", "User-agent: a\nUser-agent: b\nDisallow: /z\n"),
+            # preamble rules bind to no agent — must contribute nothing
+            ("h.com", "Disallow: /pre\nUser-agent: *\nDisallow: /q\n"),
         ],
         "host string, robots_txt string",
     )
     rules = {(r.host, r.disallow_prefix) for r in
              parse_robots(robots).collect()}
     assert rules == {("a.com", "/private"), ("a.com", "/tmp/"),
-                     ("c.com", "/")}
+                     ("c.com", "/"), ("d.com", "/secret"),
+                     ("e.com", "/x"), ("f.com", "/y"), ("h.com", "/q")}
 
     frontier = spark.createDataFrame(
         [
@@ -309,3 +320,108 @@ def test_crawl_cycle_fetch_invariants(spark):
     blocked_hosts = {r.host for r in rows if r.status == "blocked"}
     assert blocked_hosts
     assert all(not r.fetch for r in rows if r.host in blocked_hosts)
+
+
+def test_parse_crawl_delays_rules(spark):
+    """Crawl-delay extraction: wildcard-group scoping (googlebot delay
+    must not leak), CRLF + grouped agent lines (shared _star_bodies
+    front half), MAX wins when a file disagrees with itself, garbage
+    values ignored, delay-free hosts emit no row."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: googlebot\nCrawl-delay: 99\n\n"
+             "User-agent: *\nDisallow: /p\ncrawl-DELAY: 2.5\n"),
+            ("b.com", "User-agent: *\r\nCrawl-delay: 3\r\n"),   # CRLF
+            ("c.com",
+             "User-agent: foo\nUser-agent: *\n"
+             "Crawl-delay: 1\nCrawl-delay: 4\n"),   # grouped + max
+            ("d.com", "User-agent: *\nCrawl-delay: soon\n"),  # garbage
+            ("e.com", "User-agent: *\nDisallow: /x\n"),       # none
+            ("f.com", "Crawl-delay: 7\n"),                    # preamble
+        ],
+        "host string, robots_txt string",
+    )
+    out = {(r.host, r.crawl_delay)
+           for r in parse_crawl_delays(robots).collect()}
+    assert out == {("a.com", 2.5), ("b.com", 3.0), ("c.com", 4.0)}
+
+
+def test_schedule_fetches_slots_and_defaults(spark):
+    """Per-host slots are 0-based in URL order, fetch_at_s = slot x the
+    host's own delay, and hosts without a declared delay pace at the
+    default — different hosts schedule independently from t=0."""
+    from hbase_packet_inspector_spark.operators.web import (
+        schedule_fetches,
+    )
+
+    fetches = spark.createDataFrame(
+        [("http://a.com/1",), ("http://a.com/2",), ("http://a.com/3",)],
+        "url string",
+    ).selectExpr("url", "'a.com' AS host").union(spark.createDataFrame(
+        [("http://b.com/x", "b.com"), ("http://b.com/y", "b.com")],
+        "url string, host string",
+    ))
+    delays = spark.createDataFrame(
+        [("a.com", 2.0)], "host string, crawl_delay double")
+    out = {r.url: r for r in
+           schedule_fetches(fetches, delays, default_delay=0.5).collect()}
+    assert [out[f"http://a.com/{i}"].slot for i in (1, 2, 3)] == [0, 1, 2]
+    assert [out[f"http://a.com/{i}"].fetch_at_s
+            for i in (1, 2, 3)] == [0.0, 2.0, 4.0]
+    assert out["http://b.com/x"].crawl_delay == 0.5
+    assert (out["http://b.com/x"].fetch_at_s,
+            out["http://b.com/y"].fetch_at_s) == (0.0, 0.5)
+
+
+def test_anchor_signal_and_frontier_spam_demotion(spark):
+    """anchor_signal's concentration rollup feeds crawl_frontier's
+    optional spam demotion: a near-unanimous-anchor host halves its
+    priority (never to zero), diverse or evidence-poor hosts keep
+    theirs, and anchor-free hosts coalesce to zero counts."""
+    from hbase_packet_inspector_spark.operators.web import (
+        anchor_signal,
+        crawl_frontier,
+    )
+
+    anchors = spark.createDataFrame(
+        # spam.com: 4/5 'click here'; good.com: diverse; tiny.com: 2
+        # unanimous links but below the >=4 evidence floor
+        [("s.com", "spam.com", "click here")] * 4
+        + [("s.com", "spam.com", "topical")]
+        + [("s.com", "good.com", f"phrase {i}") for i in range(5)]
+        + [("s.com", "tiny.com", "click here")] * 2,
+        "src_host string, dst_host string, anchor string",
+    )
+    sig = {r.host: r for r in anchor_signal(anchors).collect()}
+    assert sig["spam.com"].anchor_links == 5
+    assert sig["spam.com"].distinct_anchors == 2
+    assert sig["spam.com"].top_anchor_share == 0.8
+    assert sig["good.com"].top_anchor_share == 0.2
+
+    ranks = spark.createDataFrame(
+        [("spam.com", 0.4, 1), ("good.com", 0.3, 1),
+         ("tiny.com", 0.2, 1), ("quiet.com", 0.1, 1)],
+        "host string, pagerank double, out_links bigint",
+    )
+    stats = spark.createDataFrame(
+        [("spam.com", 10, 10, 0.0, 2.0, False)],
+        "host string, n_pages bigint, n_urls bigint, dup_rate double, "
+        "avg_quality double, flagged boolean",
+    )
+    base = {r.host: r for r in crawl_frontier(ranks, stats).collect()}
+    out = {r.host: r for r in
+           crawl_frontier(ranks, stats, anchor_signal(anchors)).collect()}
+    assert out["spam.com"].anchor_spam
+    assert out["spam.com"].priority == round(
+        base["spam.com"].priority * 0.5, 6)
+    for h in ("good.com", "tiny.com", "quiet.com"):
+        assert not out[h].anchor_spam
+        assert out[h].priority == base[h].priority
+    assert out["quiet.com"].anchor_links == 0
+    assert out["quiet.com"].distinct_anchors == 0
+    assert out["quiet.com"].top_anchor_share is None
