@@ -6692,6 +6692,14 @@ def _robots_inputs(d: DataFrame):
             .otherwise(F.lit("")),
             F.when(F.col("_h") % 3 == 0, F.lit("Disallow:\n"))
             .otherwise(F.lit("")),
+            # politeness pacing for crawl_schedule: hosts h % 5 != 0
+            # declare 1 + h % 3 seconds; the rest rely on the scheduler
+            # default. Invisible to parse_robots (Disallow-only), so the
+            # robots_gate / crawl_cycle oracles are unaffected.
+            F.when(F.col("_h") % 5 != 0, F.concat(
+                F.lit("Crawl-delay: "),
+                ((F.col("_h") % 3) + 1).cast("string"), F.lit("\n")))
+            .otherwise(F.lit("")),
         ).alias("robots_txt"),
     )
     frontier = d.select(
@@ -6755,6 +6763,163 @@ def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("blocked") & (F.col("status") != "blocked")
          & (F.col("priority") > 0)).alias("fetch"),
     )
+
+
+@register(
+    "crawl_schedule",
+    f"""
+    WITH cand AS (
+      SELECT 'http://site' || CAST(doc_id % 25 AS VARCHAR) || '.com'
+               || CASE doc_id % 4 WHEN 2 THEN '/private/'
+                  WHEN 3 THEN '/tmp/' ELSE '/p/' END
+               || CAST(doc_id AS VARCHAR) AS url,
+             'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS host,
+             (doc_id % 4 = 2
+              OR (doc_id % 4 = 3 AND (doc_id % 25) % 2 = 0)) AS blocked
+      FROM documents),
+    fr AS (SELECT * FROM ({_frontier_oracle(5)})),
+    f AS (SELECT c.url, c.host FROM cand c JOIN fr ON fr.host = c.host
+          WHERE NOT c.blocked AND fr.status <> 'blocked'
+            AND fr.priority > 0),
+    dly AS (SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+                   CASE WHEN h % 5 = 0 THEN CAST(0.5 AS DOUBLE)
+                        ELSE CAST(1 + h % 3 AS DOUBLE) END AS crawl_delay
+            FROM (SELECT DISTINCT doc_id % 25 AS h FROM documents)),
+    s AS (SELECT f.url, f.host,
+                 CAST(row_number() OVER (PARTITION BY f.host
+                                         ORDER BY f.url) - 1
+                      AS BIGINT) AS slot,
+                 dly.crawl_delay
+          FROM f JOIN dly ON dly.host = f.host)
+    SELECT url, host, slot, crawl_delay,
+           round(slot * crawl_delay, 6) AS fetch_at_s
+    FROM s
+    """,
+    doc="Politeness scheduling EXECUTED (operators/web.py::"
+    "parse_crawl_delays + schedule_fetches) — crawl_cycle's fetch list "
+    "turned into a TIMED fetch plan, completing the compliance loop "
+    "robots_gate started: permission (Disallow rules), then PACING "
+    "(Crawl-delay). The wildcard-group Crawl-delay lines parse from "
+    "the same robots text the gate reads (hosts h % 5 != 0 declare "
+    "1 + h % 3 seconds; the rest take the scheduler default 0.5), and "
+    "each allowed URL gets a per-host slot (0-based, URL-ordered) with "
+    "fetch_at_s = slot x effective delay. The oracle recomputes fetch "
+    "verdicts via the frontier CTE ladder and the delays from the "
+    "generator arithmetic — the Spark side parses real robots.txt "
+    "text, so delay extraction, group scoping, and the default branch "
+    "are all genuinely cross-checked. Plan: two host equi-joins "
+    "(delays and frontier are host-cardinality) + ONE host-partitioned "
+    "row_number — no global sort, window width = per-host frontier "
+    "budget, never corpus-sized.",
+    tags=("dataprep", "web", "crawl", "compliance"),
+)
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ranks, stats = _frontier_inputs(base)
+    fr = WB.crawl_frontier(ranks, stats).select(
+        "host", "status", "priority")
+    frontier, robots = _robots_inputs(d)
+    gated = WB.robots_gate(frontier, WB.parse_robots(robots))
+    fetches = (
+        gated.join(fr, "host")
+        .where(~F.col("blocked") & (F.col("status") != "blocked")
+               & (F.col("priority") > 0))
+        .select("url", "host")
+    )
+    return WB.schedule_fetches(
+        fetches, WB.parse_crawl_delays(robots), default_delay=0.5)
+
+
+@register(
+    "crawl_frontier_anchors",
+    f"""
+    WITH fr AS (SELECT * FROM ({_frontier_oracle(5)})),
+    l AS (
+      SELECT 'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com'
+               AS host,
+             'more about topic ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT 'site' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) || '.com',
+             'visit site ' || CAST(doc_id % 5 AS VARCHAR)
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT 'site24.com', 'click here'
+      FROM documents WHERE doc_id % 3 = 0),
+    per AS (SELECT host, anchor, count(*) AS c FROM l GROUP BY 1, 2),
+    sig AS (SELECT host, CAST(sum(c) AS BIGINT) AS anchor_links,
+                   CAST(count(*) AS BIGINT) AS distinct_anchors,
+                   round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                     AS top_anchor_share
+            FROM per GROUP BY 1),
+    j AS (SELECT fr.*, sig.anchor_links AS al, sig.distinct_anchors AS da,
+                 sig.top_anchor_share AS tas,
+                 coalesce(sig.top_anchor_share >= 0.75
+                          AND sig.anchor_links >= 4, false) AS spam
+          FROM fr LEFT JOIN sig ON sig.host = fr.host)
+    SELECT host, pagerank, out_links, n_pages, dup_rate, avg_quality,
+           status,
+           CAST(coalesce(al, 0) AS BIGINT) AS anchor_links,
+           CAST(coalesce(da, 0) AS BIGINT) AS distinct_anchors,
+           tas AS top_anchor_share,
+           spam AS anchor_spam,
+           CASE WHEN spam THEN round(priority * 0.5, 6)
+                ELSE priority END AS priority
+    FROM j
+    """,
+    doc="Anchor-aware crawl frontier (operators/web.py::anchor_signal + "
+    "crawl_frontier's optional third input) — the anchor-text corpus "
+    "promoted from a standalone report into a frontier feature: per "
+    "target host, in-anchor concentration (top_anchor_share = modal "
+    "anchor count / total, rounded 6) flags near-unanimous anchor "
+    "profiles ('click here' link farms) at >= 0.75 share over >= 4 "
+    "in-links, and a flagged host's priority HALVES (x 0.5 "
+    "exact-binary, re-rounded 6) — demoted, not dropped, because the "
+    "signal is circumstantial. The synthetic pages reuse "
+    "anchor_text_summary's two organic anchored links per doc (nested "
+    "tag stripped, relative href ignored) and aim every third doc's "
+    "page at site24.com with the SAME 'click here' anchor, so exactly "
+    "that host crosses the threshold (~86% share) while organic hosts "
+    "sit near 1/12; anchor-free hosts coalesce to zero counts with "
+    "priority untouched. Oracle recomputes the concentration from "
+    "generator arithmetic atop the frontier CTE ladder. Plan: the "
+    "anchor rollup is two partial+final aggregates joining the "
+    "frontier's host-cardinality frame in ONE more host equi-join.",
+    tags=("dataprep", "web", "graph", "crawl", "rank"),
+)
+def crawl_frontier_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    a = ((did * 7 + 3) % 25).cast("string")
+    b = ((did * 11 + 5) % 25).cast("string")
+    body = (
+        F.when(did % 3 == 0, F.lit(
+            '<p>sponsored</p><a href="http://site24.com/z">click here</a>'))
+        .otherwise(F.concat(
+            F.lit('<p>filler</p><a href="http://site'), a,
+            F.lit('.com/x">more about  topic '), (did % 7).cast("string"),
+            F.lit("</a>"),
+            F.lit("<a href='HTTPS://SITE"), b,
+            F.lit(".COM:443/q?t=1'> <b>visit</b>\nsite "),
+            (did % 5).cast("string"), F.lit(" </a>"),
+            F.lit('<a href="/rel/path">rel anchor</a>'),
+        ))
+    )
+    h = (F.floor(did / 4) % 25).cast("string")
+    pages = d.select(
+        F.concat(F.lit("http://site"), h, F.lit(".com/p/"),
+                 did.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    sig = WB.anchor_signal(WB.extract_anchor_texts(pages))
+    ranks, stats = _frontier_inputs(base)
+    return WB.crawl_frontier(ranks, stats, sig)
 
 
 @register(
