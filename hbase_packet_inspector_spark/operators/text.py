@@ -23,8 +23,9 @@ LANG_MARKERS = [
 STOPWORDS = ("the", "a")
 
 
-def _tok(text_col: str) -> Column:
-    return F.split(F.col(text_col), " ")
+def _tok(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
 
 
 def _count_token(text_col: str, word: str) -> Column:
@@ -523,8 +524,10 @@ def lexical_topk(docs: DataFrame, query_docs: DataFrame, *, k: int = 5,
     base_sz = base.select(
         "neighbor_id", F.size("_w").alias("_nb")
     )
+    # query side tokenizes through the SAME _tok helper as the corpus —
+    # any future tokenizer change moves both halves of the Jaccard
     qs = query_docs.select(
-        "q_id", F.array_distinct(F.split(F.col("q_text"), " ")).alias("_qw")
+        "q_id", F.array_distinct(_tok(F.col("q_text"))).alias("_qw")
     )
     q_sz = qs.select("q_id", F.size("_qw").alias("_nq"))
     corpus_post = base.select(

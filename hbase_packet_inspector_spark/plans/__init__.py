@@ -16,61 +16,16 @@ except ImportError:
 
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
-# LATEST green hash row (oldest-green-first), so no query's freshest green
-# ages past ~3 rounds. Regenerate with tools/refresh_unverified.py after
-# each round's CORRECTNESS_r{N}.json lands; new queries register with no
-# green row and land at the front automatically.
+# LATEST green hash row (oldest-green-first). Worst-case freshness is
+# ceil(len(registry) / 50) rounds (at 182 queries: 4 rounds between a
+# query's driver re-verifications), so the full-registry parity sweep
+# (tools/check_parity.py) stays the per-round gate. Regenerate with
+# tools/refresh_unverified.py after each round's CORRECTNESS_r{N}.json
+# lands; new queries register with no green row and land at the front
+# automatically.
 _UNVERIFIED_FIRST = (
-    "matryoshka_recall",  # latest green r0
-    "hybrid_rrf",  # latest green r0
-    "anchor_text_summary",  # latest green r0
-    "robots_gate",  # latest green r0
-    "crawl_cycle",  # latest green r0
-    "hybrid_rrf_pruned",  # latest green r0
-    "dedup_cluster_sizes",  # latest green r3
-    "dedup_keep_best",  # latest green r3
-    "dedup_keep_best_lsh",  # latest green r3
-    "pii_scrub",  # latest green r3
-    "pack_sequences",  # latest green r3
-    "decontaminate",  # latest green r3
-    "dedup_clusters_converged",  # latest green r3
-    "logreg2",  # latest green r3
-    "pq_adc_topk",  # latest green r3
-    "ivfpq_topk",  # latest green r3
-    "pq_recall",  # latest green r3
-    "doc_chunks",  # latest green r3
-    "chunk_dedup",  # latest green r3
-    "cdc_chunks",  # latest green r3
-    "cdc_dedup",  # latest green r3
-    "bm25_topk",  # latest green r3
-    "unigram_surprise",  # latest green r3
-    "winnow_fingerprints",  # latest green r3
-    "winnow_pairs",  # latest green r3
-    "rpc_correlate",  # latest green r3
-    "error_analysis",  # latest green r3
-    "rpc_scanner_state",  # latest green r3
-    "rpc_finalize",  # latest green r3
-    "skew_salted_join",  # latest green r3
-    "traffic_per_method",  # latest green r4
-    "latency_percentiles",  # latest green r4
-    "top_hot_users",  # latest green r4
-    "events_per_minute",  # latest green r4
-    "event_type_share",  # latest green r4
-    "distinct_users_by_type",  # latest green r4
-    "sessionize",  # latest green r4
-    "asof_correlate",  # latest green r4
-    "scanner_enrich",  # latest green r4
-    "json_props_bucket",  # latest green r4
-    "value_histogram",  # latest green r4
-    "rolling_avg_per_user",  # latest green r4
-    "user_event_pivot",  # latest green r4
-    "approx_distinct_users",  # latest green r4
-    "asof_last_click",  # latest green r4
-    "conversion_funnel",  # latest green r4
-    "range_join_counts",  # latest green r4
-    "top_event_paths",  # latest green r4
-    "cohort_retention",  # latest green r4
-    "key_skew_report",  # latest green r4
+    "crawl_schedule",  # latest green r0
+    "crawl_frontier_anchors",  # latest green r0
     "pricing_summary",  # latest green r4
     "top_revenue_orders",  # latest green r4
     "nation_revenue",  # latest green r4
@@ -201,6 +156,56 @@ _UNVERIFIED_FIRST = (
     "warc_source_stats",  # latest green r6
     "warc_crawl_curation",  # latest green r6
     "warc_media_extract",  # latest green r6
+    "traffic_per_method",  # latest green r7
+    "latency_percentiles",  # latest green r7
+    "top_hot_users",  # latest green r7
+    "events_per_minute",  # latest green r7
+    "event_type_share",  # latest green r7
+    "distinct_users_by_type",  # latest green r7
+    "sessionize",  # latest green r7
+    "asof_correlate",  # latest green r7
+    "scanner_enrich",  # latest green r7
+    "json_props_bucket",  # latest green r7
+    "value_histogram",  # latest green r7
+    "rolling_avg_per_user",  # latest green r7
+    "user_event_pivot",  # latest green r7
+    "approx_distinct_users",  # latest green r7
+    "asof_last_click",  # latest green r7
+    "conversion_funnel",  # latest green r7
+    "range_join_counts",  # latest green r7
+    "top_event_paths",  # latest green r7
+    "cohort_retention",  # latest green r7
+    "key_skew_report",  # latest green r7
+    "dedup_cluster_sizes",  # latest green r7
+    "dedup_keep_best",  # latest green r7
+    "dedup_keep_best_lsh",  # latest green r7
+    "pii_scrub",  # latest green r7
+    "pack_sequences",  # latest green r7
+    "decontaminate",  # latest green r7
+    "dedup_clusters_converged",  # latest green r7
+    "logreg2",  # latest green r7
+    "pq_adc_topk",  # latest green r7
+    "ivfpq_topk",  # latest green r7
+    "pq_recall",  # latest green r7
+    "doc_chunks",  # latest green r7
+    "chunk_dedup",  # latest green r7
+    "cdc_chunks",  # latest green r7
+    "cdc_dedup",  # latest green r7
+    "bm25_topk",  # latest green r7
+    "unigram_surprise",  # latest green r7
+    "winnow_fingerprints",  # latest green r7
+    "winnow_pairs",  # latest green r7
+    "matryoshka_recall",  # latest green r7
+    "hybrid_rrf",  # latest green r7
+    "anchor_text_summary",  # latest green r7
+    "robots_gate",  # latest green r7
+    "crawl_cycle",  # latest green r7
+    "hybrid_rrf_pruned",  # latest green r7
+    "rpc_correlate",  # latest green r7
+    "error_analysis",  # latest green r7
+    "rpc_scanner_state",  # latest green r7
+    "rpc_finalize",  # latest green r7
+    "skew_salted_join",  # latest green r7
 )
 
 

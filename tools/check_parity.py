@@ -14,9 +14,9 @@ plan module selects its own queries; a changed operator/source/function/
 streaming module selects every plan module whose source references it by
 module name (a static, deliberately over-selecting text scan — coarse
 beats missing); a change to the entry module, session, or table loader
-selects everything. This keeps the pre-commit loop seconds-fast at 174
-registered queries while the full sweep stays the round gate. The skipped
-count is printed so a filtered run never reads as full coverage.
+selects everything. This keeps the pre-commit loop seconds-fast however
+large the registry grows while the full sweep stays the round gate. The
+skipped count is printed so a filtered run never reads as full coverage.
 """
 
 from __future__ import annotations
