@@ -184,6 +184,97 @@ def probe_index(spark, dirs: list[str]) -> None:
         spark.catalog.clearCache()
 
 
+def probe_retrieval_pruned(spark, dirs: list[str]) -> None:
+    """hybrid_rrf_pruned's scale story at a FIXED 80-query anchor set
+    (the 1x corpus's doc_id % 25 == 0 slice bounded by the 1x
+    EMBEDDINGS table size, 2000 vectors, so the same anchors carry
+    both text and a vector at every scale — copy 0 of the Nx corpora
+    is the identity mapping): per-half wall + shuffle as the corpus
+    grows. The lexical
+    half (inverted-index postings join) should stay FLAT — permuted
+    copies share almost no words, so matching postings don't grow. The
+    ANN half (label-cell-pruned cosine) is EXPECTED to grow with cell
+    size: the synthetic corpus keeps 10 labels at every scale, so cells
+    grow linearly — the honest claim is 'cost = anchors x own-cell
+    size', i.e. 1/|cells| of brute force, with finer partitioning
+    (ivf_kmeans cells ~ sqrt(N)) as the documented deeper-prune path."""
+    from hbase_packet_inspector_spark.operators import similarity as S
+    from hbase_packet_inspector_spark.operators import text as X
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        _docs,
+        _emb,
+    )
+
+    for d in dirs:
+        docs = _docs(spark, d).localCheckpoint()
+        emb = _emb(spark, d).localCheckpoint()
+        n = docs.count()
+        print(f"\n== hybrid_rrf_pruned (fixed anchors) @ {d} ({n} docs)")
+        q_ids = docs.where(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 2000)
+        ).select("doc_id").localCheckpoint()
+        q_emb = emb.join(
+            q_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        ).localCheckpoint()
+        q_txt = docs.join(q_ids, "doc_id").select(
+            F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+        ).localCheckpoint()
+        m = StageMeter(spark)
+
+        emb_rank = lex_rank = None
+
+        def ann_half():
+            nonlocal emb_rank
+            emb_rank = S.cosine_topk(
+                emb, q_emb, k=5, same_cell_col="label"
+            ).select("q_id", "neighbor_id", "rnk").localCheckpoint()
+            return emb_rank.count()
+
+        def lex_half():
+            nonlocal lex_rank
+            lex_rank = X.lexical_topk(docs, q_txt, k=5).select(
+                "q_id", "neighbor_id", "rnk"
+            ).localCheckpoint()
+            return lex_rank.count()
+
+        def fuse():
+            return S.rrf_fuse([emb_rank, lex_rank], k=5).count()
+
+        for fn in (ann_half, lex_half, fuse):
+            fn()  # warm (codegen; checkpoints overwritten by timed run)
+        m.run("ann half (label-cell cosine_topk)", ann_half)
+        m.run("lexical half (postings join)", lex_half)
+        m.run("rrf fusion (rank-only)", fuse)
+        spark.catalog.clearCache()
+
+
+def probe_crawl(spark, dirs: list[str]) -> None:
+    """crawl_cycle / crawl_schedule at growing corpus: the synthetic
+    crawl keeps 25 hosts at every scale while URLs grow with docs, so
+    this probes the claim that every stage is host- or URL-equi-join
+    shaped — wall and shuffle should track URL volume (the groupBy url
+    verdict folds and the frontier's per-URL joins), with the
+    host-cardinality frames (pagerank, stats, robots rules, delays)
+    constant. Runs the REGISTERED bodies end-to-end plus the frontier
+    and gate stages separately for attribution."""
+    from hbase_packet_inspector_spark import plans
+
+    for d in dirs:
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        print(f"\n== crawl family @ {d} ({n} docs)")
+        m = StageMeter(spark)
+        for name in ("crawl_frontier", "robots_gate", "crawl_cycle",
+                     "crawl_schedule"):
+            fn = plans.QUERIES[name].fn
+            fn(spark, d).count()  # warm
+            m.run(name, lambda fn=fn: fn(spark, d).count())
+            spark.catalog.clearCache()
+
+
 def _host_edges(spark, n_hosts: int):
     """Deterministic host link graph: 8 out-links per host; targets spread
     by a hash mix, so in-degree is uneven (natural mild skew) but bounded."""
@@ -228,6 +319,14 @@ def main() -> None:
     elif what == "pagerank":
         counts = [int(x) for x in sys.argv[2:]] or [10_000, 100_000, 1_000_000]
         probe_pagerank(spark, counts)
+    elif what == "retrieval_pruned":
+        dirs = sys.argv[2:] or ["/root/testdata/sf0.1", "/tmp/sfbig10"]
+        probe_retrieval_pruned(spark, dirs)
+    elif what == "crawl":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
+        ]
+        probe_crawl(spark, dirs)
     else:
         raise SystemExit(f"unknown probe {what}")
     spark.stop()
