@@ -240,6 +240,7 @@ HEADLINE = [
     "hybrid_rrf_pruned",
     "crawl_schedule",
     "crawl_frontier_anchors",
+    "robots_gate_rfc",
 ]
 
 

@@ -342,6 +342,97 @@ def robots_gate(frontier: DataFrame, rules: DataFrame, *,
     )
 
 
+def parse_robots_rules(robots: DataFrame, *, host_col: str = "host",
+                       text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → (host, prefix, allow) BOTH-polarity rule table for
+    the wildcard agent — the input :func:`robots_gate_rfc` resolves by
+    RFC 9309 longest-match. Where :func:`parse_robots` is the
+    conservative Disallow-only subset (its gate can only over-block),
+    this table carries ``Allow:`` lines too, so exception patterns
+    ('block /d but allow /d/keep') resolve the way every major crawler
+    resolves them.
+
+    Same group parsing as parse_robots (shared :func:`_star_bodies`).
+    Wildcards keep the safe failure direction per polarity:
+
+    - a **Disallow** containing ``*``/``$`` truncates to the literal
+      prefix before the first metacharacter — a superset match, which
+      can only OVER-block ('Disallow: /a*/b' blocks all of /a; a bare
+      'Disallow: *' becomes the block-all '' prefix);
+    - an **Allow** containing ``*``/``$`` is DROPPED — honoring a
+      truncated allow could under-block, so the unsupported form must
+      not widen access.
+
+    Empty-value lines (the allow-all 'Disallow:' marker) emit nothing
+    for either polarity."""
+    bodies = _star_bodies(text_col)
+
+    def _extract(kind: str, allow: bool) -> Column:
+        raw = F.flatten(F.transform(
+            bodies,
+            lambda s: F.regexp_extract_all(
+                s, F.lit(f"(?im)^[ \\t]*{kind}:[ \\t]*(\\S+)[ \\t]*$"),
+                F.lit(1),
+            ),
+        ))
+        return F.transform(
+            raw,
+            lambda p: F.struct(p.alias("raw"), F.lit(allow).alias("allow")),
+        )
+
+    both = F.concat(_extract("disallow", False), _extract("allow", True))
+    r = robots.select(
+        F.col(host_col).alias("host"), F.explode(both).alias("_r")
+    ).select("host", F.col("_r.raw").alias("_raw"),
+             F.col("_r.allow").alias("allow"))
+    trunc = F.regexp_extract(F.col("_raw"), "^([^*$]*)", 1)
+    return (
+        r.where(~(F.col("allow") & (trunc != F.col("_raw"))))
+        .select("host", trunc.alias("prefix"), "allow")
+        .distinct()
+    )
+
+
+def robots_gate_rfc(frontier: DataFrame, rules: DataFrame, *,
+                    url_col: str = "url") -> DataFrame:
+    """Frontier URLs × both-polarity robots rules → (url, host, blocked)
+    by RFC 9309 longest-match: among the host's rules whose prefix
+    matches the URL path, the LONGEST prefix decides, an Allow winning
+    a length tie (the RFC's 'most octets; equivalent → allow' clause);
+    no matching rule (or no rules at all) means allowed. This upgrades
+    :func:`robots_gate`'s Disallow-only subset to the resolution every
+    major crawler implements, so 'Disallow: /d' + 'Allow: /d/keep'
+    blocks /d/x but passes /d/keep/y.
+
+    Scale shape: IDENTICAL to robots_gate — one host equi-join (rules
+    KB-bounded per host), then the winner folds back with a
+    partial+final ``max`` over a (prefix_length, allow) struct — the
+    lexicographic struct ordering IS the RFC tie-break, no windows."""
+    f = frontier.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        F.regexp_extract(
+            F.regexp_extract(F.col(url_col), _REST_RE, 1), "^([^?#]*)", 1
+        ).alias("_path"),
+    ).withColumn("_path", F.when(F.col("_path") == "", "/")
+                 .otherwise(F.col("_path")))
+    j = f.join(rules, "host", "left")
+    cand = F.when(
+        F.col("prefix").isNotNull()
+        & F.col("_path").startswith(F.col("prefix")),
+        F.struct(F.length("prefix").alias("l"), F.col("allow").alias("allow")),
+    )
+    return (
+        j.groupBy("url", "host")
+        .agg(F.max(cand).alias("_best"))
+        .select(
+            "url", "host",
+            (~F.coalesce(F.col("_best.allow"), F.lit(True)))
+            .alias("blocked"),
+        )
+    )
+
+
 def schedule_fetches(fetches: DataFrame, delays: DataFrame, *,
                      url_col: str = "url", host_col: str = "host",
                      default_delay: float = 1.0) -> DataFrame:

@@ -6766,6 +6766,87 @@ def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robots_gate_rfc",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 25 AS h, doc_id % 6 AS v
+               FROM documents)
+    SELECT 'http://site' || CAST(h AS VARCHAR) || '.com'
+             || CASE v WHEN 0 THEN '/d/' WHEN 1 THEN '/d/keep/'
+                WHEN 2 THEN '/d/keep/no/' WHEN 3 THEN '/t/'
+                WHEN 4 THEN '/w8x/' ELSE '/ok/' END
+             || CAST(doc_id AS VARCHAR) AS url,
+           'site' || CAST(h AS VARCHAR) || '.com' AS host,
+           CASE v WHEN 0 THEN TRUE
+                  WHEN 1 THEN FALSE
+                  WHEN 2 THEN h % 2 = 0
+                  WHEN 3 THEN h % 3 = 0
+                  WHEN 4 THEN h % 4 = 0
+                  ELSE FALSE END AS blocked
+    FROM d
+    """,
+    doc="RFC 9309 longest-match robots resolution EXECUTED (operators/"
+    "web.py::parse_robots_rules + robots_gate_rfc) — the full-dialect "
+    "upgrade of robots_gate's Disallow-only subset: both-polarity "
+    "rules, longest matching prefix decides, Allow wins a length tie, "
+    "Disallow wildcards truncate to their literal prefix (over-block, "
+    "safe), Allow wildcards drop (honoring a truncated allow could "
+    "under-block). The synthetic robots pin every branch by HOST "
+    "arithmetic: 'Disallow: /d' + 'Allow: /d/keep' everywhere (v=0 "
+    "blocked, v=1 allowed via longest-match), 'Disallow: /d/keep/no' "
+    "on even hosts (v=2 re-blocked there only), a '/t' Disallow that "
+    "gains a tying Allow on h % 3 != 0 (v=3 pins the tie direction "
+    "per host), 'Disallow: /w*x' on h % 4 = 0 (v=4 pins wildcard "
+    "truncation), 'Allow: /d*' on h % 5 = 0 (v=0 staying blocked "
+    "there pins the wildcard-allow drop), plus a googlebot block-all "
+    "section that must not leak (v=5). Oracle computes verdicts from "
+    "the generator arithmetic — the Spark side parses the real text. "
+    "Plan: one host equi-join + partial+final max over a "
+    "(prefix_length, allow) struct whose lexicographic order IS the "
+    "RFC tie-break — no windows.",
+    tags=("dataprep", "web", "crawl", "compliance"),
+)
+def robots_gate_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    h = did % 25
+    hs = h.cast("string")
+    v = did % 6
+    hosts = d.select(h.alias("_h")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("site"), F.col("_h").cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: googlebot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /d\nAllow: /d/keep\n"),
+            F.when(F.col("_h") % 2 == 0, F.lit("Disallow: /d/keep/no\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("_h") % 3 == 0, F.lit("Disallow: /t\n"))
+            .otherwise(F.lit("Disallow: /t\nAllow: /t\n")),
+            F.when(F.col("_h") % 4 == 0, F.lit("Disallow: /w*x\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("_h") % 5 == 0, F.lit("Allow: /d*\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    frontier = d.select(
+        F.concat(
+            F.lit("http://site"), hs, F.lit(".com"),
+            F.when(v == 0, F.lit("/d/"))
+            .when(v == 1, F.lit("/d/keep/"))
+            .when(v == 2, F.lit("/d/keep/no/"))
+            .when(v == 3, F.lit("/t/"))
+            .when(v == 4, F.lit("/w8x/"))
+            .otherwise(F.lit("/ok/")),
+            did.cast("string"),
+        ).alias("url")
+    )
+    return WB.robots_gate_rfc(frontier, WB.parse_robots_rules(robots))
+
+
+@register(
     "crawl_schedule",
     f"""
     WITH cand AS (

@@ -425,3 +425,59 @@ def test_anchor_signal_and_frontier_spam_demotion(spark):
     assert out["quiet.com"].anchor_links == 0
     assert out["quiet.com"].distinct_anchors == 0
     assert out["quiet.com"].top_anchor_share is None
+
+
+def test_robots_gate_rfc_longest_match_semantics(spark):
+    """RFC 9309 resolution: longest matching prefix decides, Allow wins
+    a length tie, Disallow wildcards truncate (over-block), Allow
+    wildcards drop (never under-block), block-all '*', non-wildcard
+    agent sections ignored, no-rules hosts pass."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots_rules,
+        robots_gate_rfc,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /d\nAllow: /d/keep\n"
+             "Disallow: /d/keep/no\n"),
+            ("t.com", "User-agent: *\nDisallow: /t\nAllow: /t\n"),
+            ("w.com", "User-agent: *\nDisallow: /w*x\nAllow: /q*\n"),
+            ("b.com", "User-agent: *\nDisallow: *\n"),
+            ("g.com",
+             "User-agent: googlebot\nDisallow: /\n\n"
+             "User-agent: *\nAllow: /ok\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {(r.host, r.prefix, r.allow)
+             for r in parse_robots_rules(robots).collect()}
+    # wildcard disallow truncated, wildcard allow gone, block-all ''
+    assert ("w.com", "/w", False) in rules
+    assert not any(h == "w.com" and a for h, _p, a in rules)
+    assert ("b.com", "", False) in rules
+
+    frontier = spark.createDataFrame(
+        [("http://a.com/d/x",), ("http://a.com/d/keep/y",),
+         ("http://a.com/d/keep/no/z",), ("http://a.com/other",),
+         ("http://t.com/t/1",), ("http://w.com/w8x/2",),
+         ("http://w.com/q/3",), ("http://b.com/any",),
+         ("http://g.com/else",), ("http://norules.com/x",)],
+        "url string",
+    )
+    out = {r.url: r.blocked for r in
+           robots_gate_rfc(frontier, parse_robots_rules(robots)).collect()}
+    assert out == {
+        "http://a.com/d/x": True,            # /d disallow
+        "http://a.com/d/keep/y": False,      # longer allow wins
+        "http://a.com/d/keep/no/z": True,    # longest disallow wins back
+        "http://a.com/other": False,         # no matching rule
+        "http://t.com/t/1": False,           # equal length -> allow
+        "http://w.com/w8x/2": True,          # truncated /w over-blocks
+        "http://w.com/q/3": False,           # wildcard allow dropped,
+                                             # and no disallow matches /q
+        "http://b.com/any": True,            # 'Disallow: *' block-all
+        "http://g.com/else": False,          # googlebot section ignored
+        "http://norules.com/x": False,
+    }
