@@ -241,6 +241,8 @@ HEADLINE = [
     "crawl_schedule",
     "crawl_frontier_anchors",
     "robots_gate_rfc",
+    "sitemap_discovery",
+    "url_templates",
 ]
 
 

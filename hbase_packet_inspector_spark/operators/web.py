@@ -472,6 +472,131 @@ def schedule_fetches(fetches: DataFrame, delays: DataFrame, *,
     )
 
 
+def parse_sitemaps(robots: DataFrame, *, host_col: str = "host",
+                   text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → (host, sitemap_url) from ``Sitemap:`` directives —
+    the crawl loop's third discovery source beside link extraction
+    (:func:`extract_links`) and the frontier's own backlog: sitemaps
+    are how a host DECLARES its URL inventory, typically surfacing
+    deep pages no inbound link reaches.
+
+    Per the sitemaps protocol the directive is GLOBAL — not bound to
+    any User-agent group — so unlike the rule parsers this reads the
+    whole file (preamble included) after CRLF normalization; the
+    per-group machinery of :func:`_star_bodies` deliberately does not
+    apply. Multiple directives all emit; values must be absolute URLs
+    per the spec but are passed through verbatim (the fetcher, not the
+    parser, is where garbage fails safely)."""
+    norm = F.regexp_replace(F.col(text_col), "\r\n?", "\n")
+    urls = F.regexp_extract_all(
+        norm, F.lit("(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)[ \\t]*$"), F.lit(1)
+    )
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.explode(urls).alias("sitemap_url"),
+        )
+        .distinct()
+    )
+
+
+def sitemap_to_urls(sitemaps: DataFrame, *, url_col: str = "sitemap_url",
+                    xml_col: str = "body") -> DataFrame:
+    """Fetched sitemap XML → one row per ``<loc>`` entry:
+    (sitemap_url, loc, lastmod, is_index). ``<url>`` blocks are page
+    entries (is_index false); ``<sitemap>`` blocks are sitemap-INDEX
+    children (is_index true — feed them back through the fetcher for
+    another round, the protocol's one level of recursion). ``lastmod``
+    passes through trimmed, null when absent — the freshness signal a
+    re-crawl scheduler keys on. Entries without a ``<loc>`` yield no
+    row; malformed XML yields fewer rows, never an error (same
+    regex-subset posture as :func:`html_to_text`, and the same known
+    limit: a literal '>' inside a value ends the element early).
+
+    All regexp_extract_all/transform — JVM codegen, one explode, no
+    shuffle until the consumer aggregates; sitemap files are spec-capped
+    (50k entries), so per-row fan-out is bounded by construction."""
+    def _loc(b: Column) -> Column:
+        return F.trim(F.regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1))
+
+    def _lastmod(b: Column) -> Column:
+        return F.nullif(
+            F.trim(F.regexp_extract(b, "(?is)<lastmod>(.*?)</lastmod>", 1)),
+            F.lit(""),
+        )
+
+    def _entries(pattern: str, is_index: bool) -> Column:
+        blocks = F.regexp_extract_all(
+            F.col(xml_col), F.lit(pattern), F.lit(1))
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                _loc(b).alias("loc"),
+                _lastmod(b).alias("lastmod"),
+                F.lit(is_index).alias("is_index"),
+            ),
+        )
+
+    entries = F.concat(
+        _entries("(?is)<url>(.*?)</url>", False),
+        _entries("(?is)<sitemap>(.*?)</sitemap>", True),
+    )
+    return (
+        sitemaps.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(entries).alias("_e"),
+        )
+        .select(
+            "sitemap_url",
+            F.col("_e.loc").alias("loc"),
+            F.col("_e.lastmod").alias("lastmod"),
+            F.col("_e.is_index").alias("is_index"),
+        )
+        .where(F.col("loc") != "")
+    )
+
+
+def url_templates(pages: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Per-host URL path-template mining: digit runs in the path mask to
+    ``{n}`` ('/p/123?x=1' → '/p/{n}'), then per (host, template) the
+    URL count, distinct-URL count, and the template's share of the
+    host's URLs (rounded 6). This is the STRUCTURAL complement of
+    :func:`url_dedup`'s string canonicalization and host_stats'
+    dup-rate: a host whose traffic concentrates into one parameterized
+    template ('/item/{n}' at 99%) is a catalog or a URL-variant spam
+    generator — either way, crawl budget should treat the template,
+    not each URL, as the unit.
+
+    Scale shape: template derivation is in-row regexp; then one
+    partial+final aggregate to (host, template) and one host-keyed
+    aggregate joined back for the share — both combine map-side, no
+    windows, frames bounded by template cardinality (tiny) × hosts."""
+    host = url_host(url_col)
+    path = F.regexp_extract(
+        F.regexp_extract(F.col(url_col), _REST_RE, 1), "^([^?#]*)", 1
+    )
+    path = F.when(path == "", "/").otherwise(path)
+    template = F.regexp_replace(path, "[0-9]+", "{n}")
+    per = (
+        pages.select(host.alias("host"), template.alias("template"),
+                     F.col(url_col).alias("url"))
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_distinct_urls"),
+        )
+    )
+    tot = per.groupBy("host").agg(F.sum("n_urls").alias("_tot"))
+    return (
+        per.join(tot, "host")
+        .select(
+            "host", "template", "n_urls", "n_distinct_urls",
+            F.round(F.col("n_urls").cast("double") / F.col("_tot"), 6)
+            .alias("share"),
+        )
+    )
+
+
 def extract_anchor_texts(pages: DataFrame, *, url_col: str = "url",
                          html_col: str = "body") -> DataFrame:
     """Link extraction WITH anchor text: one row per absolute http(s)

@@ -6766,6 +6766,199 @@ def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sitemap_discovery",
+    """
+    WITH h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),
+    e AS (SELECT h, 0 AS i FROM h
+          UNION ALL SELECT h, 1 FROM h WHERE h % 3 >= 1
+          UNION ALL SELECT h, 2 FROM h WHERE h % 3 >= 2),
+    pg AS (SELECT e.h,
+                  'http://site' || CAST(e.h AS VARCHAR) || '.com/sm_a.xml'
+                    AS sitemap_url,
+                  'http://site' || CAST(e.h AS VARCHAR) || '.com/s/'
+                    || CAST(e.h * 10 + e.i AS VARCHAR) AS loc,
+                  CASE WHEN e.i = 0 THEN '2024-01-01' END AS lastmod,
+                  FALSE AS is_index,
+                  e.h * 10 + e.i AS sid
+           FROM e),
+    ix AS (SELECT h,
+                  'http://site' || CAST(h AS VARCHAR) || '.com/sm_b.xml',
+                  'http://site' || CAST(h AS VARCHAR) || '.com/sm_c_'
+                    || CAST(h AS VARCHAR) || '.xml',
+                  NULL, TRUE, -1
+           FROM h WHERE h % 2 = 0),
+    allrows AS (SELECT * FROM pg UNION ALL SELECT * FROM ix)
+    SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+           sitemap_url, loc, lastmod, is_index,
+           (is_index OR NOT EXISTS(
+              SELECT 1 FROM documents dd
+              WHERE dd.doc_id = allrows.sid
+                AND dd.doc_id % 25 = allrows.h
+                AND dd.doc_id % 4 = 0)) AS is_new
+    FROM allrows
+    """,
+    doc="Sitemap discovery EXECUTED (operators/web.py::parse_sitemaps + "
+    "sitemap_to_urls) — the crawl loop's third URL source beside link "
+    "extraction and the frontier backlog: robots.txt Sitemap: "
+    "directives (GLOBAL scope per the protocol — the preamble line "
+    "before any User-agent group must contribute, which this corpus "
+    "pins) -> fetched sitemap XML -> <url>/<lastmod> page entries plus "
+    "<sitemap> INDEX children flagged is_index -> anti-join against "
+    "the already-crawled URL set (docs with doc_id % 4 = 0 stand in "
+    "as the crawl log) marking which declared URLs are NEW. The "
+    "synthetic corpus varies entries per host (h % 3 + 1 pages, a "
+    "second sitemap on even hosts), puts lastmod on first entries "
+    "only (null passthrough pinned), and the known-arithmetic "
+    "((9h + i) % 25 = 0 collisions) makes is_new genuinely "
+    "host-dependent. Oracle recomputes everything from generator "
+    "arithmetic with a correlated EXISTS for knownness. Plan: "
+    "regexp+explode entry extraction (no Python), one equi-join onto "
+    "the sitemap bodies, one LEFT join onto the crawl log — "
+    "host-cardinality frames throughout.",
+    tags=("dataprep", "web", "crawl", "compliance"),
+)
+def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    hosts = d.select((F.col("doc_id") % 25).alias("_h")).distinct()
+    hs = F.col("_h").cast("string")
+    site = F.concat(F.lit("http://site"), hs, F.lit(".com"))
+    robots = hosts.select(
+        F.concat(F.lit("site"), hs, F.lit(".com")).alias("host"),
+        F.concat(
+            # preamble directive — BEFORE any agent group (global scope)
+            F.lit("Sitemap: "), site, F.lit("/sm_a.xml\n"),
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("_h") % 2 == 0, F.concat(
+                F.lit("Sitemap: "), site, F.lit("/sm_b.xml\n")))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+
+    def _entry(i: int) -> Column:
+        loc = F.concat(site, F.lit("/s/"),
+                       (F.col("_h") * 10 + i).cast("string"))
+        lastmod = (F.lit("<lastmod>2024-01-01</lastmod>") if i == 0
+                   else F.lit(""))
+        e = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                     lastmod, F.lit("</url>"))
+        if i == 0:
+            return e
+        return F.when(F.col("_h") % 3 >= i, e).otherwise(F.lit(""))
+
+    bodies = hosts.select(
+        F.concat(site, F.lit("/sm_a.xml")).alias("sitemap_url"),
+        F.concat(F.lit("<urlset>"), _entry(0), _entry(1), _entry(2),
+                 F.lit("</urlset>")).alias("body"),
+    ).union(hosts.where(F.col("_h") % 2 == 0).select(
+        F.concat(site, F.lit("/sm_b.xml")).alias("sitemap_url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), site,
+            F.lit("/sm_c_"), hs, F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ).alias("body"),
+    ))
+    declared = WB.parse_sitemaps(robots)
+    entries = WB.sitemap_to_urls(declared.join(bodies, "sitemap_url"))
+    crawled = d.where(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("http://site"), (F.col("doc_id") % 25).cast("string"),
+                 F.lit(".com/s/"), F.col("doc_id").cast("string"))
+        .alias("loc"),
+        F.lit(True).alias("_known"),
+    )
+    return (
+        declared.join(bodies, "sitemap_url").select("host", "sitemap_url")
+        .join(entries, "sitemap_url")
+        .join(crawled, "loc", "left")
+        .select(
+            "host", "sitemap_url", "loc", "lastmod", "is_index",
+            (F.col("is_index") | F.col("_known").isNull()).alias("is_new"),
+        )
+    )
+
+
+@register(
+    "url_templates",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 25 AS h,
+                      (doc_id // 25) % 5 AS v
+               FROM documents),
+    u AS (
+      SELECT doc_id, h,
+             'http://site' || CAST(h AS VARCHAR) || '.com'
+               || CASE v
+                  WHEN 0 THEN '/item/' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN '/item/' || CAST(doc_id AS VARCHAR)
+                              || '?ref=7'
+                  WHEN 2 THEN '/item/' || CAST(doc_id AS VARCHAR)
+                              || '/review/' || CAST(doc_id % 7 AS VARCHAR)
+                  WHEN 3 THEN '/about'
+                  ELSE '/blog/2024/' || CAST(doc_id AS VARCHAR) END AS url,
+             CASE v WHEN 2 THEN '/item/{n}/review/{n}'
+                    WHEN 3 THEN '/about'
+                    WHEN 4 THEN '/blog/{n}/{n}'
+                    ELSE '/item/{n}' END AS template
+      FROM d),
+    pages AS (SELECT * FROM u
+              UNION ALL SELECT * FROM u WHERE doc_id % 3 = 0),
+    per AS (SELECT h, template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_urls
+            FROM pages GROUP BY 1, 2),
+    tot AS (SELECT h, sum(n_urls) AS t FROM per GROUP BY 1)
+    SELECT 'site' || CAST(per.h AS VARCHAR) || '.com' AS host,
+           template, n_urls, n_distinct_urls,
+           round(CAST(n_urls AS DOUBLE) / tot.t, 6) AS share
+    FROM per JOIN tot ON tot.h = per.h
+    """,
+    doc="Per-host URL template mining (operators/web.py::url_templates): "
+    "digit runs in each URL's PATH mask to {n} (query string and "
+    "fragment stripped first), then per (host, template) the URL "
+    "count, distinct-URL count, and share of the host's traffic — the "
+    "STRUCTURAL complement of url_dedup's canonicalization and "
+    "host_stats' dup-rate: a host concentrating into one "
+    "parameterized template is a catalog or a URL-variant generator, "
+    "and crawl budget should treat the template as the unit. The "
+    "synthetic corpus exercises multi-run masking (/item/{n}/review/"
+    "{n}), digit-free paths (/about), query-string stripping (?ref=7 "
+    "collapses into the same template as its clean twin), and true "
+    "duplicate fetches (every third doc's URL fetched twice) so "
+    "n_urls and n_distinct_urls genuinely diverge; the oracle "
+    "computes templates from the generator CASE arithmetic — the "
+    "Spark side masks real strings. Plan: in-row regexp, one "
+    "partial+final (host, template) aggregate, one host-keyed total "
+    "joined back — no windows, frames bounded by hosts x templates.",
+    tags=("dataprep", "web", "crawl", "quality"),
+)
+def url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    hs = (did % 25).cast("string")
+    # v must be independent of the host residue: doc_id % 5 is fully
+    # determined by doc_id % 25 (5 | 25), which would give every host a
+    # single template; the div-25 digit decorrelates them
+    v = F.floor(did / 25) % 5
+    url = F.concat(
+        F.lit("http://site"), hs, F.lit(".com"),
+        F.when(v == 0, F.concat(F.lit("/item/"), did.cast("string")))
+        .when(v == 1, F.concat(F.lit("/item/"), did.cast("string"),
+                               F.lit("?ref=7")))
+        .when(v == 2, F.concat(F.lit("/item/"), did.cast("string"),
+                               F.lit("/review/"),
+                               (did % 7).cast("string")))
+        .when(v == 3, F.lit("/about"))
+        .otherwise(F.concat(F.lit("/blog/2024/"), did.cast("string"))),
+    )
+    base = d.select(url.alias("url"))
+    pages = base.union(d.where(did % 3 == 0).select(url.alias("url")))
+    return WB.url_templates(pages)
+
+
+@register(
     "robots_gate_rfc",
     """
     WITH d AS (SELECT doc_id, doc_id % 25 AS h, doc_id % 6 AS v

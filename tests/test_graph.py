@@ -481,3 +481,74 @@ def test_robots_gate_rfc_longest_match_semantics(spark):
         "http://g.com/else": False,          # googlebot section ignored
         "http://norules.com/x": False,
     }
+
+
+def test_parse_sitemaps_global_scope_and_crlf(spark):
+    """Sitemap: directives are GLOBAL (preamble and in-section lines
+    both emit, per the sitemaps protocol), CRLF-tolerant,
+    case-insensitive; hosts without directives emit nothing."""
+    from hbase_packet_inspector_spark.operators.web import parse_sitemaps
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "Sitemap: http://a.com/sm.xml\r\n"
+          "User-agent: *\nDisallow: /x\n"
+          "sitemap: http://a.com/sm2.xml\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    out = {(r.host, r.sitemap_url)
+           for r in parse_sitemaps(robots).collect()}
+    assert out == {("a.com", "http://a.com/sm.xml"),
+                   ("a.com", "http://a.com/sm2.xml")}
+
+
+def test_sitemap_to_urls_entries_index_lastmod(spark):
+    """<url> page entries vs <sitemap> index children, lastmod null
+    passthrough, loc trimming, loc-less entries dropped, garbage
+    never raises."""
+    from hbase_packet_inspector_spark.operators.web import sitemap_to_urls
+
+    sm = spark.createDataFrame(
+        [("http://a.com/sm.xml",
+          "<urlset><url><loc> http://a.com/s/1 </loc>"
+          "<lastmod>2024-03-01</lastmod></url>"
+          "<url><loc>http://a.com/s/2</loc></url>"
+          "<url><priority>0.5</priority></url></urlset>"),
+         ("http://a.com/sm2.xml",
+          "<sitemapindex><sitemap><loc>http://a.com/child.xml</loc>"
+          "</sitemap></sitemapindex>"),
+         ("http://b.com/sm.xml", "garbage <url> no loc </url>")],
+        "sitemap_url string, body string",
+    )
+    rows = {(r.loc, r.lastmod, r.is_index)
+            for r in sitemap_to_urls(sm).collect()}
+    assert rows == {
+        ("http://a.com/s/1", "2024-03-01", False),
+        ("http://a.com/s/2", None, False),
+        ("http://a.com/child.xml", None, True),
+    }
+
+
+def test_url_templates_masking_and_share(spark):
+    """Digit runs mask to {n}, query strings strip before masking,
+    duplicate fetches diverge n_urls from n_distinct_urls, shares sum
+    to 1 per host."""
+    from hbase_packet_inspector_spark.operators.web import url_templates
+
+    pages = spark.createDataFrame(
+        [("http://h.com/p/1",), ("http://h.com/p/22?q=3",),
+         ("http://h.com/p/333",), ("http://h.com/about",),
+         ("http://h.com/p/1",),   # duplicate fetch
+         ("http://other.com/x9/y10",)],
+        "url string",
+    )
+    out = {(r.host, r.template): r for r in url_templates(pages).collect()}
+    p = out[("h.com", "/p/{n}")]
+    assert (p.n_urls, p.n_distinct_urls, p.share) == (4, 3, 0.8)
+    assert out[("h.com", "/about")].share == 0.2
+    assert out[("other.com", "/x{n}/y{n}")].n_urls == 1
+    by_host = {}
+    for (h, _t), r in out.items():
+        by_host[h] = by_host.get(h, 0) + r.share
+    assert all(abs(s - 1.0) < 1e-9 for s in by_host.values())
