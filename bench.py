@@ -243,6 +243,8 @@ HEADLINE = [
     "robots_gate_rfc",
     "sitemap_discovery",
     "url_templates",
+    "crawl_budget",
+    "score_calibration",
 ]
 
 

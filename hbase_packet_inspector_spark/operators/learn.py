@@ -194,3 +194,52 @@ def pr_curve_binned(scored: DataFrame, *, score_col: str = "score",
     return out.withColumn(
         "f1", F.when(p + r > 0, F.round(2 * p * r / (p + r), 6))
     )
+
+
+def calibration_bins(scored: DataFrame, *, score_col: str = "score",
+                     label_col: str = "y",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability diagram for a probability-scored classifier — the
+    calibration audit that complements :func:`pr_curve_binned`'s
+    operating-point table: per score bin, does the model's stated
+    confidence match the observed positive rate? A quality classifier
+    that says 0.9 but is right 60% of the time silently skews every
+    downstream token-budget and mixture decision keyed on its scores.
+
+    One row per non-empty bin (bin i covers [i/n, (i+1)/n), scores
+    clamped into the edge bins like pr_curve_binned): ``n``,
+    ``avg_score`` (the model's mean stated confidence there),
+    ``frac_pos`` (what actually happened), ``gap`` =
+    |frac_pos − avg_score| computed from the ROUNDED columns so the
+    derived metric is engine-exact, and ``weight`` = n/N. The expected
+    calibration error is ``sum(weight × gap)`` — left to the consumer
+    as one more fold rather than a global window here.
+
+    Scale shape: ONE (bin, label) histogram aggregate (mergeable
+    sufficient statistic — partials combine, so the same shape audits
+    a stream or shards) + a single-row total broadcast back; nothing
+    corpus-sized survives the first aggregate."""
+    y = F.col(label_col).cast("long")
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    hist = scored.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(F.col(score_col)), 6).alias("avg_score"),
+        F.round(F.avg(y.cast("double")), 6).alias("frac_pos"),
+    )
+    tot = hist.agg(F.sum("n").alias("_N"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n", "avg_score", "frac_pos",
+            F.round(F.abs(F.col("frac_pos") - F.col("avg_score")), 6)
+            .alias("gap"),
+            F.round(F.col("n").cast("double") / F.col("_N"), 6)
+            .alias("weight"),
+        )
+    )

@@ -988,6 +988,56 @@ def crawl_frontier(ranks: DataFrame, stats: DataFrame,
     )
 
 
+def frontier_budget(frontier: DataFrame, *, budget: int,
+                    per_host_cap: int | None = None) -> DataFrame:
+    """Per-cycle fetch-budget allocation across the frontier: a global
+    budget of ``budget`` URLs splits across fetchable hosts
+    proportionally to priority, optionally capped per host — the sizing
+    step between :func:`crawl_frontier`'s ranking and
+    :func:`schedule_fetches`' pacing (priority says WHO, this says HOW
+    MANY, the scheduler says WHEN).
+
+    Exactness discipline: the proportional split runs in INTEGER
+    micro-priority units (round(priority × 1e6) as bigint), so
+    ``alloc = budget × pm ÷ total_pm`` is integer arithmetic — engine-
+    exact, no float quotient to disagree at a floor boundary. Floor
+    division under-allocates by at most #hosts−1 URLs per cycle (the
+    remainder is deliberately NOT redistributed: largest-remainder
+    assignment would need a global rank over hosts; leaving ≤ one URL
+    per host on the table costs nothing at crawl scale and keeps the
+    plan window-free). Hosts with priority ≤ 0 or status 'blocked'
+    are excluded up front.
+
+    Output per fetchable host: (host, priority, weight, alloc) with
+    weight = round(pm / total_pm, 6) for reporting.
+
+    Scale shape: one filter, one single-row total broadcast back onto
+    the host-cardinality frame, pure integer column math — no windows,
+    no shuffle beyond the 1-row aggregate."""
+    f = frontier.where(
+        (F.col("priority") > 0) & (F.col("status") != "blocked")
+    ).select(
+        "host", "priority",
+        F.round(F.col("priority") * 1e6).cast("bigint").alias("_pm"),
+    )
+    tot = f.agg(F.sum("_pm").alias("_tot"))
+    # DIV, not '/': Spark's '/' on bigints is true (double) division,
+    # which would reintroduce the float-at-the-floor-boundary hazard
+    # the micro-priority units exist to remove
+    alloc = F.expr(f"CAST({int(budget)} AS BIGINT) * _pm DIV _tot")
+    if per_host_cap is not None:
+        alloc = F.least(alloc, F.lit(int(per_host_cap)))
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .select(
+            "host", "priority",
+            F.round(F.col("_pm").cast("double") / F.col("_tot"), 6)
+            .alias("weight"),
+            alloc.cast("bigint").alias("alloc"),
+        )
+    )
+
+
 def host_drift(pages: DataFrame, *, ts_col: str = "ts",
                url_col: str = "url", text_col: str = "text",
                window: str = "1 hour",

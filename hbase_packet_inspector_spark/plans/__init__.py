@@ -29,6 +29,8 @@ _UNVERIFIED_FIRST = (
     "robots_gate_rfc",  # latest green r0
     "sitemap_discovery",  # latest green r0
     "url_templates",  # latest green r0
+    "crawl_budget",  # latest green r0
+    "score_calibration",  # latest green r0
     "pricing_summary",  # latest green r4
     "top_revenue_orders",  # latest green r4
     "nation_revenue",  # latest green r4

@@ -6766,6 +6766,95 @@ def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_budget",
+    f"""
+    WITH fr AS (SELECT * FROM ({_frontier_oracle(5)})),
+    f AS (SELECT host, priority,
+                 CAST(round(priority * 1e6) AS BIGINT) AS pm
+          FROM fr WHERE priority > 0 AND status <> 'blocked'),
+    t AS (SELECT CAST(sum(pm) AS BIGINT) AS tot FROM f)
+    SELECT host, priority,
+           round(CAST(pm AS DOUBLE) / tot, 6) AS weight,
+           CAST(least(2000 * pm // tot, 150) AS BIGINT) AS alloc
+    FROM f, t
+    """,
+    doc="Per-cycle fetch-budget allocation (operators/web.py::"
+    "frontier_budget) — the sizing step between crawl_frontier's "
+    "ranking and schedule_fetches' pacing: a global 2000-URL budget "
+    "splits across fetchable hosts (priority > 0, not dup-blocked) "
+    "proportionally to priority, capped at 150 per host. The split "
+    "runs in INTEGER micro-priority units (round(priority x 1e6) as "
+    "bigint) with bigint DIV, so no float quotient can disagree at a "
+    "floor boundary between engines; floor division under-allocates "
+    "<= #hosts-1 URLs per cycle by design (largest-remainder "
+    "redistribution would need a global host rank — not worth a "
+    "window for one URL per host). The oracle mirrors the integer "
+    "arithmetic atop the frontier CTE ladder with DuckDB's // "
+    "operator. Plan: one filter + ONE single-row total broadcast back "
+    "onto the host-cardinality frame, pure integer column math.",
+    tags=("dataprep", "web", "crawl", "rank"),
+)
+def crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    ranks, stats = _frontier_inputs(_docs(spark, sf_dir))
+    fr = WB.crawl_frontier(ranks, stats)
+    return WB.frontier_budget(fr, budget=2000, per_host_cap=150)
+
+
+@register(
+    "score_calibration",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST((doc_id * 37) % 101 AS DOUBLE) / 100 AS score,
+                      CASE WHEN (doc_id * 37) % 101 + doc_id % 13 > 55
+                           THEN 1 ELSE 0 END AS y
+               FROM documents),
+    hist AS (SELECT least(greatest(CAST(floor(score * 10) AS INTEGER), 0),
+                          9) AS bin,
+                    CAST(count(*) AS BIGINT) AS n,
+                    round(avg(score), 6) AS avg_score,
+                    round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+             FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS nn FROM hist)
+    SELECT bin, n, avg_score, frac_pos,
+           round(abs(frac_pos - avg_score), 6) AS gap,
+           round(CAST(n AS DOUBLE) / nn, 6) AS weight
+    FROM hist, t
+    """,
+    doc="Classifier calibration audit (operators/learn.py::"
+    "calibration_bins) — the reliability diagram that complements "
+    "classifier_pr_curve's operating-point table: per score decile, "
+    "the model's mean stated confidence vs the observed positive "
+    "rate, the |gap| between them (computed from the ROUNDED columns "
+    "so it is engine-exact), and the bin's corpus weight; expected "
+    "calibration error = sum(weight x gap), left to the consumer as "
+    "one fold. A quality model that says 0.9 but delivers 0.6 skews "
+    "every token-budget and mixture decision keyed on its scores. "
+    "The synthetic scores are a deterministic mod grid ((doc_id x 37) "
+    "% 101 / 100, so every decile is populated) with labels "
+    "arithmetically correlated to score — both engines derive the "
+    "same (score, y) pairs independently, pinning the binning, the "
+    "edge clamp, and the per-bin statistics. Plan: ONE mergeable "
+    "(bin, label) histogram aggregate + a single-row total broadcast "
+    "— the stream/shard-safe sufficient-statistic shape.",
+    tags=("dataprep", "learn", "quality"),
+)
+def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import learn as L
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    g = (did * 37) % 101
+    scored = d.select(
+        (g.cast("double") / 100).alias("score"),
+        F.when(g + did % 13 > 55, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return L.calibration_bins(scored, n_bins=10)
+
+
+@register(
     "sitemap_discovery",
     """
     WITH h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),

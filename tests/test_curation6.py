@@ -497,3 +497,57 @@ def test_hybrid_rrf_pruned_swaps_ranker_not_fusion(spark):
     # same query set and output shape as the exact variant
     assert {r.q_id for r in pruned} == {r.q_id for r in exact}
     assert pruned[0].__fields__ == exact[0].__fields__
+
+
+def test_calibration_bins_hand_checked(spark):
+    """Reliability diagram: per-bin confidence vs observed rate, gap
+    from the rounded columns, weights summing to 1, out-of-range
+    scores clamped into edge bins, empty bins absent."""
+    from hbase_packet_inspector_spark.operators.learn import (
+        calibration_bins,
+    )
+
+    scored = spark.createDataFrame(
+        [(0.05, 0), (0.05, 0), (0.12, 1), (0.95, 1), (0.93, 1),
+         (0.91, 0), (1.2, 1), (-0.1, 0)],
+        "score double, y int",
+    )
+    out = {r.bin: r for r in calibration_bins(scored).collect()}
+    assert set(out) == {0, 1, 9}          # empty bins emit nothing
+    # bin 0: scores 0.05, 0.05, -0.1 (clamped), all negative
+    assert (out[0].n, out[0].avg_score, out[0].frac_pos) == (3, 0.0, 0.0)
+    # bin 9: 0.95, 0.93, 0.91, 1.2 (clamped); 3 of 4 positive
+    assert out[9].n == 4
+    assert out[9].frac_pos == 0.75
+    assert out[9].gap == round(abs(0.75 - out[9].avg_score), 6)
+    # over-confident bin 1: says 0.12, delivers 1.0
+    assert out[1].gap == 0.88
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-9
+
+
+def test_frontier_budget_integer_allocation(spark):
+    """Budget splits by integer micro-priority DIV: blocked and
+    zero-priority hosts excluded, per-host cap applied, floor
+    under-allocation bounded by #hosts, weights from the same
+    integer units."""
+    from hbase_packet_inspector_spark.operators.web import (
+        frontier_budget,
+    )
+
+    fr = spark.createDataFrame(
+        [("a.com", 0.5, "known"), ("b.com", 0.25, "known"),
+         ("c.com", 0.25, "new"), ("d.com", 0.0, "blocked"),
+         ("e.com", 0.9, "blocked")],
+        "host string, priority double, status string",
+    )
+    out = {r.host: r for r in
+           frontier_budget(fr, budget=100, per_host_cap=40).collect()}
+    assert set(out) == {"a.com", "b.com", "c.com"}
+    assert (out["a.com"].alloc, out["b.com"].alloc,
+            out["c.com"].alloc) == (40, 25, 25)   # 50 capped to 40
+    assert out["a.com"].weight == 0.5
+    uncapped = {r.host: r.alloc for r in
+                frontier_budget(fr, budget=101).collect()}
+    # floor division: 101 * [.5 .25 .25] -> 50 + 25 + 25 = 100 <= 101
+    assert uncapped == {"a.com": 50, "b.com": 25, "c.com": 25}
+    assert sum(uncapped.values()) <= 101

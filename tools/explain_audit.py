@@ -179,6 +179,15 @@ ALLOWED = {
     # resp. lexical word-set jaccard — ann_recall's rationale); the RRF
     # fusion itself is a union + groupBy over queries x k rows
     "hybrid_rrf": {"NESTED-LOOP-JOIN"},
+    # the total micro-priority re-enters as a broadcast ONE-ROW
+    # aggregate over the host-cardinality frontier (key_skew_report's
+    # one-row-totals rationale); the allocation itself is integer
+    # column math
+    "crawl_budget": {"NESTED-LOOP-JOIN"},
+    # the bin-count total re-enters as a broadcast ONE-ROW aggregate
+    # over the n_bins-row histogram (key_skew_report's rationale);
+    # the histogram is one mergeable (bin, label) aggregate
+    "score_calibration": {"NESTED-LOOP-JOIN"},
 }
 
 
