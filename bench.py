@@ -245,6 +245,7 @@ HEADLINE = [
     "url_templates",
     "crawl_budget",
     "score_calibration",
+    "gopher_quality",
 ]
 
 

@@ -1519,3 +1519,105 @@ def source_token_mix(docs: DataFrame, text_col: str = "text",
             F.ceil(F.lit(float(budget_tokens)) / F.col("tokens")).cast("int").alias("epochs_for_budget"),
         )
     )
+
+
+def gopher_quality_flags(docs: DataFrame, *, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_line_frac: float = 0.9,
+                         max_ellipsis_line_frac: float = 0.3,
+                         min_alpha_word_frac: float = 0.8,
+                         min_req_stopwords: int = 2) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, §A1.1 'quality
+    filtering') as one narrow per-document pass — the canonical
+    heuristic gate every web-scale text pipeline applies before model
+    training, complementing :func:`quality_features`' generic
+    length/stopword scores with the published rule set and thresholds:
+
+    - word count within [min_words, max_words];
+    - mean word length within [3, 10] chars;
+    - '#' and '...' symbol-to-word ratios ≤ 0.1 each;
+    - < 90% of lines starting with a bullet, < 30% ending in an
+      ellipsis;
+    - ≥ 80% of words containing at least one alphabetic character;
+    - ≥ 2 distinct words from the required-stopword set (the, be, to,
+      of, and, that, have, with).
+
+    Output per doc: the raw metrics (ratios rounded to 6 BEFORE the
+    flag comparisons so verdicts are engine-exact), one boolean per
+    rule, and ``keep`` = their conjunction. An empty document splits to
+    one empty token under the corpus-wide ``_tok`` semantics (n_words
+    is never 0 for non-null text), so ratios come out 0 and the
+    word-count rule rejects it; the n_words > 0 guards only protect a
+    null text column.
+
+    Everything is split/filter/aggregate higher-order functions on two
+    in-row arrays (words, lines) — pure codegen, no shuffle, no UDF;
+    the scan prunes to (doc_id, text), so gating 10^12 docs is one
+    narrow pass whose output filters push into downstream scans."""
+    REQ = ("the", "be", "to", "of", "and", "that", "have", "with")
+    ws = _tok(text_col)
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(
+        n_words > 0,
+        F.round(sum_len.cast("double") / n_words, 6))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, F.round(n_alpha.cast("double") / n_words, 6))
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t)
+             - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    hash_ratio = F.when(
+        n_words > 0, F.round(n_hash.cast("double") / n_words, 6))
+    ell_ratio = F.when(
+        n_words > 0, F.round(n_ell.cast("double") / n_words, 6))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("^[ \\t]*[-*\u2022]")))
+        .cast("double") / n_lines, 6)
+    ell_line_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.[ \\t]*$")))
+        .cast("double") / n_lines, 6)
+    n_req = F.size(F.array_intersect(
+        F.array_distinct(ws), F.array(*[F.lit(w) for w in REQ])))
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        hash_ratio.alias("hash_ratio"),
+        ell_ratio.alias("ellipsis_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_line_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_req.cast("int").alias("n_req_stopwords"),
+    )
+    f_words = (F.col("n_words") >= min_words) \
+        & (F.col("n_words") <= max_words)
+    f_wl = (F.col("mean_word_len") >= min_mean_word_len) \
+        & (F.col("mean_word_len") <= max_mean_word_len)
+    f_sym = (F.col("hash_ratio") <= max_symbol_ratio) \
+        & (F.col("ellipsis_ratio") <= max_symbol_ratio)
+    f_bullet = F.col("bullet_line_frac") < max_bullet_line_frac
+    f_ell = F.col("ellipsis_line_frac") < max_ellipsis_line_frac
+    f_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    f_stop = F.col("n_req_stopwords") >= min_req_stopwords
+    flags = {
+        "word_count_ok": f_words, "mean_word_len_ok": f_wl,
+        "symbol_ratio_ok": f_sym, "bullet_lines_ok": f_bullet,
+        "ellipsis_lines_ok": f_ell, "alpha_words_ok": f_alpha,
+        "stopwords_ok": f_stop,
+    }
+    keep = None
+    cols = [out[c] for c in out.columns]
+    for name, expr in flags.items():
+        e = F.coalesce(expr, F.lit(False))
+        cols.append(e.alias(name))
+        keep = e if keep is None else (keep & e)
+    cols.append(keep.alias("keep"))
+    return out.select(*cols)

@@ -31,6 +31,7 @@ _UNVERIFIED_FIRST = (
     "url_templates",  # latest green r0
     "crawl_budget",  # latest green r0
     "score_calibration",  # latest green r0
+    "gopher_quality",  # latest green r0
     "pricing_summary",  # latest green r4
     "top_revenue_orders",  # latest green r4
     "nation_revenue",  # latest green r4

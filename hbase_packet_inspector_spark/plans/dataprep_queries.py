@@ -6855,6 +6855,102 @@ def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality",
+    """
+    WITH d0 AS (SELECT doc_id, text, doc_id % 5 AS v FROM documents),
+    d AS (SELECT doc_id,
+            CASE v
+              WHEN 1 THEN repeat('- b' || chr(10), 10) || text
+              WHEN 2 THEN repeat('# ', 30) || 'the of'
+              WHEN 3 THEN repeat('the of data ...' || chr(10), 3) || text
+              WHEN 4 THEN repeat('abcdefghijklmn ', 60) || 'the of'
+              ELSE text || ' of and be that' END AS text
+          FROM d0),
+    m AS (SELECT doc_id, text,
+            string_split(text, ' ') AS ws,
+            string_split(text, chr(10)) AS ls
+          FROM d),
+    r AS (SELECT doc_id,
+            CAST(len(ws) AS INTEGER) AS n_words,
+            round(CAST(list_sum(list_transform(ws, w -> len(w)))
+                       AS DOUBLE) / len(ws), 6) AS mean_word_len,
+            round(CAST(len(text) - len(replace(text, '#', ''))
+                       AS DOUBLE) / len(ws), 6) AS hash_ratio,
+            round(CAST(len(text) - len(replace(text, '...', ''))
+                       AS DOUBLE) / 3 / len(ws), 6) AS ellipsis_ratio,
+            round(CAST(len(list_filter(ls,
+                    l -> regexp_matches(l, '^[ \\t]*[-*\u2022]')))
+                       AS DOUBLE) / len(ls), 6) AS bullet_line_frac,
+            round(CAST(len(list_filter(ls,
+                    l -> regexp_matches(l, '\\.\\.\\.[ \\t]*$')))
+                       AS DOUBLE) / len(ls), 6) AS ellipsis_line_frac,
+            round(CAST(len(list_filter(ws,
+                    w -> regexp_matches(w, '[A-Za-z]')))
+                       AS DOUBLE) / len(ws), 6) AS alpha_word_frac,
+            CAST(len(list_intersect(list_distinct(ws),
+                 ['the','be','to','of','and','that','have','with']))
+                 AS INTEGER) AS n_req_stopwords
+          FROM m)
+    SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           n_req_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AS mean_word_len_ok,
+           (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+             AS symbol_ratio_ok,
+           (bullet_line_frac < 0.9) AS bullet_lines_ok,
+           (ellipsis_line_frac < 0.3) AS ellipsis_lines_ok,
+           (alpha_word_frac >= 0.8) AS alpha_words_ok,
+           (n_req_stopwords >= 2) AS stopwords_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+            AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac >= 0.8 AND n_req_stopwords >= 2) AS keep
+    FROM r
+    """,
+    doc="The Gopher quality rules EXECUTED (operators/text.py::"
+    "gopher_quality_flags) — the published heuristic gate (Rae et al. "
+    "2021 A1.1) web-scale pipelines apply before training: word-count "
+    "bounds, mean word length in [3,10], '#'/'...' symbol-to-word "
+    "ratios <= 0.1, bullet-started lines < 90%, ellipsis-ended lines "
+    "< 30%, >= 80% words containing a letter, >= 2 distinct required "
+    "stopwords; keep = the conjunction, with every ratio rounded to 6 "
+    "BEFORE its comparison so verdicts are engine-exact. The corpus "
+    "mutates per doc_id % 5 to pin each rule: +10 bullet lines (rule "
+    "4 fires alone), a hash-only page (symbol+alpha+length fire), "
+    "three '...'-terminated lines (rule 5), 14-char nonsense words "
+    "(mean length), raw text otherwise (word-count splits naturally "
+    "at the 10-99-word corpus). Oracle recomputes all eight metrics "
+    "through DuckDB list/regexp functions over the SAME mutated text. "
+    "Plan: one narrow in-row pass over two arrays (words, lines) - "
+    "split/filter/aggregate HOFs, no shuffle, no UDF, scan pruned to "
+    "(doc_id, text).",
+    tags=("dataprep", "text", "quality"),
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    v = F.col("doc_id") % 5
+    text = (
+        F.when(v == 1, F.concat(F.repeat(F.lit("- b\n"), 10),
+                                F.col("text")))
+        .when(v == 2, F.concat(F.repeat(F.lit("# "), 30), F.lit("the of")))
+        .when(v == 3, F.concat(F.repeat(F.lit("the of data ...\n"), 3),
+                               F.col("text")))
+        .when(v == 4, F.concat(F.repeat(F.lit("abcdefghijklmn "), 60),
+                               F.lit("the of")))
+        # the raw corpus vocabulary carries only 'the' from the required
+        # set, which would leave keep=false EVERYWHERE (a degenerate pin
+        # for the conjunction's true branch) — the suffix supplies the
+        # stopword evidence so v=0 splits on word count alone
+        .otherwise(F.concat(F.col("text"), F.lit(" of and be that")))
+    )
+    return X.gopher_quality_flags(d.select("doc_id", text.alias("text")))
+
+
+@register(
     "sitemap_discovery",
     """
     WITH h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),

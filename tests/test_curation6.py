@@ -551,3 +551,45 @@ def test_frontier_budget_integer_allocation(spark):
     # floor division: 101 * [.5 .25 .25] -> 50 + 25 + 25 = 100 <= 101
     assert uncapped == {"a.com": 50, "b.com": 25, "c.com": 25}
     assert sum(uncapped.values()) <= 101
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """Each published Gopher rule fires on its own crafted failure mode
+    and a compliant document keeps; zero-word docs fail word count with
+    null ratios instead of dividing by zero."""
+    from hbase_packet_inspector_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = "the data " + "word " * 60 + "have to of"
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, "- a\n" * 10 + good),                     # 10/11 bullet lines
+         (2, "# " * 60 + "the of"),                    # symbol + alpha
+         (3, ("the word of data ...\n" * 5) + good),   # 5/6 ellipsis lines
+         (4, "supercalifragilisticexp " * 60 + "the of"),  # mean len > 10
+         (5, "the to " + "12345 " * 58),               # < 80% alpha words
+         (6, ""),                                      # empty
+         (7, "short the of")],                         # < 50 words
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    fails = {i: [k for k in
+                 ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+                  "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+                  "stopwords_ok") if not out[i][k]]
+             for i in out}
+    assert out[0].keep and fails[0] == []
+    assert fails[1] == ["bullet_lines_ok"]
+    assert "symbol_ratio_ok" in fails[2] and "alpha_words_ok" in fails[2]
+    assert fails[3] == ["ellipsis_lines_ok"]
+    assert fails[4] == ["mean_word_len_ok"]
+    assert fails[5] == ["alpha_words_ok"]
+    assert fails[7] == ["word_count_ok"]
+    assert not any(out[i].keep for i in range(1, 8))
+    # empty doc: split(' ') yields one empty token (the corpus-wide _tok
+    # semantics), so metrics are zeros, never a division error
+    assert out[6].n_words == 1 and out[6].mean_word_len == 0.0
+    assert not out[6].word_count_ok
+    # hand-check one ratio: doc 1 has exactly 10 of 11 bullet lines
+    assert out[1].bullet_line_frac == round(10 / 11, 6)
