@@ -246,6 +246,7 @@ HEADLINE = [
     "crawl_budget",
     "score_calibration",
     "gopher_quality",
+    "c4_quality",
 ]
 
 

@@ -1621,3 +1621,59 @@ def gopher_quality_flags(docs: DataFrame, *, text_col: str = "text",
         keep = e if keep is None else (keep & e)
     cols.append(keep.alias("keep"))
     return out.select(*cols)
+
+
+def c4_quality_flags(docs: DataFrame, *, text_col: str = "text",
+                     min_line_words: int = 5,
+                     min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) — the other
+    canonical published filter set beside :func:`gopher_quality_flags`,
+    and the LINE-level half the Gopher rules don't do: lines survive
+    only if they end in terminal punctuation ([.!?] — the closing-quote
+    variant is deliberately out of this regex subset), carry at least
+    ``min_line_words`` words, and don't mention javascript
+    (case-insensitive); pages drop wholesale when they contain
+    'lorem ipsum' (template residue) or '{' (code), or when the CLEANED
+    text has fewer than ``min_sentences`` sentences (terminal-
+    punctuation count over kept lines).
+
+    Output per doc: ``text_clean`` (kept lines re-joined — the column a
+    training pipeline actually consumes), line/sentence counts, one
+    boolean per page rule, and ``keep`` = their conjunction. A page
+    whose every line is dropped has empty text_clean and fails the
+    sentence rule — never an error.
+
+    One in-row filter over the line array + plain contains checks —
+    codegen, no shuffle, no UDF; scan pruned to (doc_id, text). The
+    3-sentence-span dedup C4 pairs with this is the separately
+    registered winnowing/span-dedup family."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?]$")
+        & (F.size(F.split(l, " ")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    tc = F.array_join(kept, "\n")
+
+    def _n(c: Column, ch: str) -> Column:
+        return F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+
+    n_sent = _n(tc, ".") + _n(tc, "!") + _n(tc, "?")
+    out = docs.select(
+        "doc_id",
+        tc.alias("text_clean"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        (~F.lower(t).contains("lorem ipsum")).alias("no_lorem"),
+        (~t.contains("{")).alias("no_brace"),
+    )
+    ok_sent = F.col("n_sentences") >= min_sentences
+    keep = (F.col("no_lorem") & F.col("no_brace") & ok_sent)
+    return out.select(
+        "*",
+        ok_sent.alias("min_sentences_ok"),
+        keep.alias("keep"),
+    )

@@ -32,6 +32,7 @@ _UNVERIFIED_FIRST = (
     "crawl_budget",  # latest green r0
     "score_calibration",  # latest green r0
     "gopher_quality",  # latest green r0
+    "c4_quality",  # latest green r0
     "pricing_summary",  # latest green r4
     "top_revenue_orders",  # latest green r4
     "nation_revenue",  # latest green r4

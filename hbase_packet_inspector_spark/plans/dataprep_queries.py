@@ -6951,6 +6951,100 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4_quality",
+    """
+    WITH d0 AS (SELECT doc_id, text, doc_id % 5 AS v FROM documents),
+    base AS (SELECT doc_id, v,
+               'good long sentence number ' || CAST(doc_id AS VARCHAR)
+                 || '.' || chr(10)
+                 || 'another fine long sentence here!' || chr(10)
+                 || 'third one is right here today?' AS g,
+               text
+             FROM d0),
+    d AS (SELECT doc_id,
+            CASE v
+              WHEN 1 THEN 'tiny one.' || chr(10) || 'short line!'
+                          || chr(10) || text
+              WHEN 2 THEN g || chr(10)
+                          || 'Lorem ipsum dolor sit amet line.'
+              WHEN 3 THEN g || chr(10) || 'code { x } in this long line.'
+              WHEN 4 THEN g || chr(10)
+                          || 'enable javascript for this long content.'
+              ELSE g END AS text
+          FROM base),
+    m AS (SELECT doc_id, text,
+            string_split(text, chr(10)) AS ls
+          FROM d),
+    k AS (SELECT doc_id, text, ls,
+            list_filter(ls, l -> regexp_matches(l, '[.!?]$')
+                        AND len(string_split(l, ' ')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM m),
+    r AS (SELECT doc_id,
+            -- DuckDB array_to_string([]) is NULL, Spark array_join is ''
+            coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+            CAST(len(ls) AS INTEGER) AS n_lines,
+            CAST(len(kept) AS INTEGER) AS n_lines_kept,
+            NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+            NOT contains(text, '{') AS no_brace
+          FROM k),
+    s AS (SELECT *,
+            CAST(len(text_clean)
+                 - len(replace(text_clean, '.', ''))
+                 + len(text_clean)
+                 - len(replace(text_clean, '!', ''))
+                 + len(text_clean)
+                 - len(replace(text_clean, '?', '')) AS INTEGER)
+              AS n_sentences
+          FROM r)
+    SELECT doc_id, text_clean, n_lines, n_lines_kept, n_sentences,
+           no_lorem, no_brace,
+           (n_sentences >= 3) AS min_sentences_ok,
+           (no_lorem AND no_brace AND n_sentences >= 3) AS keep
+    FROM s
+    """,
+    doc="The C4 cleaning rules EXECUTED (operators/text.py::"
+    "c4_quality_flags) — Raffel et al. 2020 §2.2, the line-level half "
+    "the Gopher rules don't do: lines survive only when they end in "
+    "terminal punctuation, carry >= 5 words, and don't mention "
+    "javascript (case-insensitive); pages drop on 'lorem ipsum' "
+    "(case-insensitive), '{', or < 3 sentences over the CLEANED text. "
+    "Output includes text_clean itself — the column a training "
+    "pipeline consumes — so the hash pins the line filter and rejoin "
+    "byte-for-byte, not just the verdicts. Variants per doc_id % 5 "
+    "pin each rule: short/unpunctuated lines collapse to 0 sentences, "
+    "'Lorem ipsum' pins the case fold, a braced code line, and a "
+    "javascript line that drops WITHOUT killing its page (3 of 4 "
+    "lines kept). Plan: one in-row filter over the line array + "
+    "contains checks — codegen, no shuffle; the 3-sentence-span dedup "
+    "C4 pairs with this is the registered winnowing/span family.",
+    tags=("dataprep", "text", "quality"),
+)
+def c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    v = F.col("doc_id") % 5
+    g = F.concat(
+        F.lit("good long sentence number "),
+        F.col("doc_id").cast("string"),
+        F.lit(".\nanother fine long sentence here!\n"
+              "third one is right here today?"),
+    )
+    text = (
+        F.when(v == 1, F.concat(F.lit("tiny one.\nshort line!\n"),
+                                F.col("text")))
+        .when(v == 2, F.concat(g, F.lit("\nLorem ipsum dolor sit amet "
+                                        "line.")))
+        .when(v == 3, F.concat(g, F.lit("\ncode { x } in this long "
+                                        "line.")))
+        .when(v == 4, F.concat(g, F.lit("\nenable javascript for this "
+                                        "long content.")))
+        .otherwise(g)
+    )
+    return X.c4_quality_flags(d.select("doc_id", text.alias("text")))
+
+
+@register(
     "sitemap_discovery",
     """
     WITH h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),

@@ -593,3 +593,35 @@ def test_gopher_quality_flags_each_rule(spark):
     assert not out[6].word_count_ok
     # hand-check one ratio: doc 1 has exactly 10 of 11 bullet lines
     assert out[1].bullet_line_frac == round(10 / 11, 6)
+
+
+def test_c4_quality_flags_rules(spark):
+    """C4 line rules (terminal punctuation, >=5 words, no javascript)
+    and page rules (lorem ipsum, curly brace, >=3 sentences over the
+    CLEANED text); a dropped line must not kill its page."""
+    from hbase_packet_inspector_spark.operators.text import (
+        c4_quality_flags,
+    )
+
+    g = ("this is a good long sentence.\n"
+         "another fine long sentence here!\n"
+         "and a third one right here?")
+    docs = spark.createDataFrame(
+        [(0, g),
+         (1, "too few words.\nshort line!\ntiny one?"),
+         (2, g + "\ncontains Lorem Ipsum dolor sit amet today."),
+         (3, g + "\nvar x = { a: 1 } in a long code line."),
+         (4, g + "\nenable JavaScript to view this long content."),
+         (5, "no terminal punctuation on this long line\n" + g)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_quality_flags(docs).collect()}
+    assert out[0].keep and out[0].n_sentences == 3
+    assert not out[1].keep and out[1].n_lines_kept == 0 \
+        and out[1].text_clean == ""
+    assert not out[2].keep and not out[2].no_lorem   # case-folded match
+    assert not out[3].keep and not out[3].no_brace
+    # javascript line drops; page survives on the remaining 3 sentences
+    assert out[4].keep and (out[4].n_lines_kept, out[4].n_lines) == (3, 4)
+    assert "JavaScript" not in out[4].text_clean
+    assert out[5].keep and (out[5].n_lines_kept, out[5].n_lines) == (3, 4)

@@ -1065,3 +1065,34 @@ def test_stream_anchor_and_robots_exactly_match_batch(spark, tmp_path):
         "https://x.com/1": True, "https://x.com/ok": False,
         "http://y.com/2": False,
     }
+
+
+def test_stream_quality_rulesets_exactly_match_batch(spark, tmp_path):
+    """gopher_quality_flags and c4_quality_flags are stateless in-row
+    column chains — the published quality gates apply per arrival under
+    readStream with exactly the batch semantics (the quality_drift
+    contract, extended to the rule-set gates)."""
+    from hbase_packet_inspector_spark.operators.text import (
+        c4_quality_flags,
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the data " + "word " * 60 + "have to of"),
+         (1, "- a\n" * 10 + "the of " + "word " * 60),
+         (2, "good long sentence number one.\n"
+             "another fine long sentence here!\n"
+             "third one is right here today?"),
+         (3, "enable javascript for this long content.\nshort.")],
+        "doc_id long, text string",
+    )
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    out_g = _replay(spark, docs, gopher_quality_flags,
+                    str(tmp_path / "gq"))
+    assert key(out_g) == key(gopher_quality_flags(docs).collect())
+    out_c = _replay(spark, docs, c4_quality_flags,
+                    str(tmp_path / "cq"))
+    assert key(out_c) == key(c4_quality_flags(docs).collect())
