@@ -247,6 +247,7 @@ HEADLINE = [
     "score_calibration",
     "gopher_quality",
     "c4_quality",
+    "crawl_plan",
 ]
 
 

@@ -7386,6 +7386,38 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         fetches, WB.parse_crawl_delays(robots), default_delay=0.5)
 
 
+def _spam_anchor_pages(d: DataFrame) -> DataFrame:
+    """The anchored synthetic pages crawl_frontier_anchors and crawl_plan
+    share: two organic anchored links per doc (one with a nested tag),
+    a relative href that must not count, and every third doc's page
+    aimed at site24.com with the SAME 'click here' anchor so exactly
+    that host crosses the spam threshold (mirrored SQL-side by
+    arithmetic in both oracles)."""
+    did = F.col("doc_id")
+    a = ((did * 7 + 3) % 25).cast("string")
+    b = ((did * 11 + 5) % 25).cast("string")
+    body = (
+        F.when(did % 3 == 0, F.lit(
+            '<p>sponsored</p><a href="http://site24.com/z">click here</a>'))
+        .otherwise(F.concat(
+            F.lit('<p>filler</p><a href="http://site'), a,
+            F.lit('.com/x">more about  topic '), (did % 7).cast("string"),
+            F.lit("</a>"),
+            F.lit("<a href='HTTPS://SITE"), b,
+            F.lit(".COM:443/q?t=1'> <b>visit</b>\nsite "),
+            (did % 5).cast("string"), F.lit(" </a>"),
+            F.lit('<a href="/rel/path">rel anchor</a>'),
+        ))
+    )
+    h = (F.floor(did / 4) % 25).cast("string")
+    return d.select(
+        F.concat(F.lit("http://site"), h, F.lit(".com/p/"),
+                 did.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+
+
+
 @register(
     "crawl_frontier_anchors",
     f"""
@@ -7448,31 +7480,120 @@ def crawl_frontier_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _docs(spark, sf_dir)
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
-    did = F.col("doc_id")
-    a = ((did * 7 + 3) % 25).cast("string")
-    b = ((did * 11 + 5) % 25).cast("string")
-    body = (
-        F.when(did % 3 == 0, F.lit(
-            '<p>sponsored</p><a href="http://site24.com/z">click here</a>'))
-        .otherwise(F.concat(
-            F.lit('<p>filler</p><a href="http://site'), a,
-            F.lit('.com/x">more about  topic '), (did % 7).cast("string"),
-            F.lit("</a>"),
-            F.lit("<a href='HTTPS://SITE"), b,
-            F.lit(".COM:443/q?t=1'> <b>visit</b>\nsite "),
-            (did % 5).cast("string"), F.lit(" </a>"),
-            F.lit('<a href="/rel/path">rel anchor</a>'),
-        ))
-    )
-    h = (F.floor(did / 4) % 25).cast("string")
-    pages = d.select(
-        F.concat(F.lit("http://site"), h, F.lit(".com/p/"),
-                 did.cast("string")).alias("url"),
-        body.alias("body"),
-    )
-    sig = WB.anchor_signal(WB.extract_anchor_texts(pages))
+    sig = WB.anchor_signal(WB.extract_anchor_texts(_spam_anchor_pages(d)))
     ranks, stats = _frontier_inputs(base)
     return WB.crawl_frontier(ranks, stats, sig)
+
+
+@register(
+    "crawl_plan",
+    f"""
+    WITH fr AS (SELECT * FROM ({_frontier_oracle(5)})),
+    l AS (
+      SELECT 'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com'
+               AS host,
+             'more about topic ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT 'site' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) || '.com',
+             'visit site ' || CAST(doc_id % 5 AS VARCHAR)
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT 'site24.com', 'click here'
+      FROM documents WHERE doc_id % 3 = 0),
+    per AS (SELECT host, anchor, count(*) AS c FROM l GROUP BY 1, 2),
+    sig AS (SELECT host, CAST(sum(c) AS BIGINT) AS anchor_links,
+                   round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                     AS top_anchor_share
+            FROM per GROUP BY 1),
+    fr2 AS (SELECT fr.host, fr.status,
+              CASE WHEN coalesce(sig.top_anchor_share >= 0.75
+                                 AND sig.anchor_links >= 4, false)
+                   THEN round(fr.priority * 0.5, 6)
+                   ELSE fr.priority END AS priority
+            FROM fr LEFT JOIN sig ON sig.host = fr.host),
+    cand AS (
+      SELECT 'http://site' || CAST(doc_id % 25 AS VARCHAR) || '.com'
+               || CASE doc_id % 4 WHEN 2 THEN '/private/'
+                  WHEN 3 THEN '/tmp/' ELSE '/p/' END
+               || CAST(doc_id AS VARCHAR) AS url,
+             'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS host,
+             (doc_id % 4 = 2
+              OR (doc_id % 4 = 3 AND (doc_id % 25) % 2 = 0)) AS blocked
+      FROM documents),
+    f AS (SELECT c.url, c.host, fr2.priority
+          FROM cand c JOIN fr2 ON fr2.host = c.host
+          WHERE NOT c.blocked AND fr2.status <> 'blocked'
+            AND fr2.priority > 0),
+    el AS (SELECT host, CAST(round(priority * 1e6) AS BIGINT) AS pm
+           FROM fr2 WHERE priority > 0 AND status <> 'blocked'),
+    t AS (SELECT CAST(sum(pm) AS BIGINT) AS tot FROM el),
+    al AS (SELECT host, CAST(least(2000 * pm // tot, 150) AS BIGINT)
+                    AS alloc
+           FROM el, t),
+    dly AS (SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+                   CASE WHEN h % 5 = 0 THEN CAST(0.5 AS DOUBLE)
+                        ELSE CAST(1 + h % 3 AS DOUBLE) END AS crawl_delay
+            FROM (SELECT DISTINCT doc_id % 25 AS h FROM documents)),
+    s AS (SELECT f.url, f.host, f.priority,
+                 CAST(row_number() OVER (PARTITION BY f.host
+                                         ORDER BY f.url) - 1
+                      AS BIGINT) AS slot,
+                 dly.crawl_delay
+          FROM f JOIN dly ON dly.host = f.host)
+    SELECT s.url, s.host, s.priority, al.alloc, s.slot, s.crawl_delay,
+           round(s.slot * s.crawl_delay, 6) AS fetch_at_s,
+           (s.slot < al.alloc) AS fetch
+    FROM s JOIN al ON al.host = s.host
+    """,
+    doc="The COMPLETE crawl loop in one plan — the capstone composition "
+    "over every round-7/8 compliance operator: link graph -> pagerank "
+    "+ host_stats + anchor_signal (site24's unanimous in-anchors halve "
+    "its priority) -> crawl_frontier -> parse_robots_rules -> "
+    "robots_gate_rfc (fetch PERMISSION; Disallow-only rules here, "
+    "where longest-match provably equals the conservative gate) -> "
+    "frontier_budget (integer micro-priority DIV on the "
+    "anchor-ADJUSTED priorities, capped 150/host) -> "
+    "parse_crawl_delays + schedule_fetches (per-host timed slots) -> "
+    "fetch = slot < alloc: the budget truncates each host's schedule, "
+    "producing exactly the timed, capped, compliant per-URL fetch "
+    "list a fetcher fleet consumes. Like web_curation_pipeline and "
+    "crawl_cycle this hash-pins the COMPOSITION of separately-"
+    "verified stages — notably that the budget reads the SAME "
+    "adjusted priorities the frontier emitted. Plan: all frames meet "
+    "in host-cardinality equi-joins; URLs are touched once by the "
+    "gate, once by the host-partitioned slot window.",
+    tags=("dataprep", "web", "graph", "crawl", "pipeline", "compliance"),
+)
+def crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+    sig = WB.anchor_signal(WB.extract_anchor_texts(_spam_anchor_pages(d)))
+    ranks, stats = _frontier_inputs(base)
+    fr = WB.crawl_frontier(ranks, stats, sig)
+    frontier, robots = _robots_inputs(d)
+    gated = WB.robots_gate_rfc(frontier, WB.parse_robots_rules(robots))
+    fetches = (
+        gated.join(fr.select("host", "status", "priority"), "host")
+        .where(~F.col("blocked") & (F.col("status") != "blocked")
+               & (F.col("priority") > 0))
+        .select("url", "host")
+    )
+    sched = WB.schedule_fetches(
+        fetches, WB.parse_crawl_delays(robots), default_delay=0.5)
+    alloc = WB.frontier_budget(
+        fr, budget=2000, per_host_cap=150).select("host", "alloc")
+    return (
+        sched.join(fr.select("host", "priority"), "host")
+        .join(alloc, "host")
+        .select(
+            "url", "host", "priority", "alloc", "slot", "crawl_delay",
+            "fetch_at_s",
+            (F.col("slot") < F.col("alloc")).alias("fetch"),
+        )
+    )
 
 
 @register(

@@ -552,3 +552,32 @@ def test_url_templates_masking_and_share(spark):
     for (h, _t), r in out.items():
         by_host[h] = by_host.get(h, 0) + r.share
     assert all(abs(s - 1.0) < 1e-9 for s in by_host.values())
+
+
+def test_crawl_plan_budget_truncates_schedule(spark):
+    """The composed plan's invariants: fetch iff slot < alloc; per host
+    the fetched count is min(alloc, n_urls); slots are contiguous from
+    0 in URL order; every URL present is robots-allowed on a fetchable
+    host; the spam-anchored host (site24) carries a halved priority
+    relative to its anchor-free frontier value."""
+    from hbase_packet_inspector_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    rows = plans.QUERIES["crawl_plan"].fn(spark, sf).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        assert r.fetch == (r.slot < r.alloc)
+        assert "/private/" not in r.url
+        by_host.setdefault(r.host, []).append(r)
+    for h, rs in by_host.items():
+        rs.sort(key=lambda r: r.url)
+        assert [r.slot for r in rs] == list(range(len(rs)))
+        fetched = sum(1 for r in rs if r.fetch)
+        assert fetched == min(rs[0].alloc, len(rs))
+    # cross-check the anchor demotion against the anchor-free frontier
+    base = {r.host: r.priority for r in
+            plans.QUERIES["crawl_frontier"].fn(spark, sf).collect()}
+    if "site24.com" in by_host:
+        assert by_host["site24.com"][0].priority == round(
+            base["site24.com"] * 0.5, 6)

@@ -184,6 +184,10 @@ ALLOWED = {
     # one-row-totals rationale); the allocation itself is integer
     # column math
     "crawl_budget": {"NESTED-LOOP-JOIN"},
+    # the composed loop embeds frontier_budget, whose total
+    # micro-priority is the same broadcast ONE-ROW aggregate
+    # (crawl_budget's rationale); every other stage is a host equi-join
+    "crawl_plan": {"NESTED-LOOP-JOIN"},
     # the bin-count total re-enters as a broadcast ONE-ROW aggregate
     # over the n_bins-row histogram (key_skew_report's rationale);
     # the histogram is one mergeable (bin, label) aggregate
