@@ -625,3 +625,69 @@ def test_c4_quality_flags_rules(spark):
     assert out[4].keep and (out[4].n_lines_kept, out[4].n_lines) == (3, 4)
     assert "JavaScript" not in out[4].text_clean
     assert out[5].keep and (out[5].n_lines_kept, out[5].n_lines) == (3, 4)
+
+
+def test_new_crawl_parsers_total_on_garbage(spark):
+    """parse_robots_rules, parse_crawl_delays, parse_sitemaps,
+    sitemap_to_urls, and url_templates never raise over seeded random
+    adversarial inputs (mixed CRLF, grouped agents, wildcards, broken
+    XML, non-URL strings, unicode) and hold their output contracts:
+    non-empty rule values where promised, non-negative delays, loc-less
+    entries dropped, per-host template shares summing to ~1."""
+    import random
+
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_crawl_delays,
+        parse_robots_rules,
+        parse_sitemaps,
+        sitemap_to_urls,
+        url_templates,
+    )
+
+    rng = random.Random(17)
+    frag = ["User-agent:", "user-agent: *", "USER-AGENT: a\r",
+            "Disallow:", "disallow: /", "Disallow: /a*", "Disallow: *",
+            "Allow: /x", "Allow: /y*z", "allow:", "#comment", "*",
+            "\r", "", "Crawl-delay: 10", "Crawl-delay: -3",
+            "crawl-delay: 1.5.2", "Crawl-delay: soon",
+            "Sitemap: http://x/s.xml", "sitemap:", "韓 robots",
+            "Sitemap: not a url at all"]
+    texts = ["\n".join(rng.choice(frag) for _ in range(rng.randint(0, 14)))
+             for _ in range(200)]
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", t) for i, t in enumerate(texts)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots).collect()      # must not raise
+    # empty prefixes appear only via wildcard truncation of a disallow
+    assert all(r.prefix or not r.allow for r in rules)
+    delays = parse_crawl_delays(robots).collect()
+    assert all(r.crawl_delay >= 0 for r in delays)    # '-3' never parses
+    sitemaps = parse_sitemaps(robots).collect()
+    assert all(r.sitemap_url for r in sitemaps)
+
+    xml_frag = ["<url>", "</url>", "<loc>", "</loc>", "<loc>x</loc>",
+                "<sitemap><loc>http://a/b.xml</loc></sitemap>",
+                "<lastmod>junk</lastmod>", "<urlset>", "&amp;", "韓",
+                "<url><loc></loc></url>", "< url >", "plain text"]
+    bodies = ["".join(rng.choice(xml_frag)
+                      for _ in range(rng.randint(0, 20)))
+              for _ in range(200)]
+    sm = spark.createDataFrame(
+        [(f"http://h{i}.com/sm.xml", b) for i, b in enumerate(bodies)],
+        "sitemap_url string, body string",
+    )
+    entries = sitemap_to_urls(sm).collect()           # must not raise
+    assert all(e.loc for e in entries)                # loc-less dropped
+
+    url_frag = ["http://h.com/a/1", "not a url", "", "HTTPS://H.COM:443",
+                "http://h.com/p/22?q=3#frag", "ftp://x/9", "http://",
+                "http://h.com/" + "9" * 50, "http://韓.com/1/2"]
+    pages = spark.createDataFrame(
+        [(rng.choice(url_frag),) for _ in range(300)], "url string")
+    tmpl = url_templates(pages).collect()             # must not raise
+    shares = {}
+    for r in tmpl:
+        assert r.n_urls >= r.n_distinct_urls >= 1
+        shares[r.host] = shares.get(r.host, 0.0) + r.share
+    assert all(abs(s - 1.0) < 1e-4 for s in shares.values())

@@ -268,7 +268,7 @@ def probe_crawl(spark, dirs: list[str]) -> None:
         print(f"\n== crawl family @ {d} ({n} docs)")
         m = StageMeter(spark)
         for name in ("crawl_frontier", "robots_gate", "crawl_cycle",
-                     "crawl_schedule"):
+                     "crawl_schedule", "crawl_budget", "crawl_plan"):
             fn = plans.QUERIES[name].fn
             fn(spark, d).count()  # warm
             m.run(name, lambda fn=fn: fn(spark, d).count())
