@@ -1096,3 +1096,69 @@ def test_stream_quality_rulesets_exactly_match_batch(spark, tmp_path):
     out_c = _replay(spark, docs, c4_quality_flags,
                     str(tmp_path / "cq"))
     assert key(out_c) == key(c4_quality_flags(docs).collect())
+
+
+def test_run_crawl_gate_stream_end_to_end(spark, tmp_path):
+    """The streamed compliance deployment: three frontier micro-batches
+    gated against a CRLF robots snapshot with an Allow exception; the
+    union of per-batch decisions equals one batch robots_gate_rfc pass,
+    plans cover exactly the allowed rows with per-cycle slots from 0 and
+    the declared (or default) delay, and a re-run after the drain
+    processes nothing new (checkpoint idempotency)."""
+    import os
+
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots_rules,
+        robots_gate_rfc,
+    )
+    from hbase_packet_inspector_spark.streaming.crawl import (
+        run_crawl_gate_stream,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\r\nDisallow: /d\r\nAllow: /d/keep\r\n"
+                   "Crawl-delay: 2\r\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    robots_dir = str(tmp_path / "robots")
+    robots.write.parquet(robots_dir)
+    urls = [(f"http://a.com/d/{i}",) for i in range(3)] \
+        + [(f"http://a.com/d/keep/{i}",) for i in range(4)] \
+        + [("http://b.com/x",), ("http://nores.com/y",)]
+    urls_df = spark.createDataFrame(urls, "url string")
+    urls_dir = str(tmp_path / "urls")
+    urls_df.repartition(3).write.parquet(urls_dir)
+    out = str(tmp_path / "out")
+
+    run_crawl_gate_stream(spark, urls_dir, robots_dir, out,
+                          default_delay=0.5, max_files_per_trigger=1)
+
+    dec = spark.read.parquet(f"{out}/decisions")
+    batch = robots_gate_rfc(urls_df, parse_robots_rules(robots))
+    assert {(r.url, r.blocked) for r in dec.collect()} == \
+        {(r.url, r.blocked) for r in batch.collect()}
+    n_batches = len([d for d in os.listdir(f"{out}/decisions")
+                     if d.startswith("batch_id=")])
+    assert n_batches == 3  # maxFilesPerTrigger=1 over 3 files
+
+    plan = spark.read.parquet(f"{out}/plan").collect()
+    allowed = {r.url for r in batch.collect() if not r.blocked}
+    assert {r.url for r in plan} == allowed
+    for r in plan:
+        assert r.crawl_delay == (2.0 if r.host == "a.com" else 0.5)
+        assert r.fetch_at_s == round(r.slot * r.crawl_delay, 6)
+    # slots restart per micro-batch (a batch is one fetch cycle)
+    per_cycle = {}
+    for d in os.listdir(f"{out}/plan"):
+        if not d.startswith("batch_id="):
+            continue
+        rows = spark.read.parquet(f"{out}/plan/{d}").collect()
+        for host in {r.host for r in rows}:
+            slots = sorted(r.slot for r in rows if r.host == host)
+            assert slots == list(range(len(slots)))
+
+    # drained stream: a second run must add nothing
+    run_crawl_gate_stream(spark, urls_dir, robots_dir, out,
+                          default_delay=0.5, max_files_per_trigger=1)
+    assert spark.read.parquet(f"{out}/decisions").count() == dec.count()
