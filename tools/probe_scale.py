@@ -275,6 +275,32 @@ def probe_crawl(spark, dirs: list[str]) -> None:
             spark.catalog.clearCache()
 
 
+def probe_quality(spark, dirs: list[str]) -> None:
+    """gopher_quality / c4_quality at growing corpus: both are single
+    narrow in-row passes (split/filter/aggregate HOFs over words and
+    lines, no shuffle), so wall must track corpus size ~linearly with
+    ZERO shuffle at every scale — the claim their docstrings make."""
+    from hbase_packet_inspector_spark import plans
+
+    for d in dirs:
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        print(f"\n== quality gates @ {d} ({n} docs)")
+        m = StageMeter(spark)
+        for name in ("gopher_quality", "c4_quality"):
+            fn = plans.QUERIES[name].fn
+
+            # fold the keep column: a bare count() lets Catalyst prune
+            # every expression and read parquet row-count metadata,
+            # timing nothing
+            def run(fn=fn):
+                return fn(spark, d).agg(
+                    F.sum(F.col("keep").cast("long"))).collect()[0][0]
+
+            run()  # warm
+            m.run(name, run)
+            spark.catalog.clearCache()
+
+
 def _host_edges(spark, n_hosts: int):
     """Deterministic host link graph: 8 out-links per host; targets spread
     by a hash mix, so in-degree is uneven (natural mild skew) but bounded."""
@@ -327,6 +353,11 @@ def main() -> None:
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
         ]
         probe_crawl(spark, dirs)
+    elif what == "quality":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
+        ]
+        probe_quality(spark, dirs)
     else:
         raise SystemExit(f"unknown probe {what}")
     spark.stop()
