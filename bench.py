@@ -248,6 +248,7 @@ HEADLINE = [
     "gopher_quality",
     "c4_quality",
     "crawl_plan",
+    "retrieval_ndcg",
 ]
 
 

@@ -34,6 +34,7 @@ _UNVERIFIED_FIRST = (
     "gopher_quality",  # latest green r0
     "c4_quality",  # latest green r0
     "crawl_plan",  # latest green r0
+    "retrieval_ndcg",  # latest green r0
     "pricing_summary",  # latest green r4
     "top_revenue_orders",  # latest green r4
     "nation_revenue",  # latest green r4

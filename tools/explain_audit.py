@@ -179,6 +179,9 @@ ALLOWED = {
     # resp. lexical word-set jaccard — ann_recall's rationale); the RRF
     # fusion itself is a union + groupBy over queries x k rows
     "hybrid_rrf": {"NESTED-LOOP-JOIN"},
+    # evaluates the same three rankers (hybrid_rrf's rationale) plus the
+    # 1-row in-engine IDCG broadcast (ann_ndcg's rationale)
+    "retrieval_ndcg": {"NESTED-LOOP-JOIN"},
     # the total micro-priority re-enters as a broadcast ONE-ROW
     # aggregate over the host-cardinality frontier (key_skew_report's
     # one-row-totals rationale); the allocation itself is integer
