@@ -17,7 +17,7 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 190 queries: 4 rounds between a
+# ceil(len(registry) / 50) rounds (at 191 queries: 4 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # tools/refresh_unverified.py after each round's CORRECTNESS_r{N}.json
