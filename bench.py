@@ -260,21 +260,30 @@ def _loadavg() -> float:
         return 0.0
 
 
-def _quiesce(cpus: int, max_wait_sec: float = 120.0) -> tuple[bool, float]:
+def _quiesce(cpus: int, max_wait_sec: float = 300.0) -> tuple[bool, float]:
     """Wait for the box to settle; return (contended, observed_load).
 
-    "Settled" = 1-min loadavg below half the CPUs we were allotted.  The
-    1-min average decays slowly, so we poll rather than sleep once.  If the
-    load never drops within ``max_wait_sec`` we proceed anyway but flag the
-    run as contended — a marked-noisy number beats no number.
+    "Settled" = 1-min loadavg below a QUARTER of the CPUs we were
+    allotted (the r8 record started at load 11.94/32 under the old
+    half-CPUs threshold and shipped ``contended: false`` while every
+    overlapping query drifted ~1.06x — a threshold loose enough to pass
+    real contention is no threshold).  The 1-min average decays slowly,
+    so we poll rather than sleep once.  If the load never drops within
+    ``max_wait_sec`` we proceed anyway but stamp the run ``contended:
+    true`` — a loudly-marked noisy number beats no number, and the
+    cross-round comparator (tools/compare_bench.py) can then discount
+    the record instead of silently folding it into per-query history.
     """
-    threshold = max(2.0, cpus / 2.0)
+    threshold = max(2.0, cpus / 4.0)
     deadline = time.monotonic() + max_wait_sec
     load = _loadavg()
     while load > threshold and time.monotonic() < deadline:
         print(f"# quiesce: load {load:.1f} > {threshold:.1f}, waiting...", file=sys.stderr)
         time.sleep(10)
         load = _loadavg()
+    if load > threshold:
+        print(f"# quiesce: giving up at load {load:.1f} > {threshold:.1f}"
+              " — record will be stamped contended: true", file=sys.stderr)
     return load > threshold, load
 
 

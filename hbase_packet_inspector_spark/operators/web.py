@@ -186,7 +186,14 @@ def _star_bodies(text_col: str | Column) -> Column:
     robots.txt — very common in the wild — parses identically to LF: the
     pre-fix form compared the agent line against ``'*'`` after a
     space-only trim, so a trailing ``\\r`` silently dropped EVERY rule
-    (fail-open, the unsafe direction).
+    (fail-open, the unsafe direction). Comments strip next — RFC 9309
+    permits ``#`` to end-of-line on any line, so both trailing comments
+    (``Disallow: /secret # private``) and comment-only lines vanish
+    before grouping. Without the strip BOTH forms failed OPEN: a
+    trailing comment broke the line-anchored value extraction (rule
+    dropped), and a comment-only line BETWEEN consecutive agent lines
+    read as body content and closed the group early (the later agent
+    lines' rules never bound to ``*``).
 
     Grouping follows RFC 9309: consecutive ``User-agent:`` lines form ONE
     group sharing the rule block that follows, so ``User-agent: *`` /
@@ -197,18 +204,15 @@ def _star_bodies(text_col: str | Column) -> Column:
     forward); a section with body content closes the group and, when any
     agent in the run was ``*``, contributes its body. Element 0 of the
     split is the preamble (rules before any agent line bind to no agent)
-    and is dropped. Known conservative limit: a standalone comment line
-    BETWEEN agent lines reads as body content and closes the group —
-    rules after it bind to the later agent lines only (can only
-    under-include the wildcard group's own rules when the group is
-    star-led, i.e. over-block never under-block for the gate's
-    consumers that treat absent rules per host as allowed — documented
-    rather than chased; RFC groups separated by blank lines parse
-    exactly)."""
+    and is dropped."""
     norm = F.regexp_replace(
         F.col(text_col) if isinstance(text_col, str) else text_col,
         "\r\n?", "\n",
     )
+    # RFC 9309 comments: '#' to end-of-line, on rule lines and alone.
+    # Values never contain a literal '#' (it would start a comment), so
+    # the per-line strip is lossless for well-formed directives.
+    norm = F.regexp_replace(norm, "(?m)[ \\t]*#.*$", "")
     sections = F.split(norm, "(?i)user-agent:")
     tail = F.when(
         F.size(sections) > 1,
@@ -226,7 +230,10 @@ def _star_bodies(text_col: str | Column) -> Column:
         agent = F.regexp_extract(first, "^[ \\t]*([^ \\t#]+)", 1)
         body = F.substr(s, F.length(first) + F.lit(2))
         star = acc["carry"] | (agent == "*")
-        closes = F.trim(body) != ""
+        # any non-whitespace content closes the group (F.trim strips
+        # spaces only — a stripped comment line leaves a bare '\n',
+        # which must still read as blank)
+        closes = body.rlike("\\S")
         return F.struct(
             (star & ~closes).alias("carry"),
             F.when(star & closes, F.concat(acc["bodies"], F.array(body)))
@@ -309,10 +316,27 @@ def parse_crawl_delays(robots: DataFrame, *, host_col: str = "host",
     )
 
 
+def _robots_match_target(url_col: str | Column) -> Column:
+    """RFC 9309 match target for a frontier URL: the path plus optional
+    ``?query`` (fragment stripped), an empty path reading as ``/``.
+    Robots rules match against path-AND-query — ``Disallow: /search?q=``
+    must be able to match — so every gate compares against this, not the
+    bare path (the pre-fix form stripped the query, leaving
+    query-targeting rules silently fail-open)."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    pq = F.regexp_extract(F.regexp_extract(u, _REST_RE, 1), "^([^#]*)", 1)
+    return (
+        F.when(pq == "", F.lit("/"))
+        .when(pq.startswith("?"), F.concat(F.lit("/"), pq))
+        .otherwise(pq)
+    )
+
+
 def robots_gate(frontier: DataFrame, rules: DataFrame, *,
                 url_col: str = "url") -> DataFrame:
     """Frontier URLs × robots rules → (url, host, blocked): blocked when
-    the URL's PATH starts with any of its host's disallow prefixes.
+    the URL's path-and-query (:func:`_robots_match_target`) starts with
+    any of its host's disallow prefixes.
     The step between :func:`crawl_frontier`'s priority table and the
     fetcher — fetch order is a ranking problem, fetch PERMISSION is this
     join.
@@ -326,11 +350,8 @@ def robots_gate(frontier: DataFrame, rules: DataFrame, *,
     f = frontier.select(
         F.col(url_col).alias("url"),
         url_host(url_col).alias("host"),
-        F.regexp_extract(
-            F.regexp_extract(F.col(url_col), _REST_RE, 1), "^([^?#]*)", 1
-        ).alias("_path"),
-    ).withColumn("_path", F.when(F.col("_path") == "", "/")
-                 .otherwise(F.col("_path")))
+        _robots_match_target(url_col).alias("_path"),
+    )
     j = f.join(rules, "host", "left")
     hit = F.when(
         F.col("disallow_prefix").isNotNull()
@@ -397,7 +418,8 @@ def robots_gate_rfc(frontier: DataFrame, rules: DataFrame, *,
                     url_col: str = "url") -> DataFrame:
     """Frontier URLs × both-polarity robots rules → (url, host, blocked)
     by RFC 9309 longest-match: among the host's rules whose prefix
-    matches the URL path, the LONGEST prefix decides, an Allow winning
+    matches the URL path-and-query (:func:`_robots_match_target`), the
+    LONGEST prefix decides, an Allow winning
     a length tie (the RFC's 'most octets; equivalent → allow' clause);
     no matching rule (or no rules at all) means allowed. This upgrades
     :func:`robots_gate`'s Disallow-only subset to the resolution every
@@ -411,11 +433,8 @@ def robots_gate_rfc(frontier: DataFrame, rules: DataFrame, *,
     f = frontier.select(
         F.col(url_col).alias("url"),
         url_host(url_col).alias("host"),
-        F.regexp_extract(
-            F.regexp_extract(F.col(url_col), _REST_RE, 1), "^([^?#]*)", 1
-        ).alias("_path"),
-    ).withColumn("_path", F.when(F.col("_path") == "", "/")
-                 .otherwise(F.col("_path")))
+        _robots_match_target(url_col).alias("_path"),
+    )
     j = f.join(rules, "host", "left")
     cand = F.when(
         F.col("prefix").isNotNull()
@@ -482,12 +501,16 @@ def parse_sitemaps(robots: DataFrame, *, host_col: str = "host",
 
     Per the sitemaps protocol the directive is GLOBAL — not bound to
     any User-agent group — so unlike the rule parsers this reads the
-    whole file (preamble included) after CRLF normalization; the
-    per-group machinery of :func:`_star_bodies` deliberately does not
-    apply. Multiple directives all emit; values must be absolute URLs
-    per the spec but are passed through verbatim (the fetcher, not the
-    parser, is where garbage fails safely)."""
+    whole file (preamble included) after CRLF normalization and RFC 9309
+    ``#``-comment stripping (same lossless strip as
+    :func:`_star_bodies`: a sitemap URL cannot contain a raw ``#`` —
+    that octet starts a comment); the per-group machinery of
+    :func:`_star_bodies` deliberately does not apply. Multiple
+    directives all emit; values must be absolute URLs per the spec but
+    are passed through verbatim (the fetcher, not the parser, is where
+    garbage fails safely)."""
     norm = F.regexp_replace(F.col(text_col), "\r\n?", "\n")
+    norm = F.regexp_replace(norm, "(?m)[ \\t]*#.*$", "")
     urls = F.regexp_extract_all(
         norm, F.lit("(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)[ \\t]*$"), F.lit(1)
     )
@@ -1006,7 +1029,11 @@ def frontier_budget(frontier: DataFrame, *, budget: int,
     assignment would need a global rank over hosts; leaving ≤ one URL
     per host on the table costs nothing at crawl scale and keeps the
     plan window-free). Hosts with priority ≤ 0 or status 'blocked'
-    are excluded up front.
+    are excluded up front. Degenerate frontier guard: when every
+    surviving host's priority rounds to 0 micro-units the total is 0
+    and the non-ANSI integer DIV would return NULL — weight and alloc
+    explicitly fall back to 0 instead (allocate nothing, don't emit
+    NULL rows).
 
     Output per fetchable host: (host, priority, weight, alloc) with
     weight = round(pm / total_pm, 6) for reporting.
@@ -1027,13 +1054,17 @@ def frontier_budget(frontier: DataFrame, *, budget: int,
     alloc = F.expr(f"CAST({int(budget)} AS BIGINT) * _pm DIV _tot")
     if per_host_cap is not None:
         alloc = F.least(alloc, F.lit(int(per_host_cap)))
+    nonzero = F.coalesce(F.col("_tot"), F.lit(0)) > 0
     return (
         f.crossJoin(F.broadcast(tot))
         .select(
             "host", "priority",
-            F.round(F.col("_pm").cast("double") / F.col("_tot"), 6)
-            .alias("weight"),
-            alloc.cast("bigint").alias("alloc"),
+            F.when(
+                nonzero,
+                F.round(F.col("_pm").cast("double") / F.col("_tot"), 6),
+            ).otherwise(F.lit(0.0)).alias("weight"),
+            F.when(nonzero, alloc).otherwise(F.lit(0))
+            .cast("bigint").alias("alloc"),
         )
     )
 

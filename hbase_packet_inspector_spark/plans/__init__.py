@@ -24,56 +24,6 @@ except ImportError:
 # lands; new queries register with no green row and land at the front
 # automatically.
 _UNVERIFIED_FIRST = (
-    "crawl_schedule",  # latest green r0
-    "crawl_frontier_anchors",  # latest green r0
-    "robots_gate_rfc",  # latest green r0
-    "sitemap_discovery",  # latest green r0
-    "url_templates",  # latest green r0
-    "crawl_budget",  # latest green r0
-    "score_calibration",  # latest green r0
-    "gopher_quality",  # latest green r0
-    "c4_quality",  # latest green r0
-    "crawl_plan",  # latest green r0
-    "retrieval_ndcg",  # latest green r0
-    "pricing_summary",  # latest green r4
-    "top_revenue_orders",  # latest green r4
-    "nation_revenue",  # latest green r4
-    "customer_geo_rollup",  # latest green r4
-    "priority_top_orders",  # latest green r4
-    "parts_never_returned",  # latest green r4
-    "customers_without_orders",  # latest green r4
-    "brand_supplier_volume",  # latest green r4
-    "orders_by_month",  # latest green r4
-    "acctbal_deciles",  # latest green r4
-    "embedding_pca_wide",  # latest green r4
-    "data_profile",  # latest green r4
-    "source_mixture_weights",  # latest green r4
-    "global_shuffle",  # latest green r4
-    "lsh_recall",  # latest green r4
-    "embedding_decontaminate",  # latest green r4
-    "curation_pipeline",  # latest green r4
-    "bigram_surprise",  # latest green r4
-    "dup_span_fraction",  # latest green r4
-    "dsir_weights",  # latest green r4
-    "logreg_score",  # latest green r4
-    "source_overlap",  # latest green r4
-    "pq_rerank_topk",  # latest green r4
-    "dedup_span_clean",  # latest green r4
-    "bpe_merges",  # latest green r4
-    "bpe_token_count",  # latest green r4
-    "span_dsir_pipeline",  # latest green r4
-    "source_length_quartiles",  # latest green r4
-    "hbase_pcap_decode",  # latest green r4
-    "hbase_pcap_tables",  # latest green r4
-    "order_lineitem_counts",  # latest green r5
-    "parts_both_flags_intersect",  # latest green r5
-    "lineitem_status_cube",  # latest green r5
-    "customer_order_gaps",  # latest green r5
-    "quantity_outliers",  # latest green r5
-    "big_ticket_customers",  # latest green r5
-    "dedup_exact",  # latest green r5
-    "doc_fingerprint",  # latest green r5
-    "dedup_ngram_jaccard",  # latest green r5
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5
@@ -215,6 +165,56 @@ _UNVERIFIED_FIRST = (
     "rpc_scanner_state",  # latest green r7
     "rpc_finalize",  # latest green r7
     "skew_salted_join",  # latest green r7
+    "pricing_summary",  # latest green r8
+    "top_revenue_orders",  # latest green r8
+    "nation_revenue",  # latest green r8
+    "customer_geo_rollup",  # latest green r8
+    "priority_top_orders",  # latest green r8
+    "parts_never_returned",  # latest green r8
+    "customers_without_orders",  # latest green r8
+    "brand_supplier_volume",  # latest green r8
+    "orders_by_month",  # latest green r8
+    "acctbal_deciles",  # latest green r8
+    "order_lineitem_counts",  # latest green r8
+    "parts_both_flags_intersect",  # latest green r8
+    "lineitem_status_cube",  # latest green r8
+    "customer_order_gaps",  # latest green r8
+    "quantity_outliers",  # latest green r8
+    "big_ticket_customers",  # latest green r8
+    "dedup_exact",  # latest green r8
+    "doc_fingerprint",  # latest green r8
+    "dedup_ngram_jaccard",  # latest green r8
+    "embedding_pca_wide",  # latest green r8
+    "data_profile",  # latest green r8
+    "source_mixture_weights",  # latest green r8
+    "global_shuffle",  # latest green r8
+    "lsh_recall",  # latest green r8
+    "embedding_decontaminate",  # latest green r8
+    "curation_pipeline",  # latest green r8
+    "bigram_surprise",  # latest green r8
+    "dup_span_fraction",  # latest green r8
+    "dsir_weights",  # latest green r8
+    "logreg_score",  # latest green r8
+    "source_overlap",  # latest green r8
+    "pq_rerank_topk",  # latest green r8
+    "dedup_span_clean",  # latest green r8
+    "bpe_merges",  # latest green r8
+    "bpe_token_count",  # latest green r8
+    "span_dsir_pipeline",  # latest green r8
+    "source_length_quartiles",  # latest green r8
+    "crawl_budget",  # latest green r8
+    "score_calibration",  # latest green r8
+    "gopher_quality",  # latest green r8
+    "c4_quality",  # latest green r8
+    "sitemap_discovery",  # latest green r8
+    "url_templates",  # latest green r8
+    "robots_gate_rfc",  # latest green r8
+    "crawl_schedule",  # latest green r8
+    "crawl_frontier_anchors",  # latest green r8
+    "crawl_plan",  # latest green r8
+    "retrieval_ndcg",  # latest green r8
+    "hbase_pcap_decode",  # latest green r8
+    "hbase_pcap_tables",  # latest green r8
 )
 
 

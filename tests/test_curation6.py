@@ -553,6 +553,24 @@ def test_frontier_budget_integer_allocation(spark):
     assert sum(uncapped.values()) <= 101
 
 
+def test_frontier_budget_zero_micro_total(spark):
+    """Degenerate frontier: every surviving host's priority rounds to 0
+    micro-units, so the integer total is 0 — weight and alloc must fall
+    back to 0 (the non-ANSI DIV would otherwise emit NULL rows)."""
+    from hbase_packet_inspector_spark.operators.web import (
+        frontier_budget,
+    )
+
+    fr = spark.createDataFrame(
+        [("a.com", 4e-7, "known"), ("b.com", 2e-7, "new")],
+        "host string, priority double, status string",
+    )
+    out = {r.host: r for r in frontier_budget(fr, budget=100).collect()}
+    assert set(out) == {"a.com", "b.com"}
+    for r in out.values():
+        assert r.alloc == 0 and r.weight == 0.0
+
+
 def test_gopher_quality_flags_each_rule(spark):
     """Each published Gopher rule fires on its own crafted failure mode
     and a compliant document keeps; zero-word docs fail word count with

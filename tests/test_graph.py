@@ -581,3 +581,94 @@ def test_crawl_plan_budget_truncates_schedule(spark):
     if "site24.com" in by_host:
         assert by_host["site24.com"][0].priority == round(
             base["site24.com"] * 0.5, 6)
+
+
+def test_robots_comment_stripping_fail_closed(spark):
+    """RFC 9309 comments must not drop rules (the pre-fix forms failed
+    OPEN): trailing '# ...' on a directive line, a comment-only line
+    between consecutive agent lines (the group must stay open), and
+    comments in Crawl-delay / Sitemap lines."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_crawl_delays,
+        parse_robots,
+        parse_robots_rules,
+        parse_sitemaps,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            # trailing comments on every directive form
+            ("a.com",
+             "User-agent: *   # all agents\n"
+             "Disallow: /secret # private\n"
+             "Allow: /secret/ok\t#exception\n"
+             "Crawl-delay: 2 # seconds\n"
+             "Sitemap: http://a.com/sm.xml # declared\n"),
+            # comment-only line BETWEEN consecutive agent lines: the
+            # run is still one group, so the rules bind to * too
+            ("b.com",
+             "User-agent: *\n# maintained by ops\nUser-agent: foo\n"
+             "Disallow: /x\n"),
+            # comment-only line inside a rule block: ignored, both
+            # surrounding rules survive
+            ("c.com",
+             "User-agent: *\nDisallow: /one\n# note\nDisallow: /two\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    dis = {(r.host, r.disallow_prefix)
+           for r in parse_robots(robots).collect()}
+    assert dis == {("a.com", "/secret"), ("b.com", "/x"),
+                   ("c.com", "/one"), ("c.com", "/two")}
+    both = {(r.host, r.prefix, r.allow)
+            for r in parse_robots_rules(robots).collect()}
+    assert ("a.com", "/secret/ok", True) in both
+    assert ("b.com", "/x", False) in both
+    delays = {(r.host, r.crawl_delay)
+              for r in parse_crawl_delays(robots).collect()}
+    assert delays == {("a.com", 2.0)}
+    sm = {(r.host, r.sitemap_url)
+          for r in parse_sitemaps(robots).collect()}
+    assert sm == {("a.com", "http://a.com/sm.xml")}
+
+
+def test_robots_gates_match_path_and_query(spark):
+    """RFC 9309 matches against path-plus-query: 'Disallow: /search?q='
+    must block matching query URLs in both gates (the pre-fix forms
+    stripped the query, leaving such rules silently fail-open);
+    fragments stay stripped, and a bare-host URL with a query reads
+    as '/?...'."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots,
+        parse_robots_rules,
+        robots_gate,
+        robots_gate_rfc,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\nDisallow: /search?q=\nDisallow: /?session=\n"
+          "Allow: /search?q=ok\n")],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [("http://a.com/search?q=x",),      # query rule hits
+         ("http://a.com/search",),          # path alone: no match
+         ("http://a.com/search?page=2",),   # different query: no match
+         ("http://a.com/search?q=x#frag",),  # fragment stripped, hits
+         ("http://a.com?session=1",),       # bare host + query -> /?...
+         ("http://a.com/search?q=okay",)],  # rfc: longer allow wins
+        "url string",
+    )
+    simple = {r.url: r.blocked for r in
+              robots_gate(frontier, parse_robots(robots)).collect()}
+    assert simple["http://a.com/search?q=x"] is True
+    assert simple["http://a.com/search"] is False
+    assert simple["http://a.com/search?page=2"] is False
+    assert simple["http://a.com/search?q=x#frag"] is True
+    assert simple["http://a.com?session=1"] is True
+    rfc = {r.url: r.blocked for r in
+           robots_gate_rfc(frontier, parse_robots_rules(robots)).collect()}
+    assert rfc["http://a.com/search?q=x"] is True
+    assert rfc["http://a.com/search?q=okay"] is False   # allow is longer
+    assert rfc["http://a.com?session=1"] is True

@@ -33,16 +33,28 @@ def load_queries(path: str) -> dict[str, float]:
     if isinstance(d.get("parsed"), dict) and isinstance(
             d["parsed"].get("queries"), dict):
         return {k: float(v) for k, v in d["parsed"]["queries"].items()}
-    # driver archive: scrape "name": seconds pairs out of the tail text,
-    # excluding dimensionless spread dicts by requiring plausible keys
+    # driver archive: scrape per-query seconds out of the tail text.
+    # Anchor to the "slowest"/"queries" sub-dicts when either survived
+    # truncation — the only places query names map to seconds — so
+    # record-level keys (value, queries_median_total, ...) can never
+    # surface as bogus query rows; fall back to the filtered flat scan
+    # only when neither anchor is present.
     tail = d.get("tail", "")
     out: dict[str, float] = {}
-    for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail):
-        k, v = m.group(1), float(m.group(2))
-        if k in ("value", "sf", "load_at_start", "repeats",
-                 "spread_median", "spread_max", "n_queries", "n_noisy"):
-            continue
-        out[k] = v
+    anchored = re.findall(
+        r'"(?:slowest|queries)":\s*(\{[^{}]*\})', tail)
+    blobs = anchored if anchored else [tail]
+    _META = frozenset((
+        "value", "sf", "load_at_start", "repeats", "spread_median",
+        "spread_max", "n_queries", "n_noisy", "queries_median_total",
+        "total", "contended",
+    ))
+    for blob in blobs:
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', blob):
+            k, v = m.group(1), float(m.group(2))
+            if k in _META:
+                continue
+            out[k] = v
     return out
 
 
