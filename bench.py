@@ -249,6 +249,7 @@ HEADLINE = [
     "c4_quality",
     "crawl_plan",
     "retrieval_ndcg",
+    "robots_gate_wildcards",
 ]
 
 

@@ -24,6 +24,7 @@ except ImportError:
 # lands; new queries register with no green row and land at the front
 # automatically.
 _UNVERIFIED_FIRST = (
+    "robots_gate_wildcards",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

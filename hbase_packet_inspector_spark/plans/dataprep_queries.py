@@ -7319,6 +7319,104 @@ def robots_gate_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robots_gate_wildcards",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 25 AS h, doc_id % 8 AS v
+               FROM documents)
+    SELECT 'http://site' || CAST(h AS VARCHAR) || '.com'
+             || CASE v WHEN 0 THEN '/d/' WHEN 1 THEN '/d/keep'
+                WHEN 2 THEN '/d/keep/x' WHEN 3 THEN '/d/keep/y'
+                WHEN 4 THEN '/p/' WHEN 5 THEN '/p/'
+                WHEN 6 THEN '/c/' ELSE '/ok?x=' END
+             || CAST(doc_id AS VARCHAR)
+             || CASE v WHEN 2 THEN '.tmp' WHEN 4 THEN '/end'
+                WHEN 5 THEN '/endx' ELSE '' END AS url,
+           'site' || CAST(h AS VARCHAR) || '.com' AS host,
+           CASE v WHEN 0 THEN TRUE
+                  WHEN 2 THEN h % 2 = 0
+                  WHEN 5 THEN TRUE
+                  WHEN 6 THEN TRUE
+                  WHEN 7 THEN TRUE
+                  ELSE FALSE END AS blocked
+    FROM d
+    """,
+    doc="FULL RFC 9309 '*'/'$' wildcard resolution EXECUTED (operators/"
+    "web.py::parse_robots_patterns + robots_gate_wildcards) — the "
+    "surface robots_gate_rfc's truncate/drop treatment deliberately "
+    "scoped out, now matched the way every major crawler resolves it: "
+    "'*' spans any octets, trailing '$' anchors to the end of the "
+    "path+query match target, longest RAW pattern (octets, "
+    "metacharacters included) decides, Allow wins ties. The synthetic "
+    "robots pin every branch: v=0 '/d/...' blocked by 'Disallow: /d'; "
+    "v=1 '/d/keep...' passes via the 'Allow: /d/keep*' exception (the "
+    "wildcard allow robots_gate_rfc would DROP); v=2 '.tmp'-suffixed "
+    "deep paths re-blocked on even hosts only by a "
+    "'Disallow: /d/keep/*.tmp$' (15 octets beats the 8-octet allow) "
+    "while odd hosts' bare 'Disallow: /*.tmp$' (7) loses to it; v=3 "
+    "same prefix WITHOUT the .tmp suffix passes everywhere (pins the "
+    "$ anchor — a truncating parser would block even hosts); v=4/v=5 "
+    "pin a mid-'*' $-anchored Allow ('/p/*/end$') passing exactly the "
+    "/end-terminated paths; v=6 pins trailing-comment stripping "
+    "('Disallow: /c # ...'); v=7 pins query-string matching "
+    "('Disallow: /ok?x=' against '/ok?x=<id>'); a googlebot block-all section and a "
+    "comment-only line between consecutive User-agent lines must not "
+    "perturb any of it. Oracle computes verdicts from the generator "
+    "arithmetic — the Spark side parses the real text and translates "
+    "patterns to anchored regexes in-row. Plan: one host equi-join "
+    "(rules KB-bounded per host) + partial+final max over a "
+    "(pattern_octets, allow) struct — identical shuffle shape to "
+    "robots_gate_rfc; the per-row regexp compile is bounded by "
+    "rules-per-host x URLs, the fan-out the join already pays.",
+    tags=("dataprep", "web", "crawl", "compliance"),
+)
+def robots_gate_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    h = did % 25
+    hs = h.cast("string")
+    v = did % 8
+    hosts = d.select(h.alias("_h")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("site"), F.col("_h").cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: googlebot\nDisallow: /\n\n"
+                  "User-agent: *\n# compliance group\n"
+                  "User-agent: backup-bot\n"
+                  "Disallow: /d\nAllow: /d/keep*\nDisallow: /*.tmp$\n"
+                  "Disallow: /p\nAllow: /p/*/end$\n"
+                  "Disallow: /c # crawl-sensitive\nDisallow: /ok?x=\n"),
+            F.when(F.col("_h") % 2 == 0,
+                   F.lit("Disallow: /d/keep/*.tmp$\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    frontier = d.select(
+        F.concat(
+            F.lit("http://site"), hs, F.lit(".com"),
+            F.when(v == 0, F.lit("/d/"))
+            .when(v == 1, F.lit("/d/keep"))
+            .when(v == 2, F.lit("/d/keep/x"))
+            .when(v == 3, F.lit("/d/keep/y"))
+            .when(v == 4, F.lit("/p/"))
+            .when(v == 5, F.lit("/p/"))
+            .when(v == 6, F.lit("/c/"))
+            .otherwise(F.lit("/ok?x=")),
+            did.cast("string"),
+            F.when(v == 2, F.lit(".tmp"))
+            .when(v == 4, F.lit("/end"))
+            .when(v == 5, F.lit("/endx"))
+            .otherwise(F.lit("")),
+        ).alias("url")
+    )
+    return WB.robots_gate_wildcards(
+        frontier, WB.parse_robots_patterns(robots))
+
+
+@register(
     "crawl_schedule",
     f"""
     WITH cand AS (

@@ -672,3 +672,55 @@ def test_robots_gates_match_path_and_query(spark):
     assert rfc["http://a.com/search?q=x"] is True
     assert rfc["http://a.com/search?q=okay"] is False   # allow is longer
     assert rfc["http://a.com?session=1"] is True
+
+
+def test_robots_gate_wildcards_full_rfc9309(spark):
+    """Full '*'/'$' semantics (parse_robots_patterns +
+    robots_gate_wildcards): wildcard Allow exceptions win by raw-pattern
+    octet length, trailing '$' anchors to the end of path+query, an
+    interior '*' spans octets, query-targeting rules match, comments
+    strip, googlebot sections don't leak, no-rules hosts pass."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots_patterns,
+        robots_gate_wildcards,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: googlebot\nDisallow: /\n\n"
+          "User-agent: *\n# grp\nUser-agent: backup\n"
+          "Disallow: /d\nAllow: /d/keep*\nDisallow: /*.tmp$\n"
+          "Disallow: /p\nAllow: /p/*/end$\nDisallow: /c # comment\n"
+          "Disallow: /ok?x=\nDisallow: /d/keep/*.tmp$\n")],
+        "host string, robots_txt string",
+    )
+    pats = {(r.pattern, r.allow)
+            for r in parse_robots_patterns(robots).collect()}
+    # verbatim: wildcards kept on BOTH polarities, comments stripped
+    assert ("/d/keep*", True) in pats
+    assert ("/d/keep/*.tmp$", False) in pats
+    assert ("/c", False) in pats
+
+    frontier = spark.createDataFrame(
+        [(u,) for u in [
+            "http://a.com/d/1", "http://a.com/d/keep2",
+            "http://a.com/d/keep/x3.tmp", "http://a.com/d/keep/y4",
+            "http://a.com/p/5/end", "http://a.com/p/6/endx",
+            "http://a.com/c/7", "http://a.com/ok8",
+            "http://a.com/ok?x=9", "http://b.com/any"]],
+        "url string",
+    )
+    out = {r.url: r.blocked for r in robots_gate_wildcards(
+        frontier, parse_robots_patterns(robots)).collect()}
+    assert out == {
+        "http://a.com/d/1": True,             # base disallow
+        "http://a.com/d/keep2": False,        # wildcard allow exception
+        "http://a.com/d/keep/x3.tmp": True,   # 15-octet $-anchored
+        "http://a.com/d/keep/y4": False,      # $ blocks the above match
+        "http://a.com/p/5/end": False,        # mid-* allow with $ wins
+        "http://a.com/p/6/endx": True,        # $ fails -> /p disallow
+        "http://a.com/c/7": True,             # trailing comment stripped
+        "http://a.com/ok8": False,            # no rule matches
+        "http://a.com/ok?x=9": True,          # query-targeting rule
+        "http://b.com/any": False,            # no rules at all
+    }
