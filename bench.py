@@ -250,6 +250,7 @@ HEADLINE = [
     "crawl_plan",
     "retrieval_ndcg",
     "robots_gate_wildcards",
+    "recrawl_schedule",
 ]
 
 

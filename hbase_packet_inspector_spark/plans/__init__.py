@@ -24,6 +24,7 @@ except ImportError:
 # lands; new queries register with no green row and land at the front
 # automatically.
 _UNVERIFIED_FIRST = (
+    "recrawl_schedule",  # latest green r0
     "robots_gate_wildcards",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5

@@ -7158,6 +7158,135 @@ def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recrawl_schedule",
+    f"""
+    WITH fr AS (SELECT * FROM ({_frontier_oracle(5)})),
+    h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),
+    sm AS (SELECT h,
+                  1 + CASE WHEN h % 3 >= 1 THEN 1 ELSE 0 END
+                    + CASE WHEN h % 3 >= 2 THEN 1 ELSE 0 END AS n_urls,
+                  CASE WHEN h % 4 IN (0, 2) THEN 1 ELSE 0 END
+                    + CASE WHEN h % 3 >= 1 THEN 1 ELSE 0 END AS n_fresh
+           FROM h),
+    sm2 AS (SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+                   CAST(n_urls AS BIGINT) AS n_sitemap_urls,
+                   CAST(n_fresh AS BIGINT) AS n_fresh,
+                   round(CAST(n_fresh AS DOUBLE) / n_urls, 6)
+                     AS fresh_share
+            FROM sm),
+    j AS (SELECT fr.host, fr.status, fr.priority,
+                 CAST(coalesce(sm2.n_sitemap_urls, 0) AS BIGINT)
+                   AS n_sitemap_urls,
+                 CAST(coalesce(sm2.n_fresh, 0) AS BIGINT) AS n_fresh,
+                 coalesce(sm2.fresh_share, 0.0) AS fresh_share,
+                 round(fr.priority
+                       * (1 + 0.5 * coalesce(sm2.fresh_share, 0.0)), 6)
+                   AS recrawl_priority
+          FROM fr LEFT JOIN sm2 ON sm2.host = fr.host),
+    el AS (SELECT host,
+                  CAST(round(recrawl_priority * 1e6) AS BIGINT) AS pm
+           FROM j WHERE recrawl_priority > 0 AND status <> 'blocked'),
+    t AS (SELECT CAST(sum(pm) AS BIGINT) AS tot FROM el),
+    al AS (SELECT host, round(CAST(pm AS DOUBLE) / tot, 6) AS weight,
+                  CAST(least(2000 * pm // tot, 150) AS BIGINT) AS alloc
+           FROM el, t)
+    SELECT j.host, j.status, j.priority, j.n_sitemap_urls, j.n_fresh,
+           j.fresh_share, j.recrawl_priority, al.weight, al.alloc
+    FROM j JOIN al ON al.host = j.host
+    """,
+    doc="The sitemap lastmod loop CLOSED (operators/web.py::"
+    "recrawl_priority feeding frontier_budget) — sitemap_to_urls has "
+    "emitted lastmod as 'the freshness signal a re-crawl scheduler "
+    "keys on' since round 8; this composition consumes it: robots "
+    "Sitemap: directives -> fetched XML -> per-host page entries "
+    "(index children EXCLUDED — even hosts carry one to pin it) -> "
+    "n_fresh/fresh_share under a 30-day window against asof "
+    "2024-03-15 -> recrawl_priority = round(priority x (1 + 0.5 x "
+    "fresh_share), 6) blended onto the crawl_frontier ladder -> "
+    "frontier_budget's integer micro-priority split over the ADJUSTED "
+    "priorities (2000 URLs, 150/host cap). The synthetic lastmods "
+    "vary by host arithmetic (h%4 picks fresh/stale/fresh/absent on "
+    "the first entry, second entries always fresh, third entries "
+    "dateless; hosts without sitemaps keep priority exactly), so "
+    "freshness genuinely reorders the budget. Oracle recomputes "
+    "shares and the allocation from generator arithmetic atop the "
+    "frontier CTE ladder — Spark parses the real robots.txt and XML. "
+    "Plan: entry rollup is one partial+final host aggregate; ONE more "
+    "host equi-join onto the frontier; the budget's 1-row total "
+    "broadcast — no windows, no new shuffle shape.",
+    tags=("dataprep", "web", "crawl", "compliance", "pipeline"),
+)
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    base = _docs(spark, sf_dir)
+    d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+    hosts = d.select((F.col("doc_id") % 25).alias("_h")).distinct()
+    hs = F.col("_h").cast("string")
+    site = F.concat(F.lit("http://site"), hs, F.lit(".com"))
+    robots = hosts.select(
+        F.concat(F.lit("site"), hs, F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("Sitemap: "), site, F.lit("/sm_a.xml\n"),
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("_h") % 2 == 0, F.concat(
+                F.lit("Sitemap: "), site, F.lit("/sm_b.xml\n")))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+
+    def _lm(i: int) -> Column:
+        if i == 0:
+            return (
+                F.when(F.col("_h") % 4 == 0,
+                       F.lit("<lastmod>2024-03-14</lastmod>"))
+                .when(F.col("_h") % 4 == 1,
+                      F.lit("<lastmod>2024-01-01</lastmod>"))
+                .when(F.col("_h") % 4 == 2,
+                      F.lit("<lastmod>2024-03-01</lastmod>"))
+                .otherwise(F.lit(""))
+            )
+        if i == 1:
+            return F.lit("<lastmod>2024-02-20</lastmod>")
+        return F.lit("")
+
+    def _entry(i: int) -> Column:
+        loc = F.concat(site, F.lit("/s/"),
+                       (F.col("_h") * 10 + i).cast("string"))
+        e = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                     _lm(i), F.lit("</url>"))
+        if i == 0:
+            return e
+        return F.when(F.col("_h") % 3 >= i, e).otherwise(F.lit(""))
+
+    bodies = hosts.select(
+        F.concat(site, F.lit("/sm_a.xml")).alias("sitemap_url"),
+        F.concat(F.lit("<urlset>"), _entry(0), _entry(1), _entry(2),
+                 F.lit("</urlset>")).alias("body"),
+    ).union(hosts.where(F.col("_h") % 2 == 0).select(
+        F.concat(site, F.lit("/sm_b.xml")).alias("sitemap_url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), site,
+            F.lit("/sm_c_"), hs, F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ).alias("body"),
+    ))
+    entries = WB.sitemap_to_urls(
+        WB.parse_sitemaps(robots).join(bodies, "sitemap_url"))
+    ranks, stats = _frontier_inputs(base)
+    fr = WB.crawl_frontier(ranks, stats)
+    rp = WB.recrawl_priority(fr, entries, asof_date="2024-03-15",
+                             fresh_days=30, boost=0.5)
+    alloc = WB.frontier_budget(
+        rp.select("host",
+                  F.col("recrawl_priority").alias("priority"), "status"),
+        budget=2000, per_host_cap=150,
+    ).select("host", "weight", "alloc")
+    return rp.join(alloc, "host").select(
+        "host", "status", "priority", "n_sitemap_urls", "n_fresh",
+        "fresh_share", "recrawl_priority", "weight", "alloc")
+
+
+@register(
     "url_templates",
     """
     WITH d AS (SELECT doc_id, doc_id % 25 AS h,

@@ -724,3 +724,43 @@ def test_robots_gate_wildcards_full_rfc9309(spark):
         "http://a.com/ok?x=9": True,          # query-targeting rule
         "http://b.com/any": False,            # no rules at all
     }
+
+
+def test_recrawl_priority_blend(spark):
+    """Sitemap lastmod freshness blends into frontier priorities:
+    fresh_share boosts multiplicatively, index rows and foreign hosts
+    are excluded, garbage lastmod is not fresh, sitemap-less hosts keep
+    priority exactly, blocked hosts stay at 0."""
+    from hbase_packet_inspector_spark.operators.web import (
+        recrawl_priority,
+    )
+
+    frontier = spark.createDataFrame(
+        [("a.com", 0.4, "known"), ("b.com", 0.2, "new"),
+         ("c.com", 0.0, "blocked"), ("d.com", 0.3, "known")],
+        "host string, priority double, status string",
+    )
+    entries = spark.createDataFrame(
+        [
+            ("http://a.com/1", "2024-03-10", False),   # fresh (5 days)
+            ("http://a.com/2", "2023-01-01", False),   # stale
+            ("http://a.com/sm2.xml", "2024-03-14", True),  # index: skip
+            ("http://b.com/1", "soon", False),         # garbage: not fresh
+            ("http://e.com/1", "2024-03-14", False),   # host not in frontier
+        ],
+        "loc string, lastmod string, is_index boolean",
+    )
+    out = {r.host: r for r in recrawl_priority(
+        frontier, entries, asof_date="2024-03-15", fresh_days=30,
+        boost=0.5).collect()}
+    assert set(out) == {"a.com", "b.com", "c.com", "d.com"}
+    a = out["a.com"]
+    assert (a.n_sitemap_urls, a.n_fresh, a.fresh_share) == (2, 1, 0.5)
+    assert a.recrawl_priority == round(0.4 * 1.25, 6)
+    b = out["b.com"]
+    assert (b.n_sitemap_urls, b.n_fresh, b.fresh_share) == (1, 0, 0.0)
+    assert b.recrawl_priority == 0.2
+    assert out["c.com"].recrawl_priority == 0.0
+    d = out["d.com"]
+    assert (d.n_sitemap_urls, d.n_fresh) == (0, 0)
+    assert d.recrawl_priority == 0.3

@@ -195,6 +195,11 @@ ALLOWED = {
     # over the n_bins-row histogram (key_skew_report's rationale);
     # the histogram is one mergeable (bin, label) aggregate
     "score_calibration": {"NESTED-LOOP-JOIN"},
+    # embeds frontier_budget over the freshness-adjusted priorities,
+    # whose total micro-priority is the same broadcast ONE-ROW
+    # aggregate (crawl_budget's rationale); the sitemap rollup and the
+    # frontier blend are host equi-joins
+    "recrawl_schedule": {"NESTED-LOOP-JOIN"},
 }
 
 
