@@ -2,10 +2,11 @@
 scheduler run per micro-batch over an arriving frontier.
 
 The batch operators (operators/web.py::robots_gate_rfc /
-schedule_fetches) ARE the per-batch bodies — same plan, same verdicts,
-which is the whole point: the compliance semantics a crawler was
-calibrated on in batch apply unchanged to its live frontier feed (the
-run_ingest_gate_stream contract, applied to the crawl loop).
+robots_gate_wildcards / schedule_fetches) ARE the per-batch bodies —
+same plan, same verdicts, which is the whole point: the compliance
+semantics a crawler was calibrated on in batch apply unchanged to its
+live frontier feed (the run_ingest_gate_stream contract, applied to the
+crawl loop).
 
 Reference parity note: the reference engine has no crawl surface; this
 module is part of the repo's LLM-data-pipeline extension alongside
@@ -15,35 +16,97 @@ streaming/ingest.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..operators.web import (
     parse_crawl_delays,
+    parse_robots_patterns,
     parse_robots_rules,
     robots_gate_rfc,
+    robots_gate_wildcards,
     schedule_fetches,
 )
+
+_GATES = {
+    "rfc": (parse_robots_rules, robots_gate_rfc),
+    "wildcards": (parse_robots_patterns, robots_gate_wildcards),
+}
+
+
+class RobotsTables:
+    """Standing robots rule/delay tables with cheap change detection —
+    the per-stream state :func:`run_crawl_gate_stream` keeps so a
+    robots re-snapshot lands WITHOUT a stream restart (and without
+    losing the checkpoint).
+
+    ``refresh()`` lists the snapshot directory's parquet files (a
+    host-cardinality directory — robots.txt files are KB-sized, the
+    listing is metadata-only) and re-derives + re-persists the rule and
+    delay frames only when the file set changed; drop-directory
+    semantics are append-new-files, so an unchanged listing means an
+    unchanged snapshot. Returns True when it re-derived. The previous
+    frames unpersist so executor memory holds one generation."""
+
+    def __init__(self, spark, robots_dir: str, *, gate: str = "rfc"):
+        self._spark = spark
+        self._dir = robots_dir
+        self._parse_rules, self.gate_fn = _GATES[gate]
+        self._files: tuple[str, ...] | None = None
+        self.rules: DataFrame | None = None
+        self.delays: DataFrame | None = None
+        self.refresh()
+
+    def refresh(self) -> bool:
+        robots = self._spark.read.parquet(self._dir)
+        files = tuple(sorted(robots.inputFiles()))
+        if files == self._files:
+            return False
+        for old in (self.rules, self.delays):
+            if old is not None:
+                old.unpersist()
+        self.rules = self._parse_rules(robots).persist()
+        self.delays = parse_crawl_delays(robots).persist()
+        self.rules.count(), self.delays.count()  # materialize eagerly
+        self._files = files
+        return True
 
 
 def run_crawl_gate_stream(
     spark, urls_dir: str, robots_dir: str, out_dir: str, *,
     default_delay: float = 1.0,
     max_files_per_trigger: int | None = None,
+    url_schema: StructType | str | None = None,
+    gate: str = "rfc",
+    robots_refresh: bool = True,
 ) -> None:
     """Gate an arriving frontier against a standing robots snapshot and
     emit a timed fetch plan per micro-batch.
 
     ``urls_dir`` is a parquet drop directory of frontier batches (one
     ``url`` column at minimum); ``robots_dir`` is a parquet snapshot of
-    (host, robots_txt) fetched robots files. The RFC rule table and the
-    crawl-delay table derive ONCE at start (host-cardinality frames,
-    persisted — robots refresh = restart the stream, which resumes from
-    the checkpoint). Each micro-batch writes two idempotent partitions
-    under ``out_dir``:
+    (host, robots_txt) fetched robots files. The rule table and the
+    crawl-delay table are standing host-cardinality frames
+    (:class:`RobotsTables`): derived at start and — when
+    ``robots_refresh`` — re-checked per micro-batch by directory
+    listing, so dropping a new robots parquet into the snapshot
+    directory takes effect on the NEXT batch without restarting the
+    stream or touching the checkpoint. ``gate`` picks the resolution:
+    ``"rfc"`` (conservative truncate/drop longest-match,
+    robots_gate_rfc) or ``"wildcards"`` (full RFC 9309 ``*``/``$``
+    patterns, robots_gate_wildcards). Each micro-batch writes two
+    idempotent partitions under ``out_dir``:
 
-    - ``decisions/batch_id=N`` — (url, host, blocked) RFC verdicts;
+    - ``decisions/batch_id=N`` — (url, host, blocked) verdicts;
     - ``plan/batch_id=N`` — schedule_fetches over the batch's ALLOWED
       rows, the decisions re-read from the just-committed partition so
       a replayed batch reproduces byte-identical output.
+
+    ``url_schema`` (StructType or DDL string) lets the stream start
+    against an EMPTY drop directory — the deployment mode, where the
+    gate comes up before the first frontier batch lands; when omitted
+    it is inferred from whatever is already in ``urls_dir``, falling
+    back to the minimal ``url STRING`` when the directory has nothing
+    to infer from.
 
     Slots restart at 0 per micro-batch BY DESIGN: a micro-batch is one
     fetch cycle, so per-host pacing applies within the cycle and cycles
@@ -52,16 +115,16 @@ def run_crawl_gate_stream(
     checkpoint and processes only NEW files.
 
     Scale shape per batch: the standing tables are host-cardinality and
-    reused; the gate is one host equi-join + verdict fold, the plan one
-    more host join + a host-partitioned row_number — all batch-sized,
-    nothing re-touches prior batches."""
-    robots = spark.read.parquet(robots_dir)
-    rules = parse_robots_rules(robots).persist()
-    delays = parse_crawl_delays(robots).persist()
-    rules.count(), delays.count()  # materialize once, before the loop
+    reused (the refresh listing is metadata-only); the gate is one host
+    equi-join + verdict fold, the plan one more host join + a
+    host-partitioned row_number — all batch-sized, nothing re-touches
+    prior batches."""
+    tables = RobotsTables(spark, robots_dir, gate=gate)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        gated = robots_gate_rfc(batch_df, rules)
+        if robots_refresh:
+            tables.refresh()
+        gated = tables.gate_fn(batch_df, tables.rules)
         dec_dir = f"{out_dir}/decisions/batch_id={batch_id}"
         gated.write.mode("overwrite").parquet(dec_dir)
         allowed = (
@@ -69,13 +132,17 @@ def run_crawl_gate_stream(
             .where(~F.col("blocked"))
             .select("url", "host")
         )
-        plan = schedule_fetches(allowed, delays,
+        plan = schedule_fetches(allowed, tables.delays,
                                 default_delay=default_delay)
         plan.write.mode("overwrite").parquet(
             f"{out_dir}/plan/batch_id={batch_id}")
 
-    schema = spark.read.parquet(urls_dir).schema
-    reader = spark.readStream.schema(schema)
+    if url_schema is None:
+        try:
+            url_schema = spark.read.parquet(urls_dir).schema
+        except Exception:  # empty drop dir: nothing to infer from yet
+            url_schema = StructType([StructField("url", StringType())])
+    reader = spark.readStream.schema(url_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))

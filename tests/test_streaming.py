@@ -1162,3 +1162,87 @@ def test_run_crawl_gate_stream_end_to_end(spark, tmp_path):
     run_crawl_gate_stream(spark, urls_dir, robots_dir, out,
                           default_delay=0.5, max_files_per_trigger=1)
     assert spark.read.parquet(f"{out}/decisions").count() == dec.count()
+
+
+def test_robots_tables_snapshot_refresh(spark, tmp_path):
+    """RobotsTables re-derives its standing frames only when the
+    snapshot directory's file set changes: unchanged listing -> no
+    re-derive (refresh() False), an appended robots parquet ->
+    refresh() True with the new host's rules present."""
+    from hbase_packet_inspector_spark.streaming.crawl import RobotsTables
+
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /d\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_dir)
+    t = RobotsTables(spark, robots_dir)
+    assert {r.host for r in t.rules.collect()} == {"a.com"}
+    assert t.refresh() is False   # nothing changed
+
+    spark.createDataFrame(
+        [("c.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    ).write.mode("append").parquet(robots_dir)
+    assert t.refresh() is True
+    assert {r.host for r in t.rules.collect()} == {"a.com", "c.com"}
+    assert {r.host for r in t.delays.collect()} == {"a.com"}
+
+
+def test_run_crawl_gate_stream_empty_start_and_robots_refresh(
+        spark, tmp_path):
+    """Deployment hardening: the stream comes up against an EMPTY drop
+    directory (explicit url_schema, no eager-read crash), a robots
+    parquet appended between drains changes the NEXT batch's verdicts
+    with the checkpoint kept, and gate='wildcards' honors a wildcard
+    Allow the conservative gate would drop."""
+    import os
+
+    from hbase_packet_inspector_spark.streaming.crawl import (
+        run_crawl_gate_stream,
+    )
+
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /d\nAllow: /d/keep*\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_dir)
+    urls_dir = str(tmp_path / "urls")
+    os.makedirs(urls_dir)
+    out = str(tmp_path / "out")
+
+    # empty drop dir: must start, drain nothing, and stop cleanly
+    run_crawl_gate_stream(spark, urls_dir, robots_dir, out,
+                          url_schema="url string", gate="wildcards")
+    assert not os.path.isdir(f"{out}/decisions")
+
+    spark.createDataFrame(
+        [("http://a.com/d/1",), ("http://a.com/d/keep7",),
+         ("http://nores.com/y",)], "url string",
+    ).coalesce(1).write.mode("append").parquet(urls_dir)
+    run_crawl_gate_stream(spark, urls_dir, robots_dir, out,
+                          url_schema="url string", gate="wildcards")
+    dec = {r.url: r.blocked
+           for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec == {
+        "http://a.com/d/1": True,
+        "http://a.com/d/keep7": False,   # wildcard Allow honored
+        "http://nores.com/y": False,
+    }
+
+    # robots snapshot gains a host between batches: the later batch's
+    # verdicts must reflect it, checkpoint untouched
+    spark.createDataFrame(
+        [("c.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    ).write.mode("append").parquet(robots_dir)
+    spark.createDataFrame(
+        [("http://c.com/z",), ("http://a.com/d/keep8",)], "url string",
+    ).coalesce(1).write.mode("append").parquet(urls_dir)
+    run_crawl_gate_stream(spark, urls_dir, robots_dir, out,
+                          url_schema="url string", gate="wildcards")
+    dec2 = {r.url: r.blocked
+            for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec2["http://c.com/z"] is True      # new snapshot applied
+    assert dec2["http://a.com/d/keep8"] is False
+    assert len(dec2) == 5                       # old batches untouched
