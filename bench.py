@@ -251,6 +251,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "robots_gate_wildcards",
     "recrawl_schedule",
+    "retrieval_ndcg_pruned",
 ]
 
 

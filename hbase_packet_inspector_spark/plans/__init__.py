@@ -26,6 +26,7 @@ except ImportError:
 _UNVERIFIED_FIRST = (
     "recrawl_schedule",  # latest green r0
     "robots_gate_wildcards",  # latest green r0
+    "retrieval_ndcg_pruned",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

@@ -8058,3 +8058,158 @@ def hybrid_rrf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "neighbor_id", "rnk"
     )
     return S.rrf_fuse([emb_rank, lex_rank], k=5)
+
+
+@register(
+    "retrieval_ndcg_pruned",
+    f"""
+    WITH {_COS_CTE},
+    qset AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  sum(q.v * b.v) AS dp
+           FROM e q JOIN qset ON qset.q_id = q.vec_id
+           JOIN lab ql ON ql.vec_id = q.vec_id
+           JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           JOIN lab bl ON bl.vec_id = b.vec_id AND bl.label = ql.label
+           GROUP BY 1, 2),
+    cs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM cd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    ctop AS (SELECT q_id, neighbor_id, rnk FROM (
+               SELECT *, rank() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, neighbor_id)
+                         AS rnk
+               FROM cs) WHERE rnk <= 5),
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+          FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+    wp AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    qp AS (SELECT doc_id AS q_id, word FROM wp WHERE doc_id % 25 = 0),
+    iv AS (SELECT qp.q_id, wp.doc_id AS neighbor_id, count(*) AS i
+           FROM wp JOIN qp USING (word)
+           WHERE wp.doc_id <> qp.q_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ws) AS n FROM w),
+    ld AS (SELECT iv.q_id, iv.neighbor_id,
+                  round(CAST(iv.i AS DOUBLE)
+                        / (sb.n + sq.n - iv.i), 6) AS jac
+           FROM iv JOIN sz sb ON sb.doc_id = iv.neighbor_id
+                  JOIN sz sq ON sq.doc_id = iv.q_id),
+    ltop AS (SELECT q_id, neighbor_id, rnk FROM (
+               SELECT *, rank() OVER (PARTITION BY q_id
+                                      ORDER BY jac DESC, neighbor_id)
+                         AS rnk
+               FROM ld) WHERE rnk <= 5),
+    u AS (SELECT q_id, neighbor_id, 1.0 / (60 + rnk) AS c FROM ctop
+          UNION ALL
+          SELECT q_id, neighbor_id, 1.0 / (60 + rnk) AS c FROM ltop),
+    f AS (SELECT q_id, neighbor_id, round(sum(c), 6) AS rrf
+          FROM u GROUP BY 1, 2),
+    htop AS (SELECT q_id, neighbor_id, rnk FROM (
+               SELECT *, rank() OVER (PARTITION BY q_id
+                                      ORDER BY rrf DESC, neighbor_id)
+                         AS rnk
+               FROM f) WHERE rnk <= 5),
+    sysr AS (
+      SELECT 'cosine_pruned' AS system, q_id, neighbor_id, rnk FROM ctop
+      UNION ALL
+      SELECT 'lexical', q_id, neighbor_id, rnk FROM ltop
+      UNION ALL
+      SELECT 'hybrid_pruned', q_id, neighbor_id, rnk FROM htop),
+    rel AS (SELECT s.system, s.q_id, s.rnk,
+                   CASE WHEN nl.label = ql.label
+                        THEN 1.0 ELSE 0.0 END AS r
+            FROM sysr s JOIN lab ql ON ql.vec_id = s.q_id
+                        JOIN lab nl ON nl.vec_id = s.neighbor_id),
+    d AS (SELECT system, q_id,
+                 sum(r / log2(CAST(rnk AS DOUBLE) + 1)) AS dcg
+          FROM rel GROUP BY 1, 2),
+    i AS (SELECT sum(1.0 / log2(CAST(p.p AS DOUBLE) + 1)) AS idcg
+          FROM (SELECT unnest(range(1, 6)) AS p) p),
+    grid AS (SELECT s.system, qset.q_id
+             FROM qset, (VALUES ('cosine_pruned'), ('lexical'),
+                                ('hybrid_pruned')) AS s(system))
+    SELECT grid.q_id, grid.system,
+           round(coalesce(d.dcg, 0), 6) AS dcg,
+           round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg
+    FROM grid LEFT JOIN d ON d.system = grid.system
+                          AND d.q_id = grid.q_id
+    CROSS JOIN i
+    """,
+    doc="retrieval_ndcg re-run over the SCALE PATH's components "
+    "(VERDICT_r8 item 6): the same per-query label-relevance nDCG@5 "
+    "audit, but with hybrid_rrf_pruned's cell-pruned ANN half "
+    "(cosine_topk restricted to the query's label cell — "
+    "ivf_topk_by_label's posture) in place of the brute-force "
+    "baseline, so quality-at-scale is hash-pinned beside the "
+    "wall-time probes, not inferred from them. The cosine_pruned "
+    "system's ndcg is 1.0 BY CONSTRUCTION (pruning by the relevance "
+    "label itself — the audit pins that the pruned path returns only "
+    "relevant neighbors and fills all 5 slots); the informative rows "
+    "are hybrid_pruned vs retrieval_ndcg's hybrid — the rank-only "
+    "fusion now mixes a perfect ANN half with the unchanged lexical "
+    "half, and any fusion-level recall loss lands in this hash. Same "
+    "labeled corpus, query set, in-engine IDCG, and no-candidate "
+    "grid-row semantics as retrieval_ndcg. Plan: cell-pruned ANN "
+    "equi-join + postings lexical join + union/groupBy fusion + the "
+    "sanctioned 1-row IDCG broadcast — nothing quadratic.",
+    tags=("dataprep", "similarity", "text", "retrieval", "calibration",
+          "ivf"),
+)
+def retrieval_ndcg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    labeled = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"))
+    q_txt = labeled.join(
+        qs.select(F.col("q_id").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("q_id"), F.col("text").alias("q_text"))
+    ctop = S.cosine_topk(emb, qs, k=5, same_cell_col="label").select(
+        "q_id", "neighbor_id", "rnk")
+    ltop = X.lexical_topk(labeled, q_txt, k=5).select(
+        "q_id", "neighbor_id", "rnk")
+    htop = S.rrf_fuse([ctop, ltop], k=5).select(
+        "q_id", "neighbor_id", "rnk")
+    lab = emb.select(F.col("vec_id"), F.col("label"))
+    idcg = spark.range(1, 6).agg(
+        F.sum(F.lit(1.0) / F.log2(F.col("id").cast("double") + 1))
+        .alias("_idcg"))
+
+    def _ndcg(system: str, top: DataFrame) -> DataFrame:
+        rel = (
+            top.join(lab.select(F.col("vec_id").alias("q_id"),
+                                F.col("label").alias("_ql")), "q_id")
+            .join(lab.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("label").alias("_nl")), "neighbor_id")
+            .select(
+                "q_id", "rnk",
+                F.when(F.col("_nl") == F.col("_ql"), F.lit(1.0))
+                .otherwise(F.lit(0.0)).alias("_r"),
+            )
+        )
+        dcg = rel.groupBy("q_id").agg(
+            F.sum(F.col("_r")
+                  / F.log2(F.col("rnk").cast("double") + 1)).alias("_dcg"))
+        return (
+            qs.select("q_id")
+            .join(dcg, "q_id", "left")
+            .crossJoin(F.broadcast(idcg))
+            .select(
+                "q_id", F.lit(system).alias("system"),
+                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6)
+                .alias("dcg"),
+                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0))
+                        / F.col("_idcg"), 6).alias("ndcg"),
+            )
+        )
+
+    return (
+        _ndcg("cosine_pruned", ctop)
+        .unionByName(_ndcg("lexical", ltop))
+        .unionByName(_ndcg("hybrid_pruned", htop))
+    )

@@ -182,6 +182,11 @@ ALLOWED = {
     # evaluates the same three rankers (hybrid_rrf's rationale) plus the
     # 1-row in-engine IDCG broadcast (ann_ndcg's rationale)
     "retrieval_ndcg": {"NESTED-LOOP-JOIN"},
+    # same audit over the scale path: the ANN half is a cell-pruned
+    # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
+    # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
+    # postings join of hybrid_rrf_pruned
+    "retrieval_ndcg_pruned": {"NESTED-LOOP-JOIN"},
     # the total micro-priority re-enters as a broadcast ONE-ROW
     # aggregate over the host-cardinality frontier (key_skew_report's
     # one-row-totals rationale); the allocation itself is integer
