@@ -384,6 +384,11 @@ def parse_robots_rules(robots: DataFrame, *, host_col: str = "host",
       truncated allow could under-block, so the unsupported form must
       not widen access.
 
+    Deployments that want the metacharacters RESOLVED rather than
+    conservatively flattened use :func:`parse_robots_patterns` +
+    :func:`robots_gate_wildcards` instead — this table remains the
+    provably-over-block-only subset.
+
     Empty-value lines (the allow-all 'Disallow:' marker) emit nothing
     for either polarity."""
     bodies = _star_bodies(text_col)
@@ -424,7 +429,9 @@ def robots_gate_rfc(frontier: DataFrame, rules: DataFrame, *,
     no matching rule (or no rules at all) means allowed. This upgrades
     :func:`robots_gate`'s Disallow-only subset to the resolution every
     major crawler implements, so 'Disallow: /d' + 'Allow: /d/keep'
-    blocks /d/x but passes /d/keep/y.
+    blocks /d/x but passes /d/keep/y. (``*``/``$`` inside rules are
+    conservatively flattened by :func:`parse_robots_rules`;
+    :func:`robots_gate_wildcards` is the gate that resolves them.)
 
     Scale shape: IDENTICAL to robots_gate — one host equi-join (rules
     KB-bounded per host), then the winner folds back with a
@@ -633,8 +640,9 @@ def sitemap_to_urls(sitemaps: DataFrame, *, url_col: str = "sitemap_url",
     entries (is_index false); ``<sitemap>`` blocks are sitemap-INDEX
     children (is_index true — feed them back through the fetcher for
     another round, the protocol's one level of recursion). ``lastmod``
-    passes through trimmed, null when absent — the freshness signal a
-    re-crawl scheduler keys on. Entries without a ``<loc>`` yield no
+    passes through trimmed, null when absent — the freshness signal
+    :func:`recrawl_priority` rolls into the frontier. Entries without
+    a ``<loc>`` yield no
     row; malformed XML yields fewer rows, never an error (same
     regex-subset posture as :func:`html_to_text`, and the same known
     limit: a literal '>' inside a value ends the element early).

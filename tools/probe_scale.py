@@ -275,6 +275,29 @@ def probe_crawl(spark, dirs: list[str]) -> None:
             spark.catalog.clearCache()
 
 
+def probe_crawl9(spark, dirs: list[str]) -> None:
+    """Round-9 crawl additions at growing corpus, same posture as
+    probe_crawl (25-host universe, URLs/entries grow with docs):
+    ``robots_gate_wildcards`` — the per-row regexp gate must stay
+    URL-proportional in shuffle like robots_gate_rfc (the regex
+    translation is in-row; the compile cost prices into the same
+    bounded rules-per-host fan-out) — and ``recrawl_schedule`` — the
+    sitemap rollup and freshness blend are host equi-joins, so the
+    composed plan should track the frontier ladder's input-
+    proportional shuffle with a constant host-sized output."""
+    from hbase_packet_inspector_spark import plans
+
+    for d in dirs:
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        print(f"\n== crawl r9 additions @ {d} ({n} docs)")
+        m = StageMeter(spark)
+        for name in ("robots_gate_wildcards", "recrawl_schedule"):
+            fn = plans.QUERIES[name].fn
+            fn(spark, d).count()  # warm
+            m.run(name, lambda fn=fn: fn(spark, d).count())
+            spark.catalog.clearCache()
+
+
 def probe_quality(spark, dirs: list[str]) -> None:
     """gopher_quality / c4_quality at growing corpus: both are single
     narrow in-row passes (split/filter/aggregate HOFs over words and
@@ -353,6 +376,11 @@ def main() -> None:
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
         ]
         probe_crawl(spark, dirs)
+    elif what == "crawl9":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
+        ]
+        probe_crawl9(spark, dirs)
     elif what == "quality":
         dirs = sys.argv[2:] or [
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
