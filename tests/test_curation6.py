@@ -709,3 +709,82 @@ def test_new_crawl_parsers_total_on_garbage(spark):
         assert r.n_urls >= r.n_distinct_urls >= 1
         shares[r.host] = shares.get(r.host, 0.0) + r.share
     assert all(abs(s - 1.0) < 1e-4 for s in shares.values())
+
+
+def test_wildcards_gate_equals_rfc_on_plain_rules(spark):
+    """On rule sets with NO '*'/'$' metacharacters the wildcard gate and
+    the conservative RFC gate are the SAME resolution (both reduce to
+    longest-prefix, allow-wins-ties) — a seeded random corpus of plain
+    prefix rules and URLs must produce identical verdicts through both
+    parse+gate paths, one batch pass."""
+    import random
+
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots_patterns,
+        parse_robots_rules,
+        robots_gate_rfc,
+        robots_gate_wildcards,
+    )
+
+    rng = random.Random(13)
+    segs = ["a", "b", "kp", "d", "x1", "q"]
+
+    def path():
+        return "/" + "/".join(
+            rng.choice(segs) for _ in range(rng.randint(1, 3)))
+
+    robots_rows = []
+    urls = []
+    for i in range(60):
+        host = f"h{i}.com"
+        lines = ["User-agent: *"]
+        for _ in range(rng.randint(0, 6)):
+            kind = rng.choice(["Disallow", "Allow"])
+            lines.append(f"{kind}: {path()}")
+        robots_rows.append((host, "\n".join(lines) + "\n"))
+        for j in range(4):
+            urls.append((f"http://{host}{path()}/{i}-{j}",))
+    robots = spark.createDataFrame(
+        robots_rows, "host string, robots_txt string")
+    frontier = spark.createDataFrame(urls, "url string")
+    rfc = {r.url: r.blocked for r in robots_gate_rfc(
+        frontier, parse_robots_rules(robots)).collect()}
+    wild = {r.url: r.blocked for r in robots_gate_wildcards(
+        frontier, parse_robots_patterns(robots)).collect()}
+    assert rfc == wild and len(rfc) == len(urls)
+
+
+def test_wildcards_gate_total_on_adversarial_patterns(spark):
+    """The in-row pattern→regex translation must be TOTAL: rule values
+    stuffed with regex metacharacters ('(', '[', '{', '+', '|', '.',
+    '\\\\', interior '$', repeated '*') must gate without raising and
+    emit one boolean verdict per URL — unescaped metacharacters would
+    throw pattern-compile errors inside the join."""
+    import random
+
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots_patterns,
+        robots_gate_wildcards,
+    )
+
+    rng = random.Random(17)
+    meta = ["(", ")", "[", "]", "{", "}", "+", "|", ".", "\\", "?",
+            "^", "$", "*", "a", "/"]
+    rows = []
+    for i in range(80):
+        vals = ["/" + "".join(rng.choice(meta)
+                              for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 4))]
+        body = "\n".join(
+            f"{rng.choice(['Disallow', 'Allow'])}: {v}" for v in vals)
+        rows.append((f"h{i}.com", f"User-agent: *\n{body}\n"))
+    robots = spark.createDataFrame(rows, "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [(f"http://h{i}.com/a(b)[c].d/{i}",) for i in range(80)]
+        + [(f"http://h{i}.com/**$$/{i}",) for i in range(80)],
+        "url string",
+    )
+    out = robots_gate_wildcards(
+        frontier, parse_robots_patterns(robots)).collect()  # no raise
+    assert len(out) == 160
+    assert all(r.blocked in (True, False) for r in out)
