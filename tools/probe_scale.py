@@ -298,6 +298,60 @@ def probe_crawl9(spark, dirs: list[str]) -> None:
             spark.catalog.clearCache()
 
 
+def probe_gate_skew(spark, n_urls: int = 500_000) -> None:
+    """Hot-host skew probe for the robots gates: the gate docstrings
+    claim the per-URL verdict fold absorbs a hot HOST map-side
+    (partial+final aggregate, rules-per-host bounded), so a frontier
+    with 90% of its URLs on ONE host should cost ~the uniform
+    frontier, not serialize on the hot key. Uniform = n_urls spread
+    over 25 hosts; skewed = 90% on site0.com, the rest spread. Same
+    25-host rule table (3 rules/host incl. a wildcard + an allow) for
+    both gates."""
+    from hbase_packet_inspector_spark.operators.web import (
+        parse_robots_patterns,
+        parse_robots_rules,
+        robots_gate_rfc,
+        robots_gate_wildcards,
+    )
+
+    hosts = spark.range(25).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /d\nAllow: /d/keep*\n"
+              "Disallow: /*.tmp$\n").alias("robots_txt"),
+    )
+    rules = parse_robots_rules(hosts).localCheckpoint()
+    pats = parse_robots_patterns(hosts).localCheckpoint()
+
+    def frontier(skewed: bool):
+        rid = F.col("id")
+        h = (
+            F.when(rid % 10 < 9, F.lit(0)).otherwise(rid % 25)
+            if skewed else rid % 25
+        )
+        path = (
+            F.when(rid % 3 == 0, F.lit("/d/"))
+            .when(rid % 3 == 1, F.lit("/d/keep"))
+            .otherwise(F.lit("/ok/"))
+        )
+        return spark.range(n_urls).select(
+            F.concat(F.lit("http://site"), h.cast("string"),
+                     F.lit(".com"), path, rid.cast("string"),
+                     F.when(rid % 7 == 0, F.lit(".tmp"))
+                     .otherwise(F.lit(""))).alias("url")
+        ).localCheckpoint()
+
+    uni, skw = frontier(False), frontier(True)
+    m = StageMeter(spark)
+    for label, fr in (("uniform", uni), ("skewed-90pct-one-host", skw)):
+        for name, gate, rl in (("robots_gate_rfc", robots_gate_rfc, rules),
+                               ("robots_gate_wildcards",
+                                robots_gate_wildcards, pats)):
+            gate(fr, rl).count()  # warm: codegen compile off the clock
+            m.run(f"{name} {label}",
+                  lambda gate=gate, fr=fr, rl=rl: gate(fr, rl).count())
+
+
 def probe_quality(spark, dirs: list[str]) -> None:
     """gopher_quality / c4_quality at growing corpus: both are single
     narrow in-row passes (split/filter/aggregate HOFs over words and
@@ -381,6 +435,9 @@ def main() -> None:
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
         ]
         probe_crawl9(spark, dirs)
+    elif what == "gate_skew":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+        probe_gate_skew(spark, n)
     elif what == "quality":
         dirs = sys.argv[2:] or [
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
