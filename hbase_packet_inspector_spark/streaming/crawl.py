@@ -22,9 +22,11 @@ from ..operators.web import (
     parse_crawl_delays,
     parse_robots_patterns,
     parse_robots_rules,
+    recrawl_priority,
     robots_gate_rfc,
     robots_gate_wildcards,
     schedule_fetches,
+    sitemap_to_urls,
 )
 
 _GATES = {
@@ -148,6 +150,74 @@ def run_crawl_gate_stream(
                                str(max_files_per_trigger))
     q = (
         reader.parquet(urls_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_recrawl_stream(
+    spark, sitemap_dir: str, frontier_path: str, out_dir: str, *,
+    asof_date: str, fresh_days: int = 30, boost: float = 0.5,
+    sitemap_schema=None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streamed form of the re-crawl freshness loop: arriving fetched
+    sitemap XML batches re-prioritize a standing frontier per
+    micro-batch — the :func:`run_crawl_gate_stream` contract applied
+    to :func:`~..operators.web.recrawl_priority` (the per-batch body
+    IS the oracle-verified batch operator, so verdicts calibrated in
+    batch apply unchanged to the live feed).
+
+    ``sitemap_dir`` is a parquet drop directory of fetched sitemap
+    bodies (``sitemap_url``/``body`` at minimum; ``sitemap_schema``
+    lets the stream start against an empty directory, falling back to
+    that minimal DDL); ``frontier_path`` is the standing frontier
+    snapshot (host, priority, status — crawl_frontier output), a
+    host-cardinality frame re-read per batch so a frontier refresh
+    between cycles lands without a restart. Each micro-batch is one
+    sitemap-refresh WAVE: its ``<loc>``/``<lastmod>`` entries roll
+    into per-host freshness and the blended priority table writes to
+    the idempotent partition ``priorities/batch_id=N`` — the table a
+    scheduler consumes for the cycle that wave announced. Waves are
+    deliberately independent (no cross-batch freshness state): a
+    sitemap re-fetch SUPERSEDES the previous wave's evidence, so the
+    latest partition is the current truth and replay reproduces it.
+
+    Trigger is availableNow — one call drains what's there and stops;
+    re-running resumes from the checkpoint and processes only NEW
+    files.
+
+    Scale shape per batch: entry rollup is one partial+final host
+    aggregate over the wave, one host equi-join onto the
+    host-cardinality frontier — nothing re-touches prior waves."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        frontier = spark.read.parquet(frontier_path)
+        entries = sitemap_to_urls(batch_df)
+        out = recrawl_priority(
+            frontier, entries, asof_date=asof_date,
+            fresh_days=fresh_days, boost=boost)
+        out.write.mode("overwrite").parquet(
+            f"{out_dir}/priorities/batch_id={batch_id}")
+
+    if sitemap_schema is None:
+        try:
+            sitemap_schema = spark.read.parquet(sitemap_dir).schema
+        except Exception:  # empty drop dir: nothing to infer from yet
+            sitemap_schema = StructType([
+                StructField("sitemap_url", StringType()),
+                StructField("body", StringType()),
+            ])
+    reader = spark.readStream.schema(sitemap_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    q = (
+        reader.parquet(sitemap_dir)
         .writeStream.foreachBatch(_sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{out_dir}/_checkpoint")

@@ -1246,3 +1246,77 @@ def test_run_crawl_gate_stream_empty_start_and_robots_refresh(
     assert dec2["http://c.com/z"] is True      # new snapshot applied
     assert dec2["http://a.com/d/keep8"] is False
     assert len(dec2) == 5                       # old batches untouched
+
+
+def test_run_recrawl_stream_waves(spark, tmp_path):
+    """The streamed freshness loop: each sitemap wave re-prioritizes
+    the standing frontier independently (batch body === the
+    oracle-verified recrawl_priority), a fresher second wave RAISES
+    the host's blended priority, the standing frontier re-reads per
+    batch, and a drained re-run adds nothing."""
+    import os
+
+    from hbase_packet_inspector_spark.operators.web import (
+        recrawl_priority,
+        sitemap_to_urls,
+    )
+    from hbase_packet_inspector_spark.streaming.crawl import (
+        run_recrawl_stream,
+    )
+
+    frontier_path = str(tmp_path / "frontier")
+    spark.createDataFrame(
+        [("a.com", 0.4, "known"), ("b.com", 0.2, "new")],
+        "host string, priority double, status string",
+    ).write.parquet(frontier_path)
+
+    def wave(lastmod_a: str):
+        return [
+            ("http://a.com/sm.xml",
+             f"<urlset><url><loc>http://a.com/1</loc>"
+             f"<lastmod>{lastmod_a}</lastmod></url>"
+             f"<url><loc>http://a.com/2</loc></url></urlset>"),
+        ]
+
+    sm_dir = str(tmp_path / "sitemaps")
+    os.makedirs(sm_dir)
+    out = str(tmp_path / "out")
+    # empty start: no crash, nothing written
+    run_recrawl_stream(spark, sm_dir, frontier_path, out,
+                       asof_date="2024-03-15")
+    assert not os.path.isdir(f"{out}/priorities")
+
+    # wave 0: stale lastmod -> no boost
+    spark.createDataFrame(wave("2023-01-01"),
+                          "sitemap_url string, body string") \
+        .coalesce(1).write.mode("append").parquet(sm_dir)
+    run_recrawl_stream(spark, sm_dir, frontier_path, out,
+                       asof_date="2024-03-15")
+    p0 = {r.host: r for r in spark.read.parquet(
+        f"{out}/priorities/batch_id=0").collect()}
+    assert p0["a.com"].fresh_share == 0.0
+    assert p0["a.com"].recrawl_priority == 0.4
+    assert p0["b.com"].recrawl_priority == 0.2   # no sitemap: unchanged
+
+    # wave 1: fresh lastmod -> boost; matches the batch operator exactly
+    w1 = spark.createDataFrame(wave("2024-03-14"),
+                               "sitemap_url string, body string")
+    w1.coalesce(1).write.mode("append").parquet(sm_dir)
+    run_recrawl_stream(spark, sm_dir, frontier_path, out,
+                       asof_date="2024-03-15")
+    p1 = {r.host: r for r in spark.read.parquet(
+        f"{out}/priorities/batch_id=1").collect()}
+    assert p1["a.com"].fresh_share == 0.5
+    assert p1["a.com"].recrawl_priority == round(0.4 * 1.25, 6)
+    batch = {r.host: r for r in recrawl_priority(
+        spark.read.parquet(frontier_path), sitemap_to_urls(w1),
+        asof_date="2024-03-15").collect()}
+    assert {h: (r.fresh_share, r.recrawl_priority)
+            for h, r in p1.items()} == \
+        {h: (r.fresh_share, r.recrawl_priority) for h, r in batch.items()}
+
+    # drained: nothing new
+    run_recrawl_stream(spark, sm_dir, frontier_path, out,
+                       asof_date="2024-03-15")
+    assert len([d for d in os.listdir(f"{out}/priorities")
+                if d.startswith("batch_id=")]) == 2
