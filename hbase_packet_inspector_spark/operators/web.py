@@ -636,28 +636,33 @@ def parse_sitemaps(robots: DataFrame, *, host_col: str = "host",
 def sitemap_to_urls(sitemaps: DataFrame, *, url_col: str = "sitemap_url",
                     xml_col: str = "body") -> DataFrame:
     """Fetched sitemap XML → one row per ``<loc>`` entry:
-    (sitemap_url, loc, lastmod, is_index). ``<url>`` blocks are page
-    entries (is_index false); ``<sitemap>`` blocks are sitemap-INDEX
-    children (is_index true — feed them back through the fetcher for
-    another round, the protocol's one level of recursion). ``lastmod``
-    passes through trimmed, null when absent — the freshness signal
-    :func:`recrawl_priority` rolls into the frontier. Entries without
-    a ``<loc>`` yield no
-    row; malformed XML yields fewer rows, never an error (same
-    regex-subset posture as :func:`html_to_text`, and the same known
-    limit: a literal '>' inside a value ends the element early).
+    (sitemap_url, loc, lastmod, changefreq, priority, is_index).
+    ``<url>`` blocks are page entries (is_index false); ``<sitemap>``
+    blocks are sitemap-INDEX children (is_index true — feed them back
+    through the fetcher for another round, the protocol's one level of
+    recursion). ``lastmod`` passes through trimmed, null when absent —
+    the freshness signal :func:`recrawl_priority` rolls into the
+    frontier; ``changefreq`` (lowercased token, null when absent) and
+    ``priority`` (double via try_cast — a garbage value reads null,
+    never errors) are the protocol's other two optional hints, carried
+    for schedulers that weight them (index children have neither per
+    the spec — theirs are always null). Entries without a ``<loc>``
+    yield no row; malformed XML yields fewer rows, never an error
+    (same regex-subset posture as :func:`html_to_text`, and the same
+    known limit: a literal '>' inside a value ends the element early).
 
     All regexp_extract_all/transform — JVM codegen, one explode, no
     shuffle until the consumer aggregates; sitemap files are spec-capped
     (50k entries), so per-row fan-out is bounded by construction."""
-    def _loc(b: Column) -> Column:
-        return F.trim(F.regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1))
-
-    def _lastmod(b: Column) -> Column:
+    def _tag(b: Column, tag: str) -> Column:
         return F.nullif(
-            F.trim(F.regexp_extract(b, "(?is)<lastmod>(.*?)</lastmod>", 1)),
+            F.trim(F.regexp_extract(
+                b, f"(?is)<{tag}>(.*?)</{tag}>", 1)),
             F.lit(""),
         )
+
+    def _loc(b: Column) -> Column:
+        return F.trim(F.regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1))
 
     def _entries(pattern: str, is_index: bool) -> Column:
         blocks = F.regexp_extract_all(
@@ -666,7 +671,9 @@ def sitemap_to_urls(sitemaps: DataFrame, *, url_col: str = "sitemap_url",
             blocks,
             lambda b: F.struct(
                 _loc(b).alias("loc"),
-                _lastmod(b).alias("lastmod"),
+                _tag(b, "lastmod").alias("lastmod"),
+                F.lower(_tag(b, "changefreq")).alias("changefreq"),
+                _tag(b, "priority").try_cast("double").alias("priority"),
                 F.lit(is_index).alias("is_index"),
             ),
         )
@@ -684,6 +691,8 @@ def sitemap_to_urls(sitemaps: DataFrame, *, url_col: str = "sitemap_url",
             "sitemap_url",
             F.col("_e.loc").alias("loc"),
             F.col("_e.lastmod").alias("lastmod"),
+            F.col("_e.changefreq").alias("changefreq"),
+            F.col("_e.priority").alias("priority"),
             F.col("_e.is_index").alias("is_index"),
         )
         .where(F.col("loc") != "")

@@ -764,3 +764,27 @@ def test_recrawl_priority_blend(spark):
     d = out["d.com"]
     assert (d.n_sitemap_urls, d.n_fresh) == (0, 0)
     assert d.recrawl_priority == 0.3
+
+
+def test_sitemap_to_urls_changefreq_priority(spark):
+    """The protocol's other two optional hints carry through:
+    changefreq lowercases, priority parses as double with garbage
+    reading null (try_cast, never an error), both null when absent."""
+    from hbase_packet_inspector_spark.operators.web import sitemap_to_urls
+
+    sm = spark.createDataFrame(
+        [("http://a.com/sm.xml",
+          "<urlset>"
+          "<url><loc>http://a.com/1</loc><changefreq>DAILY</changefreq>"
+          "<priority>0.8</priority></url>"
+          "<url><loc>http://a.com/2</loc><priority>1</priority></url>"
+          "<url><loc>http://a.com/3</loc><priority>soon</priority></url>"
+          "</urlset>")],
+        "sitemap_url string, body string",
+    )
+    out = {r.loc: r for r in sitemap_to_urls(sm).collect()}
+    assert (out["http://a.com/1"].changefreq,
+            out["http://a.com/1"].priority) == ("daily", 0.8)
+    assert out["http://a.com/2"].priority == 1.0
+    assert out["http://a.com/3"].priority is None
+    assert out["http://a.com/2"].changefreq is None
