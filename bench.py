@@ -252,6 +252,7 @@ HEADLINE = [
     "robots_gate_wildcards",
     "recrawl_schedule",
     "retrieval_ndcg_pruned",
+    "stack_code_quality",
 ]
 
 

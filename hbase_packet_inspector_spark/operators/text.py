@@ -1677,3 +1677,70 @@ def c4_quality_flags(docs: DataFrame, *, text_col: str = "text",
         ok_sent.alias("min_sentences_ok"),
         keep.alias("keep"),
     )
+
+
+def code_quality_flags(docs: DataFrame, *, text_col: str = "text",
+                       max_line_len: int = 1000,
+                       max_mean_line_len: float = 100.0,
+                       min_alnum_frac: float = 0.25) -> DataFrame:
+    """The Stack / SantaCoder code-file filtering rules (Kocetkov et
+    al. 2022 §3; Allal et al. 2023 §2 'filtering') — the third
+    canonical published gate beside :func:`gopher_quality_flags`
+    (prose) and :func:`c4_quality_flags` (lines), and the one a
+    CODE-data pipeline applies: the rules key on line geometry and
+    character classes rather than words, because minified bundles,
+    base64 blobs, and generated XML defeat word-level heuristics.
+
+    - longest line ≤ ``max_line_len`` chars (minified/one-line files);
+    - mean line length ≤ ``max_mean_line_len`` (generated/packed
+      files);
+    - alphanumeric characters ≥ ``min_alnum_frac`` of all characters
+      (binary-ish / symbol-soup content; an EMPTY file has no
+      alphanumeric evidence and is dropped by this rule);
+    - no ``<?xml version=`` in the first 100 characters (the
+      published XML-header proxy for generated data files).
+
+    Output per doc: the raw metrics (mean/frac rounded to 6 BEFORE
+    comparison — engine-exact verdicts), one boolean per rule, and
+    ``keep`` = their conjunction. The HTML visible-text rule from the
+    same papers needs a DOM render and is deliberately out of scope
+    here — :func:`html_to_text`'s rule chain is the repo's HTML path.
+
+    One narrow in-row pass over the line array + two character scans —
+    split/transform/aggregate HOFs, pure codegen, no shuffle, no UDF;
+    the scan prunes to (doc_id, text)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    lens = F.transform(lines, lambda l: F.length(l))
+    n_lines = F.size(lines)
+    max_ll = F.array_max(lens)
+    mean_ll = F.round(
+        F.aggregate(lens, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).cast("double") / n_lines, 6)
+    n_chars = F.length(t)
+    n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    alnum_frac = F.when(
+        n_chars > 0, F.round(n_alnum.cast("double") / n_chars, 6))
+    xml_header = F.substring(t, 1, 100).contains("<?xml version=")
+    out = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        max_ll.alias("max_line_len"),
+        mean_ll.alias("mean_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        xml_header.alias("xml_header"),
+    )
+    flags = {
+        "line_max_ok": F.col("max_line_len") <= max_line_len,
+        "line_mean_ok": F.col("mean_line_len") <= max_mean_line_len,
+        "alnum_ok": F.col("alnum_frac") >= min_alnum_frac,
+        "not_xml_ok": ~F.col("xml_header"),
+    }
+    cols = [out[c] for c in out.columns]
+    keep = None
+    for name, expr in flags.items():
+        e = F.coalesce(expr, F.lit(False))
+        cols.append(e.alias(name))
+        keep = e if keep is None else (keep & e)
+    cols.append(keep.alias("keep"))
+    return out.select(*cols)

@@ -24,6 +24,7 @@ except ImportError:
 # lands; new queries register with no green row and land at the front
 # automatically.
 _UNVERIFIED_FIRST = (
+    "stack_code_quality",  # latest green r0
     "recrawl_schedule",  # latest green r0
     "robots_gate_wildcards",  # latest green r0
     "retrieval_ndcg_pruned",  # latest green r0

@@ -7045,6 +7045,97 @@ def c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stack_code_quality",
+    """
+    WITH d0 AS (SELECT doc_id, text, doc_id % 5 AS v FROM documents),
+    base AS (SELECT doc_id, v,
+               'def f_' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+                 || '    return ' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || '# ' || substr(text, 1, 80) AS g,
+               text
+             FROM d0),
+    d AS (SELECT doc_id,
+            CASE v
+              WHEN 1 THEN g || chr(10) || repeat('x', 1200)
+              WHEN 2 THEN repeat('ab', 75) || chr(10)
+                          || repeat('ab', 75) || chr(10)
+                          || repeat('ab', 75)
+              WHEN 3 THEN repeat('@#$% ', 12) || 'ok'
+              WHEN 4 THEN '<?xml version="1.0"?>' || chr(10) || g
+              ELSE g END AS text
+          FROM base),
+    m AS (SELECT doc_id, text,
+            string_split(text, chr(10)) AS ls
+          FROM d),
+    r AS (SELECT doc_id,
+            CAST(len(ls) AS INTEGER) AS n_lines,
+            CAST(list_max(list_transform(ls, l -> len(l)))
+                 AS INTEGER) AS max_line_len,
+            round(CAST(list_sum(list_transform(ls, l -> len(l)))
+                       AS DOUBLE) / len(ls), 6) AS mean_line_len,
+            round(CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '',
+                                          'g'))
+                       AS DOUBLE) / len(text), 6) AS alnum_frac,
+            contains(substr(text, 1, 100), '<?xml version=')
+              AS xml_header
+          FROM m)
+    SELECT doc_id, n_lines, max_line_len, mean_line_len, alnum_frac,
+           xml_header,
+           (max_line_len <= 1000) AS line_max_ok,
+           (mean_line_len <= 100.0) AS line_mean_ok,
+           (alnum_frac >= 0.25) AS alnum_ok,
+           (NOT xml_header) AS not_xml_ok,
+           (max_line_len <= 1000 AND mean_line_len <= 100.0
+            AND alnum_frac >= 0.25 AND NOT xml_header) AS keep
+    FROM r
+    """,
+    doc="The Stack / SantaCoder code-file filtering rules EXECUTED "
+    "(operators/text.py::code_quality_flags) — Kocetkov et al. 2022 "
+    "§3, Allal et al. 2023 §2: the third canonical published gate "
+    "beside Gopher (words) and C4 (lines), keyed on line geometry "
+    "and character classes because minified bundles, base64 blobs, "
+    "and generated XML defeat word-level heuristics: longest line "
+    "<= 1000 chars, mean line length <= 100, alphanumeric fraction "
+    ">= 0.25, no '<?xml version=' in the first 100 chars; keep = "
+    "the conjunction with mean/frac rounded to 6 BEFORE comparison. "
+    "The corpus mutates per doc_id % 5: v=0 a 3-line code-shaped doc "
+    "(def/return/comment from the prose — passes everything), v=1 "
+    "appends a 1200-char minified line (max fires, dragging mean "
+    "with it — documented pair), v=2 three 150-char lines (mean "
+    "fires ALONE, max stays under), v=3 symbol soup at alnum 0.03 "
+    "(alnum fires alone on one short line), v=4 an XML header ahead "
+    "of otherwise-clean code (xml fires alone). Oracle recomputes "
+    "all four metrics through DuckDB list/regexp functions (global "
+    "'g' flag — DuckDB regexp_replace is first-match by default) "
+    "over the SAME mutated text. Plan: one narrow in-row pass over "
+    "the line array + two character scans — split/transform/"
+    "aggregate HOFs, no shuffle, no UDF, scan pruned to "
+    "(doc_id, text).",
+    tags=("dataprep", "text", "quality", "code"),
+)
+def stack_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    v = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    g = F.concat(
+        F.lit("def f_"), did, F.lit("():\n    return "), did,
+        F.lit("\n# "), F.substring(F.col("text"), 1, 80),
+    )
+    text = (
+        F.when(v == 1, F.concat(g, F.lit("\n"), F.repeat(F.lit("x"), 1200)))
+        .when(v == 2, F.concat(
+            F.repeat(F.lit("ab"), 75), F.lit("\n"),
+            F.repeat(F.lit("ab"), 75), F.lit("\n"),
+            F.repeat(F.lit("ab"), 75)))
+        .when(v == 3, F.concat(F.repeat(F.lit("@#$% "), 12), F.lit("ok")))
+        .when(v == 4, F.concat(F.lit('<?xml version="1.0"?>\n'), g))
+        .otherwise(g)
+    )
+    return X.code_quality_flags(d.select("doc_id", text.alias("text")))
+
+
+@register(
     "sitemap_discovery",
     """
     WITH h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),

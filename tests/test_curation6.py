@@ -788,3 +788,33 @@ def test_wildcards_gate_total_on_adversarial_patterns(spark):
         frontier, parse_robots_patterns(robots)).collect()  # no raise
     assert len(out) == 160
     assert all(r.blocked in (True, False) for r in out)
+
+
+def test_code_quality_flags_each_rule(spark):
+    """Each published Stack/SantaCoder rule fires on its own crafted
+    failure mode, a compliant code file keeps, and an empty file drops
+    via the alnum rule (no alphanumeric evidence) instead of dividing
+    by zero."""
+    from hbase_packet_inspector_spark.operators.text import (
+        code_quality_flags,
+    )
+
+    good = "def f():\n    return 1\n# short comment"
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, good + "\n" + "x" * 1500),          # minified line
+         (2, ("ab" * 80 + "\n") * 3),            # mean > 100, max < 1000
+         (3, "@#$% " * 10 + "!!"),               # symbol soup
+         (4, '<?xml version="1.0"?>\n' + good),  # generated XML
+         (5, "")],                               # empty
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in code_quality_flags(docs).collect()}
+    assert out[0].keep
+    assert not out[1].line_max_ok and not out[1].keep
+    assert out[2].line_max_ok and not out[2].line_mean_ok
+    assert not out[3].alnum_ok and out[3].line_mean_ok
+    assert not out[4].not_xml_ok and out[4].alnum_ok
+    assert not out[5].keep and not out[5].alnum_ok
+    # rule isolation: the xml doc passes everything else
+    assert out[4].line_max_ok and out[4].line_mean_ok
