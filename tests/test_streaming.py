@@ -1098,6 +1098,29 @@ def test_stream_quality_rulesets_exactly_match_batch(spark, tmp_path):
     assert key(out_c) == key(c4_quality_flags(docs).collect())
 
 
+def test_stream_code_quality_exactly_matches_batch(spark, tmp_path):
+    """code_quality_flags (the Stack/SantaCoder gate) is the same
+    stateless in-row chain — per-arrival streaming verdicts match the
+    batch operator exactly, including the rule-firing variants."""
+    from hbase_packet_inspector_spark.operators.text import (
+        code_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "def f():\n    return 1\n# fine"),
+         (1, "def g():\n" + "y" * 1500),
+         (2, "@#$% " * 10 + "!!"),
+         (3, '<?xml version="1.0"?>\n<a>generated</a>')],
+        "doc_id long, text string",
+    )
+
+    def key(rs):
+        return sorted(tuple(str(x) for x in r) for r in rs)
+
+    out = _replay(spark, docs, code_quality_flags, str(tmp_path / "sq"))
+    assert key(out) == key(code_quality_flags(docs).collect())
+
+
 def test_run_crawl_gate_stream_end_to_end(spark, tmp_path):
     """The streamed compliance deployment: three frontier micro-batches
     gated against a CRLF robots snapshot with an Allow exception; the
