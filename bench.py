@@ -253,6 +253,7 @@ HEADLINE = [
     "recrawl_schedule",
     "retrieval_ndcg_pruned",
     "stack_code_quality",
+    "license_mix",
 ]
 
 

@@ -1744,3 +1744,47 @@ def code_quality_flags(docs: DataFrame, *, text_col: str = "text",
         keep = e if keep is None else (keep & e)
     cols.append(keep.alias("keep"))
     return out.select(*cols)
+
+
+def license_detect(docs: DataFrame, *, text_col: str = "text",
+                   head_chars: int = 2000) -> DataFrame:
+    """Keyword license detection over a file's HEAD — the other
+    published filter dimension of The Stack's code pipeline (Kocetkov
+    et al. 2022 §3 keeps permissive-licensed files): classify the
+    first ``head_chars`` characters against the canonical license
+    header phrases and flag whether the verdict is permissive. This is
+    deliberately the keyword SUBSET of a full detector (ScanCode-class
+    matching is a corpus of its own): unmatched or ambiguous headers
+    read ``unknown``/non-permissive — the safe direction, a file is
+    never ADMITTED by a parsing gap.
+
+    Match order is specificity-first and pinned by construction:
+    ``lgpl`` before ``gpl`` (the LGPL header CONTAINS 'general public
+    license'), phrase matches over bare acronyms. Detected classes:
+    mit, apache-2.0, lgpl, gpl, bsd, mpl-2.0; ``permissive`` = mit /
+    apache-2.0 / bsd.
+
+    One in-row lower+substring+contains chain — codegen, no shuffle,
+    no UDF; the scan prunes to (doc_id, text)."""
+    h = F.lower(F.substring(F.col(text_col), 1, int(head_chars)))
+
+    def has(phrase: str) -> Column:
+        return h.contains(phrase)
+
+    license_ = (
+        F.when(has("gnu lesser general public license"), F.lit("lgpl"))
+        .when(has("gnu general public license"), F.lit("gpl"))
+        .when(has("apache license"), F.lit("apache-2.0"))
+        .when(has("permission is hereby granted, free of charge"),
+              F.lit("mit"))
+        .when(has("mit license"), F.lit("mit"))
+        .when(has("redistribution and use in source and binary forms"),
+              F.lit("bsd"))
+        .when(has("mozilla public license"), F.lit("mpl-2.0"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id",
+        license_.alias("license"),
+        license_.isin("mit", "apache-2.0", "bsd").alias("permissive"),
+    )

@@ -25,6 +25,7 @@ except ImportError:
 # automatically.
 _UNVERIFIED_FIRST = (
     "stack_code_quality",  # latest green r0
+    "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0
     "robots_gate_wildcards",  # latest green r0
     "retrieval_ndcg_pruned",  # latest green r0

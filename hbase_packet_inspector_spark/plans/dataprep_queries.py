@@ -7136,6 +7136,78 @@ def stack_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "license_mix",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 6 AS v FROM documents),
+    per AS (SELECT doc_id,
+              CASE v WHEN 1 THEN 'mit'
+                     WHEN 2 THEN 'apache-2.0'
+                     WHEN 3 THEN 'gpl'
+                     WHEN 4 THEN 'lgpl'
+                     WHEN 5 THEN 'bsd'
+                     ELSE 'unknown' END AS license,
+              v IN (1, 2, 5) AS permissive
+            FROM d)
+    SELECT license, permissive,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM per), 6) AS share
+    FROM per GROUP BY 1, 2
+    """,
+    doc="License-aware corpus accounting EXECUTED (operators/text.py::"
+    "license_detect) — The Stack's other published filter dimension "
+    "(Kocetkov et al. 2022 keep permissive-licensed files): classify "
+    "each file's 2000-char head against canonical license header "
+    "phrases (specificity-first — LGPL before GPL because the LGPL "
+    "header CONTAINS 'general public license', the ordering this "
+    "corpus pins), flag mit/apache-2.0/bsd as permissive, and roll "
+    "up per-license doc counts and corpus share. The synthetic "
+    "corpus prepends a real header phrase per doc_id % 6 (none/MIT "
+    "grant clause/Apache/GPL/LGPL/BSD redistribution clause) ahead "
+    "of the prose; the oracle computes the classification from the "
+    "generator arithmetic — INDEPENDENT of the string matching the "
+    "Spark side actually performs. Plan: one in-row lower+contains "
+    "chain, then one partial+final aggregate to license cardinality "
+    "+ a 1-row total subquery — scan pruned to (doc_id, text).",
+    tags=("dataprep", "text", "quality", "code"),
+)
+def license_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    v = F.col("doc_id") % 6
+    header = (
+        F.when(v == 1, F.lit(
+            "Permission is hereby granted, free of charge, to any "
+            "person obtaining a copy\n"))
+        .when(v == 2, F.lit(
+            "Licensed under the Apache License, Version 2.0\n"))
+        .when(v == 3, F.lit(
+            "This program is free software under the GNU General "
+            "Public License v3.\n"))
+        .when(v == 4, F.lit(
+            "Released under the GNU Lesser General Public License.\n"))
+        .when(v == 5, F.lit(
+            "Redistribution and use in source and binary forms, with "
+            "or without modification\n"))
+        .otherwise(F.lit(""))
+    )
+    per = X.license_detect(
+        d.select("doc_id",
+                 F.concat(header, F.col("text")).alias("text")))
+    tot = per.agg(F.count("*").alias("_tot"))
+    return (
+        per.groupBy("license", "permissive")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "license", "permissive", "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_tot"), 6)
+            .alias("share"),
+        )
+    )
+
+
+@register(
     "sitemap_discovery",
     """
     WITH h AS (SELECT DISTINCT doc_id % 25 AS h FROM documents),

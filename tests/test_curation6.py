@@ -818,3 +818,38 @@ def test_code_quality_flags_each_rule(spark):
     assert not out[5].keep and not out[5].alnum_ok
     # rule isolation: the xml doc passes everything else
     assert out[4].line_max_ok and out[4].line_mean_ok
+
+
+def test_license_detect_order_and_classes(spark):
+    """Keyword license classes detect from the file head with
+    specificity-first ordering (LGPL before GPL — the LGPL header
+    contains 'general public license'), permissive = mit/apache/bsd,
+    unmatched heads read unknown/non-permissive, and a header past
+    head_chars is invisible (detection is head-scoped)."""
+    from hbase_packet_inspector_spark.operators.text import (
+        license_detect,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "plain prose, no license talk"),
+         (1, "Permission is hereby granted, free of charge, to any"),
+         (2, "Licensed under the Apache License, Version 2.0"),
+         (3, "under the GNU General Public License v3"),
+         (4, "under the GNU Lesser General Public License v2.1"),
+         (5, "Redistribution and use in source and binary forms, ok"),
+         (6, "under the Mozilla Public License 2.0"),
+         (7, "x" * 3000 + " Permission is hereby granted, free of charge")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.license, r.permissive)
+           for r in license_detect(docs).collect()}
+    assert out == {
+        0: ("unknown", False),
+        1: ("mit", True),
+        2: ("apache-2.0", True),
+        3: ("gpl", False),
+        4: ("lgpl", False),       # not gpl: lesser checked first
+        5: ("bsd", True),
+        6: ("mpl-2.0", False),
+        7: ("unknown", False),    # header beyond head_chars
+    }

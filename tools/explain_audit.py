@@ -200,6 +200,10 @@ ALLOWED = {
     # over the n_bins-row histogram (key_skew_report's rationale);
     # the histogram is one mergeable (bin, label) aggregate
     "score_calibration": {"NESTED-LOOP-JOIN"},
+    # the corpus-total doc count re-enters as a broadcast ONE-ROW
+    # aggregate over the license-cardinality rollup (key_skew_report's
+    # one-row-totals rationale)
+    "license_mix": {"NESTED-LOOP-JOIN"},
     # embeds frontier_budget over the freshness-adjusted priorities,
     # whose total micro-priority is the same broadcast ONE-ROW
     # aggregate (crawl_budget's rationale); the sitemap rollup and the
