@@ -254,6 +254,14 @@ HEADLINE = [
     "retrieval_ndcg_pruned",
     "stack_code_quality",
     "license_mix",
+    "heavy_hitters_cms",
+    "bloom_join_prune",
+    "hits_hubs_authorities",
+    "readability",
+    "k_anonymity",
+    "triangle_count",
+    "scd2_build",
+    "approx_quantile_audit",
 ]
 
 
@@ -298,7 +306,11 @@ def _write_local_record(record: dict) -> None:
     is BENCH_LOCAL_r{N}.json with N = 1 + the highest BENCH_r*.json round
     already archived (the round currently in progress); a re-run within
     the same round overwrites — the committed file is the round's latest
-    measurement.  Never fatal: the printed lines remain the contract."""
+    measurement.  Only the canonical sf0.1 run earns the round name: a
+    verification run at another SF would silently clobber the committed
+    per-query history with incomparable numbers (it did, once), so those
+    land in BENCH_LOCAL_last_sf{sf}.json instead.  Never fatal: the
+    printed lines remain the contract."""
     import glob
     import re
 
@@ -306,6 +318,9 @@ def _write_local_record(record: dict) -> None:
     out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "")
     if out.lower() == "none":
         return
+    if not out and record.get("sf") != 0.1:
+        out = os.path.join(
+            here, f"BENCH_LOCAL_last_sf{record.get('sf')}.json")
     if not out:
         rounds = [
             int(m.group(1))

@@ -101,3 +101,60 @@ def asof_join(
     for c in value_cols:
         sel.append(F.when(matched, F.col(f"_state._r_{c}")).alias(f"{c}{suffix}"))
     return out.select(*sel)
+
+
+def scd2_build(events: DataFrame, *, key_col: str, attr_col: str,
+               ts_col: str = "ts", seq_col: str | None = None) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (Kimball SCD2) from a
+    change-event stream: collapse each key's event history into
+    validity-interval versions — one row per (key, attribute value)
+    RUN, with [valid_from, valid_to) interval epochs and an is_current
+    flag on the open tail. This is the warehouse-side consumer of a
+    CDC feed: the dimension table an as-of join (operators/asof.py::
+    asof_join) then probes.
+
+    Semantics: events order by (ts, seq) within each key; consecutive
+    events with an UNCHANGED attribute extend the current version
+    (only transitions open a new one — the first event always does);
+    version numbers count transitions from 1; valid_to of version v is
+    valid_from of v+1, NULL on the current version.
+
+    Scale shape: one shuffle on the key — both windows (the lag that
+    detects transitions and the lead/row_number that closes intervals)
+    share the identical (key, ts, seq) partitioning+ordering, so
+    Catalyst plans a single Exchange+Sort and the second window rides
+    it. State per key is the version list, never the event list.
+
+    Output: (key, version, attr, valid_from_epoch, valid_to_epoch,
+    is_current) — valid_*_epoch are bigint seconds (timezone-proof
+    across engines), valid_to_epoch NULL while current.
+    """
+    order = [F.col("_ts_e").asc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).asc())
+    base = events.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).cast("long").alias("_ts_e"),
+        *([F.col(seq_col)] if seq_col else []),
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        base.withColumn("_prev", F.lag("attr").over(w))
+        .filter(F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("attr")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changes
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn("valid_to_epoch", F.lead("_ts_e").over(w2))
+        .select(
+            key_col,
+            "version",
+            "attr",
+            F.col("_ts_e").alias("valid_from_epoch"),
+            "valid_to_epoch",
+            F.col("valid_to_epoch").isNull().alias("is_current"),
+        )
+    )

@@ -55,3 +55,33 @@ def profile(df: DataFrame, cols: list[str] | None = None, *,
         ]
     )
     return wide.select(F.inline(report))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], *,
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: every
+    equivalence class (distinct quasi-column combination) with its
+    size, whether it violates ``k`` (fewer than k rows share the
+    combination, so a joiner with background knowledge narrows a
+    target to < k candidates), and the re-identification risk 1/size.
+
+    This is the release-gate complement to text-level PII scrubbing
+    (operators/text.py::scrub_pii): scrubbing removes direct
+    identifiers, this measures whether the REMAINING attribute
+    combinations still single people out — the audit a training-data
+    pipeline runs before shipping structured metadata columns.
+
+    One groupBy on the quasi tuple (partial+final count, one shuffle
+    keyed exactly like the release join would be); output is
+    equivalence-class-cardinality sized, never row-sized.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .select(
+            *quasi_cols, "group_n",
+            (F.col("group_n") < k).alias("violates_k"),
+            F.round(F.lit(1.0) / F.col("group_n"), 6)
+            .alias("reident_risk"),
+        )
+    )

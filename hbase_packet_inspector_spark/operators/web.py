@@ -986,6 +986,103 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     return out
 
 
+def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
+                dst_col: str = "dst_host", weight_col: str | None = None,
+                iters: int = 5) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) over the host link graph
+    — the complementary signal to :func:`host_pagerank`: PageRank finds
+    globally endorsed hosts, HITS separates DIRECTORY hosts (hubs: they
+    link to many good authorities — crawl them to DISCOVER urls) from
+    CONTENT hosts (authorities: many good hubs link to them — crawl
+    them to GET documents). A frontier scheduler wants both columns.
+
+    Semantics (the public mutual-reinforcement formulation): hubs start
+    at 1.0; each round authority(v) = Σ hub(u)·w(u→v) then L1-normalize,
+    hub(u) = Σ authority(v)·w(u→v) then L1-normalize. Scores are rounded
+    to 9 decimals after each normalization so the fixpoint is
+    engine-exact (same discipline as host_pagerank).
+
+    Scale shape: the deduped weighted edge frame is persisted once; each
+    half-round is ONE equi-join of the node-sized score frame onto the
+    edges plus a groupBy partial+final sum, then a 1-row L1 aggregate
+    cross-joined back (the sanctioned 1-row broadcast shape). Score
+    frames are localCheckpointed per round so the loop plan stays flat.
+    Node frames are host-cardinality — never collected; there is no
+    driver scalar at all (unlike PageRank's 1/N terms, HITS needs none).
+
+    Output: (host, authority, hub) rounded to 6 — one row per node in
+    sources ∪ targets; hosts nothing links to have authority 0, hosts
+    linking nowhere have hub 0.
+
+    Reference parity note: the reference engine has no web/graph
+    surface; this is part of the repo's crawl-curation extension.
+    """
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct().persist()
+    )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        # nodes LEFT JOIN raw (absent => 0), then L1-normalize and
+        # round 9: one 1-row aggregate cross-joined back
+        filled = nodes.join(raw, "host", "left").select(
+            "host", F.coalesce(F.col(col), F.lit(0.0)).alias(col))
+        tot = filled.agg(F.sum(col).alias("_tot"))
+        return (
+            filled.crossJoin(tot)
+            .select(
+                "host",
+                F.when(F.col("_tot") > 0,
+                       F.round(F.col(col) / F.col("_tot"), 9))
+                .otherwise(F.lit(0.0)).alias(col),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.select("host", F.lit(1.0).alias("hub")).localCheckpoint()
+    auth = None
+    for _ in range(iters):
+        auth = _norm(
+            e.join(hub.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("auth")),
+            "auth",
+        )
+        hub = _norm(
+            e.join(auth.withColumnRenamed("host", "dst"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum(F.col("auth") * F.col("w")).alias("hub")),
+            "hub",
+        )
+    if auth is None:  # iters == 0: defined as the uniform start state
+        auth = nodes.select("host", F.lit(0.0).alias("auth"))
+    out = (
+        nodes.join(auth, "host", "left").join(hub, "host", "left")
+        .select(
+            "host",
+            F.round(F.coalesce(F.col("auth"), F.lit(0.0)), 6)
+            .alias("authority"),
+            F.round(F.coalesce(F.col("hub"), F.lit(0.0)), 6)
+            .alias("hub"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 # html_to_text's rule chain, applied strictly in order. Kept as data so
 # the DuckDB oracle emits the IDENTICAL chain (html_rules_sql below) —
 # patterns are RE2-and-Java-regex common subset ((?is) flags, non-greedy,
@@ -1308,3 +1405,69 @@ def host_drift(pages: DataFrame, *, ts_col: str = "ts",
             "host", "n_pages", "avg_quality", "low_quality_frac",
         )
     )
+
+
+def triangle_count(edges: DataFrame, *, src_col: str = "src_host",
+                   dst_col: str = "dst_host") -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simplification of
+    the link graph — the local clustering signal: link farms and
+    mutual-citation rings form dense triangle clusters while organic
+    hub-and-spoke linking is triangle-sparse, so triangle density per
+    host complements host_pagerank (global endorsement) and
+    hits_scores (hub/authority role) in the crawl-reputation family.
+
+    Algorithm (the standard distributed wedge-close): orient every
+    edge canonically (a < b after dedup/self-loop removal), build
+    wedges by self-joining on the low vertex with b < c so each
+    candidate triangle is enumerated EXACTLY once as (a < b < c), then
+    close each wedge against the oriented edge set. Two equi-joins +
+    one explode-groupBy; no window, no driver state.
+
+    Scale note: production triangle counting orders vertices by
+    (degree, id) instead of raw id so the wedge join fans out on
+    low-degree vertices — same plan shape, different orientation key;
+    with the id orientation used here the wedge count is bounded by
+    sum(out_deg^2) of the canonical orientation. The edge frame is
+    persisted across its three uses.
+
+    Output: (host, n_triangles) for EVERY node of the undirected
+    graph, zeros included.
+    """
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+    )
+    tri = w.join(
+        e, (F.col("y") == F.col("a")) & (F.col("z") == F.col("b")))
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("host"))
+        .union(e.select(F.col("b").alias("host")))
+        .distinct()
+    )
+    out = (
+        nodes.join(per_node, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out

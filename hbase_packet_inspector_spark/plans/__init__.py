@@ -17,18 +17,26 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 191 queries: 4 rounds between a
+# ceil(len(registry) / 50) rounds (at 201 queries: 5 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # tools/refresh_unverified.py after each round's CORRECTNESS_r{N}.json
 # lands; new queries register with no green row and land at the front
 # automatically.
 _UNVERIFIED_FIRST = (
+    "approx_quantile_audit",  # latest green r0
     "stack_code_quality",  # latest green r0
     "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0
     "robots_gate_wildcards",  # latest green r0
     "retrieval_ndcg_pruned",  # latest green r0
+    "heavy_hitters_cms",  # latest green r0
+    "bloom_join_prune",  # latest green r0
+    "hits_hubs_authorities",  # latest green r0
+    "readability",  # latest green r0
+    "k_anonymity",  # latest green r0
+    "triangle_count",  # latest green r0
+    "scd2_build",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

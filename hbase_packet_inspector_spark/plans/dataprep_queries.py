@@ -8376,3 +8376,428 @@ def retrieval_ndcg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_ndcg("lexical", ltop))
         .unionByName(_ndcg("hybrid_pruned", htop))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: Count-Min heavy hitters + Bloom-filter semi-join pruning
+# (operators/sketch.py). Deliberately under-sized locally (width 32 /
+# 4096 bits) so collisions and false positives are actually exercised;
+# at 100 TB you size width/bits up and the frames stay fixed-size.
+# ---------------------------------------------------------------------------
+
+_CMS_W, _CMS_D = 32, 3
+
+
+def _seed_hash_sql(seed: str, key: str, mod: int) -> str:
+    """DuckDB mirror of operators/sketch.py::_h — md5-first-8-hex of
+    '<seed>:<key>' as an integer, mod ``mod``."""
+    return (
+        _hex8_bigint(
+            f"md5(CAST({seed} AS VARCHAR) || ':' || CAST({key} AS VARCHAR))"
+        )
+        + f" % {mod}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+    WITH seeds AS (SELECT unnest(range(0, {_CMS_D})) AS seed),
+    pe AS (SELECT s.seed,
+                  {_seed_hash_sql('s.seed', 'e.user_id', _CMS_W)} AS bucket
+           FROM events e CROSS JOIN seeds s),
+    sk AS (SELECT seed, bucket, count(*) AS n FROM pe GROUP BY 1, 2),
+    ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+    top AS (SELECT * FROM ex ORDER BY exact_n DESC, user_id LIMIT 25),
+    est AS (SELECT t.user_id, min(coalesce(sk.n, 0)) AS cms_n
+            FROM top t CROSS JOIN seeds s
+            LEFT JOIN sk ON sk.seed = s.seed
+                 AND sk.bucket = {_seed_hash_sql('s.seed', 't.user_id',
+                                                 _CMS_W)}
+            GROUP BY 1)
+    SELECT t.user_id, t.exact_n, e.cms_n,
+           e.cms_n - t.exact_n AS overestimate
+    FROM top t JOIN est e USING (user_id)
+    """,
+    doc="Count-Min heavy hitters (operators/sketch.py::heavy_hitters_cms): "
+    "the exact top-25 hot users audited against a depth-3 x width-32 "
+    "Count-Min sketch — per key the sketch's min-over-seeds estimate and "
+    "its overestimate (>= 0 ALWAYS: one negative value falsifies the "
+    "sketch, which is what the oracle's identical integer arithmetic "
+    "pins). Width 32 is deliberately tiny so collisions actually occur "
+    "on the local corpus; the scale story is the other direction — the "
+    "sketch build shuffles at most partitions*depth*width counter rows "
+    "(map-side combine) regardless of key cardinality, and the estimate "
+    "join broadcasts the <= depth*width-row sketch. md5-seeded hashing "
+    "portable to the oracle (the cdc_chunks idiom).",
+    tags=("dataprep", "sketch", "approx", "topk"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as K
+
+    ev = load_table(spark, sf_dir, "events")
+    tune_session(spark)
+    return K.heavy_hitters_cms(
+        ev, "user_id", width=_CMS_W, depth=_CMS_D, k=25)
+
+
+_BLOOM_BITS, _BLOOM_K = 4096, 3
+
+
+@register(
+    "bloom_join_prune",
+    f"""
+    WITH seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS seed),
+    bk AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+    bits AS (SELECT DISTINCT
+                    {_seed_hash_sql('s.seed', 'b.o_custkey', _BLOOM_BITS)}
+                    AS pos
+             FROM bk b CROSS JOIN seeds s),
+    pv AS (SELECT c.c_custkey, count(bits.pos) = {_BLOOM_K} AS bloom_pass
+           FROM customer c CROSS JOIN seeds s
+           LEFT JOIN bits
+             ON bits.pos = {_seed_hash_sql('s.seed', 'c.c_custkey',
+                                           _BLOOM_BITS)}
+           GROUP BY 1),
+    j AS (SELECT c.c_mktsegment, pv.bloom_pass,
+                 c.c_custkey IN (SELECT o_custkey FROM bk) AS is_member
+          FROM customer c JOIN pv USING (c_custkey))
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(sum(CASE WHEN bloom_pass AND NOT is_member
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           round(sum(CASE WHEN bloom_pass AND NOT is_member
+                     THEN 1 ELSE 0 END)
+                 / CAST(greatest(count(*) - sum(CASE WHEN is_member
+                        THEN 1 ELSE 0 END), 1) AS DOUBLE), 6) AS fp_rate
+    FROM j GROUP BY 1
+    """,
+    doc="Bloom-filter semi-join reduction audit (operators/sketch.py::"
+    "bloom_join_prune): customers probed against a 4096-bit/3-hash Bloom "
+    "filter built from URGENT orders' custkeys — per market segment the "
+    "exact member count, the Bloom pass count, and the false-positive "
+    "residue (never a false NEGATIVE: bloom_pass >= is_member row-wise, "
+    "so n_bloom_pass >= n_members per group — the invariant that makes "
+    "pre-shuffle pruning of the probe side safe). This is the explicit "
+    "form of the runtime bloom filter AQE injects: the <= bits-row "
+    "filter frame broadcasts to the probe scan and the big side drops "
+    "non-matching rows BEFORE the join shuffle; the join itself removes "
+    "the FP residue. Hashing md5-seeded, oracle-identical.",
+    tags=("dataprep", "sketch", "join", "bloom"),
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as K
+
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    res = K.bloom_join_prune(
+        cust, "c_custkey", urgent, "o_custkey",
+        bits=_BLOOM_BITS, hashes=_BLOOM_K)
+    mem = F.col("is_member").cast("int")
+    bp = F.col("bloom_pass").cast("int")
+    fp = F.col("false_pos").cast("int")
+    return (
+        res.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(mem).alias("n_members"),
+            F.sum(bp).alias("n_bloom_pass"),
+            F.sum(fp).alias("n_false_pos"),
+            F.round(
+                F.sum(fp)
+                / F.greatest(
+                    F.count(F.lit(1)) - F.sum(mem), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _hits_ctes(iters: int) -> str:
+    """Chained-CTE mirror of operators/web.py::hits_scores over the SAME
+    synthetic host link graph as _pagerank_ctes (identical ``l``/``e``
+    CTE text). Unrolls ``iters`` mutual-reinforcement rounds: a{i} =
+    L1-normalized in-sums of h{i-1}, h{i} = L1-normalized out-sums of
+    a{i}, each rounded to 9 like the Spark loop.
+
+    Every round CTE is ``AS MATERIALIZED``: each level references its
+    predecessor twice (value + L1 sum), so DuckDB's default inlining
+    would expand the chain 4^iters times and re-open the parquet file
+    for every copy (observed as 'Too many open files' at iters=5) —
+    materialization is the oracle-side analog of the Spark loop's
+    localCheckpoint."""
+    sql = """l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                            ELSE (doc_id * 11 + 5) % 25 END AS VARCHAR)
+             || '.com'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'sink.example.com'
+      FROM documents WHERE doc_id % 17 = 0),
+    e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM l GROUP BY 1, 2),
+    nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (SELECT host, 1.0 AS hub FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    ar{i} AS (SELECT e.dst AS host, sum(h.hub * e.w) AS v
+              FROM e JOIN h{i - 1} h ON h.host = e.src GROUP BY 1),
+    af{i} AS MATERIALIZED (SELECT no.host, coalesce(ar.v, 0) AS v
+              FROM nodes no LEFT JOIN ar{i} ar USING (host)),
+    asum{i} AS (SELECT sum(v) AS s FROM af{i}),
+    a{i} AS MATERIALIZED (SELECT host, CASE WHEN s > 0 THEN round(v / s, 9)
+                          ELSE 0.0 END AS auth
+             FROM af{i} CROSS JOIN asum{i}),
+    hr{i} AS (SELECT e.src AS host, sum(a.auth * e.w) AS v
+              FROM e JOIN a{i} a ON a.host = e.dst GROUP BY 1),
+    hf{i} AS MATERIALIZED (SELECT no.host, coalesce(hr.v, 0) AS v
+              FROM nodes no LEFT JOIN hr{i} hr USING (host)),
+    hsum{i} AS (SELECT sum(v) AS s FROM hf{i}),
+    h{i} AS MATERIALIZED (SELECT host, CASE WHEN s > 0 THEN round(v / s, 9)
+                          ELSE 0.0 END AS hub
+             FROM hf{i} CROSS JOIN hsum{i})"""
+    return sql
+
+
+@register(
+    "hits_hubs_authorities",
+    f"""
+    WITH {_hits_ctes(5)}
+    SELECT n.host,
+           round(coalesce(a.auth, 0), 6) AS authority,
+           round(coalesce(h.hub, 0), 6) AS hub
+    FROM nodes n LEFT JOIN a5 a USING (host)
+                 LEFT JOIN h5 h USING (host)
+    """,
+    doc="HITS hubs and authorities (operators/web.py::hits_scores): 5 "
+    "mutual-reinforcement rounds over the same synthetic host link "
+    "graph host_pagerank ranks — the frontier scheduler's second "
+    "signal, separating directory hosts (hubs: crawl to DISCOVER urls) "
+    "from content hosts (authorities: crawl to GET documents); the "
+    "dangling sink.example.com ends up pure authority (nonzero "
+    "authority, hub exactly 0 — it links nowhere). Per half-round: one "
+    "edge equi-join + groupBy partial+final sum + a 1-row L1-norm "
+    "aggregate cross-joined back (sanctioned 1-row shape), score "
+    "frames localCheckpointed so the loop never re-enters Catalyst "
+    "with nested plans; scores rounded to 9 per normalization so the "
+    "fixpoint is engine-exact. No driver scalar at all.",
+    tags=("dataprep", "web", "graph", "iterative", "rank"),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    return WB.hits_scores(_site_links(d), iters=5)
+
+
+@register(
+    "readability",
+    r"""
+    WITH s AS (SELECT doc_id,
+                      regexp_replace(text, ' spark ', '. spark ', 'g') AS t
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split(t, ' '),
+                          x -> x <> '')) AS INTEGER) AS n_words,
+                 CAST(len(string_split_regex(t, '[.!?]+')) - 1
+                      AS INTEGER) AS term_runs,
+                 regexp_matches(t, '[.!?][ \t]*$') AS ends_term,
+                 CAST(len(string_split_regex(lower(t), '[aeiouy]+')) - 1
+                      AS INTEGER) AS n_syllables
+          FROM s),
+    c AS (SELECT doc_id, n_words,
+                 CAST(greatest(1, term_runs
+                      + CASE WHEN ends_term THEN 0 ELSE 1 END)
+                      AS INTEGER) AS n_sentences,
+                 n_syllables
+          FROM m),
+    g AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                 CAST(n_words AS BIGINT) AS w,
+                 CAST(greatest(n_words, 1) AS BIGINT) AS wg,
+                 CAST(n_sentences AS BIGINT) AS s,
+                 CAST(n_syllables AS BIGINT) AS y
+          FROM c),
+    r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                 CAST(206835 * s * wg - 1015 * w * wg
+                      - 84600 * y * s AS DOUBLE)
+                     / CAST(1000 * s * wg AS DOUBLE) AS flesch,
+                 CAST(39 * w * wg + 1180 * y * s
+                      - 1559 * s * wg AS DOUBLE)
+                     / CAST(100 * s * wg AS DOUBLE) AS fk_grade
+          FROM g)
+    SELECT doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade,
+           CASE WHEN flesch >= 60 THEN 'easy'
+                WHEN flesch >= 30 THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM r
+    """,
+    doc="Flesch reading-ease + Flesch-Kincaid grade per document "
+    "(operators/text.py::readability_scores — Kincaid et al. 1975): the "
+    "curriculum/difficulty axis orthogonal to the Gopher/C4 rule gates. "
+    "Sentence structure is exercised by deterministically promoting "
+    "every ' spark ' occurrence to a sentence break before scoring "
+    "(regexp_replace, global on BOTH engines — DuckDB needs the "
+    "explicit 'g' flag); word = non-empty space token, sentence = "
+    "[.!?]+ runs + unterminated tail (min 1), syllable = [aeiouy]+ "
+    "runs lowercased. Fully in-row regexp counting + arithmetic — "
+    "scan-speed whole-stage codegen, no shuffle, no UDF. Scores are "
+    "ONE exact-integer division each, emitted UNROUNDED (plans/num.py "
+    "discipline): these small-denominator ratios land on decimal "
+    "half-ties constantly and round() of a tie is engine-dependent, "
+    "while the identical-integer division is bit-exact on both.",
+    tags=("dataprep", "text", "quality", "readability"),
+)
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " spark ", ". spark ")
+        .alias("text"),
+    )
+    return X.readability_scores(docs)
+
+
+@register(
+    "k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kbucket,
+           count(*) AS group_n,
+           count(*) < 5 AS violates_k,
+           round(1 / CAST(count(*) AS DOUBLE), 6) AS reident_risk
+    FROM customer GROUP BY 1, 2, 3
+    """,
+    doc="k-anonymity audit (operators/profile.py::k_anonymity) over the "
+    "customer quasi-identifier tuple (nation, market segment, account-"
+    "balance kilobucket): every equivalence class with its size, k=5 "
+    "violation flag, and 1/size re-identification risk — the release "
+    "gate complementing pii_scrub: scrubbing removes direct "
+    "identifiers, this measures whether the remaining attribute "
+    "combinations still single records out. One groupBy on the quasi "
+    "tuple (partial+final count); output is class-cardinality sized.",
+    tags=("dataprep", "privacy", "audit"),
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile as PR
+
+    tune_session(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_kbucket"),
+        )
+    )
+    return PR.k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_kbucket"], k=5)
+
+
+@register(
+    "triangle_count",
+    """
+    WITH l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                            ELSE (doc_id * 11 + 5) % 25 END AS VARCHAR)
+             || '.com'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'sink.example.com'
+      FROM documents WHERE doc_id % 17 = 0),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM l WHERE src <> dst),
+    w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+    tri AS (SELECT x, y, z FROM w JOIN e ON e.a = w.y AND e.b = w.z),
+    pn AS (SELECT host, count(*) AS n FROM (
+             SELECT x AS host FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY 1),
+    nodes AS (SELECT a AS host FROM e UNION SELECT b FROM e)
+    SELECT n.host, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN pn USING (host)
+    """,
+    doc="Per-node triangle counts (operators/web.py::triangle_count) "
+    "over the undirected simplification of the synthetic host link "
+    "graph — the local-clustering reputation signal: link farms and "
+    "citation rings are triangle-dense, organic hub-and-spoke linking "
+    "is triangle-sparse. The standard distributed wedge-close: "
+    "canonical a<b orientation, wedge self-join on the low vertex "
+    "with b<c (each triangle enumerated once as a<b<c), closed "
+    "against the oriented edge set — two equi-joins + explode-groupBy, "
+    "no window, no driver state; at scale the orientation key becomes "
+    "(degree, id) to bound the wedge fan-out, same plan shape.",
+    tags=("dataprep", "web", "graph"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    return WB.triangle_count(_site_links(d))
+
+
+@register(
+    "scd2_build",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_e, event_id
+               FROM events),
+    l AS (SELECT user_id, event_type, ts_e, event_id,
+                 lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts_e, event_id)
+                     AS prev
+          FROM e),
+    c AS (SELECT * FROM l WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           event_type AS attr,
+           ts_e AS valid_from_epoch,
+           lead(ts_e) OVER w AS valid_to_epoch,
+           lead(ts_e) OVER w IS NULL AS is_current
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_e, event_id)
+    """,
+    doc="SCD type-2 dimension build (operators/asof.py::scd2_build — "
+    "Kimball slowly-changing dimensions) from the event stream: each "
+    "user's event_type history collapsed to validity-interval versions "
+    "— consecutive unchanged values extend a version, transitions open "
+    "one, [valid_from, valid_to) epochs with NULL/is_current on the "
+    "open tail. The warehouse consumer of a CDC feed and the dimension "
+    "side an as-of join probes. ONE shuffle: the transition-detecting "
+    "lag and the interval-closing lead/row_number share the identical "
+    "(user, ts, event_id) partitioning+ordering so Catalyst plans a "
+    "single Exchange+Sort pair.",
+    tags=("dataprep", "warehouse", "window", "cdc"),
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import asof as A
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return A.scd2_build(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        seq_col="event_id")

@@ -687,3 +687,51 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import key_skew_report as _report
 
     return _report(_events(spark, sf_dir), ["user_id"], top=10)
+
+
+@register(
+    "approx_quantile_audit",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS rank_within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_percentile (positive-indexed quantile sketch, accuracy "
+    "1000) audited against the exact median — the quantile analog of "
+    "approx_distinct_users: sketch internals are engine- and merge-"
+    "order-specific, so the pinned contract is the exact median plus "
+    "the assertion that the approx value's RANK lands within the "
+    "algorithm's guarantee (|rank(approx) - n/2| <= n/accuracy + 1, "
+    "which holds for ANY partition merge order — the property that "
+    "makes the audit stable under the driver's different session). At "
+    "100 TB the sketch path replaces the full sort exact percentile "
+    "needs; one agg + a broadcast join back + one partial+final "
+    "rank count.",
+    tags=("events", "percentile", "approx"),
+)
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ap = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_ap"),
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+    )
+    ranked = (
+        ev.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_p50").alias("exact_p50"),
+            F.first("_n").alias("_n"),
+            F.sum(F.when(F.col("value") <= F.col("_ap"), 1)
+                  .otherwise(0)).alias("_rank"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "exact_p50",
+        (
+            F.abs(F.col("_rank") - F.col("_n") / 2)
+            <= F.col("_n") / 1000 + 1
+        ).alias("rank_within_bound"),
+    )

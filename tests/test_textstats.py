@@ -1,0 +1,143 @@
+"""readability_scores / k_anonymity / hits_scores: hand-computed cases
+on tiny frames (the oracle-parity gate covers the corpus-scale runs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_packet_inspector_spark.operators import profile as PR
+from hbase_packet_inspector_spark.operators import text as X
+from hbase_packet_inspector_spark.operators import web as WB
+
+
+def _score(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return X.readability_scores(df).collect()[0]
+
+
+def test_readability_counts(spark):
+    # 6 words, 2 sentences (one terminated, one trailing), syllables:
+    # "the cat sat. a dog ran" -> vowel runs: e,a,a,a,o,a = 6
+    r = _score(spark, "the cat sat. a dog ran")
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19; fk = 0.39*3+11.8*1-15.59
+    assert r["flesch"] == pytest.approx(119.19, abs=1e-9)
+    assert r["fk_grade"] == pytest.approx(-2.62, abs=1e-9)
+    assert r["band"] == "easy"
+
+
+def test_readability_terminated_tail_and_empty(spark):
+    r = _score(spark, "one two three!")  # ends in terminator: 1 sentence
+    assert r["n_sentences"] == 1
+    r2 = _score(spark, "a! b? c.")
+    assert r2["n_sentences"] == 3
+    r0 = _score(spark, "")
+    assert (r0["n_words"], r0["n_sentences"]) == (0, 1)
+    assert r0["flesch"] == pytest.approx(206.835, abs=1e-9)
+
+
+def test_readability_multichar_terminator_run(spark):
+    # "!?" and "..." are ONE run each
+    r = _score(spark, "what?! no... maybe")
+    assert r["n_sentences"] == 3
+
+
+def test_k_anonymity_groups(spark):
+    rows = [("a", 1)] * 7 + [("a", 2)] * 3 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    out = {(r["q1"], r["q2"]): r
+           for r in PR.k_anonymity(df, ["q1", "q2"], k=5).collect()}
+    assert out[("a", 1)]["group_n"] == 7
+    assert not out[("a", 1)]["violates_k"]
+    assert out[("a", 2)]["violates_k"]
+    assert out[("b", 1)]["reident_risk"] == 1.0
+    assert out[("a", 2)]["reident_risk"] == pytest.approx(0.333333)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d) for s, d in pairs], "src_host string, dst_host string")
+
+
+def test_hits_star_graph(spark):
+    # hub h links to authorities a1..a3; nothing links to h
+    out = {r["host"]: r for r in WB.hits_scores(
+        _edges(spark, [("h", "a1"), ("h", "a2"), ("h", "a3")]),
+        iters=3).collect()}
+    assert out["h"]["hub"] == 1.0 and out["h"]["authority"] == 0.0
+    for a in ("a1", "a2", "a3"):
+        assert out[a]["authority"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[a]["hub"] == 0.0
+
+
+def test_hits_mutual_reinforcement(spark):
+    # two hubs; h2 also links to a weak page nobody else endorses.
+    # the shared authority 'a' outranks the solo 'weak'
+    out = {r["host"]: r for r in WB.hits_scores(
+        _edges(spark, [("h1", "a"), ("h2", "a"), ("h2", "weak")]),
+        iters=5).collect()}
+    assert out["a"]["authority"] > out["weak"]["authority"] > 0
+    assert out["h2"]["hub"] > out["h1"]["hub"] > 0  # h2 has 2 outlinks
+    assert sum(r["authority"] for r in out.values()) == pytest.approx(
+        1.0, abs=1e-5)
+    assert sum(r["hub"] for r in out.values()) == pytest.approx(
+        1.0, abs=1e-5)
+
+
+def test_hits_empty_and_zero_iters(spark):
+    empty = _edges(spark, [])
+    assert WB.hits_scores(empty, iters=3).count() == 0
+    out = WB.hits_scores(_edges(spark, [("x", "y")]), iters=0).collect()
+    assert {r["host"] for r in out} == {"x", "y"}
+
+
+def test_triangle_count_known_graph(spark):
+    # K3 (a,b,c) + pendant d: triangle vertices count 1, pendant 0.
+    # direction/duplicates/self-loops must not matter
+    e = _edges(spark, [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("b", "a"),           # reverse duplicate
+        ("c", "c"),           # self loop
+        ("c", "d"),           # pendant
+    ])
+    from hbase_packet_inspector_spark.operators.web import triangle_count
+    out = {r["host"]: r["n_triangles"]
+           for r in triangle_count(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangle_count_k4(spark):
+    # K4: 4 triangles total, each vertex in exactly 3
+    vs = ["a", "b", "c", "d"]
+    e = _edges(spark, [(u, v) for u in vs for v in vs if u < v])
+    from hbase_packet_inspector_spark.operators.web import triangle_count
+    out = {r["host"]: r["n_triangles"]
+           for r in triangle_count(e).collect()}
+    assert out == {v: 3 for v in vs}
+
+
+def test_scd2_build_runs_and_intervals(spark):
+    from hbase_packet_inspector_spark.operators.asof import scd2_build
+    rows = [
+        # user 1: A A B A  -> versions A[10,30) B[30,40) A[40,None)
+        (1, 10, "A", 100), (1, 20, "A", 101), (1, 30, "B", 102),
+        (1, 40, "A", 103),
+        # user 2: single event -> one current version
+        (2, 15, "X", 200),
+        # user 3: ts tie broken by seq: B then A at same ts
+        (3, 50, "B", 300), (3, 50, "A", 301),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, attr string, event_id long")
+    out = scd2_build(df, key_col="user_id", attr_col="attr",
+                     ts_col="ts", seq_col="event_id").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["version"])
+    assert [(r["attr"], r["valid_from_epoch"], r["valid_to_epoch"],
+             r["is_current"]) for r in u1] == [
+        ("A", 10, 30, False), ("B", 30, 40, False), ("A", 40, None, True)]
+    assert len(by_user[2]) == 1 and by_user[2][0]["is_current"]
+    u3 = sorted(by_user[3], key=lambda r: r["version"])
+    assert [r["attr"] for r in u3] == ["B", "A"]
+    assert u3[0]["valid_to_epoch"] == 50  # zero-length interval, closed
