@@ -1005,10 +1005,17 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
     Scale shape: the deduped weighted edge frame is persisted once; each
     half-round is ONE equi-join of the node-sized score frame onto the
     edges plus a groupBy partial+final sum, then a 1-row L1 aggregate
-    cross-joined back (the sanctioned 1-row broadcast shape). Score
-    frames are localCheckpointed per round so the loop plan stays flat.
-    Node frames are host-cardinality — never collected; there is no
-    driver scalar at all (unlike PageRank's 1/N terms, HITS needs none).
+    cross-joined back (the sanctioned 1-row broadcast shape). BOTH
+    score frames are localCheckpointed per half-round: the checkpoint
+    jobs dominate local wall (each ~0.5 s of scheduler+tiny-shuffle
+    latency on the fixed 26-host graph) but skipping the authority
+    checkpoint was MEASURED SLOWER (6.4 s → 9.2 s) — the L1 norm
+    references its input twice (value + sum), so an unmaterialized
+    authority plan recomputes the in-sum join twice inside every hub
+    round and the per-round plan Catalyst must re-optimize keeps
+    growing. Node frames are host-cardinality — never collected;
+    there is no driver scalar at all (unlike PageRank's 1/N terms,
+    HITS needs none).
 
     Output: (host, authority, hub) rounded to 6 — one row per node in
     sources ∪ targets; hosts nothing links to have authority 0, hosts
@@ -1033,13 +1040,14 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
         .distinct().persist()
     )
 
-    def _norm(raw: DataFrame, col: str) -> DataFrame:
+    def _norm(raw: DataFrame, col: str, *,
+              checkpoint: bool) -> DataFrame:
         # nodes LEFT JOIN raw (absent => 0), then L1-normalize and
         # round 9: one 1-row aggregate cross-joined back
         filled = nodes.join(raw, "host", "left").select(
             "host", F.coalesce(F.col(col), F.lit(0.0)).alias(col))
         tot = filled.agg(F.sum(col).alias("_tot"))
-        return (
+        out = (
             filled.crossJoin(tot)
             .select(
                 "host",
@@ -1047,8 +1055,8 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
                        F.round(F.col(col) / F.col("_tot"), 9))
                 .otherwise(F.lit(0.0)).alias(col),
             )
-            .localCheckpoint()
         )
+        return out.localCheckpoint() if checkpoint else out
 
     hub = nodes.select("host", F.lit(1.0).alias("hub")).localCheckpoint()
     auth = None
@@ -1057,13 +1065,13 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
             e.join(hub.withColumnRenamed("host", "src"), "src")
             .groupBy(F.col("dst").alias("host"))
             .agg(F.sum(F.col("hub") * F.col("w")).alias("auth")),
-            "auth",
+            "auth", checkpoint=True,
         )
         hub = _norm(
             e.join(auth.withColumnRenamed("host", "dst"), "dst")
             .groupBy(F.col("src").alias("host"))
             .agg(F.sum(F.col("auth") * F.col("w")).alias("hub")),
-            "hub",
+            "hub", checkpoint=True,
         )
     if auth is None:  # iters == 0: defined as the uniform start state
         auth = nodes.select("host", F.lit(0.0).alias("auth"))
