@@ -262,6 +262,9 @@ HEADLINE = [
     "triangle_count",
     "scd2_build",
     "approx_quantile_audit",
+    "retrieval_mrr",
+    "scd2_interval_events",
+    "rate_zscore",
 ]
 
 

@@ -37,6 +37,9 @@ _UNVERIFIED_FIRST = (
     "k_anonymity",  # latest green r0
     "triangle_count",  # latest green r0
     "scd2_build",  # latest green r0
+    "retrieval_mrr",  # latest green r0
+    "scd2_interval_events",  # latest green r0
+    "rate_zscore",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

@@ -8801,3 +8801,203 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.scd2_build(
         ev, key_col="user_id", attr_col="event_type", ts_col="ts",
         seq_col="event_id")
+
+
+@register(
+    "retrieval_mrr",
+    f"""
+    WITH {_COS_CTE},
+    d AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                 sum(q.v * b.v) AS dp
+          FROM e q JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+          WHERE q.vec_id % 25 = 0
+          GROUP BY 1, 2),
+    s AS (SELECT q_id, neighbor_id,
+                 round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+          FROM d JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nb ON nb.vec_id = neighbor_id),
+    ctop AS (SELECT q_id, neighbor_id, rnk FROM (
+               SELECT *, rank() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, neighbor_id)
+                         AS rnk FROM s) WHERE rnk <= 5),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    fr AS (SELECT c.q_id, min(c.rnk) AS first_rel
+           FROM ctop c JOIN lab ql ON ql.vec_id = c.q_id
+                       JOIN lab nl ON nl.vec_id = c.neighbor_id
+           WHERE nl.label = ql.label
+           GROUP BY 1)
+    SELECT q.vec_id AS q_id,
+           CAST(coalesce(fr.first_rel, 0) AS INTEGER) AS first_rel_rank,
+           CASE WHEN fr.first_rel IS NULL THEN 0.0
+                ELSE 1.0 / CAST(fr.first_rel AS DOUBLE) END AS rr
+    FROM embeddings q LEFT JOIN fr ON fr.q_id = q.vec_id
+    WHERE q.vec_id % 25 = 0
+    """,
+    doc="Reciprocal-rank retrieval audit over the exact-cosine ranker "
+    "(operators/similarity.py::cosine_topk): per query, the rank of "
+    "the FIRST label-relevant neighbor in the top-5 and its "
+    "reciprocal — the queries() row set whose mean is MRR@5, kept "
+    "per-query so the multiset pins every rank, not one average. "
+    "first_rel_rank 0 / rr 0.0 when no top-5 neighbor shares the "
+    "label (no silent drop). rr = ONE division of exact small "
+    "integers, unrounded (num.py discipline). Complements "
+    "retrieval_ndcg: nDCG grades the whole list, MRR the time-to-"
+    "first-hit that matters for RAG context windows.",
+    tags=("dataprep", "similarity", "retrieval", "calibration"),
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ctop = S.cosine_topk(emb, qs, k=5)
+    lab = emb.select("vec_id", "label")
+    fr = (
+        ctop
+        .join(lab.select(F.col("vec_id").alias("q_id"),
+                         F.col("label").alias("_ql")), "q_id")
+        .join(lab.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("_nl")), "neighbor_id")
+        .filter(F.col("_nl") == F.col("_ql"))
+        .groupBy("q_id")
+        .agg(F.min("rnk").alias("_fr"))
+    )
+    return (
+        qs.select("q_id").join(fr, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("_fr"), F.lit(0)).cast("int")
+            .alias("first_rel_rank"),
+            F.when(F.col("_fr").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("_fr").cast("double"))
+            .alias("rr"),
+        )
+    )
+
+
+@register(
+    "scd2_interval_events",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_e, event_id
+               FROM events),
+    l AS (SELECT user_id, event_type, ts_e, event_id,
+                 lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts_e, event_id)
+                     AS prev
+          FROM e),
+    c AS (SELECT * FROM l WHERE prev IS NULL OR prev <> event_type),
+    dim AS (SELECT user_id,
+                   CAST(row_number() OVER w AS INTEGER) AS version,
+                   event_type AS attr,
+                   ts_e AS valid_from_epoch,
+                   lead(ts_e) OVER w AS valid_to_epoch
+            FROM c WINDOW w AS
+                (PARTITION BY user_id ORDER BY ts_e, event_id)),
+    n AS (SELECT d.user_id, d.version, count(*) AS n_events
+          FROM dim d JOIN e ON e.user_id = d.user_id
+               AND e.ts_e >= d.valid_from_epoch
+               AND (d.valid_to_epoch IS NULL
+                    OR e.ts_e < d.valid_to_epoch)
+          GROUP BY 1, 2)
+    SELECT d.user_id, d.version, d.attr, d.valid_from_epoch,
+           CAST(coalesce(n.n_events, 0) AS BIGINT) AS n_events
+    FROM dim d LEFT JOIN n ON n.user_id = d.user_id
+                           AND n.version = d.version
+    """,
+    doc="SCD2 composition audit: the scd2_build dimension probed back "
+    "by the event stream it came from — per version, how many events "
+    "fall inside its half-open [valid_from, valid_to) interval "
+    "(current versions are open-ended; zero-length versions from "
+    "same-timestamp transitions correctly hold 0). This is the "
+    "dimension-at-time join every warehouse runs (fact rows enriched "
+    "with the version current at their timestamp), hash-pinning the "
+    "interval arithmetic on exact integer epochs. Plan: the interval "
+    "join is a user_id equi-join with a range residual — per-user "
+    "version counts are tiny, so the residual never explodes; one "
+    "groupBy on (user, version).",
+    tags=("dataprep", "warehouse", "window", "range-join"),
+)
+def scd2_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import asof as A
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    dim = A.scd2_build(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        seq_col="event_id")
+    e = ev.select("user_id", F.col("ts").cast("long").alias("_ts_e"))
+    n = (
+        dim.join(
+            e,
+            (dim["user_id"] == e["user_id"])
+            & (e["_ts_e"] >= dim["valid_from_epoch"])
+            & (dim["valid_to_epoch"].isNull()
+               | (e["_ts_e"] < dim["valid_to_epoch"])),
+        )
+        .groupBy(dim["user_id"], dim["version"])
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        dim.join(n, ["user_id", "version"], "left")
+        .select(
+            "user_id", "version", "attr", "valid_from_epoch",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+            .alias("n_events"),
+        )
+    )
+
+
+@register(
+    "rate_zscore",
+    """
+    WITH m AS (SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                          AS minute_epoch,
+                      event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT *,
+                 sum(n) OVER (PARTITION BY event_type) AS s1,
+                 sum(n * n) OVER (PARTITION BY event_type) AS s2,
+                 count(*) OVER (PARTITION BY event_type) AS nn
+          FROM m)
+    SELECT minute_epoch, event_type, CAST(n AS BIGINT) AS n_events,
+           CASE WHEN nn * s2 - s1 * s1 = 0 THEN 0.0
+                ELSE CAST(n * nn - s1 AS DOUBLE)
+                     / sqrt(CAST(nn * s2 - s1 * s1 AS DOUBLE)) END AS z
+    FROM s
+    """,
+    doc="Per-minute traffic anomaly z-scores per method: each "
+    "(event_type, minute) bucket scored against its type's own rate "
+    "distribution — the monitoring primitive over the same tumbling "
+    "buckets events_per_minute emits. Determinism: the population "
+    "z-score is algebraically restated as (n*N - S1) / "
+    "sqrt(N*S2 - S1^2) with S1/S2/N exact integer window sums, so "
+    "the only float ops are one correctly-rounded sqrt of an exact "
+    "integer and one division — bit-identical on both engines with "
+    "NO rounding (stddev_pop() as a float aggregate would not be; "
+    "num.py discipline). Zero-variance types emit 0.0. Plan: one "
+    "count agg, then one window over the POST-AGG minutes-x-types "
+    "frame (time-bounded, never event-sized).",
+    tags=("events", "timeseries", "window", "anomaly"),
+)
+def rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.floor(F.col("ts").cast("long") / 60) * 60).cast("long")
+    m = (
+        ev.groupBy(minute.alias("minute_epoch"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    nn = F.count(F.lit(1)).over(w)
+    det = nn * s2 - s1 * s1
+    return m.select(
+        "minute_epoch", "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(det == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n") * nn - s1).cast("double")
+            / F.sqrt(det.cast("double"))
+        ).alias("z"),
+    )

@@ -141,3 +141,39 @@ def test_scd2_build_runs_and_intervals(spark):
     u3 = sorted(by_user[3], key=lambda r: r["version"])
     assert [r["attr"] for r in u3] == ["B", "A"]
     assert u3[0]["valid_to_epoch"] == 50  # zero-length interval, closed
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rate_zscore_invariants(spark):
+    from hbase_packet_inspector_spark import plans
+    rows = plans.QUERIES["rate_zscore"].fn(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["z"])
+    for t, zs in by_type.items():
+        # numerators sum to N*S1 - N*S1 = 0 exactly, so z sums to ~0
+        assert abs(sum(zs)) < 1e-9, t
+
+
+def test_retrieval_mrr_invariants(spark):
+    from hbase_packet_inspector_spark import plans
+    rows = plans.QUERIES["retrieval_mrr"].fn(spark, SF).collect()
+    assert rows, "query set empty"
+    for r in rows:
+        assert 0 <= r["first_rel_rank"] <= 5
+        if r["first_rel_rank"] == 0:
+            assert r["rr"] == 0.0
+        else:
+            assert r["rr"] == pytest.approx(1 / r["first_rel_rank"])
+
+
+def test_scd2_interval_events_conserves_events(spark):
+    from hbase_packet_inspector_spark import plans
+    from hbase_packet_inspector_spark.sources.tables import load_table
+    rows = plans.QUERIES["scd2_interval_events"].fn(spark, SF).collect()
+    total = load_table(spark, SF, "events").count()
+    # every event lands in exactly one half-open version interval
+    assert sum(r["n_events"] for r in rows) == total
+    assert all(r["n_events"] >= 0 for r in rows)

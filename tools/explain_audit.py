@@ -182,6 +182,9 @@ ALLOWED = {
     # evaluates the same three rankers (hybrid_rrf's rationale) plus the
     # 1-row in-engine IDCG broadcast (ann_ndcg's rationale)
     "retrieval_ndcg": {"NESTED-LOOP-JOIN"},
+    # the reciprocal-rank audit runs over the exact-cosine ranker, so it
+    # contains cosine_topk's broadcast-bounded-queries NLJ baseline
+    "retrieval_mrr": {"NESTED-LOOP-JOIN"},
     # same audit over the scale path: the ANN half is a cell-pruned
     # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
     # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
