@@ -587,3 +587,84 @@ def stream_correlate_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+SCD2_STREAM_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("version", T.IntegerType()),
+    T.StructField("attr", T.StringType()),
+    T.StructField("valid_from_epoch", T.LongType()),
+    T.StructField("valid_to_epoch", T.LongType()),
+])
+
+_SCD2_STATE_SCHEMA = T.StructType([T.StructField("open", T.StringType())])
+
+
+def _scd2_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful SCD2 handler for one dimension key: state is the OPEN
+    version {"attr", "from", "version"}; a batch's events replay in
+    (ts, seq) order and every attribute transition CLOSES the open
+    version (emitted, valid_to = transition ts) and opens the next.
+    Only closed versions are ever emitted (append mode); the open one
+    lives in state until a later transition closes it."""
+    st = json.loads(state.get[0]) if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    out: list[tuple] = []
+    if len(rows):
+        rows = rows.sort_values(["_ts_e", "_seq"])
+        k = int(key[0])
+        for ts, attr in zip(rows["_ts_e"], rows["attr"]):
+            ts = int(ts)
+            if st is None:
+                st = {"attr": attr, "from": ts, "version": 1}
+            elif attr != st["attr"]:
+                out.append(
+                    (k, st["version"], st["attr"], st["from"], ts))
+                st = {"attr": attr, "from": ts,
+                      "version": st["version"] + 1}
+    if st is not None:
+        state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        out, columns=["key", "version", "attr", "valid_from_epoch",
+                      "valid_to_epoch"])
+
+
+def stream_scd2(events: DataFrame, *, key_col: str = "user_id",
+                attr_col: str = "event_type", ts_col: str = "ts",
+                seq_col: str = "event_id") -> DataFrame:
+    """Streaming SCD type-2 dimension maintenance — the incremental
+    form of operators/asof.py::scd2_build: per-key state holds ONLY the
+    open version (attr, valid_from, version counter — constant size per
+    key, never the event history), and each micro-batch emits exactly
+    the versions it CLOSES. The closed-version stream is append-only
+    and equals the batch operator's ``is_current = false`` rows on the
+    same prefix of the feed — the batch===stream pin the test asserts.
+
+    Ordering contract: like any CDC consumer, per-key event-time order
+    of ARRIVAL across micro-batches is assumed (a change feed delivers
+    per-key in order; out-of-order WITHIN a batch is sorted here). An
+    out-of-order feed needs an upstream watermark buffer, the same
+    discipline stream_correlate documents for its reordering window.
+
+    One shuffle per micro-batch on the dimension key; state is
+    #keys x O(1). Output: (key, version, attr, valid_from_epoch,
+    valid_to_epoch) — valid_to is always set (only closed versions
+    flow; the current version is queryable from the state store, or by
+    unioning the batch operator over the tail on demand).
+    """
+    prepped = events.select(
+        F.col(key_col).cast("long").alias("k"),
+        F.col(attr_col).cast("string").alias("attr"),
+        F.col(ts_col).cast("long").alias("_ts_e"),
+        F.col(seq_col).cast("long").alias("_seq"),
+    )
+    out = prepped.groupBy("k").applyInPandasWithState(
+        _scd2_group,
+        outputStructType=SCD2_STREAM_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumnRenamed("key", key_col)

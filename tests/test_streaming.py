@@ -1343,3 +1343,62 @@ def test_run_recrawl_stream_waves(spark, tmp_path):
                        asof_date="2024-03-15")
     assert len([d for d in os.listdir(f"{out}/priorities")
                 if d.startswith("batch_id=")]) == 2
+
+
+def test_stream_scd2_matches_batch_closed_versions(spark, tmp_path):
+    """Streaming SCD2 emits exactly the batch operator's CLOSED versions,
+    with state surviving micro-batch boundaries (a version opened in
+    batch 1 closes in batch 3) and (ts, seq) ties ordered by seq."""
+    from hbase_packet_inspector_spark.operators.asof import scd2_build
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_scd2
+    import time
+
+    src = str(tmp_path / "scd2")
+    batches = [
+        # user 1 opens A; user 2 opens X and flips to Y within the batch
+        [(1, 10, "A", 100), (2, 10, "X", 200), (2, 20, "Y", 201)],
+        # user 1 extends A (no transition)
+        [(1, 30, "A", 102)],
+        # user 1 flips to B (closes the version opened in batch 1);
+        # user 3 has a same-ts pair ordered by seq: B then A
+        [(1, 40, "B", 103), (3, 50, "B", 300), (3, 50, "A", 301)],
+    ]
+    schema = "user_id long, ts long, attr string, event_id long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes => stable file order
+    out: list = []
+    q = (
+        stream_scd2(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            key_col="user_id", attr_col="attr", ts_col="ts",
+            seq_col="event_id")
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+
+    all_rows = [r for b in batches for r in b]
+    batch_closed = {
+        (r["user_id"], r["version"], r["attr"], r["valid_from_epoch"],
+         r["valid_to_epoch"])
+        for r in scd2_build(
+            spark.createDataFrame(all_rows, schema),
+            key_col="user_id", attr_col="attr", ts_col="ts",
+            seq_col="event_id").collect()
+        if not r["is_current"]
+    }
+    stream_closed = {
+        (r["user_id"], r["version"], r["attr"], r["valid_from_epoch"],
+         r["valid_to_epoch"])
+        for r in out
+    }
+    assert stream_closed == batch_closed
+    # the boundary-spanning close is present: user 1's A closed at 40
+    assert (1, 1, "A", 10, 40) in stream_closed
+    # user 3's tie pair: B (seq 300) closed by A (seq 301) at ts 50
+    assert (3, 1, "B", 50, 50) in stream_closed
