@@ -265,6 +265,8 @@ HEADLINE = [
     "retrieval_mrr",
     "scd2_interval_events",
     "rate_zscore",
+    "l_diversity",
+    "feature_hashing",
 ]
 
 

@@ -85,3 +85,33 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], *,
             .alias("reident_risk"),
         )
     )
+
+
+def l_diversity(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, *, l: int = 3) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a class
+    whose rows all share one SENSITIVE value leaks that value even
+    when the class is large (the homogeneity attack k-anonymity
+    misses), so each quasi-identifier equivalence class must contain
+    at least ``l`` distinct sensitive values.
+
+    Same shuffle shape as :func:`k_anonymity` (one groupBy on the
+    quasi tuple) with a distinct-count on the sensitive column; at
+    scale the exact distinct is the cost — swap in
+    approx_count_distinct when classes are huge and the audit
+    threshold is far from the estimate error.
+
+    Output per equivalence class: (quasi..., group_n, n_sensitive,
+    violates_l).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols, "group_n", "n_sensitive",
+            (F.col("n_sensitive") < l).alias("violates_l"),
+        )
+    )

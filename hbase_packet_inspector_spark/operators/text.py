@@ -1858,3 +1858,38 @@ def readability_scores(docs: DataFrame, *,
         .when(flesch >= 30, F.lit("standard"))
         .otherwise(F.lit("difficult")).alias("band"),
     )
+
+
+def hash_features(docs: DataFrame, *, dims: int = 1024,
+                  text_col: str = "text") -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, Vowpal Wabbit's
+    feature map): token -> feature index ``md5(token) % dims``, so the
+    feature space is FIXED-WIDTH with no vocabulary dictionary — the
+    property that lets a 100 TB featurization run without a driver-side
+    vocab broadcast or an extra pass to build one. Collisions are the
+    accepted price; :func:`plans` queries account for them explicitly
+    rather than pretending they are rare.
+
+    The hash is the md5-first-8-hex integer idiom (portable to the
+    DuckDB oracle, uniform mod any ``dims``). One narrow explode +
+    groupBy(doc, idx) sum — feature rows per doc are bounded by its
+    distinct-token count, never ``dims``.
+
+    Output: sparse (doc_id, feat_idx, val) with val = token occurrence
+    count folded into the bucket (unsigned counts; the signed-hash
+    variance trick is a one-line extension documented here rather than
+    implemented — the oracle pins the unsigned map).
+    """
+    tok = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).alias("w")
+    idx = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long") % dims
+    )
+    return (
+        docs.select("doc_id", tok)
+        .select("doc_id", idx.alias("feat_idx"))
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count(F.lit(1)).alias("val"))
+    )

@@ -40,6 +40,8 @@ _UNVERIFIED_FIRST = (
     "retrieval_mrr",  # latest green r0
     "scd2_interval_events",  # latest green r0
     "rate_zscore",  # latest green r0
+    "l_diversity",  # latest green r0
+    "feature_hashing",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

@@ -9001,3 +9001,103 @@ def rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(det.cast("double"))
         ).alias("z"),
     )
+
+
+@register(
+    "l_diversity",
+    """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+               FROM customer)
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_n,
+           count(DISTINCT bal_k) AS n_sensitive,
+           count(DISTINCT bal_k) < 3 AS violates_l
+    FROM q GROUP BY 1, 2
+    """,
+    doc="l-diversity audit (operators/profile.py::l_diversity) — the "
+    "homogeneity-attack check k_anonymity misses: per (nation, "
+    "segment) equivalence class, the number of DISTINCT sensitive "
+    "values (account-balance kilobucket) and the l=3 violation flag; "
+    "a large class whose members all share one sensitive value leaks "
+    "it to anyone who can place a target in the class. Same one-"
+    "shuffle groupBy shape as k_anonymity plus an exact distinct "
+    "(swap to HLL at scale when the threshold clears the estimate "
+    "error).",
+    tags=("dataprep", "privacy", "audit"),
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile as PR
+
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_k"),
+    )
+    return PR.l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_k", l=3)
+
+
+_FH_DIMS = 256
+
+
+@register(
+    "feature_hashing",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS w
+               FROM documents),
+    f AS (SELECT doc_id, {_hex8_bigint("md5(w)")} % {_FH_DIMS} AS feat_idx,
+                 w
+          FROM w),
+    sp AS (SELECT doc_id, feat_idx, count(*) AS val
+           FROM f GROUP BY 1, 2),
+    coll AS (SELECT feat_idx, count(DISTINCT w) AS n_tokens
+             FROM f GROUP BY 1)
+    SELECT c.feat_idx,
+           c.n_tokens,
+           CAST(sum(sp.val) AS BIGINT) AS total_count,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           c.n_tokens > 1 AS collided
+    FROM sp JOIN coll c USING (feat_idx)
+    GROUP BY 1, 2, 5
+    """,
+    doc="Hashing-trick featurization audit (operators/text.py::"
+    "hash_features — Weinberger et al. 2009): tokens fold into a "
+    "fixed 256-bucket feature space with NO vocabulary pass "
+    "(the property that featurizes 100 TB without a driver vocab "
+    "broadcast), and the query profiles what that costs — per bucket, "
+    "how many DISTINCT tokens collided into it, total folded mass, "
+    "and doc reach. Dims deliberately small locally so collisions "
+    "are real (same philosophy as heavy_hitters_cms' width 32). "
+    "md5-portable hashing; one explode + two partial+final aggs.",
+    tags=("dataprep", "text", "features", "sketch"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sp = X.hash_features(docs, dims=_FH_DIMS)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    idx = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long") % _FH_DIMS
+    )
+    coll = (
+        toks.select(idx.alias("feat_idx"), "w")
+        .groupBy("feat_idx")
+        .agg(F.count_distinct("w").alias("n_tokens"))
+    )
+    return (
+        sp.join(coll, "feat_idx")
+        .groupBy("feat_idx", "n_tokens", (F.col("n_tokens") > 1).alias("collided"))
+        .agg(
+            F.sum("val").cast("bigint").alias("total_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select("feat_idx", "n_tokens", "total_count", "n_docs",
+                "collided")
+    )

@@ -177,3 +177,32 @@ def test_scd2_interval_events_conserves_events(spark):
     # every event lands in exactly one half-open version interval
     assert sum(r["n_events"] for r in rows) == total
     assert all(r["n_events"] >= 0 for r in rows)
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    from hbase_packet_inspector_spark.operators import profile as PR
+    rows = ([("a", 1, "s1")] * 6                 # large but homogeneous
+            + [("b", 1, "s1"), ("b", 1, "s2"), ("b", 1, "s3")])
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens string")
+    out = {(r["q1"], r["q2"]): r for r in PR.l_diversity(
+        df, ["q1", "q2"], "sens", l=3).collect()}
+    assert out[("a", 1)]["violates_l"] and out[("a", 1)]["group_n"] == 6
+    assert not out[("b", 1)]["violates_l"]
+    assert out[("b", 1)]["n_sensitive"] == 3
+
+
+def test_hash_features_sparse_counts(spark):
+    from hbase_packet_inspector_spark.operators.text import hash_features
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b b c"), (2, "")],
+        "doc_id long, text string")
+    out = hash_features(df, dims=1 << 20).collect()  # collision-free
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["val"])
+    assert sorted(per_doc[0]) == [1, 2]   # a:2, b:1
+    assert sorted(per_doc[1]) == [1, 2]   # b:2, c:1
+    assert 2 not in per_doc               # empty doc -> no features
+    # same token -> same bucket across docs
+    b = [r["feat_idx"] for r in out if r["val"] == 2]
+    assert len(set(b)) == 2  # 'a' bucket and 'b' bucket differ
