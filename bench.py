@@ -267,6 +267,7 @@ HEADLINE = [
     "rate_zscore",
     "l_diversity",
     "feature_hashing",
+    "score_lift",
 ]
 
 

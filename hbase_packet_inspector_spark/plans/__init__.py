@@ -42,6 +42,7 @@ _UNVERIFIED_FIRST = (
     "rate_zscore",  # latest green r0
     "l_diversity",  # latest green r0
     "feature_hashing",  # latest green r0
+    "score_lift",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

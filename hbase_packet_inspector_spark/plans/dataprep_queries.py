@@ -9101,3 +9101,71 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("feat_idx", "n_tokens", "total_count", "n_docs",
                 "collided")
     )
+
+
+@register(
+    "score_lift",
+    _logreg_oracle(rounds=2, lr=0.5, tail="""
+    , r AS (SELECT doc_id, score, y,
+                   ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+            FROM s),
+    d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(y) AS BIGINT) AS n_pos
+          FROM r GROUP BY 1),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+                 CAST(sum(n_pos) AS BIGINT) AS pt
+          FROM d)
+    SELECT d.decile, d.n_docs, d.n_pos,
+           CAST(d.n_pos * t.nt AS DOUBLE) / (d.n_docs * t.pt) AS lift,
+           CAST(sum(d.n_pos) OVER (ORDER BY d.decile
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.pt AS cum_gain
+    FROM d CROSS JOIN t
+    """),
+    doc="Decile lift/gains table over the trained quality classifier "
+    "(operators/learn.py::logreg_fit + logreg_predict, logreg_score's "
+    "model): documents ranked by score into 10 equal deciles; per "
+    "decile the positive count, lift = (n_pos*N)/(n*P) vs the base "
+    "rate, and cumulative gain — the 'how much of the good data do "
+    "the top-k% of scores capture' curve a curation-budget decision "
+    "reads, completing the eval family (PR curve = threshold view, "
+    "calibration = probability view, lift = budget view). Both "
+    "ratios are single exact-integer divisions, unrounded (num.py). "
+    "The decile ntile is a global window over the PER-DOC scored "
+    "frame — exactness pin locally; at 100 TB the decile cutpoints "
+    "come from approx quantiles and assignment is a narrow scan "
+    "(the gate_cutoffs pattern), same downstream arithmetic.",
+    tags=("dataprep", "ml", "calibration", "report"),
+)
+def score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import learn as L
+
+    feats = _logreg_feats(_docs(spark, sf_dir))
+    weights, _ = L.logreg_fit(feats, ["awl", "sr"], "y", lr=0.5, rounds=2)
+    sc = L.logreg_predict(feats, weights, ["awl", "sr"]).select(
+        "doc_id", "score", "y")
+    r = sc.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    t = d.agg(
+        F.sum("n_docs").cast("bigint").alias("_nt"),
+        F.sum("n_pos").cast("bigint").alias("_pt"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("_cp", F.sum("n_pos").over(wcum))
+        .select(
+            "decile", "n_docs", "n_pos",
+            ((F.col("n_pos") * F.col("_nt")).cast("double")
+             / (F.col("n_docs") * F.col("_pt"))).alias("lift"),
+            (F.col("_cp").cast("double") / F.col("_pt"))
+            .alias("cum_gain"),
+        )
+    )

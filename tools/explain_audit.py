@@ -185,6 +185,11 @@ ALLOWED = {
     # the reciprocal-rank audit runs over the exact-cosine ranker, so it
     # contains cosine_topk's broadcast-bounded-queries NLJ baseline
     "retrieval_mrr": {"NESTED-LOOP-JOIN"},
+    # the decile ntile is a deliberate global window over the scored
+    # frame (the exactness pin; at scale: approx-quantile cutpoints +
+    # narrow assignment, gate_cutoffs' pattern), and the N/P totals
+    # re-enter as a broadcast ONE-ROW cross join
+    "score_lift": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
     # same audit over the scale path: the ANN half is a cell-pruned
     # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
     # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
