@@ -268,6 +268,8 @@ HEADLINE = [
     "l_diversity",
     "feature_hashing",
     "score_lift",
+    "host_components",
+    "attribution_linear",
 ]
 
 

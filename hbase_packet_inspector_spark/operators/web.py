@@ -1479,3 +1479,68 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src_host",
     )
     e.unpersist()
     return out
+
+
+def host_components(edges: DataFrame, *, src_col: str = "src_host",
+                    dst_col: str = "dst_host",
+                    iters: int = 4) -> DataFrame:
+    """Weakly-connected components over the host link graph via
+    hash-min label propagation — the graph-wide form of the
+    cluster-id step inside dedup_clusters, applied to crawl topology:
+    a component is a link-reachable island (one per isolated site
+    network), the unit a crawl scheduler shards by and the reach
+    bound for any link-propagated signal (PageRank mass, HITS scores,
+    spam labels stop at the component border).
+
+    Semantics: every node starts labeled with itself; each round the
+    label becomes min(own, all neighbors') over the UNDIRECTED edge
+    set; after enough rounds (graph diameter) every node carries its
+    component's lexicographically-minimal host. Fixed ``iters`` keeps
+    the oracle unrollable; pair with a converged variant as in
+    dedup_clusters_converged when the diameter is unknown.
+
+    Per round: ONE equi-join of the label frame onto the
+    both-directions edge frame + groupBy(dst) min + a node-frame
+    least() merge, localCheckpointed (flat plans, the iterative-loop
+    discipline). Labels are host-cardinality; no driver state.
+
+    Output: (host, component, component_size) — component is the min
+    host of the island, size joined on with one extra groupBy.
+    """
+    both = (
+        edges.select(F.col(src_col).alias("a"),
+                     F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = both.select(F.col("a").alias("host")).distinct().persist()
+    lab = nodes.select(
+        "host", F.col("host").alias("component")).localCheckpoint()
+    for _ in range(iters):
+        nb = (
+            both.join(
+                lab.withColumnRenamed("host", "a"), "a")
+            .groupBy(F.col("b").alias("host"))
+            .agg(F.min("component").alias("_nb"))
+        )
+        lab = (
+            lab.join(nb, "host", "left")
+            .select(
+                "host",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nb"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+    sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size"))
+    out = lab.join(sizes, "component").select(
+        "host", "component", "component_size").localCheckpoint()
+    both.unpersist()
+    nodes.unpersist()
+    return out

@@ -43,6 +43,8 @@ _UNVERIFIED_FIRST = (
     "l_diversity",  # latest green r0
     "feature_hashing",  # latest green r0
     "score_lift",  # latest green r0
+    "host_components",  # latest green r0
+    "attribution_linear",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

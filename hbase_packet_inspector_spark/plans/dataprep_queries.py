@@ -9169,3 +9169,136 @@ def score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_gain"),
         )
     )
+
+
+def _components_ctes(iters: int) -> str:
+    """Chained-CTE mirror of operators/web.py::host_components over the
+    ring-structured synthetic graph (site{d%25} -> site{(d+5)%25}: the
+    mod-5 residue classes form FIVE disjoint 5-cycles, so the result
+    has real structure — 5 components of size 5 — instead of one giant
+    blob). Each label CTE is AS MATERIALIZED (the HITS lesson: default
+    inlining would expand the per-round double reference
+    exponentially)."""
+    sql = """l AS (
+      SELECT 'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id + 5) % 25 AS VARCHAR) || '.com' AS dst
+      FROM documents),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM l
+        UNION ALL SELECT dst, src FROM l)
+      WHERE a <> b),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS host FROM e),
+    c0 AS MATERIALIZED (SELECT host, host AS component FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    nb{i} AS (SELECT e.b AS host, min(c.component) AS nb
+              FROM e JOIN c{i - 1} c ON c.host = e.a GROUP BY 1),
+    c{i} AS MATERIALIZED (
+      SELECT c.host, least(c.component,
+                           coalesce(nb.nb, c.component)) AS component
+      FROM c{i - 1} c LEFT JOIN nb{i} nb USING (host))"""
+    return sql
+
+
+@register(
+    "host_components",
+    f"""
+    WITH {_components_ctes(4)},
+    sz AS (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+           FROM c4 GROUP BY 1)
+    SELECT c.host, c.component, sz.component_size
+    FROM c4 c JOIN sz USING (component)
+    """,
+    doc="Weakly-connected components (operators/web.py::"
+    "host_components): hash-min label propagation over an undirected "
+    "host graph — the crawl-shard unit and the reach bound for every "
+    "link-propagated signal. The synthetic graph here is deliberately "
+    "DISCONNECTED (site{{d%25}} links site{{(d+5)%25}}, so the mod-5 "
+    "residue classes form five disjoint 5-cycles): the query pins 5 "
+    "components of size 5, each labeled by its lexicographically-"
+    "minimal host — structure a one-blob graph could not verify. 4 "
+    "rounds covers the cycle diameter (2). Per round one edge "
+    "equi-join + groupBy min + least() merge, localCheckpointed; "
+    "oracle rounds are AS MATERIALIZED (the HITS inlining lesson).",
+    tags=("dataprep", "web", "graph", "iterative"),
+)
+def host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    edges = d.select(
+        _site(F.col("doc_id") % 25).alias("src_host"),
+        _site((F.col("doc_id") + 5) % 25).alias("dst_host"),
+    )
+    return WB.host_components(edges, iters=4)
+
+
+_ATTR_WINDOW_S = 600
+
+
+@register(
+    "attribution_linear",
+    f"""
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+               FROM events),
+    conv AS (SELECT user_id, event_id AS conv_id, ts_e FROM e
+             WHERE event_type = 'purchase'),
+    t AS (SELECT c.conv_id, x.event_type AS channel
+          FROM conv c JOIN e x ON x.user_id = c.user_id
+          WHERE x.event_type IN ('view', 'click', 'signup')
+            AND x.ts_e >= c.ts_e - {_ATTR_WINDOW_S}
+            AND x.ts_e < c.ts_e),
+    per AS (SELECT conv_id, channel, CAST(count(*) AS BIGINT) AS n_touches
+            FROM t GROUP BY 1, 2),
+    tot AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS k
+            FROM t GROUP BY 1)
+    SELECT per.conv_id, per.channel, per.n_touches,
+           CAST(per.n_touches AS DOUBLE) / tot.k AS credit_share
+    FROM per JOIN tot USING (conv_id)
+    """,
+    doc="Linear multi-touch attribution: every purchase splits credit "
+    "equally over the user's view/click/signup touches in the "
+    "preceding 10 minutes — per (conversion, channel) the touch count "
+    "and the channel's credit share (one exact-integer division, "
+    "unrounded; per-row shares are pinned instead of channel SUMS "
+    "because summing 1/3-like shares is float-order-dependent — the "
+    "reader aggregates at whatever grain they need). Complements "
+    "asof_last_click (last-touch) and conversion_funnel (ordered "
+    "stages). Plan: a user-keyed equi-join with a time-range "
+    "residual, then two partial+final aggs on the touch set — the "
+    "residual window bounds fan-out to touches-per-10-min, never the "
+    "user's history.",
+    tags=("events", "attribution", "range-join"),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").cast("long").alias("ts_e"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"),
+        F.col("ts_e").alias("_cts"))
+    touch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup"))
+    t = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (touch["ts_e"] >= conv["_cts"] - _ATTR_WINDOW_S)
+        & (touch["ts_e"] < conv["_cts"]),
+    ).select("conv_id", F.col("event_type").alias("channel"))
+    per = t.groupBy("conv_id", "channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"))
+    tot = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"))
+    return (
+        per.join(tot, "conv_id")
+        .select(
+            "conv_id", "channel", "n_touches",
+            (F.col("n_touches").cast("double") / F.col("_k"))
+            .alias("credit_share"),
+        )
+    )

@@ -206,3 +206,33 @@ def test_hash_features_sparse_counts(spark):
     # same token -> same bucket across docs
     b = [r["feat_idx"] for r in out if r["val"] == 2]
     assert len(set(b)) == 2  # 'a' bucket and 'b' bucket differ
+
+
+def test_host_components_rings_and_bridge(spark):
+    from hbase_packet_inspector_spark.operators.web import host_components
+    # two disjoint triangles; then a bridge merges them
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    out = {r["host"]: r for r in host_components(
+        _edges(spark, tri1 + tri2), iters=3).collect()}
+    assert {out[h]["component"] for h in "abc"} == {"a"}
+    assert {out[h]["component"] for h in "xyz"} == {"x"}
+    assert all(out[h]["component_size"] == 3 for h in "abcxyz")
+    merged = {r["host"]: r for r in host_components(
+        _edges(spark, tri1 + tri2 + [("c", "x")]), iters=4).collect()}
+    assert {r["component"] for r in merged.values()} == {"a"}
+    assert all(r["component_size"] == 6 for r in merged.values())
+
+
+def test_attribution_linear_shares(spark):
+    from hbase_packet_inspector_spark import plans
+    rows = plans.QUERIES["attribution_linear"].fn(spark, SF).collect()
+    assert rows, "no attributed conversions at sf0.001"
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, chans in by_conv.items():
+        # shares over a conversion's channels sum to 1 (k/k exactly)
+        assert sum(c["credit_share"] for c in chans) == pytest.approx(1.0)
+        assert all(0 < c["credit_share"] <= 1.0 for c in chans)
+        assert len({c["channel"] for c in chans}) == len(chans)
