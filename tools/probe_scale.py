@@ -405,6 +405,54 @@ def probe_pagerank(spark, host_counts: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def probe_graph9(spark, host_counts: list[int]) -> None:
+    """Round-9 graph ops at growing host counts on the same synthetic
+    link graph as probe_pagerank: HITS (2 joins + 2 one-row L1 norms
+    per round), triangle_count (wedge join bounded by sum(deg^2) of the
+    canonical orientation), host_components (hash-min propagation)."""
+    from hbase_packet_inspector_spark.operators.web import (
+        hits_scores, host_components, triangle_count)
+
+    for h in host_counts:
+        edges = _host_edges(spark, h).localCheckpoint()
+        n_e = edges.count()
+        print(f"\n== graph9 @ {h} hosts ({n_e} edges)")
+        m = StageMeter(spark)
+        m.run("hits 5 rounds",
+              lambda: hits_scores(edges, iters=5).count())
+        m.run("triangles",
+              lambda: triangle_count(edges).count())
+        m.run("components 4 rounds",
+              lambda: host_components(edges, iters=4).count())
+        spark.catalog.clearCache()
+
+
+def probe_sketch9(spark, row_counts: list[int]) -> None:
+    """Round-9 sketches at growing event counts: the Count-Min build's
+    shuffle must stay ~flat (map-side combine caps it at
+    partitions*depth*width) while the exact-top-k audit side grows;
+    the Bloom filter frame stays <= bits rows regardless of build
+    cardinality. Zipf-ish keys via xxhash64 mixing of a squared id."""
+    from hbase_packet_inspector_spark.operators.sketch import (
+        bloom_join_prune, heavy_hitters_cms)
+
+    for n in row_counts:
+        ev = spark.range(n).select(
+            F.pmod(F.xxhash64(F.col("id") * F.col("id")), F.lit(n // 100 + 1))
+            .alias("user_id")).localCheckpoint()
+        print(f"\n== sketch9 @ {n} rows (~{n // 100 + 1} keys)")
+        m = StageMeter(spark)
+        m.run("cms heavy hitters (w=1024,d=3)",
+              lambda: heavy_hitters_cms(
+                  ev, "user_id", width=1024, depth=3, k=25).count())
+        build = ev.filter(F.col("user_id") % 7 == 0)
+        m.run("bloom prune (4096 bits)",
+              lambda: bloom_join_prune(
+                  ev, "user_id", build, "user_id",
+                  bits=4096, hashes=3).count())
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "dedup"
     spark = get_probe_spark()
@@ -435,6 +483,12 @@ def main() -> None:
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
         ]
         probe_crawl9(spark, dirs)
+    elif what == "graph9":
+        counts = [int(x) for x in sys.argv[2:]] or [10_000, 100_000, 1_000_000]
+        probe_graph9(spark, counts)
+    elif what == "sketch9":
+        counts = [int(x) for x in sys.argv[2:]] or [1_000_000, 10_000_000, 50_000_000]
+        probe_sketch9(spark, counts)
     elif what == "gate_skew":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
         probe_gate_skew(spark, n)
