@@ -270,6 +270,9 @@ HEADLINE = [
     "score_lift",
     "host_components",
     "attribution_linear",
+    "ewma_smooth",
+    "mad_outliers",
+    "link_reciprocity",
 ]
 
 

@@ -25,6 +25,8 @@ except ImportError:
 # automatically.
 _UNVERIFIED_FIRST = (
     "approx_quantile_audit",  # latest green r0
+    "ewma_smooth",  # latest green r0
+    "mad_outliers",  # latest green r0
     "stack_code_quality",  # latest green r0
     "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0
@@ -45,6 +47,7 @@ _UNVERIFIED_FIRST = (
     "score_lift",  # latest green r0
     "host_components",  # latest green r0
     "attribution_linear",  # latest green r0
+    "link_reciprocity",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

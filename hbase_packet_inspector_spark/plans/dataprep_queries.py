@@ -9302,3 +9302,71 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credit_share"),
         )
     )
+
+
+@register(
+    "link_reciprocity",
+    """
+    WITH l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                            ELSE (doc_id * 11 + 5) % 25 END AS VARCHAR)
+             || '.com'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'sink.example.com'
+      FROM documents WHERE doc_id % 17 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    r AS (SELECT e.src, count(*) AS out_edges,
+                 CAST(sum(CASE WHEN rev.src IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS reciprocated
+          FROM e LEFT JOIN e rev
+               ON rev.src = e.dst AND rev.dst = e.src
+          GROUP BY 1)
+    SELECT src AS host, CAST(out_edges AS BIGINT) AS out_edges,
+           reciprocated,
+           CAST(reciprocated AS DOUBLE) / out_edges AS reciprocity
+    FROM r
+    """,
+    doc="Per-host link reciprocity over the distinct directed host "
+    "edge set: what fraction of a host's out-links are returned — "
+    "near-1.0 reciprocity at high degree is the mutual-citation-ring "
+    "signature (organic linking is largely one-way), the cheapest "
+    "member of the reputation family next to triangle_count's "
+    "clustering view. One self equi-join on the reversed key pair + "
+    "one agg; ratio is a single exact-integer division, unrounded. "
+    "The dangling sink never reciprocates — its inbound hosts' "
+    "ratios price that in.",
+    tags=("dataprep", "web", "graph"),
+)
+def link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    e = (
+        _site_links(d)
+        .select(F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("src").alias("dst"), F.col("dst").alias("src"),
+                   F.lit(1).alias("_has"))
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("out_edges"),
+            F.sum(F.coalesce(F.col("_has"), F.lit(0)))
+            .cast("bigint").alias("reciprocated"),
+        )
+        .select(
+            "host", "out_edges", "reciprocated",
+            (F.col("reciprocated").cast("double") / F.col("out_edges"))
+            .alias("reciprocity"),
+        )
+    )

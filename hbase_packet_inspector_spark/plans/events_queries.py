@@ -735,3 +735,127 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("_n") / 1000 + 1
         ).alias("rank_within_bound"),
     )
+
+
+_EWMA_H = 12  # lag horizon; weights 2^-(j+1) are exact dyadic doubles
+
+
+@register(
+    "ewma_smooth",
+    f"""
+    WITH m AS (SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                          AS minute_epoch,
+                      event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT minute_epoch, event_type, n,
+                 {" + ".join(
+                     f"coalesce(lag(n, {j}) OVER w * {2.0 ** -(j + 1)!r}, 0)"
+                     for j in range(_EWMA_H))} AS num,
+                 {" + ".join(
+                     "CASE WHEN lag(n, %d) OVER w IS NULL THEN 0 "
+                     "ELSE %r END" % (j, 2.0 ** -(j + 1))
+                     for j in range(_EWMA_H))} AS den
+          FROM m WINDOW w AS (PARTITION BY event_type
+                              ORDER BY minute_epoch)),
+    o AS (SELECT minute_epoch, event_type, CAST(n AS BIGINT) AS n_events,
+                 num / den AS ewma
+          FROM s)
+    SELECT * FROM o
+    """,
+    doc="Exponentially-weighted moving average of per-minute traffic "
+    "per method (half-life one bucket: weight 2^-(j+1) on the j-th "
+    "previous bucket over a 12-row horizon, renormalized over the "
+    "lags that exist near series start). The smoothing counterpart "
+    "to rate_zscore's anomaly score. Determinism: every weight is a "
+    "POWER OF TWO, so each term n*2^-(j+1) and both running sums are "
+    "EXACT dyadic doubles (counts < 2^40 keep the sum inside the "
+    "53-bit significand) — the numerator/denominator division is the "
+    "only inexact op, identical on both engines, emitted unrounded "
+    "(num.py discipline; an alpha like 0.3 would be order-dependent "
+    "float summation). Row-ordered lags over the post-agg minute "
+    "series: gaps smooth over the last OBSERVED buckets, documented. "
+    "One agg + one window on the time-bounded frame.",
+    tags=("events", "timeseries", "window"),
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    minute = (F.floor(F.col("ts").cast("long") / 60) * 60).cast("long")
+    m = (
+        ev.groupBy(minute.alias("minute_epoch"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("minute_epoch")
+    num = None
+    den = None
+    for j in range(_EWMA_H):
+        lj = F.lag("n", j).over(w)
+        t = F.coalesce(lj.cast("double") * F.lit(2.0 ** -(j + 1)),
+                       F.lit(0.0))
+        d = F.when(lj.isNull(), F.lit(0.0)).otherwise(
+            F.lit(2.0 ** -(j + 1)))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return m.select(
+        "minute_epoch", "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (num / den).alias("ewma"),
+    )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+            FROM c GROUP BY 1),
+    dev AS (SELECT c.event_type, c.cents,
+                   abs(c.cents - med.med_cents) AS d
+            FROM c JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad_cents
+            FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(med.med_cents) AS med_cents,
+           min(mad.mad_cents) AS mad_cents,
+           CAST(sum(CASE WHEN dev.d > 3 * mad.mad_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+    doc="Median-absolute-deviation robust outlier count per method — "
+    "the quartile-free sibling of quantity_outliers' IQR fences (MAD "
+    "tolerates 50% contamination; stddev fences break at one wild "
+    "point). Exactness: values enter as exact integer CENTS, so the "
+    "interpolated medians land on exact dyadic halves, deviations on "
+    "halves, the MAD on quarters — every comparison (d > 3*MAD) is "
+    "between exact dyadic doubles, no rounding, no engine drift. "
+    "Two percentile aggs + one flag agg, all partial+final.",
+    tags=("events", "robust", "percentile", "anomaly"),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents"))
+    dev = c.join(med, "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med_cents")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad_cents"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

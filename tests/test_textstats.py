@@ -236,3 +236,44 @@ def test_attribution_linear_shares(spark):
         assert sum(c["credit_share"] for c in chans) == pytest.approx(1.0)
         assert all(0 < c["credit_share"] <= 1.0 for c in chans)
         assert len({c["channel"] for c in chans}) == len(chans)
+
+
+def test_ewma_smooth_exactness_and_bounds(spark):
+    from hbase_packet_inspector_spark import plans
+    rows = plans.QUERIES["ewma_smooth"].fn(spark, SF).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["minute_epoch"])
+        # first bucket: only lag-0 exists -> ewma == own count exactly
+        assert rs[0]["ewma"] == float(rs[0]["n_events"])
+        ns = [r["n_events"] for r in rs]
+        for i, r in enumerate(rs):
+            w = ns[max(0, i - 11):i + 1]
+            assert min(w) <= r["ewma"] <= max(w)  # convex combination
+
+
+def test_mad_outliers_robustness(spark):
+    from hbase_packet_inspector_spark import plans
+    rows = plans.QUERIES["mad_outliers"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["mad_cents"] >= 0
+        assert 0 <= r["n_outliers"] < r["n"]  # the median itself never flags
+        # dyadic exactness: med on halves, mad on quarters
+        assert (r["med_cents"] * 2) == int(r["med_cents"] * 2)
+        assert (r["mad_cents"] * 4) == int(r["mad_cents"] * 4)
+
+
+def test_link_reciprocity_invariants(spark):
+    from hbase_packet_inspector_spark import plans
+    rows = plans.QUERIES["link_reciprocity"].fn(spark, SF).collect()
+    assert rows
+    by_host = {r["host"]: r for r in rows}
+    assert "sink.example.com" not in by_host  # dangling: no out-edges
+    for r in rows:
+        assert 0 <= r["reciprocated"] <= r["out_edges"]
+        assert r["reciprocity"] == pytest.approx(
+            r["reciprocated"] / r["out_edges"])
