@@ -273,6 +273,7 @@ HEADLINE = [
     "ewma_smooth",
     "mad_outliers",
     "link_reciprocity",
+    "window_funnel",
 ]
 
 

@@ -50,6 +50,14 @@ def cms_build(df: DataFrame, key_col: str, *, width: int = 1024,
 
     Output: (seed, bucket, n) — at most depth*width rows; buckets that
     no key hashes to are absent (an absent counter reads as 0).
+
+    STREAMS AS WRITTEN: the sketch is a pure commutative count
+    aggregation, so Structured Streaming maintains it incrementally
+    (state = the counter table, <= depth*width rows regardless of
+    stream length — the sketch's fixed-size property IS its streaming
+    state bound); complete-mode emission is the whole sketch each
+    micro-batch, equal to the batch build over the same prefix
+    (pinned in tests/test_streaming.py).
     """
     k = F.col(key_col)
     pairs = df.select(

@@ -27,6 +27,7 @@ _UNVERIFIED_FIRST = (
     "approx_quantile_audit",  # latest green r0
     "ewma_smooth",  # latest green r0
     "mad_outliers",  # latest green r0
+    "window_funnel",  # latest green r0
     "stack_code_quality",  # latest green r0
     "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0

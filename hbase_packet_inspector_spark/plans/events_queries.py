@@ -859,3 +859,83 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+_FUNNEL_W_S = 1800
+
+
+@register(
+    "window_funnel",
+    f"""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+               FROM events),
+    u AS (SELECT DISTINCT user_id FROM e),
+    s1 AS (SELECT user_id, min(ts_e) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts_e) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click'
+             AND e.ts_e >= s1.t1 AND e.ts_e <= s1.t1 + {_FUNNEL_W_S}
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts_e) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND e.ts_e >= s2.t2 AND e.ts_e <= s2.t2 + {_FUNNEL_W_S}
+           GROUP BY 1)
+    SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s1.t1 IS NULL THEN 0
+                WHEN s2.t2 IS NULL THEN 1
+                WHEN s3.t3 IS NULL THEN 2 ELSE 3 END AS INTEGER) AS depth
+    FROM u LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Per-user windowed funnel (the ClickHouse windowFunnel shape, "
+    "MIN-ANCHORED variant — semantics stated exactly: t1 = first "
+    "view; t2 = first click within 30 min OF t1; t3 = first purchase "
+    "within 30 min of t2; depth = steps reached). Min-anchoring makes "
+    "the answer deterministic and oracle-expressible where "
+    "any-chain funnel matching is search; the cost is that a later "
+    "view with a faster chain does not rescue a user whose FIRST "
+    "view stalled — documented, and the right semantics for "
+    "first-touch latency questions. Per-user rows pin every stage "
+    "timestamp, unlike conversion_funnel's corpus totals. Three "
+    "user-keyed min-aggs + left joins, all partial+final; exact "
+    "integer epochs.",
+    tags=("events", "funnel", "sessionize"),
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_e"))
+    u = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts_e").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click").alias("e")
+        .join(s1.alias("s1"), "user_id")
+        .filter((F.col("e.ts_e") >= F.col("t1"))
+                & (F.col("e.ts_e") <= F.col("t1") + _FUNNEL_W_S))
+        .groupBy("user_id").agg(F.min("ts_e").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase").alias("e")
+        .join(s2.alias("s2"), "user_id")
+        .filter((F.col("e.ts_e") >= F.col("t2"))
+                & (F.col("e.ts_e") <= F.col("t2") + _FUNNEL_W_S))
+        .groupBy("user_id").agg(F.min("ts_e").alias("t3"))
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            F.when(F.col("t1").isNull(), 0)
+            .when(F.col("t2").isNull(), 1)
+            .when(F.col("t3").isNull(), 2)
+            .otherwise(3).cast("int").alias("depth"),
+        )
+    )

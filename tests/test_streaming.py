@@ -1402,3 +1402,47 @@ def test_stream_scd2_matches_batch_closed_versions(spark, tmp_path):
     assert (1, 1, "A", 10, 40) in stream_closed
     # user 3's tie pair: B (seq 300) closed by A (seq 301) at ts 50
     assert (3, 1, "B", 50, 50) in stream_closed
+
+
+def test_stream_cms_build_matches_batch(spark, tmp_path):
+    """cms_build streams as written (posexplode + groupBy count): the
+    complete-mode snapshot after replaying all micro-batches equals the
+    batch sketch over the same rows — and its state is bounded at
+    depth*width counters no matter how long the stream runs."""
+    from hbase_packet_inspector_spark.operators.sketch import cms_build
+    import time
+
+    src = str(tmp_path / "cms_stream")
+    batches = [
+        [(i % 7,) for i in range(50)],
+        [(i % 5,) for i in range(40)],
+        [(99,)] * 10,  # a new hot key arriving late
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long").coalesce(1).write.mode(
+            "append").parquet(src)
+        time.sleep(1.1)
+    snapshots: list = []
+    q = (
+        cms_build(
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            "user_id", width=16, depth=3)
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda b, _i: snapshots.append(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshots) >= 2  # state really crossed micro-batches
+    final = {(r["seed"], r["bucket"]): r["n"] for r in snapshots[-1]}
+    all_rows = [r for b in batches for r in b]
+    batch = {
+        (r["seed"], r["bucket"]): r["n"]
+        for r in cms_build(
+            spark.createDataFrame(all_rows, "user_id long"),
+            "user_id", width=16, depth=3).collect()
+    }
+    assert final == batch
+    assert len(final) <= 3 * 16  # the fixed-size state bound
