@@ -274,6 +274,8 @@ HEADLINE = [
     "mad_outliers",
     "link_reciprocity",
     "window_funnel",
+    "important_stock",
+    "bloom_pruned_join",
 ]
 
 

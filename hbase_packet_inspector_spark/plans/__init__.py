@@ -28,6 +28,7 @@ _UNVERIFIED_FIRST = (
     "ewma_smooth",  # latest green r0
     "mad_outliers",  # latest green r0
     "window_funnel",  # latest green r0
+    "important_stock",  # latest green r0
     "stack_code_quality",  # latest green r0
     "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0
@@ -49,6 +50,7 @@ _UNVERIFIED_FIRST = (
     "host_components",  # latest green r0
     "attribution_linear",  # latest green r0
     "link_reciprocity",  # latest green r0
+    "bloom_pruned_join",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

@@ -9370,3 +9370,93 @@ def link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reciprocity"),
         )
     )
+
+
+_BJ_BITS, _BJ_K = 65536, 3
+
+
+@register(
+    "bloom_pruned_join",
+    f"""
+    WITH seeds AS (SELECT unnest(range(0, {_BJ_K})) AS seed),
+    bk AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_orderstatus = 'F'),
+    bits AS (SELECT DISTINCT
+                    {_seed_hash_sql('s.seed', 'b.o_orderkey', _BJ_BITS)}
+                    AS pos
+             FROM bk b CROSS JOIN seeds s),
+    pk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    pass AS (SELECT pk.l_orderkey
+             FROM pk CROSS JOIN seeds s
+             LEFT JOIN bits
+               ON bits.pos = {_seed_hash_sql('s.seed', 'pk.l_orderkey',
+                                             _BJ_BITS)}
+             GROUP BY 1 HAVING count(bits.pos) = {_BJ_K}),
+    audit AS (SELECT
+        (SELECT count(*) FROM lineitem) AS n_probe_total,
+        (SELECT count(*) FROM lineitem li
+         JOIN pass ON pass.l_orderkey = li.l_orderkey) AS n_pass)
+    SELECT o.o_orderpriority,
+           CAST(sum(CAST(round(li.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(li.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(audit.n_probe_total AS BIGINT) AS n_probe_total,
+           CAST(audit.n_pass AS BIGINT) AS n_pass
+    FROM lineitem li
+    JOIN orders o ON o.o_orderkey = li.l_orderkey
+    CROSS JOIN audit
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, audit.n_probe_total, audit.n_pass
+    """,
+    doc="The 100 TB pruned-join pattern END-TO-END (operators/"
+    "sketch.py::bloom_build/bloom_probe): revenue per priority for "
+    "F-status orders computed through a Bloom-pruned lineitem scan — "
+    "the 65536-bit filter built from the filtered orders side "
+    "broadcasts to the fact scan, ~2/3 of lineitem drops BEFORE the "
+    "join shuffle, and the join itself removes the sub-1% FP residue, "
+    "so the revenue MUST equal the direct join (which is exactly what "
+    "the oracle computes — plus the same md5 arithmetic for the "
+    "pass-count audit columns, pinning the prune rate, not just the "
+    "answer). This is bloom_join_prune's audit turned into the real "
+    "thing: at scale the filter replaces shuffling the 2/3 of the "
+    "fact table the dimension filter would discard anyway.",
+    tags=("dataprep", "sketch", "join", "bloom", "tpch"),
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as K
+    from .num import cents as _c
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    bl = K.bloom_build(f_orders, "o_orderkey",
+                       bits=_BJ_BITS, hashes=_BJ_K)
+    probed = K.bloom_probe(li, "l_orderkey", bl,
+                           bits=_BJ_BITS, hashes=_BJ_K)
+    pruned = probed.filter(F.col("bloom_pass"))
+    audit = (
+        probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe_total"),
+            F.sum(F.col("bloom_pass").cast("int")).cast("bigint")
+            .alias("n_pass"),
+        )
+    )
+    joined = pruned.join(
+        F.broadcast(f_orders.select("o_orderkey", "o_orderpriority")),
+        pruned["l_orderkey"] == F.col("o_orderkey"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            (F.sum(_c(F.col("l_extendedprice"))
+                   * (100 - _c(F.col("l_discount"))))
+             .cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+        .crossJoin(F.broadcast(audit))
+        .select("o_orderpriority", "revenue", "n_lineitems",
+                "n_probe_total", "n_pass")
+    )

@@ -521,3 +521,47 @@ def big_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         big, cust.c_custkey == big.o_custkey, "left_semi"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "important_stock",
+    """
+    WITH pv AS (SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS cents
+                FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(cents) AS total, count(*) AS np FROM pv)
+    SELECT pv.l_partkey,
+           CAST(pv.cents AS DOUBLE) / 100 AS revenue,
+           CAST(pv.cents * 100000 AS DOUBLE) / t.total AS share_bp10
+    FROM pv CROSS JOIN t
+    WHERE pv.cents * t.np * 10 > t.total * 12
+    """,
+    doc="TPC-H Q11 shape: per-part revenue filtered by a GLOBAL scalar "
+    "threshold (> 1.2x the average part share — scale-free, so the "
+    "predicate selects at every SF) — the plan where a 1-row aggregate "
+    "re-enters as a broadcast against the grouped frame and the "
+    "HAVING predicate runs against it (the sanctioned 1-row cross "
+    "join; Catalyst plans the scalar side once, not per row). Exact "
+    "integer cents throughout: the threshold compare is integer "
+    "(cents*np*10 > total*12), the emitted share is one exact-integer "
+    "division in tenth-basis-points, unrounded.",
+    tags=("tpch", "agg", "scalar-subquery"),
+)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("cents"))
+    t = pv.agg(F.sum("cents").alias("total"),
+               F.count(F.lit(1)).alias("np"))
+    return (
+        pv.crossJoin(F.broadcast(t))
+        .filter(F.col("cents") * F.col("np") * 10 > F.col("total") * 12)
+        .select(
+            "l_partkey",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            ((F.col("cents") * 100000).cast("double") / F.col("total"))
+            .alias("share_bp10"),
+        )
+    )

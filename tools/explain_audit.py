@@ -190,6 +190,13 @@ ALLOWED = {
     # narrow assignment, gate_cutoffs' pattern), and the N/P totals
     # re-enter as a broadcast ONE-ROW cross join
     "score_lift": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
+    # the prune-rate audit totals re-enter as a broadcast ONE-ROW
+    # cross join (the sanctioned 1-row shape); the bloom filter and
+    # the dimension side are broadcast HASH joins
+    "bloom_pruned_join": {"NESTED-LOOP-JOIN"},
+    # Q11's defining shape: the global revenue total re-enters as a
+    # broadcast ONE-ROW cross join the HAVING predicate reads
+    "important_stock": {"NESTED-LOOP-JOIN"},
     # same audit over the scale path: the ANN half is a cell-pruned
     # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
     # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
