@@ -276,6 +276,8 @@ HEADLINE = [
     "window_funnel",
     "important_stock",
     "bloom_pruned_join",
+    "revenue_rollup",
+    "value_corr",
 ]
 
 

@@ -28,7 +28,9 @@ _UNVERIFIED_FIRST = (
     "ewma_smooth",  # latest green r0
     "mad_outliers",  # latest green r0
     "window_funnel",  # latest green r0
+    "value_corr",  # latest green r0
     "important_stock",  # latest green r0
+    "revenue_rollup",  # latest green r0
     "stack_code_quality",  # latest green r0
     "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0

@@ -939,3 +939,65 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(3).cast("int").alias("depth"),
         )
     )
+
+
+@register(
+    "value_corr",
+    """
+    WITH b AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS x,
+                      CAST(floor(epoch(ts)) % 86400 AS BIGINT) AS y
+               FROM events),
+    s AS (SELECT event_type,
+                 count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM b GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+               AS pearson_r
+    FROM s
+    """,
+    doc="Pearson correlation between event value and time-of-day per "
+    "method — stated in the EXACT-INTEGER form "
+    "(N*Sxy - Sx*Sy) / (sqrt(N*Sxx - Sx^2) * sqrt(N*Syy - Sy^2)) "
+    "over integer cents and epoch-seconds-of-day, the rate_zscore "
+    "discipline extended to a second moment: the built-in corr() "
+    "aggregate sums FLOATS in partition order and is not "
+    "engine-reproducible, while integer sums are exact, both sqrts "
+    "are correctly rounded IEEE, and the one division is bit-exact — "
+    "emitted unrounded. Degenerate (zero-variance) groups emit 0.0. "
+    "One partial+final agg; five integer sums ride the same shuffle.",
+    tags=("events", "stats", "agg"),
+)
+def value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    x = F.round(F.col("value") * 100).cast("long")
+    y = (F.col("ts").cast("long") % 86400).cast("long")
+    s = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).alias("pearson_r"),
+    )

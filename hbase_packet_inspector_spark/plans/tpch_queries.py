@@ -565,3 +565,47 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_bp10"),
         )
     )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2
+                + grouping(o_orderpriority) AS INTEGER) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical ROLLUP with grouping_id (the Expand plan shape "
+    "lineitem_status_cube's CUBE also exercises, here with the "
+    "subtotal LEVELS pinned explicitly): per (status, priority), per "
+    "status, and grand total in one pass — each input row expands to "
+    "3 grouping sets, partial+final agg on the expanded keys. "
+    "grouping() flags are CAST into a stable gid so NULL-vs-'ALL' "
+    "ambiguity (a real NULL key would alias a subtotal row) is "
+    "resolved the way the SQL standard intends. Exact integer cents.",
+    tags=("tpch", "agg", "rollup"),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100)
+            .alias("total_price"),
+            (F.grouping("o_orderstatus") * 2
+             + F.grouping("o_orderpriority")).cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL"))
+            .alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL"))
+            .alias("priority"),
+            "gid", "n_orders", "total_price",
+        )
+    )

@@ -277,3 +277,31 @@ def test_link_reciprocity_invariants(spark):
         assert 0 <= r["reciprocated"] <= r["out_edges"]
         assert r["reciprocity"] == pytest.approx(
             r["reciprocated"] / r["out_edges"])
+
+
+def test_scd2_randomized_conservation(spark):
+    """Seeded random event stream: SCD2 versions partition each key's
+    timeline — intervals are adjacent (valid_to == next valid_from),
+    attrs alternate at boundaries, exactly one current version per key."""
+    import random
+    from hbase_packet_inspector_spark.operators.asof import scd2_build
+    rng = random.Random(909)
+    rows = []
+    for seq in range(300):
+        rows.append((rng.randrange(8), rng.randrange(100),
+                     rng.choice("ABC"), seq))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, attr string, event_id long")
+    out = scd2_build(df, key_col="user_id", attr_col="attr",
+                     ts_col="ts", seq_col="event_id").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_epoch"] == b["valid_from_epoch"]
+            assert a["attr"] != b["attr"]  # only transitions open versions
