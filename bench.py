@@ -278,6 +278,8 @@ HEADLINE = [
     "bloom_pruned_join",
     "revenue_rollup",
     "value_corr",
+    "frequent_pairs",
+    "jaccard_prefix_pairs",
 ]
 
 

@@ -53,6 +53,8 @@ _UNVERIFIED_FIRST = (
     "attribution_linear",  # latest green r0
     "link_reciprocity",  # latest green r0
     "bloom_pruned_join",  # latest green r0
+    "frequent_pairs",  # latest green r0
+    "jaccard_prefix_pairs",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

@@ -9460,3 +9460,131 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "revenue", "n_lineitems",
                 "n_probe_total", "n_pass")
     )
+
+
+_FP_SUPPORT = 150
+
+
+@register(
+    "frequent_pairs",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS ws
+               FROM documents),
+    it AS (SELECT doc_id, unnest(ws) AS w FROM w),
+    freq AS (SELECT w, count(*) AS support FROM it
+             GROUP BY 1 HAVING count(*) >= {_FP_SUPPORT}),
+    fi AS (SELECT it.doc_id, it.w FROM it JOIN freq USING (w)),
+    pr AS (SELECT a.w AS w1, b.w AS w2, count(*) AS pair_support
+           FROM fi a JOIN fi b
+             ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2 HAVING count(*) >= {_FP_SUPPORT})
+    SELECT pr.w1, pr.w2, CAST(pr.pair_support AS BIGINT) AS pair_support,
+           CAST(pr.pair_support AS DOUBLE) / f1.support AS conf_w1_to_w2,
+           CAST(pr.pair_support AS DOUBLE) / f2.support AS conf_w2_to_w1
+    FROM pr JOIN freq f1 ON f1.w = pr.w1
+            JOIN freq f2 ON f2.w = pr.w2
+    """,
+    doc="Frequent co-occurring token pairs with confidence (the "
+    "apriori/market-basket primitive over documents-as-baskets): "
+    "pairs are generated ONLY among items that individually clear "
+    "the support threshold — the apriori property (a pair can never "
+    "out-support its items) is what keeps the per-basket self-join "
+    "quadratic in FREQUENT tokens per doc, not vocabulary. Both "
+    "confidence directions are single exact-integer divisions, "
+    "unrounded. Plan: explode -> item-support agg (broadcast back) "
+    "-> per-doc self-equi-join on doc_id with w1 < w2 -> "
+    "partial+final pair agg. At 100 TB the second apriori round "
+    "(triples among frequent pairs) follows the same shape.",
+    tags=("dataprep", "text", "itemsets", "agg"),
+)
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    it = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        )).alias("w"),
+    )
+    freq = (
+        it.groupBy("w").agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _FP_SUPPORT)
+    )
+    fi = it.join(F.broadcast(freq.select("w")), "w")
+    a = fi.select(F.col("doc_id"), F.col("w").alias("w1"))
+    b = fi.select(F.col("doc_id"), F.col("w").alias("w2"))
+    pr = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= _FP_SUPPORT)
+    )
+    f1 = freq.select(F.col("w").alias("w1"), F.col("support").alias("_s1"))
+    f2 = freq.select(F.col("w").alias("w2"), F.col("support").alias("_s2"))
+    return (
+        pr.join(F.broadcast(f1), "w1").join(F.broadcast(f2), "w2")
+        .select(
+            "w1", "w2",
+            F.col("pair_support").cast("bigint").alias("pair_support"),
+            (F.col("pair_support").cast("double") / F.col("_s1"))
+            .alias("conf_w1_to_w2"),
+            (F.col("pair_support").cast("double") / F.col("_s2"))
+            .alias("conf_w2_to_w1"),
+        )
+    )
+
+
+@register(
+    "jaccard_prefix_pairs",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS ws
+               FROM documents),
+    it AS (SELECT doc_id, unnest(ws) AS w FROM w),
+    freq AS (SELECT w, count(*) AS f FROM it GROUP BY 1),
+    rk AS (SELECT w, CAST(row_number() OVER (ORDER BY f, w) AS INTEGER)
+                         AS r
+           FROM freq),
+    sets AS (SELECT it.doc_id, list_sort(list(rk.r)) AS rs
+             FROM it JOIN rk USING (w) GROUP BY 1),
+    sz AS (SELECT doc_id, rs, CAST(len(rs) AS INTEGER) AS m,
+                  CAST(len(rs) - ((len(rs) * 19 + 19) // 20) + 1
+                       AS INTEGER) AS plen
+           FROM sets WHERE len(rs) > 0),
+    pref AS (SELECT doc_id, m, rs,
+                    unnest(list_slice(rs, 1, plen)) AS tok
+             FROM sz),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                    a.m AS m1, b.m AS m2, a.rs AS rs1, b.rs AS rs2
+             FROM pref a JOIN pref b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id
+              AND a.m * 19 <= b.m * 20 AND b.m * 19 <= a.m * 20),
+    v AS (SELECT d1, d2, m1, m2,
+                 CAST(len(list_intersect(rs1, rs2)) AS INTEGER) AS inter
+          FROM cand)
+    SELECT d1, d2, m1, m2, inter,
+           CAST(inter AS DOUBLE) / (m1 + m2 - inter) AS jaccard
+    FROM v WHERE inter * 20 >= (m1 + m2 - inter) * 19
+    """,
+    doc="EXACT-threshold word-set Jaccard join via prefix filtering "
+    "(operators/dedup.py::prefix_jaccard_pairs — the PPJoin family, "
+    "Xiao et al. 2008): every pair with Jaccard >= 19/20, found "
+    "deterministically with NO false negatives — the complement to "
+    "the MinHash+LSH path, whose banding can miss pairs. Two sets at "
+    "threshold t must share a token in each other's rarest-first "
+    "prefix of length m - ceil(t*m) + 1, so candidates fan out on "
+    "RARE postings, never stopwords. The threshold is the RATIONAL "
+    "19/20: prefix length, length filter, and the verify are all pure "
+    "integer arithmetic (a float t*m rounds differently across "
+    "engines exactly at the boundaries the algorithm lives on); the "
+    "emitted jaccard is one exact-integer division. The frequency "
+    "rank is a VOCABULARY-bounded global window (term_zipf's "
+    "rationale).",
+    tags=("dataprep", "dedup", "similarity", "join"),
+)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.prefix_jaccard_pairs(
+        _docs(spark, sf_dir), threshold_num=19, threshold_den=20)

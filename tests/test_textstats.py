@@ -305,3 +305,27 @@ def test_scd2_randomized_conservation(spark):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to_epoch"] == b["valid_from_epoch"]
             assert a["attr"] != b["attr"]  # only transitions open versions
+
+
+def test_prefix_jaccard_no_false_negatives(spark):
+    """Prefix filtering must find EVERY pair at/above threshold — pin
+    against brute-force all-pairs word-set Jaccard on a small frame."""
+    from itertools import combinations
+    from hbase_packet_inspector_spark.operators.dedup import (
+        prefix_jaccard_pairs)
+    texts = [
+        "a b c d e", "a b c d f", "a b c d e",   # near/exact dups
+        "x y z w v", "x y z w u", "p q r s t",   # another family
+        "a x p m n", "m n o",                     # low-overlap
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["d1"], r["d2"]) for r in prefix_jaccard_pairs(
+        df, threshold_num=3, threshold_den=5).collect()}
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    want = set()
+    for i, j in combinations(range(len(texts)), 2):
+        inter = len(sets[i] & sets[j])
+        if inter * 5 >= len(sets[i] | sets[j]) * 3:
+            want.add((i, j))
+    assert got == want and (0, 2) in got  # exact dup pair present

@@ -197,6 +197,9 @@ ALLOWED = {
     # Q11's defining shape: the global revenue total re-enters as a
     # broadcast ONE-ROW cross join the HAVING predicate reads
     "important_stock": {"NESTED-LOOP-JOIN"},
+    # the rarest-first frequency rank is a VOCABULARY-bounded global
+    # window (term_zipf's rationale) — never corpus-sized
+    "jaccard_prefix_pairs": {"GLOBAL-WINDOW"},
     # same audit over the scale path: the ANN half is a cell-pruned
     # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
     # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
