@@ -280,6 +280,8 @@ HEADLINE = [
     "value_corr",
     "frequent_pairs",
     "jaccard_prefix_pairs",
+    "edit_distance_pairs",
+    "event_unpivot",
 ]
 
 

@@ -29,6 +29,7 @@ _UNVERIFIED_FIRST = (
     "mad_outliers",  # latest green r0
     "window_funnel",  # latest green r0
     "value_corr",  # latest green r0
+    "event_unpivot",  # latest green r0
     "important_stock",  # latest green r0
     "revenue_rollup",  # latest green r0
     "stack_code_quality",  # latest green r0
@@ -55,6 +56,7 @@ _UNVERIFIED_FIRST = (
     "bloom_pruned_join",  # latest green r0
     "frequent_pairs",  # latest green r0
     "jaccard_prefix_pairs",  # latest green r0
+    "edit_distance_pairs",  # latest green r0
     "dedup_minhash_lsh",  # latest green r5
     "dedup_simhash",  # latest green r5
     "text_quality",  # latest green r5

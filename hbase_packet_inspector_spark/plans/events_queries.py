@@ -1001,3 +1001,42 @@ def value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
         ).alias("pearson_r"),
     )
+
+
+@register(
+    "event_unpivot",
+    """
+    WITH c AS (SELECT DISTINCT user_id % 100 AS cohort FROM events),
+    t AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                         'view']) AS event_type),
+    n AS (SELECT user_id % 100 AS cohort, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+    SELECT c.cohort, t.event_type,
+           CAST(coalesce(n.cnt, 0) AS BIGINT) AS n_events
+    FROM c CROSS JOIN t
+    LEFT JOIN n ON n.cohort = c.cohort AND n.event_type = t.event_type
+    """,
+    doc="Wide-to-long reshape (Spark's unpivot/melt operator): the "
+    "user_event_pivot wide frame melted back to (cohort, event_type, "
+    "n_events) — the round-trip that pins BOTH reshape directions, "
+    "INCLUDING the zero-filled cells pivot materialized (a bare "
+    "groupBy would drop absent combinations; the oracle builds the "
+    "dense grid explicitly with a cohorts x types cross join over "
+    "two tiny dimension frames). Unpivot is a narrow 1-to-N row "
+    "expansion — no shuffle beyond the pivot's own agg.",
+    tags=("events", "reshape", "pivot"),
+)
+def event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _events(spark, sf_dir)
+        .groupBy((F.col("user_id") % 100).alias("cohort"))
+        .pivot("event_type", list(_ETYPES))
+        .count()
+        .na.fill(0, list(_ETYPES))
+    )
+    return (
+        wide.unpivot(
+            ["cohort"], list(_ETYPES), "event_type", "n_events")
+        .select("cohort", "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"))
+    )
