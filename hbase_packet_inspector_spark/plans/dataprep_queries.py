@@ -9539,10 +9539,14 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_prefix_pairs",
     """
-    WITH w AS (SELECT doc_id,
-                      list_distinct(list_filter(string_split(text, ' '),
-                                    x -> x <> '')) AS ws
-               FROM documents),
+    WITH w0 AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws
+                FROM documents),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(range(2, len(ws) + 1),
+                               i -> ws[i - 1] || ' ' || ws[i])) AS ws
+          FROM w0 WHERE len(ws) >= 2),
     it AS (SELECT doc_id, unnest(ws) AS w FROM w),
     freq AS (SELECT w, count(*) AS f FROM it GROUP BY 1),
     rk AS (SELECT w, CAST(row_number() OVER (ORDER BY f, w) AS INTEGER)
@@ -9551,7 +9555,7 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets AS (SELECT it.doc_id, list_sort(list(rk.r)) AS rs
              FROM it JOIN rk USING (w) GROUP BY 1),
     sz AS (SELECT doc_id, rs, CAST(len(rs) AS INTEGER) AS m,
-                  CAST(len(rs) - ((len(rs) * 19 + 19) // 20) + 1
+                  CAST(len(rs) - ((len(rs) * 9 + 9) // 10) + 1
                        AS INTEGER) AS plen
            FROM sets WHERE len(rs) > 0),
     pref AS (SELECT doc_id, m, rs,
@@ -9561,23 +9565,23 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a.m AS m1, b.m AS m2, a.rs AS rs1, b.rs AS rs2
              FROM pref a JOIN pref b
                ON a.tok = b.tok AND a.doc_id < b.doc_id
-              AND a.m * 19 <= b.m * 20 AND b.m * 19 <= a.m * 20),
+              AND a.m * 9 <= b.m * 10 AND b.m * 9 <= a.m * 10),
     v AS (SELECT d1, d2, m1, m2,
                  CAST(len(list_intersect(rs1, rs2)) AS INTEGER) AS inter
           FROM cand)
     SELECT d1, d2, m1, m2, inter,
            CAST(inter AS DOUBLE) / (m1 + m2 - inter) AS jaccard
-    FROM v WHERE inter * 20 >= (m1 + m2 - inter) * 19
+    FROM v WHERE inter * 10 >= (m1 + m2 - inter) * 9
     """,
     doc="EXACT-threshold word-set Jaccard join via prefix filtering "
     "(operators/dedup.py::prefix_jaccard_pairs — the PPJoin family, "
-    "Xiao et al. 2008): every pair with Jaccard >= 19/20, found "
+    "Xiao et al. 2008): every pair of docs whose word-BIGRAM sets have Jaccard >= 9/10, found "
     "deterministically with NO false negatives — the complement to "
     "the MinHash+LSH path, whose banding can miss pairs. Two sets at "
     "threshold t must share a token in each other's rarest-first "
     "prefix of length m - ceil(t*m) + 1, so candidates fan out on "
     "RARE postings, never stopwords. The threshold is the RATIONAL "
-    "19/20: prefix length, length filter, and the verify are all pure "
+    "9/10: prefix length, length filter, and the verify are all pure "
     "integer arithmetic (a float t*m rounds differently across "
     "engines exactly at the boundaries the algorithm lives on); the "
     "emitted jaccard is one exact-integer division. The frequency "
@@ -9587,7 +9591,7 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(
-        _docs(spark, sf_dir), threshold_num=19, threshold_den=20)
+        _docs(spark, sf_dir), threshold_num=9, threshold_den=10, gram=2)
 
 
 @register(
