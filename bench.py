@@ -282,6 +282,8 @@ HEADLINE = [
     "jaccard_prefix_pairs",
     "edit_distance_pairs",
     "event_unpivot",
+    "interarrival_stats",
+    "monthly_growth",
 ]
 
 

@@ -30,8 +30,10 @@ _UNVERIFIED_FIRST = (
     "window_funnel",  # latest green r0
     "value_corr",  # latest green r0
     "event_unpivot",  # latest green r0
+    "interarrival_stats",  # latest green r0
     "important_stock",  # latest green r0
     "revenue_rollup",  # latest green r0
+    "monthly_growth",  # latest green r0
     "stack_code_quality",  # latest green r0
     "license_mix",  # latest green r0
     "recrawl_schedule",  # latest green r0

@@ -1040,3 +1040,49 @@ def event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort", "event_type",
                 F.col("n_events").cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_e,
+                      event_id
+               FROM events),
+    d AS (SELECT user_id,
+                 ts_e - lag(ts_e) OVER
+                     (PARTITION BY user_id ORDER BY ts_e, event_id)
+                     AS gap
+          FROM e)
+    SELECT user_id,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           min(gap) AS min_gap_s,
+           quantile_cont(gap, 0.5) AS median_gap_s,
+           quantile_cont(gap, 0.9) AS p90_gap_s,
+           max(gap) AS max_gap_s
+    FROM d WHERE gap IS NOT NULL GROUP BY 1
+    """,
+    doc="Per-user inter-arrival gap distribution: lag diffs over the "
+    "(user, ts, event_id) order, then min/median/p90/max per user — "
+    "the arrival-process profile behind sessionize's gap threshold "
+    "(pick the session gap where the distribution's knee sits, "
+    "instead of guessing 30 minutes). Gaps are exact integer-second "
+    "diffs, so the interpolated quantiles land on dyadic halves — "
+    "engine-exact with no rounding (the mad_outliers discipline). "
+    "The lag window and the agg share the user partitioning: one "
+    "shuffle.",
+    tags=("events", "timeseries", "window", "percentile"),
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_e", "event_id")
+    d = ev.withColumn(
+        "gap", F.col("ts_e") - F.lag("ts_e").over(w)
+    ).filter(F.col("gap").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.min("gap").alias("min_gap_s"),
+        F.expr("percentile(gap, 0.5)").alias("median_gap_s"),
+        F.expr("percentile(gap, 0.9)").alias("p90_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )

@@ -609,3 +609,53 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n_orders", "total_price",
         )
     )
+
+
+@register(
+    "monthly_growth",
+    """
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                          AS month_start,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents,
+                      count(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT CAST(strftime(month_start, '%Y-%m') AS VARCHAR) AS month,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(cents - lag(cents) OVER (ORDER BY month_start)
+                AS DOUBLE)
+               / lag(cents) OVER (ORDER BY month_start) AS mom_growth
+    FROM m
+    """,
+    doc="Month-over-month revenue growth: the BI staple that chains a "
+    "calendar rollup into a lag ratio — monthly exact-cent totals, "
+    "then (this - prev)/prev over the month sequence (NULL on the "
+    "first month; one exact-integer-difference division, unrounded). "
+    "The lag window runs over the POST-AGG month frame — "
+    "calendar-bounded, never order-sized (the rate_zscore shape), so "
+    "the 'global' window is ~tens of rows by construction; month "
+    "labels emitted as strings to be timezone/date-type-proof across "
+    "engines.",
+    tags=("tpch", "timeseries", "window", "agg"),
+)
+def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date")
+            .alias("month_start"))
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        F.date_format("month_start", "yyyy-MM").alias("month"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        ((F.col("cents") - prev).cast("double") / prev)
+        .alias("mom_growth"),
+    )

@@ -200,6 +200,9 @@ ALLOWED = {
     # the rarest-first frequency rank is a VOCABULARY-bounded global
     # window (term_zipf's rationale) — never corpus-sized
     "jaccard_prefix_pairs": {"GLOBAL-WINDOW"},
+    # the MoM lag runs over the POST-AGG month frame — calendar-bounded
+    # (~tens of rows by construction), never order-sized
+    "monthly_growth": {"GLOBAL-WINDOW"},
     # same audit over the scale path: the ANN half is a cell-pruned
     # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
     # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
