@@ -329,3 +329,39 @@ def test_prefix_jaccard_no_false_negatives(spark):
         if inter * 5 >= len(sets[i] | sets[j]) * 3:
             want.add((i, j))
     assert got == want and (0, 2) in got  # exact dup pair present
+
+
+def test_prefix_jaccard_bigram_no_false_negatives(spark):
+    """gram=2 (the registered query's configuration): brute-force pin
+    on word-BIGRAM sets, including a doc pair identical except for a
+    middle edit (bigram jaccard drops sharply — both sides must agree)."""
+    from itertools import combinations
+    from hbase_packet_inspector_spark.operators.dedup import (
+        prefix_jaccard_pairs)
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g h",       # exact dup
+        "a b c X e f g h",       # one middle edit
+        "a b c d e f g z",       # tail edit
+        "p q r s t u v w",       # unrelated
+        "b a d c f e h g",       # same words, different bigrams
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["d1"], r["d2"]): r["jaccard"] for r in prefix_jaccard_pairs(
+        df, threshold_num=1, threshold_den=2, gram=2).collect()}
+    def bg(t):
+        ws = t.split()
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    sets = {i: bg(t) for i, t in enumerate(texts)}
+    want = {}
+    for i, j in combinations(range(len(texts)), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if inter * 2 >= union:
+            want[(i, j)] = inter / union
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+    assert got[(0, 1)] == 1.0          # exact dup
+    assert (0, 5) not in got           # same words, disjoint bigrams
