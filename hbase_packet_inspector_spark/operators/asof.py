@@ -139,10 +139,17 @@ def scd2_build(events: DataFrame, *, key_col: str, attr_col: str,
         *([F.col(seq_col)] if seq_col else []),
     )
     w = Window.partitionBy(key_col).orderBy(*order)
+    # Null-safe transition test: `_prev != attr` is NULL (row dropped)
+    # when either side is NULL, which would lose A->NULL transitions
+    # and then mint a spurious duplicate-A version on A->NULL->A.  The
+    # first event is identified by row_number (NOT by _prev being
+    # NULL — a genuine NULL attribute on the previous event also lags
+    # in as NULL); both window functions share the one Exchange+Sort.
     changes = (
         base.withColumn("_prev", F.lag("attr").over(w))
-        .filter(F.col("_prev").isNull()
-                | (F.col("_prev") != F.col("attr")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1)
+                | ~F.col("_prev").eqNullSafe(F.col("attr")))
     )
     w2 = Window.partitionBy(key_col).orderBy(*order)
     return (

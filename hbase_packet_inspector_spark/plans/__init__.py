@@ -17,63 +17,13 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 201 queries: 5 rounds between a
+# ceil(len(registry) / 50) rounds (at 226 queries: 5 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
-# tools/refresh_unverified.py after each round's CORRECTNESS_r{N}.json
-# lands; new queries register with no green row and land at the front
-# automatically.
+# `python tools/refresh_unverified.py --write` after each round's
+# CORRECTNESS_r{N}.json lands; new queries register with no green row
+# and land at the front automatically.
 _UNVERIFIED_FIRST = (
-    "approx_quantile_audit",  # latest green r0
-    "ewma_smooth",  # latest green r0
-    "mad_outliers",  # latest green r0
-    "window_funnel",  # latest green r0
-    "value_corr",  # latest green r0
-    "event_unpivot",  # latest green r0
-    "interarrival_stats",  # latest green r0
-    "important_stock",  # latest green r0
-    "revenue_rollup",  # latest green r0
-    "monthly_growth",  # latest green r0
-    "stack_code_quality",  # latest green r0
-    "license_mix",  # latest green r0
-    "recrawl_schedule",  # latest green r0
-    "robots_gate_wildcards",  # latest green r0
-    "retrieval_ndcg_pruned",  # latest green r0
-    "heavy_hitters_cms",  # latest green r0
-    "bloom_join_prune",  # latest green r0
-    "hits_hubs_authorities",  # latest green r0
-    "readability",  # latest green r0
-    "k_anonymity",  # latest green r0
-    "triangle_count",  # latest green r0
-    "scd2_build",  # latest green r0
-    "retrieval_mrr",  # latest green r0
-    "scd2_interval_events",  # latest green r0
-    "rate_zscore",  # latest green r0
-    "l_diversity",  # latest green r0
-    "feature_hashing",  # latest green r0
-    "score_lift",  # latest green r0
-    "host_components",  # latest green r0
-    "attribution_linear",  # latest green r0
-    "link_reciprocity",  # latest green r0
-    "bloom_pruned_join",  # latest green r0
-    "frequent_pairs",  # latest green r0
-    "jaccard_prefix_pairs",  # latest green r0
-    "edit_distance_pairs",  # latest green r0
-    "dedup_minhash_lsh",  # latest green r5
-    "dedup_simhash",  # latest green r5
-    "text_quality",  # latest green r5
-    "lang_id",  # latest green r5
-    "token_count",  # latest green r5
-    "cosine_topk",  # latest green r5
-    "srp_bucket_topk",  # latest green r5
-    "sq8_topk",  # latest green r5
-    "sq8_recall",  # latest green r5
-    "srp_recall",  # latest green r5
-    "ivf_topk_by_label",  # latest green r5
-    "dedup_embedding",  # latest green r5
-    "knn_graph",  # latest green r5
-    "knn_graph_wide",  # latest green r5
-    "knn_outliers",  # latest green r5
     "knn_label_prop",  # latest green r5
     "multimodal_ppm_decode",  # latest green r5
     "multimodal_ppm_resize",  # latest green r5
@@ -250,6 +200,56 @@ _UNVERIFIED_FIRST = (
     "retrieval_ndcg",  # latest green r8
     "hbase_pcap_decode",  # latest green r8
     "hbase_pcap_tables",  # latest green r8
+    "approx_quantile_audit",  # latest green r9
+    "ewma_smooth",  # latest green r9
+    "mad_outliers",  # latest green r9
+    "window_funnel",  # latest green r9
+    "value_corr",  # latest green r9
+    "event_unpivot",  # latest green r9
+    "interarrival_stats",  # latest green r9
+    "important_stock",  # latest green r9
+    "revenue_rollup",  # latest green r9
+    "monthly_growth",  # latest green r9
+    "dedup_minhash_lsh",  # latest green r9
+    "dedup_simhash",  # latest green r9
+    "text_quality",  # latest green r9
+    "lang_id",  # latest green r9
+    "token_count",  # latest green r9
+    "cosine_topk",  # latest green r9
+    "srp_bucket_topk",  # latest green r9
+    "sq8_topk",  # latest green r9
+    "sq8_recall",  # latest green r9
+    "srp_recall",  # latest green r9
+    "ivf_topk_by_label",  # latest green r9
+    "dedup_embedding",  # latest green r9
+    "knn_graph",  # latest green r9
+    "knn_graph_wide",  # latest green r9
+    "knn_outliers",  # latest green r9
+    "stack_code_quality",  # latest green r9
+    "license_mix",  # latest green r9
+    "recrawl_schedule",  # latest green r9
+    "robots_gate_wildcards",  # latest green r9
+    "retrieval_ndcg_pruned",  # latest green r9
+    "heavy_hitters_cms",  # latest green r9
+    "bloom_join_prune",  # latest green r9
+    "hits_hubs_authorities",  # latest green r9
+    "readability",  # latest green r9
+    "k_anonymity",  # latest green r9
+    "triangle_count",  # latest green r9
+    "scd2_build",  # latest green r9
+    "retrieval_mrr",  # latest green r9
+    "scd2_interval_events",  # latest green r9
+    "rate_zscore",  # latest green r9
+    "l_diversity",  # latest green r9
+    "feature_hashing",  # latest green r9
+    "score_lift",  # latest green r9
+    "host_components",  # latest green r9
+    "attribution_linear",  # latest green r9
+    "link_reciprocity",  # latest green r9
+    "bloom_pruned_join",  # latest green r9
+    "frequent_pairs",  # latest green r9
+    "jaccard_prefix_pairs",  # latest green r9
+    "edit_distance_pairs",  # latest green r9
 )
 
 

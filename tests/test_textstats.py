@@ -143,6 +143,34 @@ def test_scd2_build_runs_and_intervals(spark):
     assert u3[0]["valid_to_epoch"] == 50  # zero-length interval, closed
 
 
+def test_scd2_build_null_attr_transitions(spark):
+    # A -> NULL -> A must yield THREE versions (the NULL run is a real
+    # version, and the second A is a genuine transition), and a history
+    # that STARTS with NULL opens a version.  The pre-fix filter used a
+    # null-rejecting `_prev != attr`, which dropped A->NULL and then
+    # opened a duplicate consecutive-A version.
+    from hbase_packet_inspector_spark.operators.asof import scd2_build
+    rows = [
+        (1, 10, "A", 100), (1, 20, None, 101), (1, 30, "A", 102),
+        # user 2: starts NULL, NULL run extends, then transitions
+        (2, 10, None, 200), (2, 20, None, 201), (2, 30, "B", 202),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, attr string, event_id long")
+    out = scd2_build(df, key_col="user_id", attr_col="attr",
+                     ts_col="ts", seq_col="event_id").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["version"])
+    assert [(r["attr"], r["valid_from_epoch"], r["valid_to_epoch"])
+            for r in u1] == [
+        ("A", 10, 20), (None, 20, 30), ("A", 30, None)]
+    u2 = sorted(by_user[2], key=lambda r: r["version"])
+    assert [(r["attr"], r["valid_from_epoch"], r["valid_to_epoch"])
+            for r in u2] == [(None, 10, 30), ("B", 30, None)]
+
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -47,12 +47,48 @@ def main() -> None:
     ranked = sorted(registered,
                     key=lambda n: (latest_green.get(n, 0), order[n]))
     never = sum(1 for n in registered if n not in latest_green)
-    print(f"# {len(registered)} registered, {never} never green; "
-          f"ordering = never-green first, then oldest latest-green round")
-    print("_UNVERIFIED_FIRST = (")
-    for n in ranked:
-        print(f'    "{n}",  # latest green r{latest_green.get(n, 0)}')
-    print(")")
+    bound = -(-len(registered) // 50)
+    comment = (
+        "# Rotation order for the driver's ~50-slot correctness check: "
+        "queries\n"
+        "# never hash-verified first, then ascending by the round of "
+        "each query's\n"
+        "# LATEST green hash row (oldest-green-first). Worst-case "
+        "freshness is\n"
+        f"# ceil(len(registry) / 50) rounds (at {len(registered)} "
+        f"queries: {bound} rounds between a\n"
+        "# query's driver re-verifications), so the full-registry "
+        "parity sweep\n"
+        "# (tools/check_parity.py) stays the per-round gate. "
+        "Regenerate with\n"
+        "# `python tools/refresh_unverified.py --write` after each "
+        "round's\n"
+        "# CORRECTNESS_r{N}.json lands; new queries register with no "
+        "green row\n"
+        "# and land at the front automatically.\n"
+    )
+    tuple_src = "_UNVERIFIED_FIRST = (\n" + "".join(
+        f'    "{n}",  # latest green r{latest_green.get(n, 0)}\n'
+        for n in ranked) + ")"
+    block = comment + tuple_src
+    if "--write" in sys.argv:
+        path = os.path.join(
+            _ROOT, "hbase_packet_inspector_spark", "plans", "__init__.py")
+        src = open(path).read()
+        new = re.sub(
+            r"# Rotation order for the driver's.*?\n_UNVERIFIED_FIRST"
+            r" = \(.*?\n\)",
+            block, src, count=1, flags=re.S)
+        if new == src and block not in src:
+            sys.exit("error: rotation block not found in plans/__init__.py")
+        open(path, "w").write(new)
+        print(f"# wrote {len(registered)} entries ({never} never green, "
+              f"freshness bound {bound} rounds) to {path}")
+    else:
+        print(f"# {len(registered)} registered, {never} never green; "
+              f"ordering = never-green first, then oldest latest-green "
+              f"round (pass --write to update plans/__init__.py in place)")
+        print(block)
 
 
 if __name__ == "__main__":
