@@ -59,13 +59,14 @@ CORRELATED_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType([T.StructField("pending", T.StringType())])
 
 
-def _correlate_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _correlate_stateful(
+    pdfs: Iterator[pd.DataFrame], state: GroupState, evict: bool
 ) -> Iterator[pd.DataFrame]:
-    """Stateful handler for one (client, port) connection.
+    """Stateful handler body for one (client, port) connection.
 
     State: JSON {"pending": {call_id -> {ts_ms, merge fields}},
-    "scanners": {scanner_id -> {table, region, ts_ms}}}. Semantics mirror
+    "scanners": {scanner_id -> {table, region, ts_ms}},
+    "latest_ms": <latest packet event time>}. Semantics mirror
     the reference's single state map: request stores/overwrites, response
     consumes+deletes (core.clj:195-207); the scanner-session machine runs
     in the same pass — open-scanner RESPONSE installs {table, region} under
@@ -78,26 +79,94 @@ def _correlate_group(
     connection that opened the scanner — which HBase clients guarantee; the
     batch operator's (server, scanner) windows make the same assumption in
     reverse.
+
+    ``evict`` (the EventTimeTimeout path): a connection whose latest
+    packet is more than STATE_EXPIRATION_MS behind the watermark is a
+    dead ephemeral connection — its whole state ROW is removed, not just
+    the entries inside it (the reference's trim-state sweep,
+    core.clj:285-296, applied at the key level; without it millions of
+    short-lived TCP connections grow the state store without bound in
+    live mode).  Every entry inside the row is already ≥ TTL old at
+    that point (entry ts ≤ latest_ms), so removal never discards a
+    request the event-time rule would still have matched.
     """
+    if state.hasTimedOut:
+        # invoked with no data because the watermark passed
+        # latest_ms + TTL: drop the idle connection's state row
+        state.remove()
+        return
+
     st: dict[str, dict] = json.loads(state.get[0]) if state.exists else {}
     pending: dict[str, dict[str, Any]] = st.get("pending", {})
     scanners: dict[str, dict[str, Any]] = st.get("scanners", {})
+    latest_ms: int = st.get("latest_ms", 0)
 
     for pdf in pdfs:
+        if len(pdf):
+            latest_ms = max(
+                latest_ms, int(pdf["ts"].max().value // 1_000_000))
         yield _correlate_rows(pending, scanners, pdf)
 
-    state.update((json.dumps({"pending": pending, "scanners": scanners}),))
+    state.update((json.dumps(
+        {"pending": pending, "scanners": scanners,
+         "latest_ms": latest_ms}),))
+    if evict:
+        # strictly-greater-than-watermark is an API requirement; the
+        # max() only binds when this key's traffic lags the global
+        # watermark by more than the TTL already
+        state.setTimeoutTimestamp(
+            max(latest_ms + STATE_EXPIRATION_MS,
+                state.getCurrentWatermarkMs() + 1))
 
 
-def stream_correlate(events: DataFrame) -> DataFrame:
+def _correlate_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    yield from _correlate_stateful(pdfs, state, evict=False)
+
+
+def _correlate_group_evict(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    yield from _correlate_stateful(pdfs, state, evict=True)
+
+
+def stream_correlate(
+    events: DataFrame, *, watermark: str | None = "2 minutes"
+) -> DataFrame:
     """Streaming as-of correlation keyed by connection. One shuffle on
-    (client, port); state is per-connection and bounded by the TTL."""
-    return events.groupBy("client", "port").applyInPandasWithState(
-        _correlate_group,
-        outputStructType=CORRELATED_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    (client, port); entries inside a connection's state expire by the
+    event-time TTL, and (by default) the per-connection state ROW itself
+    is evicted once the event-time watermark passes its latest packet +
+    TTL — the full trim-state lifecycle (core.clj:285-296) that keeps
+    the state store bounded under millions of ephemeral connections in
+    live mode.
+
+    ``watermark`` is the allowed out-of-orderness of the feed (late
+    packets beyond it are dropped by the engine before this operator —
+    the standard watermark contract). Pass ``watermark=None`` to run
+    without a watermark (NoTimeout): nothing is ever dropped as late,
+    but idle-connection state rows then persist for the life of the
+    query — acceptable for bounded replays, a scale-killer for live
+    capture."""
+    if watermark is None:
+        return events.groupBy("client", "port").applyInPandasWithState(
+            _correlate_group,
+            outputStructType=CORRELATED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("client", "port")
+        .applyInPandasWithState(
+            _correlate_group_evict,
+            outputStructType=CORRELATED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
@@ -138,15 +207,25 @@ def _reattach_arrays(spark, source_dir: str, batch_df: DataFrame) -> DataFrame:
 def _run_correlated_stream(
     spark, source_dir: str, sink_fn, checkpoint: str,
     max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
 ) -> None:
     """Shared runner for the file-replay modes: schema'd streaming reader ->
     stateful correlation -> foreachBatch(sink_fn) with availableNow + the
     given checkpoint. Every mode keys its OWN checkpoint: a shared one would
-    make a second run see all files committed and silently emit nothing."""
+    make a second run see all files committed and silently emit nothing.
+
+    Replay runs default to ``watermark=None`` (no late-data drop, no
+    idle-state eviction): the file source orders micro-batches by file,
+    not by event time, so a watermark would silently drop rows from any
+    archive whose part-files interleave in time — and an availableNow
+    replay's state lifetime is already bounded by the run itself. Live
+    deployments compose stream_correlate directly and keep its
+    default event-time eviction."""
     reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    correlated = stream_correlate(reader.parquet(source_dir))
+    correlated = stream_correlate(
+        reader.parquet(source_dir), watermark=watermark)
     q = (
         correlated.writeStream.foreachBatch(sink_fn)
         .trigger(availableNow=True)
@@ -547,12 +626,23 @@ def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.Data
     return pd.DataFrame(out_rows, columns=[f.name for f in CORRELATED_SCHEMA])
 
 
-def stream_correlate_tws(events: DataFrame) -> DataFrame:
+def stream_correlate_tws(
+    events: DataFrame, *, watermark: str | None = "2 minutes"
+) -> DataFrame:
     """Correlation on ``transformWithStateInPandas`` — the Spark 4 successor
     of applyInPandasWithState (typed state handles, timer support, RocksDB
     required). Same semantics as stream_correlate (both call
     _correlate_rows); kept as a parallel implementation so the engine can
     migrate when the older API is retired.
+
+    Idle-connection lifecycle: with a ``watermark`` (default), runs in
+    eventTime timeMode and arms a per-key TIMER at latest packet + TTL —
+    re-armed on every batch with traffic, so it fires only once the
+    watermark passes an idle connection's latest packet + TTL, and
+    ``handleExpiredTimer`` then clears the state row (the timer analog
+    of the applyInPandasWithState path's EventTimeTimeout eviction;
+    reference trim-state, core.clj:285-296). ``watermark=None`` keeps
+    the old unbounded-state replay behavior (timeMode "None").
 
     Runtime requirements beyond stream_correlate: the RocksDB state store
     AND the ``google.protobuf`` Python package (the TWS state-server
@@ -563,8 +653,11 @@ def stream_correlate_tws(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    use_timers = watermark is not None
+
     class CorrelateProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._state = handle.getValueState("correlate_state", "blob STRING")
 
         def handleInputRows(self, key, rows, timerValues):
@@ -572,20 +665,39 @@ def stream_correlate_tws(events: DataFrame) -> DataFrame:
             st = json.loads(blob[0]) if blob else {}
             pending = st.get("pending", {})
             scanners = st.get("scanners", {})
+            latest_ms = st.get("latest_ms", 0)
             for pdf in rows:
+                if len(pdf):
+                    latest_ms = max(
+                        latest_ms, int(pdf["ts"].max().value // 1_000_000))
                 yield _correlate_rows(pending, scanners, pdf)
             self._state.update(
-                (json.dumps({"pending": pending, "scanners": scanners}),)
+                (json.dumps({"pending": pending, "scanners": scanners,
+                             "latest_ms": latest_ms}),)
             )
+            if use_timers:
+                # re-arm the single idle timer at latest + TTL (delete
+                # any stale one so exactly one timer rides per key)
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    latest_ms + STATE_EXPIRATION_MS)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark passed latest + TTL with no new packets: the
+            # connection is dead — drop its state row entirely
+            self._state.clear()
+            return iter([])
 
         def close(self) -> None:
             pass
 
-    return events.groupBy("client", "port").transformWithStateInPandas(
+    src = events.withWatermark("ts", watermark) if use_timers else events
+    return src.groupBy("client", "port").transformWithStateInPandas(
         CorrelateProcessor(),
         outputStructType=CORRELATED_SCHEMA,
         outputMode="append",
-        timeMode="None",
+        timeMode="eventTime" if use_timers else "None",
     )
 
 
@@ -600,23 +712,40 @@ SCD2_STREAM_SCHEMA = T.StructType([
 _SCD2_STATE_SCHEMA = T.StructType([T.StructField("open", T.StringType())])
 
 
-def _scd2_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _scd2_stateful(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    idle_ttl_s: int | None,
 ) -> Iterator[pd.DataFrame]:
     """Stateful SCD2 handler for one dimension key: state is the OPEN
-    version {"attr", "from", "version"}; a batch's events replay in
-    (ts, seq) order and every attribute transition CLOSES the open
-    version (emitted, valid_to = transition ts) and opens the next.
+    version {"attr", "from", "version", "latest"}; a batch's events
+    replay in (ts, seq) order and every attribute transition CLOSES the
+    open version (emitted, valid_to = transition ts) and opens the next.
     Only closed versions are ever emitted (append mode); the open one
-    lives in state until a later transition closes it."""
+    lives in state until a later transition closes it.
+
+    ``idle_ttl_s`` (the EventTimeTimeout path): when the watermark
+    passes a key's latest event + TTL, the key is RETIRED — its open
+    version is flushed with valid_to_epoch NULL (marking it the key's
+    final/current version at retirement; nothing is lost) and the state
+    row dropped. A later revival restarts version numbering at 1."""
+    cols = ["key", "version", "attr", "valid_from_epoch", "valid_to_epoch"]
+    if state.hasTimedOut:
+        st = json.loads(state.get[0]) if state.exists else None
+        state.remove()
+        out = ([(int(key[0]), st["version"], st["attr"], st["from"], None)]
+               if st is not None else [])
+        yield pd.DataFrame(out, columns=cols)
+        return
     st = json.loads(state.get[0]) if state.exists else None
     rows = pd.concat(list(pdfs), ignore_index=True)
     out: list[tuple] = []
+    latest = st.get("latest", 0) if st is not None else 0
     if len(rows):
         rows = rows.sort_values(["_ts_e", "_seq"])
         k = int(key[0])
         for ts, attr in zip(rows["_ts_e"], rows["attr"]):
             ts = int(ts)
+            latest = max(latest, ts)
             if st is None:
                 st = {"attr": attr, "from": ts, "version": 1}
             elif attr != st["attr"]:
@@ -625,15 +754,26 @@ def _scd2_group(
                 st = {"attr": attr, "from": ts,
                       "version": st["version"] + 1}
     if st is not None:
+        st["latest"] = latest
         state.update((json.dumps(st),))
-    yield pd.DataFrame(
-        out, columns=["key", "version", "attr", "valid_from_epoch",
-                      "valid_to_epoch"])
+        if idle_ttl_s is not None:
+            state.setTimeoutTimestamp(
+                max((latest + idle_ttl_s) * 1000,
+                    state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(out, columns=cols)
+
+
+def _scd2_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    yield from _scd2_stateful(key, pdfs, state, None)
 
 
 def stream_scd2(events: DataFrame, *, key_col: str = "user_id",
                 attr_col: str = "event_type", ts_col: str = "ts",
-                seq_col: str = "event_id") -> DataFrame:
+                seq_col: str = "event_id",
+                idle_ttl_s: int | None = None,
+                watermark: str = "2 minutes") -> DataFrame:
     """Streaming SCD type-2 dimension maintenance — the incremental
     form of operators/asof.py::scd2_build: per-key state holds ONLY the
     open version (attr, valid_from, version counter — constant size per
@@ -654,17 +794,49 @@ def stream_scd2(events: DataFrame, *, key_col: str = "user_id",
     flow; the current version is queryable from the state store, or by
     unioning the batch operator over the tail on demand).
     """
-    prepped = events.select(
-        F.col(key_col).cast("long").alias("k"),
-        F.col(attr_col).cast("string").alias("attr"),
-        F.col(ts_col).cast("long").alias("_ts_e"),
-        F.col(seq_col).cast("long").alias("_seq"),
+    if idle_ttl_s is None:
+        prepped = events.select(
+            F.col(key_col).cast("long").alias("k"),
+            F.col(attr_col).cast("string").alias("attr"),
+            F.col(ts_col).cast("long").alias("_ts_e"),
+            F.col(seq_col).cast("long").alias("_seq"),
+        )
+        out = prepped.groupBy("k").applyInPandasWithState(
+            _scd2_group,
+            outputStructType=SCD2_STREAM_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return out.withColumnRenamed("key", key_col)
+
+    # idle-key retirement: watermark the timestamp column (kept in the
+    # projection — the EventTimeTimeout check needs the watermarked
+    # attribute to survive into the stateful operator's input) and evict
+    # a key's state once the watermark passes latest event + TTL,
+    # flushing the open version with valid_to_epoch NULL
+    def _group(key, pdfs, state):
+        yield from _scd2_stateful(key, pdfs, state, idle_ttl_s)
+
+    prepped = (
+        events
+        # ts_col may be a long epoch (CDC feeds often are) — watermarks
+        # need a real timestamp column; long casts as epoch-seconds
+        .withColumn("_event_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_event_ts", watermark)
+        .select(
+            F.col(key_col).cast("long").alias("k"),
+            F.col(attr_col).cast("string").alias("attr"),
+            F.col(ts_col).cast("long").alias("_ts_e"),
+            F.col(seq_col).cast("long").alias("_seq"),
+            "_event_ts",
+        )
     )
     out = prepped.groupBy("k").applyInPandasWithState(
-        _scd2_group,
+        _group,
         outputStructType=SCD2_STREAM_SCHEMA,
         stateStructType=_SCD2_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return out.withColumnRenamed("key", key_col)

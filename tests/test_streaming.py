@@ -1446,3 +1446,114 @@ def test_stream_cms_build_matches_batch(spark, tmp_path):
     }
     assert final == batch
     assert len(final) <= 3 * 16  # the fixed-size state bound
+
+
+def test_stream_correlate_evicts_idle_connection_state(spark, tmp_path):
+    """Idle-connection lifecycle (reference trim-state, core.clj:285-296,
+    at the KEY level): once the event-time watermark passes a
+    connection's latest packet + TTL, its whole state ROW must be
+    removed — proven via the state-store metrics in the query progress
+    (numRowsRemoved fires; the final batch's numRowsTotal counts only
+    the live connection) with correlation outputs unaffected."""
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        stream_correlate,
+    )
+    import time
+
+    src = str(tmp_path / "ev")
+    # batch 1: connection 40000 — one matched get at t0
+    b1 = [fx._ev(0, 0, True, 1, "get", table=fx.TABLE, region=fx.REGION,
+                 row="a"),
+          fx._ev(1, 50, False, 1, None, cells=1)]
+    # batch 2: connection 40001, 10 minutes later — closing this batch
+    # advances the watermark (600 s - 2 min delay = 480 s) past
+    # connection 40000's timeout (0.05 s + 120 s TTL)
+    b2 = [fx._ev(10, 600_000, True, 2, "get", table=fx.TABLE,
+                 region=fx.REGION, row="b", port=40001),
+          fx._ev(11, 600_050, False, 2, None, cells=1, port=40001)]
+    # batch 3: any further traffic — the timed-out key fires HERE
+    b3 = [fx._ev(20, 601_000, True, 3, "get", table=fx.TABLE,
+                 region=fx.REGION, row="c", port=40001),
+          fx._ev(21, 601_050, False, 3, None, cells=1, port=40001)]
+    fx.to_df(spark, b1).coalesce(1).write.parquet(src)
+    for part in (b2, b3):
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+        fx.to_df(spark, part).coalesce(1).write.mode("append").parquet(src)
+
+    events = (spark.readStream.schema(fx.RPC_EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out: list = []
+    q = (
+        stream_correlate(events)
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # correlation itself unaffected: every response matched its request
+    responses = [r for r in out if not r.inbound]
+    assert len(responses) == 3
+    assert all(r.elapsed is not None and r.method == "get"
+               for r in responses)
+
+    progs = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert len(progs) >= 3
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in progs)
+    assert removed >= 1, "idle connection's state row was never removed"
+    # after the last batch only the live connection (40001) holds state
+    assert progs[-1]["stateOperators"][0]["numRowsTotal"] == 1
+    # mid-stream both connections held state (the row existed to remove)
+    assert max(p["stateOperators"][0]["numRowsTotal"] for p in progs) == 2
+
+
+def test_stream_scd2_idle_retirement_flushes_open_version(spark, tmp_path):
+    """Opt-in idle-key retirement for streaming SCD2: with idle_ttl_s
+    set, a key quiet past the TTL in event time has its OPEN version
+    flushed (valid_to_epoch NULL marks it final-at-retirement) and its
+    state row dropped; closed-version semantics are unchanged."""
+    from hbase_packet_inspector_spark.streaming.pipeline import stream_scd2
+    import time
+
+    src = str(tmp_path / "scd2_ttl")
+    schema = "user_id long, ts long, attr string, event_id long"
+    batches = [
+        # user 1: A then B (closes A); then goes quiet forever
+        [(1, 10, "A", 100), (1, 20, "B", 101)],
+        # user 2 arrives 10 min later: watermark -> 610 - 10 = 600,
+        # past user 1's retirement point 20 + 60
+        [(2, 610, "X", 200)],
+        # one more batch so the timed-out key fires
+        [(2, 620, "Y", 201)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        time.sleep(1.1)
+    out: list = []
+    q = (
+        stream_scd2(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            key_col="user_id", attr_col="attr", ts_col="ts",
+            seq_col="event_id", idle_ttl_s=60, watermark="10 seconds")
+        .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "/_ck")
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {(r["user_id"], r["version"], r["attr"], r["valid_from_epoch"],
+             r["valid_to_epoch"]) for r in out}
+    assert (1, 1, "A", 10, 20) in rows          # normal close unchanged
+    assert (1, 2, "B", 20, None) in rows        # retirement flush
+    # user 2's X->Y close also flows; its open Y stays in state (live)
+    assert (2, 1, "X", 610, 620) in rows
+    assert not any(r[0] == 2 and r[4] is None for r in rows)
+    progs = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+               for p in progs) >= 1
+    assert progs[-1]["stateOperators"][0]["numRowsTotal"] == 1
