@@ -1082,6 +1082,10 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str,
     )
     merges = []
     cur = vocab
+    # cur's predecessor: its cache may only be released once cur has
+    # actually MATERIALIZED (the next argmax does that) — unpersisting
+    # it earlier makes cur's first computation re-run the whole chain
+    parent = None
     for rnd in range(1, rounds + 1):
         sy = F.split("syms", " ")
         pairs = cur.where(F.size(sy) >= 2).select(
@@ -1102,6 +1106,11 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str,
             .limit(1)
             .collect()
         )
+        # that argmax just materialized cur's cache as a side effect —
+        # cur's predecessor is now truly unreferenced
+        if parent is not None and parent is not vocab:
+            parent.unpersist()
+        parent = None
         if not top:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
@@ -1130,17 +1139,20 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str,
                 )
             return folder
 
-        # persist each round's re-segmentation and drop the previous one
-        # (the kmeans_refine discipline): without the barrier, round k's
-        # argmax re-executes all k-1 earlier folds — O(rounds^2) total —
-        # and bpe_token_counts would re-run the whole chain again
+        # persist each round's re-segmentation LAZILY: the next round's
+        # argmax populates the cache while computing its pair counts, so
+        # each fold still executes exactly once (O(rounds) total) with
+        # ZERO extra jobs. An eager count() barrier here is a measured
+        # net loss at small `rounds` (the r9 bench regression: 4
+        # blocking jobs + cache writes on a vocab-bounded frame cost
+        # more than they saved); the O(rounds^2) recompute it guarded
+        # against is instead prevented by DEFERRING the predecessor's
+        # unpersist until after this frame materializes (above).
         nxt = cur.withColumn(
             "syms",
             F.aggregate(F.split("syms", " "), F.lit(""), make_folder(l, r, m)),
         ).persist()
-        nxt.count()
-        if cur is not vocab:
-            cur.unpersist()
+        parent = cur
         cur = nxt
     if not need_segmentation:
         if cur is not vocab:
@@ -1148,6 +1160,12 @@ def _bpe_learn(docs: DataFrame, rounds: int, text_col: str,
         vocab.unpersist()
         return merges, None
     if cur is not vocab:
+        # one eager materialization TOTAL (not per round) so the
+        # caller's lazy reads hit cache, then release everything else —
+        # the returned frame is the only persist left behind
+        cur.count()
+        if parent is not None and parent is not vocab:
+            parent.unpersist()
         vocab.unpersist()
     return merges, cur
 
