@@ -7532,19 +7532,24 @@ def url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "robots_gate_rfc",
     """
-    WITH d AS (SELECT doc_id, doc_id % 25 AS h, doc_id % 6 AS v
+    WITH d AS (SELECT doc_id, doc_id % 25 AS h, doc_id % 8 AS v
                FROM documents)
     SELECT 'http://site' || CAST(h AS VARCHAR) || '.com'
-             || CASE v WHEN 0 THEN '/d/' WHEN 1 THEN '/d/keep/'
-                WHEN 2 THEN '/d/keep/no/' WHEN 3 THEN '/t/'
-                WHEN 4 THEN '/w8x/' ELSE '/ok/' END
-             || CAST(doc_id AS VARCHAR) AS url,
+             || CASE v WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+                WHEN 1 THEN '/d/keep/' || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN '/d/keep/no/' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN '/t/' || CAST(doc_id AS VARCHAR)
+                WHEN 4 THEN '/w8x/' || CAST(doc_id AS VARCHAR)
+                WHEN 5 THEN '/ok/' || CAST(doc_id AS VARCHAR)
+                WHEN 6 THEN '/s?q=' || CAST(doc_id AS VARCHAR)
+                ELSE '/s#' || CAST(doc_id AS VARCHAR) END AS url,
            'site' || CAST(h AS VARCHAR) || '.com' AS host,
            CASE v WHEN 0 THEN TRUE
                   WHEN 1 THEN FALSE
                   WHEN 2 THEN h % 2 = 0
                   WHEN 3 THEN h % 3 = 0
                   WHEN 4 THEN h % 4 = 0
+                  WHEN 6 THEN h % 2 = 0
                   ELSE FALSE END AS blocked
     FROM d
     """,
@@ -7562,8 +7567,17 @@ def url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per host), 'Disallow: /w*x' on h % 4 = 0 (v=4 pins wildcard "
     "truncation), 'Allow: /d*' on h % 5 = 0 (v=0 staying blocked "
     "there pins the wildcard-allow drop), plus a googlebot block-all "
-    "section that must not leak (v=5). Oracle computes verdicts from "
-    "the generator arithmetic — the Spark side parses the real text. "
+    "section that must not leak (v=5). Query-string matching "
+    "(RFC 9309 match target = path + '?' + query): every host carries "
+    "a query-targeting 'Disallow: /s?q=' and odd hosts add the "
+    "SAME-LENGTH 'Allow: /s?q=' — v=6 '/s?q=<id>' pins both the "
+    "query-targeting block (even hosts) and the Allow-wins-tie "
+    "resolution AT the '?' boundary (odd hosts pass); v=7 '/s#<id>' "
+    "has match target exactly '/s' (fragment stripped) which matches "
+    "NEITHER rule (a query-targeting prefix must not block the "
+    "query-less path) and passes everywhere. Oracle computes "
+    "verdicts from the generator arithmetic — the Spark side parses "
+    "the real text. "
     "Plan: one host equi-join + partial+final max over a "
     "(prefix_length, allow) struct whose lexicographic order IS the "
     "RFC tie-break — no windows.",
@@ -7577,7 +7591,7 @@ def robots_gate_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
     h = did % 25
     hs = h.cast("string")
-    v = did % 6
+    v = did % 8
     hosts = d.select(h.alias("_h")).distinct()
     robots = hosts.select(
         F.concat(F.lit("site"), F.col("_h").cast("string"),
@@ -7593,18 +7607,25 @@ def robots_gate_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
             F.when(F.col("_h") % 5 == 0, F.lit("Allow: /d*\n"))
             .otherwise(F.lit("")),
+            # query-targeting rule everywhere; odd hosts add the
+            # equal-length Allow so the tie resolves AT the '?' boundary
+            F.lit("Disallow: /s?q=\n"),
+            F.when(F.col("_h") % 2 == 1, F.lit("Allow: /s?q=\n"))
+            .otherwise(F.lit("")),
         ).alias("robots_txt"),
     )
     frontier = d.select(
         F.concat(
             F.lit("http://site"), hs, F.lit(".com"),
-            F.when(v == 0, F.lit("/d/"))
-            .when(v == 1, F.lit("/d/keep/"))
-            .when(v == 2, F.lit("/d/keep/no/"))
-            .when(v == 3, F.lit("/t/"))
-            .when(v == 4, F.lit("/w8x/"))
-            .otherwise(F.lit("/ok/")),
-            did.cast("string"),
+            F.when(v == 0, F.concat(F.lit("/d/"), did.cast("string")))
+            .when(v == 1, F.concat(F.lit("/d/keep/"), did.cast("string")))
+            .when(v == 2, F.concat(F.lit("/d/keep/no/"),
+                                   did.cast("string")))
+            .when(v == 3, F.concat(F.lit("/t/"), did.cast("string")))
+            .when(v == 4, F.concat(F.lit("/w8x/"), did.cast("string")))
+            .when(v == 5, F.concat(F.lit("/ok/"), did.cast("string")))
+            .when(v == 6, F.concat(F.lit("/s?q="), did.cast("string")))
+            .otherwise(F.concat(F.lit("/s#"), did.cast("string"))),
         ).alias("url")
     )
     return WB.robots_gate_rfc(frontier, WB.parse_robots_rules(robots))
