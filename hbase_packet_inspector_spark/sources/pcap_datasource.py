@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from .pcap import PACKET_SCHEMA, _parse_pcap_bytes
+from .pcap import PACKET_SCHEMA, _parse_capture_bytes
 
 
 class PcapFilePartition(InputPartition):
@@ -50,7 +50,7 @@ class PcapDataSourceReader(DataSourceReader):
     def read(self, partition: PcapFilePartition):
         with open(partition.path, "rb") as f:
             blob = f.read()
-        for rec in _parse_pcap_bytes(partition.path, blob):
+        for rec in _parse_capture_bytes(partition.path, blob):
             yield (
                 rec["path"],
                 rec["pkt_index"],

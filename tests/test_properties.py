@@ -357,3 +357,41 @@ def test_ahash_invariant_under_uniform_brightness_shift(dims, raster,
     assert ahash_ppm_bytes(pay(shifted), grid) == h0
     doubled = (base.astype(np.int32) * 2).astype(np.uint8)  # <= 198
     assert ahash_ppm_bytes(pay(doubled), grid) == h0
+
+
+# --- pcapng: block walker totality ----------------------------------------
+
+from hbase_packet_inspector_spark.sources.pcap import (  # noqa: E402
+    _parse_capture_bytes,
+    build_pcapng,
+)
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_pcapng_walker_total_on_garbage(blob):
+    """Arbitrary bytes after an SHB magic (and without one) must parse to
+    a list, never raise — the classic parser's garbage contract extended
+    to the pcapng block walker."""
+    list(_parse_capture_bytes("p", b"\x0a\x0d\x0d\x0a" + blob))
+    list(_parse_capture_bytes("p", blob))
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=32), min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_pcapng_truncation_never_raises_and_prefix_parses(payloads, cut):
+    """Every truncation of a valid pcapng file yields a PREFIX of the
+    full packet list (truncated trailing block dropped, never mangled)."""
+    pkts = [
+        (1_700_000_000.0 + i, "10.0.0.7", 40000 + i, "10.0.0.1", 16020, p)
+        for i, p in enumerate(payloads)
+    ]
+    blob = build_pcapng(pkts)
+    full = [r["data"] for r in _parse_capture_bytes("p", blob)]
+    assert full == list(payloads)
+    part = [r["data"]
+            for r in _parse_capture_bytes("p", blob[: cut % (len(blob) + 1)])]
+    assert part == full[: len(part)]
