@@ -322,6 +322,72 @@ def _quiesce(cpus: int, max_wait_sec: float = 300.0) -> tuple[bool, float]:
     return load > threshold, load
 
 
+class _CpuMeter:
+    """Mid-run contention meter (the r9 verdict gap: `_quiesce` checks
+    load once at START; nothing re-checked while the record was taken).
+    Loadavg is useless mid-run — the bench itself saturates the box —
+    so instead each query window splits /proc/stat's total busy ticks
+    into OURS (this process tree: the python driver, the local-mode
+    JVM, its Python workers — walked via the ppid chain) and EVERYTHING
+    ELSE.  A query's ``external share`` is the fraction of the box's
+    total CPU capacity consumed by foreign processes while it was being
+    timed; windows above _EXT_THRESHOLD mark the query (and the record)
+    contended-mid-run."""
+
+    def __init__(self) -> None:
+        self._tck = float(os.sysconf("SC_CLK_TCK"))
+        self._ncpu = os.cpu_count() or 1
+
+    def _total_busy(self) -> int:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+
+    def _tree_cpu(self) -> int:
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        cpu: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except OSError:
+                continue  # raced with process exit
+            # comm can contain spaces/parens: split after the LAST ')'
+            rest = st.rsplit(")", 1)[-1].split()
+            pid = int(d)
+            ppid[pid] = int(rest[1])
+            cpu[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+        total = 0
+        for pid in cpu:
+            p, seen = pid, set()
+            while p > 1 and p not in seen:
+                if p == me:
+                    total += cpu[pid]
+                    break
+                seen.add(p)
+                p = ppid.get(p, 0)
+        return total
+
+    def sample(self) -> tuple[float, int, int]:
+        try:
+            return (time.monotonic(), self._total_busy(), self._tree_cpu())
+        except OSError:  # non-Linux /proc shape: meter degrades to 0
+            return (time.monotonic(), 0, 0)
+
+    def external_share(self, a: tuple, b: tuple) -> float:
+        wall = b[0] - a[0]
+        if wall <= 0:
+            return 0.0
+        ext = max(0, (b[1] - a[1]) - (b[2] - a[2]))
+        return ext / self._tck / (wall * self._ncpu)
+
+
+_EXT_THRESHOLD = 0.125  # foreign processes holding >1/8 of the box
+
+
 def _write_local_record(record: dict) -> None:
     """Persist the FULL bench record beside this script so per-query
     history survives the driver's 2000-char tail archive.  Default name
@@ -390,12 +456,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
+    ext_share: dict[str, float] = {}
+    meter = _CpuMeter()
     for name in HEADLINE:
         q = plans.QUERIES.get(name)
         if q is None:
             continue
         runs: list[float] = []
         n = 0
+        m0 = meter.sample()
         for _ in range(repeats):
             t0 = time.perf_counter()
             n = q.fn(spark, sf_dir).count()
@@ -404,13 +473,14 @@ def main() -> None:
             # runs/queries so earlier work's executor memory doesn't tax
             # later ones — and so every repeat pays the same cache state
             spark.catalog.clearCache()
+        ext_share[name] = round(meter.external_share(m0, meter.sample()), 3)
         med = statistics.median(runs)
         timings[name] = round(min(runs), 3)
         medians[name] = round(med, 3)
         spread[name] = round((max(runs) - min(runs)) / med, 3) if med > 0 else 0.0
         print(
             f"# {name}: min {timings[name]:.3f}s med {medians[name]:.3f}s "
-            f"spread {spread[name]:.2f} ({n} rows)",
+            f"spread {spread[name]:.2f} ext {ext_share[name]:.2f} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -424,6 +494,12 @@ def main() -> None:
         "repeats": repeats,
         "contended": contended,
         "load_at_start": load0,
+        # mid-run contention (r10): per-query share of the box's CPU
+        # held by FOREIGN processes while that query was being timed
+        "ext_cpu_max": max(ext_share.values()) if ext_share else 0.0,
+        "ext_contended": sorted(
+            n for n, s in ext_share.items() if s > _EXT_THRESHOLD),
+        "ext_cpu_share": ext_share,
         "queries_median_total": round(sum(medians.values()), 3),
         "spread_median": spreads[len(spreads) // 2] if spreads else 0.0,
         "spread_max": spreads[-1] if spreads else 0.0,
@@ -452,6 +528,9 @@ def main() -> None:
                 "repeats": repeats,
                 "contended": contended,
                 "load_at_start": load0,
+                "ext_cpu_max": max(ext_share.values()) if ext_share else 0.0,
+                "n_ext_contended": sum(
+                    1 for s in ext_share.values() if s > _EXT_THRESHOLD),
                 "spread_median": spreads[len(spreads) // 2] if spreads else 0.0,
                 "spread_max": spreads[-1] if spreads else 0.0,
                 "n_noisy": sum(1 for s in spread.values() if s > 0.5),
