@@ -284,6 +284,10 @@ HEADLINE = [
     "event_unpivot",
     "interarrival_stats",
     "monthly_growth",
+    "t_closeness",
+    "cusum_alerts",
+    "k_core",
+    "rfm_segments",
 ]
 
 

@@ -115,3 +115,65 @@ def l_diversity(df: DataFrame, quasi_cols: list[str],
             (F.col("n_sensitive") < l).alias("violates_l"),
         )
     )
+
+
+def t_closeness(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, *, t_num: int = 1,
+                t_den: int = 5) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    skewness-attack check l-diversity misses: a class can contain
+    l distinct sensitive values yet still leak (e.g. 99% of one rare
+    value), so each quasi-identifier equivalence class's sensitive
+    DISTRIBUTION must stay within ``t`` of the global distribution.
+    For categorical sensitive attributes the distance is total
+    variation: TVD = (1/2) * sum_v |c_v/n - C_v/N|.
+
+    Determinism (plans/num.py discipline): the TVD numerator is the
+    EXACT integer sum_v |c_v*N - C_v*n| (widened to decimal(38,0) —
+    c*N overflows int64 near 1e9-row classes on a 1e12-row corpus, the
+    value_corr lesson), the emitted tvd is that integer's ONE double
+    division by 2*n*N, and the threshold test is a pure integer
+    comparison num*t_den > 2*n*N*t_num — never a float-vs-float
+    compare at the boundary.
+
+    Scale shape: one shuffle on (quasi..., sensitive) builds the
+    class-value counts; class sizes and the global value histogram are
+    RE-AGGREGATIONS of that frame (no second scan); the class x value
+    grid is a broadcast fan-out by the value-domain cardinality
+    (dimension-bounded — sensitive attributes with huge domains should
+    be bucketed first, as the registered query does), and the final
+    per-class sum rides a groupBy on the quasi tuple.
+    """
+    d38 = "decimal(38,0)"
+    cv = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    classes = cv.groupBy(*quasi_cols).agg(F.sum("_c").alias("_n"))
+    glob = (
+        cv.groupBy(sensitive_col).agg(F.sum("_c").alias("_gc"))
+        .crossJoin(
+            F.broadcast(
+                cv.agg(F.sum("_c").alias("_tot"))))
+    )
+    grid = classes.crossJoin(F.broadcast(glob))  # classes x values
+    terms = grid.join(cv, [*quasi_cols, sensitive_col], "left").select(
+        *quasi_cols, "_n", "_tot",
+        F.abs(
+            F.coalesce(F.col("_c"), F.lit(0)).cast(d38) * F.col("_tot").cast(d38)
+            - F.col("_gc").cast(d38) * F.col("_n").cast(d38)
+        ).alias("_term"),
+    )
+    agg = terms.groupBy(*quasi_cols).agg(
+        F.max("_n").alias("_n"),
+        F.max("_tot").alias("_tot"),
+        F.sum("_term").alias("_num"),
+    )
+    den = F.lit(2).cast(d38) * F.col("_n").cast(d38) * F.col("_tot").cast(d38)
+    return agg.select(
+        *quasi_cols,
+        F.col("_n").cast("bigint").alias("group_n"),
+        (F.col("_num").cast("double") / den.cast("double")).alias("tvd"),
+        (F.col("_num") * F.lit(t_den).cast(d38)
+         > den * F.lit(t_num).cast(d38)).alias("violates_t"),
+    )

@@ -1544,3 +1544,66 @@ def host_components(edges: DataFrame, *, src_col: str = "src_host",
     both.unpersist()
     nodes.unpersist()
     return out
+
+
+def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
+           src_col: str = "src_host", dst_col: str = "dst_host") -> DataFrame:
+    """k-core decomposition membership (Seidman 1983): iteratively peel
+    nodes whose degree in the SURVIVING subgraph is below ``k`` until
+    stable — the classic link-spam / low-quality-host filter: content
+    farms hang off the web graph as trees and thin chains (peeled),
+    while genuinely interlinked communities survive. The graph-
+    curation complement of host_pagerank's continuous score: k-core is
+    a hard structural gate.
+
+    Semantics: undirected simple graph (both directions, self-loops
+    dropped, parallel edges deduped). Each round recomputes degrees
+    within the current survivor set and drops nodes with degree < k;
+    peeling cascades (removing a pendant can expose its neighbor), so
+    ``iters`` must cover the longest peel chain — fixed rounds keep
+    the DuckDB oracle unrollable (host_components' discipline); the
+    output's degree column proves convergence when every row has
+    degree >= k.
+
+    Per round: one semi-join of the edge frame onto survivors (both
+    endpoints) + one groupBy count — shuffle is edge-proportional,
+    state is node-cardinality, localCheckpointed flat plans (the
+    iterative-loop discipline). At 100 TB scale this is the same
+    shape as host_pagerank's rounds: edges never materialize on the
+    driver.
+
+    Output: (host, degree) — survivors of the k-core with their final
+    in-core degree.
+    """
+    both = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    alive = both.select(F.col("a").alias("host")).distinct().localCheckpoint()
+    for _ in range(iters):
+        sub = (
+            both.join(alive.withColumnRenamed("host", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("host", "b"), "b", "left_semi")
+        )
+        deg = sub.groupBy(F.col("a").alias("host")).agg(
+            F.count(F.lit(1)).alias("degree"))
+        alive = (
+            deg.filter(F.col("degree") >= k)
+            .select("host")
+            .localCheckpoint()
+        )
+    sub = (
+        both.join(alive.withColumnRenamed("host", "a"), "a", "left_semi")
+        .join(alive.withColumnRenamed("host", "b"), "b", "left_semi")
+    )
+    out = (
+        sub.groupBy(F.col("a").alias("host"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .localCheckpoint()
+    )
+    both.unpersist()
+    return out

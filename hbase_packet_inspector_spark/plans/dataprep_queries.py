@@ -9025,6 +9025,69 @@ def rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cusum_alerts",
+    """
+    WITH m AS (SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                          AS minute_epoch,
+                      event_type,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT *,
+                 sum(x) OVER (PARTITION BY event_type
+                              ORDER BY minute_epoch) AS pk,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY minute_epoch) AS k,
+                 sum(x) OVER (PARTITION BY event_type) AS st,
+                 count(*) OVER (PARTITION BY event_type) AS nn
+          FROM m)
+    SELECT minute_epoch, event_type, CAST(x AS BIGINT) AS cents,
+           CAST(pk * nn - k * st AS DOUBLE) / CAST(nn AS DOUBLE) AS cusum,
+           20 * abs(pk * nn - k * st) > nn * st AS alert
+    FROM s
+    """,
+    doc="CUSUM changepoint detection (Page 1954) over the per-minute "
+    "value series per method — the drift detector beside rate_zscore's "
+    "point-anomaly score: C_k = sum_{i<=k}(x_i - mean) accumulates "
+    "small persistent level shifts that per-point z-scores never flag. "
+    "Determinism (num.py discipline): C_k is restated scaled by N as "
+    "the EXACT integer pk*N - k*S (prefix sum x window row index "
+    "against the type's total), emitted via ONE double division by N, "
+    "and the alert |C_k| > S/20 is the pure integer comparison "
+    "20*|pk*N - k*S| > N*S — never a float boundary (the measured "
+    "corpus maxes at 8.5% of scale with ~2% median, so 5% fires on "
+    "real excursions only). Plan: one count/sum agg to the "
+    "minutes-x-types frame, then BOTH windows (ordered prefix, "
+    "unordered totals) share one event_type Exchange; everything is "
+    "post-agg time-bounded, never event-sized.",
+    tags=("events", "timeseries", "window", "anomaly"),
+)
+def cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.floor(F.col("ts").cast("long") / 60) * 60).cast("long")
+    m = (
+        ev.groupBy(minute.alias("minute_epoch"), "event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .cast("long").alias("x"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("minute_epoch")
+    wa = Window.partitionBy("event_type")
+    d38 = "decimal(38,0)"
+    pk = F.sum("x").over(wo).cast(d38)
+    k = F.row_number().over(wo).cast(d38)
+    st = F.sum("x").over(wa).cast(d38)
+    nn = F.count(F.lit(1)).over(wa).cast(d38)
+    dev = pk * nn - k * st
+    return m.select(
+        "minute_epoch", "event_type",
+        F.col("x").cast("bigint").alias("cents"),
+        (dev.cast("double") / nn.cast("double")).alias("cusum"),
+        (F.lit(20).cast(d38) * F.abs(dev) > nn * st).alias("alert"),
+    )
+
+
+@register(
     "l_diversity",
     """
     WITH q AS (SELECT c_nationkey, c_mktsegment,
@@ -9057,6 +9120,64 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return PR.l_diversity(
         cust, ["c_nationkey", "c_mktsegment"], "bal_k", l=3)
+
+
+@register(
+    "t_closeness",
+    """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+               FROM customer),
+    cv AS (SELECT c_nationkey, c_mktsegment, bal_k, count(*) AS c
+           FROM q GROUP BY 1, 2, 3),
+    cls AS (SELECT c_nationkey, c_mktsegment, sum(c) AS n
+            FROM cv GROUP BY 1, 2),
+    gv AS (SELECT bal_k, sum(c) AS gc FROM cv GROUP BY 1),
+    tot AS (SELECT sum(gc) AS big_n FROM gv),
+    terms AS (SELECT g.c_nationkey, g.c_mktsegment, g.n, t.big_n,
+                     abs(coalesce(cv.c, 0) * t.big_n - gv.gc * g.n)
+                         AS term
+              FROM cls g CROSS JOIN gv CROSS JOIN tot t
+              LEFT JOIN cv ON cv.c_nationkey = g.c_nationkey
+                          AND cv.c_mktsegment = g.c_mktsegment
+                          AND cv.bal_k = gv.bal_k),
+    a AS (SELECT c_nationkey, c_mktsegment, max(n) AS n,
+                 max(big_n) AS big_n, sum(term) AS num
+          FROM terms GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS group_n,
+           CAST(num AS DOUBLE) / CAST(2 * n * big_n AS DOUBLE) AS tvd,
+           num * 5 > 2 * n * big_n * 1 AS violates_t
+    FROM a
+    """,
+    doc="t-closeness audit (operators/profile.py::t_closeness — Li, "
+    "Li & Venkatasubramanian 2007), completing the privacy family: "
+    "k_anonymity bounds class SIZE, l_diversity bounds distinct "
+    "sensitive VALUES, this bounds the class's sensitive DISTRIBUTION "
+    "distance from the global one (total variation; the skewness "
+    "attack the other two miss — 99 rows of one rare balance bucket "
+    "in a 100-row class passes l=3 yet leaks). t = 1/5. Determinism: "
+    "the TVD numerator is the exact integer sum |c_v*N - C_v*n| "
+    "(decimal(38,0) on the Spark side — c*N overflows int64 at "
+    "~1e9-row classes x 1e12-row corpora, the value_corr lesson), "
+    "emitted via ONE double division; the violation flag is a pure "
+    "integer comparison num*5 > 2*n*N, never a float boundary test. "
+    "Plan: one shuffle on (quasi, sensitive), class sizes and the "
+    "global histogram re-aggregate that frame, the class x value grid "
+    "is a value-domain-bounded broadcast fan-out (bal_k is already "
+    "bucketed), final per-class sum groups on the quasi tuple.",
+    tags=("dataprep", "privacy", "audit"),
+)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile as PR
+
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_k"),
+    )
+    return PR.t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_k",
+        t_num=1, t_den=5)
 
 
 _FH_DIMS = 256
@@ -9254,6 +9375,71 @@ def host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _site((F.col("doc_id") + 5) % 25).alias("dst_host"),
     )
     return WB.host_components(edges, iters=4)
+
+
+def _kcore_ctes(iters: int, k: int) -> str:
+    """Chained-CTE mirror of operators/web.py::k_core over the
+    quadratic-map synthetic graph (site{h} -> site{h^2 % 25}): a
+    functional graph whose 2-core is exactly its cycle set — trees and
+    pendant chains peel over MULTIPLE cascading rounds (3 to
+    stabilize, verified offline), so fixed-round parity proves the
+    iteration, not just one filter. Per-round CTEs AS MATERIALIZED
+    (the HITS inlining lesson)."""
+    sql = """l AS (
+      SELECT 'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id * doc_id) % 25 AS VARCHAR) || '.com'
+                 AS dst
+      FROM documents),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM l
+        UNION ALL SELECT dst, src FROM l)
+      WHERE a <> b),
+    a0 AS MATERIALIZED (SELECT DISTINCT a AS host FROM e)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (SELECT e.a AS host, count(*) AS degree
+             FROM e JOIN a{i - 1} x ON x.host = e.a
+                    JOIN a{i - 1} y ON y.host = e.b
+             GROUP BY 1),
+    a{i} AS MATERIALIZED (SELECT host FROM d{i} WHERE degree >= {k})"""
+    return sql
+
+
+@register(
+    "k_core",
+    f"""
+    WITH {_kcore_ctes(4, 2)}
+    SELECT e.a AS host, CAST(count(*) AS BIGINT) AS degree
+    FROM e JOIN a4 x ON x.host = e.a JOIN a4 y ON y.host = e.b
+    GROUP BY 1
+    """,
+    doc="k-core decomposition membership (operators/web.py::k_core — "
+    "Seidman 1983), k=2: iteratively peel nodes whose degree in the "
+    "SURVIVING subgraph falls below k — the hard structural "
+    "link-spam gate beside host_pagerank's continuous score (content "
+    "farms hang off the graph as trees and chains; interlinked "
+    "communities survive). The synthetic quadratic-map graph "
+    "(site{{h}} links site{{h^2 mod 25}}) pins real cascade depth: its "
+    "2-core is exactly the squaring map's cycle {{6,11,16,21}}, reached "
+    "only after 3 peel rounds of pendant-tree removal (a single "
+    "degree filter keeps 14 hosts — fixed-round parity proves the "
+    "iteration). Per round one survivor double semi-join + degree "
+    "count, localCheckpointed; shuffle edge-proportional; oracle "
+    "rounds AS MATERIALIZED.",
+    tags=("dataprep", "web", "graph", "iterative"),
+)
+def k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    h = F.col("doc_id") % 25
+    edges = d.select(
+        _site(h).alias("src_host"),
+        _site((h * h) % 25).alias("dst_host"),
+    )
+    return WB.k_core(edges, k=2, iters=4)
 
 
 _ATTR_WINDOW_S = 600

@@ -353,6 +353,64 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfm_segments",
+    """
+    WITH c AS (SELECT o_custkey,
+                      max(o_orderdate) AS last_order,
+                      count(*) AS n_orders,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1),
+    s AS (SELECT o_custkey, cents,
+                 ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+                 ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+          FROM c)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+    FROM s GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation (Hughes 1994) — the classic warehouse "
+    "customer-value cube: per buying customer recency (last order "
+    "date), frequency (order count), monetary (lifetime spend in "
+    "exact integer cents), each quintiled 1-5 (5 = most recent / "
+    "frequent / valuable), rolled up to segment cells with exact "
+    "counts and ONE double division for avg spend. Determinism: "
+    "every ntile orders by (metric, o_custkey) — a total order, so "
+    "quintile boundaries are engine-exact; spend stays integer cents "
+    "until the final division (num.py). Plan: one orders groupBy to "
+    "the customer frame, then three global ntiles — bounded by "
+    "CUSTOMER cardinality, never fact rows (acctbal_deciles' "
+    "rationale; at 100 TB swap to approx_percentile cutoffs joined "
+    "broadcast, trading exact boundaries for no global sort), then "
+    "one partial+final rollup over at most 125 cells.",
+    tags=("tpch", "window", "ntile", "warehouse"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    s = c.select(
+        "cents",
+        F.ntile(5).over(
+            Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy("n_orders", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy("cents", "o_custkey")).alias("m_score"),
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)))
+        .alias("avg_cents"),
+    )
+
+
+@register(
     "order_lineitem_counts",
     """
     SELECT o_orderstatus,

@@ -83,6 +83,15 @@ def audit(df):
 ALLOWED = {
     "tfidf_top_terms": {"NESTED-LOOP-JOIN"},
     "acctbal_deciles": {"GLOBAL-WINDOW"},
+    # three global ntiles over the CUSTOMER-aggregate frame (acctbal_
+    # deciles' rationale: dimension-bounded, never fact rows; docstring
+    # notes the approx_percentile-cutoff scale alternative)
+    "rfm_segments": {"GLOBAL-WINDOW"},
+    # the class x sensitive-value grid is a BROADCAST cross of the
+    # equivalence-class frame with the (bucketed) value-domain histogram
+    # — value-domain-bounded fan-out by construction, and the global
+    # total is a 1-row broadcast (source_token_mix's rationale)
+    "t_closeness": {"NESTED-LOOP-JOIN"},
     "term_zipf": {"GLOBAL-WINDOW"},
     "ivf_kmeans2_topk": {"NESTED-LOOP-JOIN"},
     "source_token_mix": {"NESTED-LOOP-JOIN"},
