@@ -288,6 +288,9 @@ HEADLINE = [
     "cusum_alerts",
     "k_core",
     "rfm_segments",
+    "vocab_growth",
+    "min_cost_supplier",
+    "entity_clusters",
 ]
 
 

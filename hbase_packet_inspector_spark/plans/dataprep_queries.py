@@ -9377,6 +9377,81 @@ def host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.host_components(edges, iters=4)
 
 
+@register(
+    "vocab_growth",
+    """
+    WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS w
+               FROM documents),
+    fo AS (SELECT w, min(doc_id) AS first_doc FROM t GROUP BY 1),
+    nd AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY 1),
+    nw AS (SELECT first_doc AS doc_id, count(*) AS n_new
+           FROM fo GROUP BY 1),
+    g AS (SELECT CAST(floor(nd.doc_id / 50) AS BIGINT) AS bucket,
+                 sum(nd.n_tok) AS b_tok,
+                 sum(coalesce(nw.n_new, 0)) AS b_new
+          FROM nd LEFT JOIN nw USING (doc_id) GROUP BY 1),
+    b AS (SELECT bucket,
+                 sum(b_tok) OVER (ORDER BY bucket) AS cum_tokens,
+                 sum(b_new) OVER (ORDER BY bucket) AS cum_vocab
+          FROM g)
+    SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE))
+               AS heaps_beta
+    FROM b
+    """,
+    doc="Vocabulary-growth curve (Heaps/Herdan law audit): cumulative "
+    "distinct words vs cumulative tokens along doc_id order, sampled "
+    "every 50 docs, with the implied Heaps exponent ln V / ln N — the "
+    "corpus-curation telemetry that flags synthetic/templated text "
+    "(beta near 0: vocabulary saturates; near 1: open vocabulary / "
+    "garbage) and predicts tokenizer OOV pressure. The naive "
+    "cumulative-distinct is quadratic; this is the FIRST-OCCURRENCE "
+    "restatement: each word contributes once at min(doc_id), so "
+    "cum_vocab is a running sum of per-doc new-word counts — one "
+    "vocab-sized groupBy + one doc-sized window, never docs x vocab. "
+    "Determinism: integer counts throughout; the exponent is a ratio "
+    "of two correctly-rounded ln's of exact integers, emitted "
+    "unrounded (num.py). The cumulative window runs over the BUCKET "
+    "frame (docs/50 rows — bucketing happens BEFORE the global window, "
+    "so the only global sort is bucket-bounded; widen the bucket at "
+    "100 TB).",
+    tags=("dataprep", "text", "corpus", "window"),
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda x: x != F.lit(""))).alias("w"),
+    )
+    fo = t.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    nd = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    nw = fo.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new"))
+    g = (
+        nd.join(nw, "doc_id", "left")
+        .groupBy(F.floor(F.col("doc_id") / 50).cast("bigint")
+                 .alias("bucket"))
+        .agg(F.sum("n_tok").alias("b_tok"),
+             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).alias("b_new"))
+    )
+    w = Window.orderBy("bucket")
+    b = g.select(
+        "bucket",
+        F.sum("b_tok").over(w).alias("cum_tokens"),
+        F.sum("b_new").over(w).alias("cum_vocab"),
+    )
+    return b.select(
+        "bucket",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        (F.log(F.col("cum_vocab").cast("double"))
+         / F.log(F.col("cum_tokens").cast("double"))).alias("heaps_beta"),
+    )
+
+
 def _kcore_ctes(iters: int, k: int) -> str:
     """Chained-CTE mirror of operators/web.py::k_core over the
     quadratic-map synthetic graph (site{h} -> site{h^2 % 25}): a
@@ -9833,6 +9908,78 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocking with a second key closes it).",
     tags=("dataprep", "dedup", "similarity", "fuzzy"),
 )
+def _er_component_ctes(iters: int) -> str:
+    """Chained-CTE components over edit_distance_pairs' edge set — the
+    entity-resolution composition (blocked fuzzy pairs -> undirected
+    hash-min clusters); per-round CTEs AS MATERIALIZED."""
+    sql = """p AS (SELECT doc_id, substr(text, 1, 24) AS pre,
+                      length(substr(text, 1, 24)) AS n
+               FROM documents WHERE length(text) >= 8),
+    b AS (SELECT doc_id, pre, n,
+                 substr(pre, 1, 2) AS blk, n // 4 AS lenb
+          FROM p),
+    eg AS (SELECT a.doc_id AS d1, b2.doc_id AS d2
+           FROM b a JOIN b b2
+             ON a.blk = b2.blk AND a.lenb = b2.lenb
+            AND a.doc_id < b2.doc_id
+           WHERE levenshtein(a.pre, b2.pre) <= 6),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT d1 AS a, d2 AS b FROM eg
+        UNION ALL SELECT d2, d1 FROM eg)
+      WHERE a <> b),
+    n0 AS MATERIALIZED (SELECT DISTINCT a AS host FROM e),
+    c0 AS MATERIALIZED (SELECT host, host AS component FROM n0)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    nb{i} AS (SELECT e.b AS host, min(c.component) AS nb
+              FROM e JOIN c{i - 1} c ON c.host = e.a GROUP BY 1),
+    c{i} AS MATERIALIZED (
+      SELECT c.host, least(c.component,
+                           coalesce(nb.nb, c.component)) AS component
+      FROM c{i - 1} c LEFT JOIN nb{i} nb USING (host))"""
+    return sql
+
+
+@register(
+    "entity_clusters",
+    f"""
+    WITH {_er_component_ctes(4)},
+    sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM c4 GROUP BY 1)
+    SELECT c.host AS doc_id, c.component AS cluster, sz.cluster_size
+    FROM c4 c JOIN sz USING (component)
+    """,
+    doc="Entity-resolution clusters — the composition the fuzzy-pair "
+    "stage exists FOR: edit_distance_pairs' blocked candidates "
+    "(2-char-prefix x length-quartile blocking, levenshtein <= 6 on "
+    "24-char prefixes) become an undirected edge set, and hash-min "
+    "label propagation (operators/web.py::host_components, generic "
+    "over the id column) collapses them into duplicate-entity groups "
+    "with sizes — dedup then keeps one representative per cluster "
+    "(dedup_keep_best's policy applied at the ER level). TRANSITIVE "
+    "closure is the point: A~B and B~C cluster A,B,C even when "
+    "levenshtein(A,C) > 6. 4 rounds covers the observed cluster "
+    "diameter (pairs here come from template families, diameter 2); "
+    "shuffle = block-bounded pairs + edge-proportional rounds; oracle "
+    "rounds AS MATERIALIZED.",
+    tags=("dataprep", "dedup", "fuzzy", "graph", "iterative"),
+)
+def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    pairs = edit_distance_pairs(spark, sf_dir)
+    out = WB.host_components(
+        pairs.select(F.col("d1").alias("src_host"),
+                     F.col("d2").alias("dst_host")),
+        iters=4)
+    return out.select(
+        F.col("host").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.col("component_size").alias("cluster_size"),
+    )
+
+
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.length("text") >= 8).select(
         "doc_id", F.substring("text", 1, 24).alias("pre"))

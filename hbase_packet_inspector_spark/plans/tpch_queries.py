@@ -353,6 +353,66 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "min_cost_supplier",
+    """
+    WITH cost AS (SELECT l_partkey, l_suppkey,
+                         min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             AS cost_cents
+                  FROM lineitem GROUP BY 1, 2),
+    best AS (SELECT l_partkey, min(cost_cents) AS min_cost
+             FROM cost GROUP BY 1),
+    pick AS (SELECT c.l_partkey, min(c.l_suppkey) AS l_suppkey,
+                    b.min_cost
+             FROM cost c JOIN best b
+               ON b.l_partkey = c.l_partkey AND c.cost_cents = b.min_cost
+             GROUP BY 1, 3)
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           pick.min_cost AS min_cost_cents
+    FROM pick
+    JOIN part p ON p.p_partkey = pick.l_partkey
+    JOIN supplier s ON s.s_suppkey = pick.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type IN ('ECONOMY', 'PROMO')
+    """,
+    doc="Minimum-cost supplier per part — the TPC-H Q2 correlated-"
+    "subquery shape (argmin per group + dimension enrichment), priced "
+    "from lineitem since the driver's tables carry no partsupp: per "
+    "(part, supplier) the cheapest observed extended price in exact "
+    "integer cents, the per-part minimum re-joined to select the "
+    "winning supplier with min(s_suppkey) as the deterministic "
+    "tie-break, then supplier/nation broadcast in for names; the "
+    "part-type filter pushed to the part scan. Plan: two partial+final aggs "
+    "riding one (part, supplier) shuffle, an equi self-join on "
+    "(part, cost) instead of a window (no per-part sort), and "
+    "broadcast dimension joins — the fact side shuffles once.",
+    tags=("tpch", "join", "argmin"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, nat = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents"))
+    best = cost.groupBy("l_partkey").agg(
+        F.min("cost_cents").alias("min_cost")).withColumnRenamed(
+        "l_partkey", "_bpk")
+    pick = (
+        cost.join(best,
+                  (F.col("l_partkey") == F.col("_bpk"))
+                  & (F.col("cost_cents") == F.col("min_cost")))
+        .groupBy("l_partkey", "min_cost")
+        .agg(F.min("l_suppkey").alias("l_suppkey"))
+    )
+    return (
+        pick.join(F.broadcast(part.where(F.col("p_type").isin("ECONOMY", "PROMO"))),
+                  pick.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), pick.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name",
+                F.col("min_cost").alias("min_cost_cents"))
+    )
+
+
+@register(
     "rfm_segments",
     """
     WITH c AS (SELECT o_custkey,

@@ -87,6 +87,10 @@ ALLOWED = {
     # deciles' rationale: dimension-bounded, never fact rows; docstring
     # notes the approx_percentile-cutoff scale alternative)
     "rfm_segments": {"GLOBAL-WINDOW"},
+    # the cumulative vocab/token sums window over the BUCKET frame
+    # (docs/50 rows — bucketing happens before the only global window;
+    # widen the bucket at scale, per the docstring)
+    "vocab_growth": {"GLOBAL-WINDOW"},
     # the class x sensitive-value grid is a BROADCAST cross of the
     # equivalence-class frame with the (bucketed) value-domain histogram
     # — value-domain-bounded fan-out by construction, and the global
