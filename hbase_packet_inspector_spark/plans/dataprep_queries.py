@@ -9876,38 +9876,6 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), threshold_num=9, threshold_den=10, gram=2)
 
 
-@register(
-    "edit_distance_pairs",
-    """
-    WITH p AS (SELECT doc_id, substr(text, 1, 24) AS pre,
-                      length(substr(text, 1, 24)) AS n
-               FROM documents WHERE length(text) >= 8),
-    b AS (SELECT doc_id, pre, n,
-                 substr(pre, 1, 2) AS blk, n // 4 AS lenb
-          FROM p),
-    cand AS (SELECT a.doc_id AS d1, b2.doc_id AS d2,
-                    a.pre AS p1, b2.pre AS p2
-             FROM b a JOIN b b2
-               ON a.blk = b2.blk AND a.lenb = b2.lenb
-              AND a.doc_id < b2.doc_id)
-    SELECT d1, d2, CAST(levenshtein(p1, p2) AS INTEGER) AS dist
-    FROM cand WHERE levenshtein(p1, p2) <= 6
-    """,
-    doc="Edit-distance near-dup pairs over 24-char document prefixes — "
-    "the FUZZY-string family (typos, OCR noise, template fills) that "
-    "set-based Jaccard is blind to (one inserted char shifts every "
-    "shingle; levenshtein counts it as 1). Blocking keys (2-char "
-    "prefix x length-quartile bucket) bound the pairwise stage the "
-    "standard entity-resolution way: candidates are within-block "
-    "pairs, never corpus^2 — at 100 TB the block key is the shuffle "
-    "key and skewed blocks get the salting treatment. levenshtein is "
-    "built-in JVM-side on BOTH engines with identical unit-cost "
-    "semantics; distance and threshold are pure integers. The 2-char "
-    "block means a first-character typo escapes this pass — the "
-    "classic blocking trade-off, documented not hidden (multi-pass "
-    "blocking with a second key closes it).",
-    tags=("dataprep", "dedup", "similarity", "fuzzy"),
-)
 def _er_component_ctes(iters: int) -> str:
     """Chained-CTE components over edit_distance_pairs' edge set — the
     entity-resolution composition (blocked fuzzy pairs -> undirected
@@ -9980,6 +9948,38 @@ def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edit_distance_pairs",
+    """
+    WITH p AS (SELECT doc_id, substr(text, 1, 24) AS pre,
+                      length(substr(text, 1, 24)) AS n
+               FROM documents WHERE length(text) >= 8),
+    b AS (SELECT doc_id, pre, n,
+                 substr(pre, 1, 2) AS blk, n // 4 AS lenb
+          FROM p),
+    cand AS (SELECT a.doc_id AS d1, b2.doc_id AS d2,
+                    a.pre AS p1, b2.pre AS p2
+             FROM b a JOIN b b2
+               ON a.blk = b2.blk AND a.lenb = b2.lenb
+              AND a.doc_id < b2.doc_id)
+    SELECT d1, d2, CAST(levenshtein(p1, p2) AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(p1, p2) <= 6
+    """,
+    doc="Edit-distance near-dup pairs over 24-char document prefixes — "
+    "the FUZZY-string family (typos, OCR noise, template fills) that "
+    "set-based Jaccard is blind to (one inserted char shifts every "
+    "shingle; levenshtein counts it as 1). Blocking keys (2-char "
+    "prefix x length-quartile bucket) bound the pairwise stage the "
+    "standard entity-resolution way: candidates are within-block "
+    "pairs, never corpus^2 — at 100 TB the block key is the shuffle "
+    "key and skewed blocks get the salting treatment. levenshtein is "
+    "built-in JVM-side on BOTH engines with identical unit-cost "
+    "semantics; distance and threshold are pure integers. The 2-char "
+    "block means a first-character typo escapes this pass — the "
+    "classic blocking trade-off, documented not hidden (multi-pass "
+    "blocking with a second key closes it).",
+    tags=("dataprep", "dedup", "similarity", "fuzzy"),
+)
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.length("text") >= 8).select(
         "doc_id", F.substring("text", 1, 24).alias("pre"))
