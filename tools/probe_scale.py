@@ -427,6 +427,25 @@ def probe_graph9(spark, host_counts: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def probe_graph10(spark, host_counts: list[int]) -> None:
+    """Round-10 graph op at growing host counts on probe_pagerank's
+    synthetic link graph: k_core's per-round cost is two survivor
+    semi-joins + a degree count, so shuffle should track edges x rounds
+    and wall should stay sublinear in hosts (the same discipline as
+    components); peeling depth is fixed at 4."""
+    from hbase_packet_inspector_spark.operators.web import k_core
+
+    for h in host_counts:
+        edges = _host_edges(spark, h).localCheckpoint()
+        n_e = edges.count()
+        print(f"\n== graph10 @ {h} hosts ({n_e} edges)")
+        m = StageMeter(spark)
+        for k in (4, 8):
+            m.run(f"k_core k={k}, 4 rounds",
+                  lambda k=k: k_core(edges, k=k, iters=4).count())
+        spark.catalog.clearCache()
+
+
 def probe_sketch9(spark, row_counts: list[int]) -> None:
     """Round-9 sketches at growing event counts: the Count-Min build's
     shuffle must stay ~flat (map-side combine caps it at
@@ -489,6 +508,9 @@ def main() -> None:
     elif what == "sketch9":
         counts = [int(x) for x in sys.argv[2:]] or [1_000_000, 10_000_000, 50_000_000]
         probe_sketch9(spark, counts)
+    elif what == "graph10":
+        counts = [int(x) for x in sys.argv[2:]] or [10_000, 100_000, 1_000_000]
+        probe_graph10(spark, counts)
     elif what == "gate_skew":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
         probe_gate_skew(spark, n)
