@@ -291,6 +291,9 @@ HEADLINE = [
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",
+    "entity_representatives",
+    "time_to_convert",
+    "open_orders_timeline",
 ]
 
 

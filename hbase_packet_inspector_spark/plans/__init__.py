@@ -17,19 +17,22 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 233 queries: 5 rounds between a
+# ceil(len(registry) / 50) rounds (at 236 queries: 5 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
 # CORRECTNESS_r{N}.json lands; new queries register with no green row
 # and land at the front automatically.
 _UNVERIFIED_FIRST = (
+    "time_to_convert",  # latest green r0
     "min_cost_supplier",  # latest green r0
     "rfm_segments",  # latest green r0
+    "open_orders_timeline",  # latest green r0
     "cusum_alerts",  # latest green r0
     "t_closeness",  # latest green r0
     "vocab_growth",  # latest green r0
     "k_core",  # latest green r0
+    "entity_representatives",  # latest green r0
     "entity_clusters",  # latest green r0
     "knn_label_prop",  # latest green r5
     "multimodal_ppm_decode",  # latest green r5

@@ -9910,6 +9910,51 @@ def _er_component_ctes(iters: int) -> str:
 
 
 @register(
+    "entity_representatives",
+    f"""
+    WITH {_er_component_ctes(4)},
+    mem AS (SELECT c.host AS doc_id, c.component AS cluster,
+                   d.n_chars
+            FROM c4 c JOIN documents d ON d.doc_id = c.host),
+    mx AS (SELECT cluster, max(n_chars) AS rep_n_chars,
+                  CAST(count(*) AS BIGINT) AS cluster_size
+           FROM mem GROUP BY 1),
+    rep AS (SELECT m.cluster, min(m.doc_id) AS rep_doc_id
+            FROM mem m JOIN mx ON mx.cluster = m.cluster
+                              AND m.n_chars = mx.rep_n_chars
+            GROUP BY 1)
+    SELECT rep.cluster, rep.rep_doc_id, mx.rep_n_chars, mx.cluster_size
+    FROM rep JOIN mx USING (cluster)
+    """,
+    doc="Cluster-representative selection at the ENTITY level — the "
+    "ship decision entity_clusters exists for (dedup_keep_best's "
+    "policy applied to fuzzy-matched groups): per duplicate-entity "
+    "cluster keep the longest member (n_chars, tie-break lowest "
+    "doc_id). The argmax is a struct-max partial+final AGGREGATE "
+    "max(struct(n_chars, -doc_id)) — never a per-cluster sort window, "
+    "so a mega-cluster reduces map-side; the oracle states the same "
+    "argmax as max + min-join (engine-identical by the total order). "
+    "Plan: the components rounds + one doc equi-join + one groupBy.",
+    tags=("dataprep", "dedup", "fuzzy", "graph"),
+)
+def entity_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = entity_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    mem = clusters.join(docs, "doc_id")
+    agg = mem.groupBy("cluster").agg(
+        F.max(F.struct(F.col("n_chars").alias("nc"),
+                       (-F.col("doc_id")).alias("neg_id"))).alias("_m"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+    )
+    return agg.select(
+        "cluster",
+        (-F.col("_m.neg_id")).cast("bigint").alias("rep_doc_id"),
+        F.col("_m.nc").alias("rep_n_chars"),
+        "cluster_size",
+    )
+
+
+@register(
     "entity_clusters",
     f"""
     WITH {_er_component_ctes(4)},

@@ -1107,3 +1107,58 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap, 0.9)").alias("p90_gap_s"),
         F.max("gap").alias("max_gap_s"),
     )
+
+
+@register(
+    "time_to_convert",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+               FROM events),
+    fv AS (SELECT user_id, min(ts_e) AS v0 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    fp AS (SELECT e.user_id, min(e.ts_e) AS p0
+           FROM e JOIN fv ON fv.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_e >= fv.v0
+           GROUP BY 1),
+    d AS (SELECT fv.user_id, fp.p0 - fv.v0 AS delta
+          FROM fv JOIN fp USING (user_id))
+    SELECT user_id % 100 AS cohort,
+           CAST(count(*) AS BIGINT) AS n_converters,
+           CAST(sum(delta) AS DOUBLE) / count(*) AS avg_seconds,
+           CAST(min(delta) AS BIGINT) AS min_seconds,
+           CAST(max(delta) AS BIGINT) AS max_seconds
+    FROM d GROUP BY 1
+    """,
+    doc="Conversion latency — the time dimension conversion_funnel "
+    "drops: per user the FIRST view and the first purchase AT OR "
+    "AFTER it, per cohort (user_id %% 100) the converter count and "
+    "the exact integer-second delta stats (avg as ONE double "
+    "division of an exact sum — num.py; min/max exact). Funnel "
+    "completion rates say WHETHER users convert; this says HOW LONG "
+    "the corpus says it takes — the leading indicator for journey "
+    "regressions. Plan: two user-keyed aggs + two user-keyed joins "
+    "riding the same shuffle key, then one cohort rollup; everything "
+    "is user-cardinality after the first agg.",
+    tags=("events", "funnel", "agg"),
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_e"))
+    fv = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_e").alias("v0")))
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts_e") >= F.col("v0"))
+        .groupBy("user_id").agg(F.min("ts_e").alias("p0"))
+    )
+    d = fv.join(fp, "user_id").select(
+        "user_id", (F.col("p0") - F.col("v0")).alias("delta"))
+    return d.groupBy((F.col("user_id") % 100).alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        (F.sum("delta").cast("double") / F.count(F.lit(1)))
+        .alias("avg_seconds"),
+        F.min("delta").cast("bigint").alias("min_seconds"),
+        F.max("delta").cast("bigint").alias("max_seconds"),
+    )

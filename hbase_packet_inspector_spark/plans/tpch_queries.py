@@ -777,3 +777,55 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cents") - prev).cast("double") / prev)
         .alias("mom_growth"),
     )
+
+
+@register(
+    "open_orders_timeline",
+    """
+    WITH mx AS (SELECT l_orderkey, max(l_shipdate) AS e
+                FROM lineitem GROUP BY 1),
+    iv AS (SELECT CAST(date_part('year', o.o_orderdate) * 12
+                       + date_part('month', o.o_orderdate) - 1 AS BIGINT)
+               AS m0,
+                  CAST(date_part('year', mx.e) * 12
+                       + date_part('month', mx.e) - 1 AS BIGINT) AS m1
+           FROM orders o JOIN mx ON mx.l_orderkey = o.o_orderkey),
+    ev AS (SELECT m0 AS mi, 1 AS delta FROM iv
+           UNION ALL SELECT m1 + 1, -1 FROM iv),
+    g AS (SELECT mi, sum(delta) AS d FROM ev GROUP BY 1),
+    c AS (SELECT mi, sum(d) OVER (ORDER BY mi) AS n_open FROM g)
+    SELECT printf('%04d-%02d', mi // 12, mi % 12 + 1) AS month,
+           CAST(n_open AS BIGINT) AS n_open
+    FROM c
+    """,
+    doc="Open-orders-over-time — interval counting restated as a "
+    "+1/-1 EVENT SWEEP: each order is open from its order month "
+    "through its last ship month (max l_shipdate); instead of a "
+    "month x order interval-stabbing range join (months x orders "
+    "pairs), emit +1 at the start month and -1 after the end month, "
+    "aggregate deltas per month, and one running sum over the "
+    "CALENDAR-BOUNDED month frame yields concurrent-open counts — "
+    "the standard trick that turns quadratic interval overlap into "
+    "one groupBy + one tiny window at any scale. Month arithmetic is "
+    "pure integers (year*12 + month - 1); labels printf'd to be "
+    "date-type-proof; counts exact.",
+    tags=("tpch", "timeseries", "window", "interval"),
+)
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("e"))
+    mi0 = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+           ).cast("long")
+    mi1 = (F.year("e") * 12 + F.month("e") - 1).cast("long")
+    iv = orders.join(mx, orders.o_orderkey == mx.l_orderkey).select(
+        mi0.alias("m0"), mi1.alias("m1"))
+    ev = iv.select(F.col("m0").alias("mi"), F.lit(1).alias("delta")).union(
+        iv.select((F.col("m1") + 1).alias("mi"), F.lit(-1).alias("delta")))
+    g = ev.groupBy("mi").agg(F.sum("delta").alias("d"))
+    c = g.select(
+        "mi", F.sum("d").over(Window.orderBy("mi")).alias("n_open"))
+    return c.select(
+        F.format_string("%04d-%02d", (F.col("mi") / 12).cast("long"),
+                        F.pmod(F.col("mi"), F.lit(12)) + 1).alias("month"),
+        F.col("n_open").cast("bigint").alias("n_open"),
+    )

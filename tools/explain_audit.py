@@ -216,6 +216,10 @@ ALLOWED = {
     # the MoM lag runs over the POST-AGG month frame — calendar-bounded
     # (~tens of rows by construction), never order-sized
     "monthly_growth": {"GLOBAL-WINDOW"},
+    # running sum over the CALENDAR-BOUNDED month frame (monthly_growth's
+    # rationale): the +1/-1 sweep aggregates to ~tens of month rows
+    # BEFORE the only global window
+    "open_orders_timeline": {"GLOBAL-WINDOW"},
     # same audit over the scale path: the ANN half is a cell-pruned
     # equi-join, so the only NLJ left is the sanctioned 1-row in-engine
     # IDCG broadcast (ann_ndcg's rationale) plus the bounded lexical
