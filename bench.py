@@ -294,6 +294,7 @@ HEADLINE = [
     "entity_representatives",
     "time_to_convert",
     "open_orders_timeline",
+    "seasonal_residuals",
 ]
 
 

@@ -1162,3 +1162,58 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delta").cast("bigint").alias("min_seconds"),
         F.max("delta").cast("bigint").alias("max_seconds"),
     )
+
+
+@register(
+    "seasonal_residuals",
+    """
+    WITH m AS (SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                          AS minute_epoch,
+                      event_type,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT *,
+                 CAST((minute_epoch % 86400) / 60 AS BIGINT) AS mod_min,
+                 sum(x) OVER (PARTITION BY event_type,
+                              CAST((minute_epoch % 86400) / 60 AS BIGINT))
+                     AS sx,
+                 count(*) OVER (PARTITION BY event_type,
+                              CAST((minute_epoch % 86400) / 60 AS BIGINT))
+                     AS nn
+          FROM m)
+    SELECT minute_epoch, event_type, CAST(x AS BIGINT) AS cents,
+           CAST(x * nn - sx AS DOUBLE) / CAST(nn AS DOUBLE) AS residual
+    FROM s
+    """,
+    doc="Seasonal residuals — the time-of-day decomposition rate_zscore "
+    "and cusum_alerts both skip: each (method, minute) bucket scored "
+    "against its own MINUTE-OF-DAY baseline across days, so a daily "
+    "traffic rhythm stops reading as anomaly and real deviations "
+    "stand out. Determinism (num.py): residual x - mean restated "
+    "scaled-by-N as the exact integer x*N - S over the seasonal "
+    "group's window sums, ONE double division. Plan: one agg to the "
+    "minutes-x-types frame, one PARTITIONED window on (event_type, "
+    "minute-of-day) — 1440 x methods groups, post-agg time-bounded, "
+    "never event-sized.",
+    tags=("events", "timeseries", "window", "anomaly"),
+)
+def seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    minute = (F.floor(F.col("ts").cast("long") / 60) * 60).cast("long")
+    m = (
+        ev.groupBy(minute.alias("minute_epoch"), "event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .cast("long").alias("x"))
+    )
+    mod_min = ((F.col("minute_epoch") % 86400) / 60).cast("long")
+    s = m.withColumn("mod_min", mod_min)
+    w = Window.partitionBy("event_type", "mod_min")
+    sx = F.sum("x").over(w)
+    nn = F.count(F.lit(1)).over(w)
+    return s.select(
+        "minute_epoch", "event_type",
+        F.col("x").cast("bigint").alias("cents"),
+        ((F.col("x") * nn - sx).cast("double") / nn.cast("double"))
+        .alias("residual"),
+    )
