@@ -295,6 +295,7 @@ HEADLINE = [
     "time_to_convert",
     "open_orders_timeline",
     "seasonal_residuals",
+    "clustering_coeff",
 ]
 
 

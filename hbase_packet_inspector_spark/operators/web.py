@@ -1617,3 +1617,46 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
     )
     both.unpersist()
     return out
+
+
+def clustering_coefficient(edges: DataFrame, *,
+                           src_col: str = "src_host",
+                           dst_col: str = "dst_host") -> DataFrame:
+    """Local clustering coefficient per node — triangle density
+    normalized by wedge capacity: coeff(v) = 2*T(v) / (deg(v)*(deg(v)-1))
+    over the undirected simple graph, 0 for degree < 2. The
+    scale-free reputation ratio on top of triangle_count's raw counts:
+    a 10-triangle node means collusion at degree 5 and noise at
+    degree 1000, and THIS is the number that separates them (the
+    link-farm detector beside k_core's hard gate).
+
+    Determinism: 2*T and deg*(deg-1) are exact integers; the emitted
+    coefficient is ONE double division (num.py discipline).
+
+    Plan: triangle_count's two wedge equi-joins + one degree groupBy
+    over the same undirected edge frame + a node-sized join — shuffle
+    is edge-bounded, output node-sized.
+
+    Output: (host, degree, n_triangles, coeff).
+    """
+    tri = triangle_count(edges, src_col=src_col, dst_col=dst_col)
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("host"))
+        .union(e.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    cap = F.col("degree") * (F.col("degree") - 1)
+    return tri.join(deg, "host").select(
+        "host", "degree", "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise((2 * F.col("n_triangles")).cast("double")
+                   / cap.cast("double")).alias("coeff"),
+    )

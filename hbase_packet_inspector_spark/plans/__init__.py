@@ -17,7 +17,7 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 237 queries: 5 rounds between a
+# ceil(len(registry) / 50) rounds (at 238 queries: 5 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
@@ -29,6 +29,7 @@ _UNVERIFIED_FIRST = (
     "min_cost_supplier",  # latest green r0
     "rfm_segments",  # latest green r0
     "open_orders_timeline",  # latest green r0
+    "clustering_coeff",  # latest green r0
     "cusum_alerts",  # latest green r0
     "t_closeness",  # latest green r0
     "vocab_growth",  # latest green r0

@@ -8783,6 +8783,65 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustering_coeff",
+    """
+    WITH l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com' AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                            ELSE (doc_id * 11 + 5) % 25 END AS VARCHAR)
+             || '.com'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'sink.example.com'
+      FROM documents WHERE doc_id % 17 = 0),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM l WHERE src <> dst),
+    w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+    tri AS (SELECT x, y, z FROM w JOIN e ON e.a = w.y AND e.b = w.z),
+    pn AS (SELECT host, count(*) AS n FROM (
+             SELECT x AS host FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY 1),
+    deg AS (SELECT host, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT a AS host FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+    nodes AS (SELECT a AS host FROM e UNION SELECT b FROM e),
+    t AS (SELECT n.host, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+          FROM nodes n LEFT JOIN pn USING (host))
+    SELECT t.host, deg.degree, t.n_triangles,
+           CASE WHEN deg.degree < 2 THEN 0.0
+                ELSE CAST(2 * t.n_triangles AS DOUBLE)
+                     / (deg.degree * (deg.degree - 1)) END AS coeff
+    FROM t JOIN deg USING (host)
+    """,
+    doc="Local clustering coefficient (operators/web.py::"
+    "clustering_coefficient) over triangle_count's synthetic host "
+    "graph: 2*T(v) / (deg(v)*(deg(v)-1)) — triangle density "
+    "normalized by wedge capacity, the SCALE-FREE link-farm ratio on "
+    "top of triangle_count's raw counts (10 triangles = collusion at "
+    "degree 5, noise at degree 1000) and the continuous companion to "
+    "k_core's hard gate. Exact integer numerator/denominator, ONE "
+    "double division, 0.0 below degree 2 (num.py). Plan: the wedge "
+    "equi-joins + one degree groupBy over the same undirected edge "
+    "frame + a node-sized join — edge-bounded shuffle.",
+    tags=("dataprep", "web", "graph"),
+)
+def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    return WB.clustering_coefficient(_site_links(d))
+
+
+@register(
     "scd2_build",
     """
     WITH e AS (SELECT user_id, event_type,
