@@ -268,6 +268,7 @@ HEADLINE = [
     "l_diversity",
     "feature_hashing",
     "score_lift",
+    "score_lift_binned",
     "host_components",
     "attribution_linear",
     "ewma_smooth",
@@ -288,6 +289,11 @@ HEADLINE = [
     "cusum_alerts",
     "k_core",
     "rfm_segments",
+    "rfm_segments_binned",
+    "acctbal_deciles_binned",
+    "basket_affinity",
+    "mmr_select",
+    "markov_transitions",
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",
@@ -371,7 +377,19 @@ class _CpuMeter:
             rest = st.rsplit(")", 1)[-1].split()
             pid = int(d)
             ppid[pid] = int(rest[1])
-            cpu[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+            # utime+stime PLUS reaped-child cutime/cstime: Spark Python
+            # workers that exit between the two samples would otherwise
+            # vanish from the tree delta and be misattributed as foreign
+            # CPU (a still-live worker double-counts only while alive in
+            # BOTH samples, so the delta stays correct once it's reaped).
+            cpu[pid] = (int(rest[11]) + int(rest[12])
+                        + int(rest[13]) + int(rest[14]))
+        if me == 1:
+            # Driver is PID 1 (containers): every process is a descendant,
+            # and the `while p > 1` walk below would never match — count
+            # the whole box as ours rather than marking every query
+            # contended.
+            return sum(cpu.values())
         total = 0
         for pid in cpu:
             p, seen = pid, set()
@@ -393,11 +411,72 @@ class _CpuMeter:
         wall = b[0] - a[0]
         if wall <= 0:
             return 0.0
-        ext = max(0, (b[1] - a[1]) - (b[2] - a[2]))
-        return ext / self._tck / (wall * self._ncpu)
+        # the tree delta can go NEGATIVE across a window (pid reuse, a
+        # subtree reaped by a process outside the tree): floor it at 0
+        # and cap the share at 1.0 — a share above the box's whole
+        # capacity is always a metering artifact, not a measurement
+        ext = max(0, (b[1] - a[1]) - max(0, b[2] - a[2]))
+        return min(1.0, ext / self._tck / (wall * self._ncpu))
 
 
 _EXT_THRESHOLD = 0.125  # foreign processes holding >1/8 of the box
+
+
+class _JvmMeter:
+    """Session-degradation instrumentation (the r10 verdict's one open
+    question: late-session queries ran 4-10x their idle time on ALL
+    repeats with ~0 foreign CPU — something session-CUMULATIVE, not the
+    box). Reads the three JVM counters that distinguish the candidate
+    causes directly from the local-mode JVM's management beans:
+
+    - ``gc_ms``: total stop-the-world collection time (all GC beans).
+      A query whose window shows big deltas is paying heap pressure.
+    - ``heap_mb``: used heap after the query — monotone growth across
+      the session means accumulated references (py4j's lazy deletion
+      queue, codegen cache, block manager entries).
+    - ``rdds``: persistent-RDD count. ``spark.catalog.clearCache()``
+      clears SQL-cached plans but NOT localCheckpoint()'s cached RDD
+      blocks — the iterative queries (components / k_core / HITS /
+      logreg) each leave several behind, so at 238 registrations the
+      block manager accumulates hundreds of orphaned block sets unless
+      they are explicitly unpersisted (see _release_rdds)."""
+
+    def __init__(self, spark) -> None:
+        jvm = spark.sparkContext._jvm
+        self._mf = jvm.java.lang.management.ManagementFactory
+        self._sc = spark.sparkContext
+
+    def sample(self) -> tuple[int, int, int]:
+        try:
+            gc_ms = 0
+            it = self._mf.getGarbageCollectorMXBeans().iterator()
+            while it.hasNext():
+                t = it.next().getCollectionTime()
+                if t > 0:
+                    gc_ms += t
+            heap = self._mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+            rdds = self._sc._jsc.sc().getPersistentRDDs().size()
+            return gc_ms, int(heap // (1024 * 1024)), rdds
+        except Exception:  # metering must never fail the record
+            return 0, 0, 0
+
+
+def _release_rdds(spark) -> int:
+    """Unpersist every persistent RDD — the localCheckpoint residue that
+    spark.catalog.clearCache() does not touch. Bench-only hygiene: a
+    DataFrame built on a localCheckpointed plan is invalidated by this,
+    but between bench queries nothing is reused, and the leftover block
+    sets are exactly the session-cumulative state the r10 record
+    degradation tracked. Returns the number released."""
+    try:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        n = m.size()
+        it = m.valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        return n
+    except Exception:
+        return 0
 
 
 def _write_local_record(record: dict) -> None:
@@ -469,14 +548,21 @@ def main() -> None:
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
     ext_share: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
+    heap_mb: dict[str, int] = {}
     meter = _CpuMeter()
-    for name in HEADLINE:
+    jmeter = _JvmMeter(spark)
+    rdd_peak = 0
+    import gc as _pygc
+
+    for qi, name in enumerate(HEADLINE):
         q = plans.QUERIES.get(name)
         if q is None:
             continue
         runs: list[float] = []
         n = 0
         m0 = meter.sample()
+        j0 = jmeter.sample()
         for _ in range(repeats):
             t0 = time.perf_counter()
             n = q.fn(spark, sf_dir).count()
@@ -485,14 +571,32 @@ def main() -> None:
             # runs/queries so earlier work's executor memory doesn't tax
             # later ones — and so every repeat pays the same cache state
             spark.catalog.clearCache()
+        # localCheckpoint residue is NOT covered by clearCache: release
+        # it per query so the block manager never accumulates orphaned
+        # block sets across the (growing) registry — the r11 bounded fix
+        # for the long-session record degradation.
+        rdd_peak = max(rdd_peak, _release_rdds(spark))
+        if (qi + 1) % 25 == 0:
+            # flush py4j's lazy JVM-object deletion queue (it drains on
+            # PYTHON gc), then hint a full collection so heap_mb tracks
+            # live data, not float garbage
+            _pygc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        j1 = jmeter.sample()
         ext_share[name] = round(meter.external_share(m0, meter.sample()), 3)
+        gc_ms[name] = j1[0] - j0[0]
+        heap_mb[name] = j1[1]
         med = statistics.median(runs)
         timings[name] = round(min(runs), 3)
         medians[name] = round(med, 3)
         spread[name] = round((max(runs) - min(runs)) / med, 3) if med > 0 else 0.0
         print(
             f"# {name}: min {timings[name]:.3f}s med {medians[name]:.3f}s "
-            f"spread {spread[name]:.2f} ext {ext_share[name]:.2f} ({n} rows)",
+            f"spread {spread[name]:.2f} ext {ext_share[name]:.2f} "
+            f"gc {gc_ms[name]}ms heap {heap_mb[name]}MB ({n} rows)",
             file=sys.stderr,
         )
 
@@ -512,6 +616,15 @@ def main() -> None:
         "ext_contended": sorted(
             n for n, s in ext_share.items() if s > _EXT_THRESHOLD),
         "ext_cpu_share": ext_share,
+        # session-degradation forensics (r11): per-query JVM GC delta,
+        # heap after the query, and the peak persistent-RDD count seen
+        # before per-query release — the counters that adjudicate
+        # "code regression" vs "session-cumulative JVM state"
+        "gc_total_ms": sum(gc_ms.values()),
+        "heap_peak_mb": max(heap_mb.values()) if heap_mb else 0,
+        "rdd_peak": rdd_peak,
+        "gc_ms": gc_ms,
+        "heap_mb": heap_mb,
         "queries_median_total": round(sum(medians.values()), 3),
         "spread_median": spreads[len(spreads) // 2] if spreads else 0.0,
         "spread_max": spreads[-1] if spreads else 0.0,
@@ -543,6 +656,9 @@ def main() -> None:
                 "ext_cpu_max": max(ext_share.values()) if ext_share else 0.0,
                 "n_ext_contended": sum(
                     1 for s in ext_share.values() if s > _EXT_THRESHOLD),
+                "gc_total_ms": sum(gc_ms.values()),
+                "heap_peak_mb": max(heap_mb.values()) if heap_mb else 0,
+                "rdd_peak": rdd_peak,
                 "spread_median": spreads[len(spreads) // 2] if spreads else 0.0,
                 "spread_max": spreads[-1] if spreads else 0.0,
                 "n_noisy": sum(1 for s in spread.values() if s > 0.5),

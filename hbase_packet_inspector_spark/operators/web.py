@@ -1563,7 +1563,12 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
     ``iters`` must cover the longest peel chain — fixed rounds keep
     the DuckDB oracle unrollable (host_components' discipline); the
     output's degree column proves convergence when every row has
-    degree >= k.
+    degree >= k. To make that proof sound, the final degree is a LEFT
+    join from the survivor set with coalesce(degree, 0): a
+    round-``iters`` survivor whose surviving-degree collapsed to 0
+    surfaces as an explicit degree-0 row instead of silently vanishing
+    from the groupBy (which would let an unconverged run masquerade as
+    converged).
 
     Per round, MESSAGE-PASSING shape: edge (a, b) votes one degree
     unit for a iff b survives, so a round is ONE survivor semi-join on
@@ -1610,9 +1615,16 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
             .select("host")
             .localCheckpoint()
         )
+    final_deg = (
+        both.join(alive.withColumnRenamed("host", "b"), "b", "left_semi")
+        .groupBy(F.col("a").alias("host"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
     out = (
-        _alive_degrees(alive)
-        .select("host", F.col("degree").cast("bigint").alias("degree"))
+        alive.join(final_deg, "host", "left")
+        .select("host",
+                F.coalesce(F.col("degree"), F.lit(0))
+                .cast("bigint").alias("degree"))
         .localCheckpoint()
     )
     both.unpersist()

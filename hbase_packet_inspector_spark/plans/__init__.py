@@ -17,63 +17,20 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 238 queries: 5 rounds between a
+# ceil(len(registry) / 50) rounds (at 245 queries: 5 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
 # CORRECTNESS_r{N}.json lands; new queries register with no green row
 # and land at the front automatically.
 _UNVERIFIED_FIRST = (
-    "time_to_convert",  # latest green r0
-    "seasonal_residuals",  # latest green r0
-    "min_cost_supplier",  # latest green r0
-    "rfm_segments",  # latest green r0
-    "open_orders_timeline",  # latest green r0
-    "clustering_coeff",  # latest green r0
-    "cusum_alerts",  # latest green r0
-    "t_closeness",  # latest green r0
-    "vocab_growth",  # latest green r0
-    "k_core",  # latest green r0
-    "entity_representatives",  # latest green r0
-    "entity_clusters",  # latest green r0
-    "knn_label_prop",  # latest green r5
-    "multimodal_ppm_decode",  # latest green r5
-    "multimodal_ppm_resize",  # latest green r5
-    "multimodal_wav_resample",  # latest green r5
-    "multimodal_wav_decode",  # latest green r5
-    "multimodal_video_frames",  # latest green r5
-    "ivf_quantized_topk",  # latest green r5
-    "ivf_kmeans_topk",  # latest green r5
-    "dedup_clusters",  # latest green r5
-    "bpe_source_fit",  # latest green r5
-    "source_diversity",  # latest green r5
-    "gate_cutoffs",  # latest green r5
-    "gate_cutoffs_binned",  # latest green r5
-    "quality_drift",  # latest green r5
-    "layout_skip_rates",  # latest green r5
-    "zorder_layout",  # latest green r5
-    "corpus_diff",  # latest green r5
-    "dedup_incremental",  # latest green r5
-    "lsh_bucket_stats",  # latest green r5
-    "split_leakage_audit",  # latest green r5
-    "label_centroid_sim",  # latest green r5
-    "label_outliers",  # latest green r5
-    "dsir_resample",  # latest green r5
-    "simhash_pairs",  # latest green r5
-    "ingest_gate",  # latest green r5
-    "corpus_card",  # latest green r5
-    "embedding_norms",  # latest green r6
-    "multimodal_byte_features",  # latest green r6
-    "multimodal_frame_sample",  # latest green r6
-    "multimodal_resize_plan",  # latest green r6
-    "scalar_functions",  # latest green r6
-    "rolling_fingerprint",  # latest green r6
-    "dedup_word_ngram",  # latest green r6
-    "corpus_topics",  # latest green r6
-    "semdedup",  # latest green r6
-    "embedding_pca",  # latest green r6
-    "ivf_kmeans2_topk",  # latest green r6
-    "repetition_ratio",  # latest green r6
+    "markov_transitions",  # latest green r0
+    "acctbal_deciles_binned",  # latest green r0
+    "rfm_segments_binned",  # latest green r0
+    "q22_idle_customers",  # latest green r0
+    "basket_affinity",  # latest green r0
+    "mmr_select",  # latest green r0
+    "score_lift_binned",  # latest green r0
     "term_zipf",  # latest green r6
     "tfidf_top_terms",  # latest green r6
     "dedup_containment",  # latest green r6
@@ -262,6 +219,56 @@ _UNVERIFIED_FIRST = (
     "frequent_pairs",  # latest green r9
     "jaccard_prefix_pairs",  # latest green r9
     "edit_distance_pairs",  # latest green r9
+    "time_to_convert",  # latest green r10
+    "seasonal_residuals",  # latest green r10
+    "min_cost_supplier",  # latest green r10
+    "rfm_segments",  # latest green r10
+    "open_orders_timeline",  # latest green r10
+    "knn_label_prop",  # latest green r10
+    "embedding_norms",  # latest green r10
+    "multimodal_byte_features",  # latest green r10
+    "multimodal_ppm_decode",  # latest green r10
+    "multimodal_ppm_resize",  # latest green r10
+    "multimodal_wav_resample",  # latest green r10
+    "multimodal_wav_decode",  # latest green r10
+    "multimodal_video_frames",  # latest green r10
+    "multimodal_frame_sample",  # latest green r10
+    "multimodal_resize_plan",  # latest green r10
+    "scalar_functions",  # latest green r10
+    "rolling_fingerprint",  # latest green r10
+    "dedup_word_ngram",  # latest green r10
+    "ivf_quantized_topk",  # latest green r10
+    "ivf_kmeans_topk",  # latest green r10
+    "corpus_topics",  # latest green r10
+    "semdedup",  # latest green r10
+    "embedding_pca",  # latest green r10
+    "ivf_kmeans2_topk",  # latest green r10
+    "repetition_ratio",  # latest green r10
+    "dedup_clusters",  # latest green r10
+    "bpe_source_fit",  # latest green r10
+    "source_diversity",  # latest green r10
+    "gate_cutoffs",  # latest green r10
+    "gate_cutoffs_binned",  # latest green r10
+    "quality_drift",  # latest green r10
+    "layout_skip_rates",  # latest green r10
+    "zorder_layout",  # latest green r10
+    "corpus_diff",  # latest green r10
+    "dedup_incremental",  # latest green r10
+    "lsh_bucket_stats",  # latest green r10
+    "split_leakage_audit",  # latest green r10
+    "label_centroid_sim",  # latest green r10
+    "label_outliers",  # latest green r10
+    "dsir_resample",  # latest green r10
+    "simhash_pairs",  # latest green r10
+    "ingest_gate",  # latest green r10
+    "corpus_card",  # latest green r10
+    "clustering_coeff",  # latest green r10
+    "cusum_alerts",  # latest green r10
+    "t_closeness",  # latest green r10
+    "vocab_growth",  # latest green r10
+    "k_core",  # latest green r10
+    "entity_representatives",  # latest green r10
+    "entity_clusters",  # latest green r10
 )
 
 

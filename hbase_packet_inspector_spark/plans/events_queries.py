@@ -1217,3 +1217,54 @@ def seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("x") * nn - sx).cast("double") / nn.cast("double"))
         .alias("residual"),
     )
+
+
+@register(
+    "markov_transitions",
+    """
+    WITH r AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    t AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+          FROM r WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out
+          FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n, o.n_out,
+           CAST(t.n AS DOUBLE) / o.n_out AS prob
+    FROM t JOIN o USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the behavioral model beside top_event_paths' literal "
+    "path mining: P(next event type | current) estimated from every "
+    "consecutive pair, the input to next-action prediction, funnel "
+    "leak diagnosis ('view->error at 12% says the page is broken') "
+    "and sequence-perplexity scoring of bot traffic. Ordering is "
+    "(ts, event_id) within user — the deterministic total order every "
+    "sequence query here uses. Plan: ONE shuffle on user_id for the "
+    "lead window (partitioned, never global), then two partial+final "
+    "aggregates onto the #types^2-bounded transition cells and a "
+    "broadcast-sized join; counts exact integers, probability is ONE "
+    "double division (num.py).",
+    tags=("events", "sequence", "window", "report"),
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = r.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    o = t.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_out"))
+    return (
+        t.join(o, "from_type")
+        .select(
+            "from_type", "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            "n_out",
+            (F.col("n").cast("double") / F.col("n_out")).alias("prob"),
+        )
+    )

@@ -494,7 +494,17 @@ def _load_hbase_capture(spark: SparkSession):
     from ..engine import Engine
 
     if _HBASE_CAPTURE_MEMO and _HBASE_CAPTURE_MEMO[0][0] is spark:
-        return _HBASE_CAPTURE_MEMO[0][1]
+        tables = _HBASE_CAPTURE_MEMO[0][1]
+        try:
+            # revalidate: the memo'd tables read localCheckpoint blocks,
+            # and a session-hygiene pass (bench.py::_release_rdds) may
+            # have unpersisted them between queries — probe one block
+            # and rebuild on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead
+            # of failing every later capture query in the session
+            tables["responses"].take(1)
+            return tables
+        except Exception:
+            _HBASE_CAPTURE_MEMO[:] = []
 
     eng = Engine(spark)
     if os.path.isdir(_HBASE_FIXDIR):

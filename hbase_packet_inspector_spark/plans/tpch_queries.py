@@ -353,6 +353,102 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acctbal_deciles_binned",
+    """
+    WITH c AS (SELECT c_acctbal,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+               FROM customer),
+    rng AS (SELECT min(bal_c) AS lo, max(bal_c) AS hi,
+                   CASE WHEN max(bal_c) = min(bal_c) THEN 1.0
+                        ELSE CAST(max(bal_c) - min(bal_c) AS DOUBLE) END
+                       AS span
+            FROM c),
+    bs AS (SELECT c_acctbal, bal_c,
+                  least(CAST(floor((bal_c - lo) / span * 256) AS INTEGER),
+                        255) AS bin
+           FROM c CROSS JOIN rng),
+    h AS (SELECT bin, count(*) AS cnt FROM bs GROUP BY 1),
+    cm AS (SELECT bin,
+                  CAST(sum(cnt) OVER (ORDER BY bin) AS DOUBLE)
+                  / sum(cnt) OVER () AS frac
+           FROM h),
+    q AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                         0.6, 0.7, 0.8, 0.9]) AS p),
+    sel AS (SELECT p, min(bin) AS bin
+            FROM q JOIN cm ON frac >= p GROUP BY 1),
+    cuts AS (SELECT lo + (bin + 1) / 256.0 * span AS edge
+             FROM sel CROSS JOIN rng),
+    asn AS (SELECT c_acctbal, bal_c,
+                   1 + (SELECT count(*) FROM cuts
+                        WHERE bs.bal_c > cuts.edge) AS decile
+            FROM bs)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+           CAST(sum(bal_c) AS DOUBLE) / (count(*) * 100) AS avg_bal
+    FROM asn GROUP BY 1
+    """,
+    doc="The SCALE path for distribution-decile analysis — "
+    "acctbal_deciles' docstring prose ('for 100 TB facts the same "
+    "shape runs on pre-aggregated keys') upgraded to a registered "
+    "histogram-cutpoint query that needs NO global sort even on raw "
+    "rows: decile boundaries from a 256-bin fixed-width histogram "
+    "over exact integer cents (min/max pass + mergeable bin counts; "
+    "only the histogram rides the driver), assignment a narrow scan "
+    "against 9 broadcast cutpoint literals, then the same per-decile "
+    "stats (count, min/max balance, avg via exact cents). Deciles are "
+    "uneven by up to one bin's occupancy — n_customers surfaces the "
+    "calibration error; the gate_cutoffs_binned / rfm_segments_binned "
+    "discipline.",
+    tags=("tpch", "warehouse", "calibration", "sketch", "scale-twin"),
+)
+def acctbal_deciles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_acctbal", _cents(F.col("c_acctbal")).alias("bal_c")).persist()
+    lo, hi = c.agg(F.min("bal_c"), F.max("bal_c")).first()
+    span = float(hi - lo) or 1.0
+    b = F.least(
+        F.floor((F.col("bal_c") - F.lit(lo)) / F.lit(span) * 256)
+        .cast("int"),
+        F.lit(255),
+    )
+    hist = {
+        r.bin: r.cnt
+        for r in c.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(hist.values())
+    cuts = []
+    for j in range(1, 10):
+        p, cum = j / 10, 0
+        for bin_ in sorted(hist):
+            cum += hist[bin_]
+            if cum / total >= p:
+                cuts.append(lo + (bin_ + 1) / 256 * span)
+                break
+    carr = F.array(*[F.lit(float(x)) for x in cuts])
+    out = (
+        c.select(
+            "c_acctbal", "bal_c",
+            (F.lit(1) + F.size(
+                F.filter(carr,
+                         lambda e: F.col("bal_c").cast("double") > e)))
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            (F.sum("bal_c").cast("double")
+             / (F.count(F.lit(1)) * 100)).alias("avg_bal"),
+        )
+    )
+    c.unpersist()
+    return out
+
+
+@register(
     "min_cost_supplier",
     """
     WITH cost AS (SELECT l_partkey, l_suppkey,
@@ -467,6 +563,276 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         (F.sum("cents").cast("double") / F.count(F.lit(1)))
         .alias("avg_cents"),
+    )
+
+
+def _rfm_binned_metric_sql(col: str, tag: str) -> str:
+    """One metric's histogram -> quintile-cutpoint CTE chain for the
+    rfm_segments_binned oracle: 256-bin fixed-width histogram over the
+    customer frame, cutpoint(p) = upper edge of the first bin whose
+    ascending cumulative fraction reaches p (the gate_cutoffs_binned
+    arithmetic, so every double op matches the Spark driver's Python
+    float computation bit-for-bit)."""
+    return f"""
+    {tag}rng AS (SELECT min({col}) AS lo, max({col}) AS hi,
+                 CASE WHEN max({col}) = min({col}) THEN 1.0
+                      ELSE CAST(max({col}) - min({col}) AS DOUBLE) END
+                     AS span
+          FROM c),
+    {tag}b AS (SELECT least(CAST(floor(({col} - lo) / span * 256)
+                                 AS INTEGER), 255) AS bin
+        FROM c CROSS JOIN {tag}rng),
+    {tag}h AS (SELECT bin, count(*) AS cnt FROM {tag}b GROUP BY 1),
+    {tag}cm AS (SELECT bin,
+                  CAST(sum(cnt) OVER (ORDER BY bin) AS DOUBLE)
+                  / sum(cnt) OVER () AS frac
+         FROM {tag}h),
+    {tag}sel AS (SELECT p, min(bin) AS bin
+          FROM q JOIN {tag}cm ON frac >= p GROUP BY 1),
+    {tag}cut AS (SELECT lo + (bin + 1) / 256.0 * span AS edge
+          FROM {tag}sel CROSS JOIN {tag}rng)"""
+
+
+@register(
+    "rfm_segments_binned",
+    f"""
+    WITH c AS (SELECT o_custkey,
+                      datediff('day', DATE '1970-01-01',
+                               max(o_orderdate)) AS r_days,
+                      count(*) AS n_orders,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1),
+    q AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS p),
+    {_rfm_binned_metric_sql('r_days', 'r')},
+    {_rfm_binned_metric_sql('n_orders', 'f')},
+    {_rfm_binned_metric_sql('cents', 'm')},
+    asn AS (SELECT c.cents,
+                   1 + (SELECT count(*) FROM rcut
+                        WHERE c.r_days > rcut.edge) AS r_score,
+                   1 + (SELECT count(*) FROM fcut
+                        WHERE c.n_orders > fcut.edge) AS f_score,
+                   1 + (SELECT count(*) FROM mcut
+                        WHERE c.cents > mcut.edge) AS m_score
+            FROM c)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+    FROM asn GROUP BY 1, 2, 3
+    """,
+    doc="The SCALE path for RFM segmentation — rfm_segments' docstring "
+    "prose ('at 100 TB swap to approx cutoffs joined broadcast') as a "
+    "registered, hash-verified query: each metric's quintile "
+    "boundaries come from a 256-bin fixed-width histogram (min/max "
+    "pass + mergeable bin-count aggregate; only 3x256 histogram rows "
+    "ride the driver — the gate_cutoffs_binned discipline), recency "
+    "as integer epoch days, and scoring is a NARROW scan comparing "
+    "each customer against 4 broadcast cutpoint literals per metric "
+    "(score = 1 + #cutpoints exceeded) — NO global window anywhere "
+    "in the plan, so the shape survives 10^9 customers. Boundaries "
+    "are conservative by at most one bin width (quintiles slightly "
+    "uneven under ties — n_customers per cell makes the calibration "
+    "error visible); spend stays exact integer cents until the one "
+    "double division.",
+    tags=("tpch", "warehouse", "calibration", "sketch", "scale-twin"),
+)
+def rfm_segments_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .alias("r_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+    ).persist()
+
+    def _cutpoints(col: str) -> list[float]:
+        lo, hi = c.agg(F.min(col), F.max(col)).first()
+        span = float(hi - lo) or 1.0
+        b = F.least(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(span) * 256)
+            .cast("int"),
+            F.lit(255),
+        )
+        hist = {
+            r.bin: r.cnt
+            for r in c.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        total = sum(hist.values())
+        cuts = []
+        for j in (1, 2, 3, 4):
+            p, cum = j / 5, 0
+            for bin_ in sorted(hist):
+                cum += hist[bin_]
+                if cum / total >= p:
+                    cuts.append(lo + (bin_ + 1) / 256 * span)
+                    break
+        return cuts
+
+    def _score(col: str, cuts: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        return F.lit(1) + F.size(
+            F.filter(arr, lambda e: F.col(col).cast("double") > e))
+
+    rc, fc, mc = (_cutpoints(m) for m in ("r_days", "n_orders", "cents"))
+    s = c.select(
+        "cents",
+        _score("r_days", rc).alias("r_score"),
+        _score("n_orders", fc).alias("f_score"),
+        _score("cents", mc).alias("m_score"),
+    )
+    out = s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)))
+        .alias("avg_cents"),
+    )
+    c.unpersist()
+    return out
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH cut AS (SELECT max(o_orderdate) - INTERVAL 365 DAY AS c
+                 FROM orders),
+    pos AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                   c_custkey, c_nationkey
+            FROM customer
+            WHERE c_acctbal > 0.0),
+    a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM pos),
+    idle AS (SELECT p.c_custkey, p.c_nationkey, p.bal_c
+             FROM pos p CROSS JOIN a CROSS JOIN cut
+             WHERE p.bal_c * a.n > a.s
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = p.c_custkey
+                                 AND o.o_orderdate >= cut.c))
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(bal_c) AS DOUBLE) / 100 AS total_acctbal
+    FROM idle JOIN nation n ON n.n_nationkey = idle.c_nationkey
+    GROUP BY 1
+    """,
+    doc="Lapsed high-value customers — the TPC-H Q22 shape (scalar "
+    "above-average filter + NOT EXISTS anti-join) pointed at the "
+    "win-back report a warehouse actually runs: customers with "
+    "above-average positive account balance and NO order in the final "
+    "365 days of the data, rolled up per nation. The above-average "
+    "comparison is EXACT integer arithmetic (bal*n > sum over cents — "
+    "no float average, so boundary customers agree across engines); "
+    "the recency cutoff is one 1-row max aggregate (collected as a "
+    "scalar, the sufficient-statistic discipline) pushed as a "
+    "PARTITION-PRUNABLE literal filter into the orders scan before "
+    "the LEFT ANTI on customer key; the 25-nation dimension "
+    "broadcasts. One double division at the end.",
+    tags=("tpch", "antijoin", "subquery", "warehouse"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    cut = orders.agg(F.max("o_orderdate")).first()[0] \
+        - _dt.timedelta(days=365)
+    pos = cust.where(F.col("c_acctbal") > 0.0).select(
+        "c_custkey", "c_nationkey",
+        _cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    a = pos.agg(F.sum("bal_c").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"))
+    recent_buyers = (
+        orders.where(F.col("o_orderdate") >= F.lit(cut))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = (
+        pos.crossJoin(F.broadcast(a))
+        .where(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(recent_buyers, "c_custkey", "left_anti")
+    )
+    return (
+        idle.join(F.broadcast(nation),
+                  idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("bal_c").cast("double") / 100).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "basket_affinity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM li GROUP BY 1),
+    pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  count(*) AS n_ab
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    f AS (SELECT part_a, part_b, n_ab FROM pr WHERE n_ab >= 2)
+    SELECT f.part_a, f.part_b, CAST(f.n_ab AS BIGINT) AS n_ab,
+           CAST(pa.n_p AS BIGINT) AS n_a, CAST(pb.n_p AS BIGINT) AS n_b,
+           n.n_orders,
+           CAST(f.n_ab * n.n_orders AS DOUBLE) / (pa.n_p * pb.n_p)
+               AS lift,
+           CAST(f.n_ab AS DOUBLE) / pa.n_p AS conf_a_to_b
+    FROM f JOIN pc pa ON pa.l_partkey = f.part_a
+           JOIN pc pb ON pb.l_partkey = f.part_b
+           CROSS JOIN n
+    """,
+    doc="Market-basket association rules (Agrawal 1993's support/"
+    "confidence/lift over order baskets) — the co-purchase affinity "
+    "report a warehouse ships beside RFM: for every part pair that "
+    "co-occurs in >= 2 orders, the co-count, each part's basket "
+    "count, lift = (n_ab*N)/(n_a*n_b) vs independence and the "
+    "a->b confidence. Plan: ONE distinct projection of lineitem, a "
+    "self-join on the ORDER key (pairs per order = C(items,2) — "
+    "basket-bounded, never parts^2; a mega-basket is the skew case "
+    "and gets the salting treatment at scale), a pair groupBy whose "
+    "support filter prunes the long tail before the two part-count "
+    "joins (AQE broadcasts the part side), and the order total as a "
+    "1-row broadcast. All counts exact integers; lift/confidence are "
+    "single double divisions (num.py).",
+    tags=("tpch", "warehouse", "similarity", "report"),
+)
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint")
+               .alias("n_orders"))
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_b"))
+    pr = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"),
+                   F.col("n_p").alias("_na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"),
+                   F.col("n_p").alias("_nb"))
+    return (
+        pr.join(pa, "part_a").join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("_na").cast("bigint").alias("n_a"),
+            F.col("_nb").cast("bigint").alias("n_b"),
+            "n_orders",
+            ((F.col("n_ab") * F.col("n_orders")).cast("double")
+             / (F.col("_na") * F.col("_nb"))).alias("lift"),
+            (F.col("n_ab").cast("double") / F.col("_na"))
+            .alias("conf_a_to_b"),
+        )
     )
 
 

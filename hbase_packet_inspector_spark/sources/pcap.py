@@ -175,7 +175,7 @@ def _parse_pcapng_bytes(path: str, blob: bytes) -> Iterator[dict]:
     off = 0
     idx = 0
     end: str | None = None
-    ifaces: list[tuple[int, int]] = []  # (linktype, units_per_sec)
+    ifaces: list[tuple[int, int, int]] = []  # (linktype, units_per_sec, snaplen)
     while off + 12 <= n:
         if struct.unpack_from("<I", blob, off)[0] == PCAPNG_SHB:
             # SHB: endianness comes from its byte-order magic
@@ -199,6 +199,7 @@ def _parse_pcapng_bytes(path: str, blob: bytes) -> Iterator[dict]:
             if len(body) < 8:
                 continue
             linktype = struct.unpack_from(end + "H", body, 0)[0]
+            snaplen = struct.unpack_from(end + "I", body, 4)[0]
             units = 1_000_000  # spec default: 10^-6 s
             o = 8
             while o + 4 <= len(body):  # options walk
@@ -209,7 +210,7 @@ def _parse_pcapng_bytes(path: str, blob: bytes) -> Iterator[dict]:
                     v = body[o + 4]  # if_tsresol
                     units = 2 ** (v & 0x7F) if v & 0x80 else 10 ** v
                 o += 4 + ((olen + 3) // 4) * 4
-            ifaces.append((linktype, units))
+            ifaces.append((linktype, units, snaplen))
             continue
 
         if btype in (PCAPNG_EPB, PCAPNG_PB):
@@ -222,7 +223,7 @@ def _parse_pcapng_bytes(path: str, blob: bytes) -> Iterator[dict]:
                 tsh, tsl, capl = struct.unpack_from(end + "III", body, 4)
             if iid >= len(ifaces) or capl > len(body) - 20:
                 continue
-            linktype, units = ifaces[iid]
+            linktype, units, _snap = ifaces[iid]
             ts_units = (tsh << 32) | tsl
             ts = pd.Timestamp(ts_units * 1_000_000 // units, unit="us")
             row = _frame_to_row(path, idx, ts, linktype,
@@ -236,8 +237,14 @@ def _parse_pcapng_bytes(path: str, blob: bytes) -> Iterator[dict]:
             if len(body) < 4 or not ifaces:
                 continue
             origl = struct.unpack_from(end + "I", body, 0)[0]
+            linktype, _units, snaplen = ifaces[0]  # SPB: always iface 0
+            # Captured length is min(origl, snaplen) per the spec; the
+            # body-length bound alone would include up to 3 alignment
+            # padding bytes in a snaplen-truncated frame, inflating the
+            # TCP payload with garbage.  snaplen 0 means "no limit".
             capl = min(origl, len(body) - 4)
-            linktype, _units = ifaces[0]  # SPB is defined against iface 0
+            if snaplen:
+                capl = min(capl, snaplen)
             row = _frame_to_row(path, idx, pd.Timestamp(0, unit="s"),
                                 linktype, bytes(body[4 : 4 + capl]))
             idx += 1

@@ -132,23 +132,27 @@ def _correlate_group_evict(
 
 
 def stream_correlate(
-    events: DataFrame, *, watermark: str | None = "2 minutes"
+    events: DataFrame, *, watermark: str | None = None
 ) -> DataFrame:
     """Streaming as-of correlation keyed by connection. One shuffle on
     (client, port); entries inside a connection's state expire by the
-    event-time TTL, and (by default) the per-connection state ROW itself
-    is evicted once the event-time watermark passes its latest packet +
-    TTL — the full trim-state lifecycle (core.clj:285-296) that keeps
-    the state store bounded under millions of ephemeral connections in
-    live mode.
+    event-time TTL. With a ``watermark`` set, the per-connection state
+    ROW itself is additionally evicted once the event-time watermark
+    passes its latest packet + TTL — the full trim-state lifecycle
+    (core.clj:285-296) that keeps the state store bounded under
+    millions of ephemeral connections in live mode.
 
     ``watermark`` is the allowed out-of-orderness of the feed (late
     packets beyond it are dropped by the engine before this operator —
-    the standard watermark contract). Pass ``watermark=None`` to run
-    without a watermark (NoTimeout): nothing is ever dropped as late,
-    but idle-connection state rows then persist for the life of the
-    query — acceptable for bounded replays, a scale-killer for live
-    capture."""
+    the standard watermark contract). The default is ``None``
+    (NoTimeout): nothing is ever dropped as late, but idle-connection
+    state rows then persist for the life of the query — the safe
+    default for archive replays, whose out-of-orderness is unbounded
+    and whose state lifetime is bounded by the run itself. LIVE
+    deployments must opt in (e.g. ``watermark="2 minutes"``) or state
+    grows without bound; a watermark default here once silently dropped
+    >2-min-late rows from replayed archives, so lateness-tolerance is
+    now always an explicit caller decision."""
     if watermark is None:
         return events.groupBy("client", "port").applyInPandasWithState(
             _correlate_group,
@@ -219,8 +223,8 @@ def _run_correlated_stream(
     not by event time, so a watermark would silently drop rows from any
     archive whose part-files interleave in time — and an availableNow
     replay's state lifetime is already bounded by the run itself. Live
-    deployments compose stream_correlate directly and keep its
-    default event-time eviction."""
+    deployments compose stream_correlate directly and opt in to
+    event-time eviction with an explicit watermark."""
     reader = spark.readStream.schema(RPC_EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -627,7 +631,7 @@ def _correlate_rows(pending: dict, scanners: dict, pdf: pd.DataFrame) -> pd.Data
 
 
 def stream_correlate_tws(
-    events: DataFrame, *, watermark: str | None = "2 minutes"
+    events: DataFrame, *, watermark: str | None = None
 ) -> DataFrame:
     """Correlation on ``transformWithStateInPandas`` — the Spark 4 successor
     of applyInPandasWithState (typed state handles, timer support, RocksDB
@@ -635,14 +639,16 @@ def stream_correlate_tws(
     _correlate_rows); kept as a parallel implementation so the engine can
     migrate when the older API is retired.
 
-    Idle-connection lifecycle: with a ``watermark`` (default), runs in
+    Idle-connection lifecycle: with a ``watermark`` (live-mode opt-in;
+    the default ``None`` keeps the replay-safe unbounded-state
+    behavior — see stream_correlate), runs in
     eventTime timeMode and arms a per-key TIMER at latest packet + TTL —
     re-armed on every batch with traffic, so it fires only once the
     watermark passes an idle connection's latest packet + TTL, and
     ``handleExpiredTimer`` then clears the state row (the timer analog
     of the applyInPandasWithState path's EventTimeTimeout eviction;
-    reference trim-state, core.clj:285-296). ``watermark=None`` keeps
-    the old unbounded-state replay behavior (timeMode "None").
+    reference trim-state, core.clj:285-296). ``watermark=None`` (the
+    default) is the unbounded-state replay behavior (timeMode "None").
 
     Runtime requirements beyond stream_correlate: the RocksDB state store
     AND the ``google.protobuf`` Python package (the TWS state-server

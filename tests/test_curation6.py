@@ -853,3 +853,29 @@ def test_license_detect_order_and_classes(spark):
         6: ("mpl-2.0", False),
         7: ("unknown", False),    # header beyond head_chars
     }
+
+
+def test_fuzzy_pairs_second_pass_catches_first_char_typo(spark):
+    """The r10 ADVICE recall pin: a FIRST-character substitution escapes
+    the prefix block (old single-pass blind spot) but must be caught by
+    the suffix pass — and a pair matched by BOTH passes (interior typo)
+    must be priced once (candidate dedup before levenshtein)."""
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        _fuzzy_edit_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Xhe quick brown fox jumps over"),   # char-1 typo of 2
+         (2, "The quick brown fox jumps over"),
+         (3, "The quick brown fox jumXs over"),   # interior typo of 2:
+         (4, "completely unrelated text here")],  # both passes catch 2-3
+        "doc_id long, text string",
+    )
+    out = {(r.d1, r.d2): r.dist for r in _fuzzy_edit_pairs(docs).collect()}
+    assert out.get((1, 2)) == 1          # caught by the suffix pass
+    assert out.get((2, 3)) == 1          # dedup: exactly one row
+    # (1, 3) has typos at BOTH key positions (char 1 and char 24), so
+    # neither pass blocks them together — the documented residual; the
+    # (1,2)+(2,3) edges hand it to entity_clusters' transitive closure.
+    assert (1, 3) not in out
+    assert all(d2 != 4 and d1 != 4 for d1, d2 in out)

@@ -788,3 +788,21 @@ def test_sitemap_to_urls_changefreq_priority(spark):
     assert out["http://a.com/2"].priority == 1.0
     assert out["http://a.com/3"].priority is None
     assert out["http://a.com/2"].changefreq is None
+
+
+def test_k_core_under_peeled_survivor_surfaces_as_degree_zero(spark):
+    """Convergence-proof soundness (r10 ADVICE): the output's degree
+    column only proves convergence if a round-`iters` survivor whose
+    surviving-degree collapsed to 0 APPEARS (degree 0) rather than
+    silently vanishing from the final groupBy. Path a-b-c with k=2,
+    iters=1: round 1 peels a and c; survivor b then has zero surviving
+    neighbors — an unconverged run must show (b, 0), and the converged
+    run (iters=2) must be empty."""
+    from hbase_packet_inspector_spark.operators.web import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_host string, dst_host string")
+    under = {(r.host, r.degree) for r in
+             k_core(edges, k=2, iters=1).collect()}
+    assert under == {("b", 0)}  # surfaced, not vanished
+    assert k_core(edges, k=2, iters=2).count() == 0  # converged: empty

@@ -264,3 +264,35 @@ def test_pcapng_garbage_never_raises():
         mutated = bytearray(blob)
         mutated[pos] ^= 0xFF
         list(P._parse_capture_bytes("p", bytes(mutated)))
+
+
+def test_pcapng_spb_respects_idb_snaplen():
+    """Simple Packet Block truncation (r10 ADVICE): captured length is
+    min(original length, IDB snaplen) per the pcapng spec — bounding by
+    the block body alone would sweep up to 3 alignment padding bytes
+    into a snaplen-truncated frame's TCP payload. Build an SPB whose
+    snaplen cuts mid-payload at a non-4-aligned point and assert the
+    padding stays out."""
+    import struct
+
+    payload = b"ABCDEFGH"                      # 8 payload bytes
+    frame = P._tcp_frame(CLIENT, CPORT, SERVER, SPORT, payload,
+                         P.LINKTYPE_ETHERNET)  # 54 header + 8 = 62
+    snaplen = len(frame) - 4                   # 58: cuts payload to 4
+
+    def block(btype, body):
+        pad = (-len(body)) % 4
+        blen = 12 + len(body) + pad
+        return (struct.pack("<II", btype, blen) + body + b"\x00" * pad
+                + struct.pack("<I", blen))
+
+    blob = block(P.PCAPNG_SHB, struct.pack("<IHHq", P.PCAPNG_BOM, 1, 0, -1))
+    blob += block(P.PCAPNG_IDB,
+                  struct.pack("<HHI", P.LINKTYPE_ETHERNET, 0, snaplen))
+    # SPB: orig length = full frame, body carries only snaplen bytes
+    # (+ 2 alignment pad bytes the parser must NOT count as capture)
+    blob += block(P.PCAPNG_SPB,
+                  struct.pack("<I", len(frame)) + frame[:snaplen])
+    rows = list(P._parse_capture_bytes("p", blob))
+    assert len(rows) == 1
+    assert bytes(rows[0]["data"]) == payload[:4]  # not payload[:4]+b"\0\0"

@@ -1454,7 +1454,9 @@ def test_stream_correlate_evicts_idle_connection_state(spark, tmp_path):
     connection's latest packet + TTL, its whole state ROW must be
     removed — proven via the state-store metrics in the query progress
     (numRowsRemoved fires; the final batch's numRowsTotal counts only
-    the live connection) with correlation outputs unaffected."""
+    the live connection) with correlation outputs unaffected. Eviction
+    is the live-mode OPT-IN (explicit watermark; the default None keeps
+    replay-safe unbounded state)."""
     from hbase_packet_inspector_spark.streaming.pipeline import (
         stream_correlate,
     )
@@ -1484,7 +1486,7 @@ def test_stream_correlate_evicts_idle_connection_state(spark, tmp_path):
               .option("maxFilesPerTrigger", 1).parquet(src))
     out: list = []
     q = (
-        stream_correlate(events)
+        stream_correlate(events, watermark="2 minutes")
         .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
