@@ -294,6 +294,9 @@ HEADLINE = [
     "basket_affinity",
     "mmr_select",
     "markov_transitions",
+    "q22_idle_customers",
+    "degree_distribution",
+    "ship_delay_profile",
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",

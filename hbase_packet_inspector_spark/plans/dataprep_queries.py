@@ -10377,3 +10377,79 @@ def _fuzzy_edit_pairs(docs: DataFrame, *, max_dist: int = 6) -> DataFrame:
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_edit_pairs(
         _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@register(
+    "degree_distribution",
+    """
+    WITH d0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com'
+               AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com'
+               AS dst
+      FROM d0
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) || '.com'
+      FROM d0),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    outd AS (SELECT src AS host, count(*) AS od FROM e GROUP BY 1),
+    ind AS (SELECT dst AS host, count(*) AS indeg FROM e GROUP BY 1),
+    deg AS (SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(o.od, 0) + COALESCE(i.indeg, 0) AS degree
+            FROM outd o FULL JOIN ind i ON i.host = o.host),
+    h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_hosts
+          FROM deg GROUP BY 1),
+    t AS (SELECT CAST(sum(n_hosts) AS BIGINT) AS n FROM h)
+    SELECT h.degree, h.n_hosts,
+           CAST(h.n_hosts AS DOUBLE) / t.n AS share
+    FROM h CROSS JOIN t
+    """,
+    doc="Host degree distribution over the link graph — the first "
+    "chart anyone draws before trusting pagerank or k-core on a crawl "
+    "(a power-law tail is expected; a spike at one degree is a "
+    "link-farm signature, and THIS histogram is where it shows). Per "
+    "host: distinct out-neighbors + distinct in-neighbors (directed, "
+    "parallel links collapsed), full-outer-joined so pure sinks and "
+    "pure sources both count, then the degree -> host-count histogram "
+    "with each row's share of all hosts. Plan: one distinct over "
+    "edges, two edge-linear partial+final aggregates, one node-sized "
+    "full join, one degree-bounded histogram aggregate and a 1-row "
+    "broadcast total — no window, no sort; counts exact integers, "
+    "share ONE double division (num.py).",
+    tags=("dataprep", "web", "graph", "report"),
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).filter(F.col("doc_id") % 3 != 0)
+    did = F.col("doc_id")
+    src = _site((F.floor(did / 4) % 25).cast("long"))
+    l = d.select(src.alias("src"),
+                 _site((did * 7 + 3) % 25).alias("dst")).union(
+        d.select(src.alias("src"),
+                 _site((did * 11 + 5) % 25).alias("dst")))
+    e = l.filter(F.col("src") != F.col("dst")).distinct()
+    outd = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("indeg"))
+    deg = (
+        outd.join(ind, "host", "full")
+        .select(
+            "host",
+            (F.coalesce(F.col("od"), F.lit(0))
+             + F.coalesce(F.col("indeg"), F.lit(0))).alias("degree"),
+        )
+    )
+    h = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"))
+    t = h.agg(F.sum("n_hosts").cast("bigint").alias("n"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "degree", "n_hosts",
+            (F.col("n_hosts").cast("double") / F.col("n")).alias("share"),
+        )
+    )

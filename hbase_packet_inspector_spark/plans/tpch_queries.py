@@ -1195,3 +1195,55 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.pmod(F.col("mi"), F.lit(12)) + 1).alias("month"),
         F.col("n_open").cast("bigint").alias("n_open"),
     )
+
+
+@register(
+    "ship_delay_profile",
+    """
+    WITH j AS (SELECT datediff('day', o.o_orderdate, l.l_shipdate)
+                   AS delay_days,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+               FROM lineitem l JOIN orders o
+                 ON o.o_orderkey = l.l_orderkey),
+    b AS (SELECT CASE WHEN delay_days < 0 THEN -1
+                      ELSE delay_days // 7 END AS delay_weeks,
+                 price_c
+          FROM j)
+    SELECT delay_weeks,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(price_c) AS DOUBLE) / (count(*) * 100) AS avg_price
+    FROM b GROUP BY 1
+    """,
+    doc="Order-to-ship latency profile — the fulfillment SLA histogram "
+    "a warehouse tracks weekly: every lineitem joined to its order, "
+    "delay = shipdate - orderdate in integer days, bucketed by week "
+    "(negative delays — data-quality escapes — get their own -1 "
+    "bucket instead of polluting week 0), with item counts and the "
+    "average item price per bucket (late-shipping bias toward "
+    "cheap/expensive items shows here). Plan: the canonical "
+    "fact-to-fact equi-join on the order key (co-partitioned at "
+    "scale via bucketing on o_orderkey/l_orderkey — the engine's DDL "
+    "analog proves the Exchange-free version), a narrow derived "
+    "dimension, one partial+final rollup onto week-bounded cells; "
+    "integer datediff both engines, cents exact until ONE double "
+    "division.",
+    tags=("tpch", "join", "warehouse", "report"),
+)
+def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = lineitem.join(orders,
+                      lineitem.l_orderkey == orders.o_orderkey).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .alias("delay_days"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    b = j.select(
+        F.when(F.col("delay_days") < 0, F.lit(-1))
+        .otherwise(F.floor(F.col("delay_days") / 7)).alias("delay_weeks"),
+        "price_c",
+    )
+    return b.groupBy("delay_weeks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.sum("price_c").cast("double") / (F.count(F.lit(1)) * 100))
+        .alias("avg_price"),
+    )

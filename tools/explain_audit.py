@@ -82,6 +82,13 @@ def audit(df):
 #   lazy alternative to an eager docs.count()) — a 1-row nested loop.
 ALLOWED = {
     "tfidf_top_terms": {"NESTED-LOOP-JOIN"},
+    # r11 additions — all three are the 1-row-aggregate broadcast cross
+    # (the source_token_mix rationale): the global total/average is a
+    # single-row aggregate broadcast against the keyed frame, never a
+    # data-sized fan-out
+    "basket_affinity": {"NESTED-LOOP-JOIN"},      # n_orders 1-row cross
+    "q22_idle_customers": {"NESTED-LOOP-JOIN"},   # (sum, count) 1-row cross
+    "degree_distribution": {"NESTED-LOOP-JOIN"},  # host total 1-row cross
     "acctbal_deciles": {"GLOBAL-WINDOW"},
     # three global ntiles over the CUSTOMER-aggregate frame (acctbal_
     # deciles' rationale: dimension-bounded, never fact rows; docstring
