@@ -472,6 +472,54 @@ def probe_sketch9(spark, row_counts: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def probe_basket(spark, order_counts: list[int]) -> None:
+    """basket_affinity pairs stage at growing order counts plus one
+    mega-basket skew case (SCALE.md r11 entry): within-order pair
+    generation is basket-bounded, pair cells catalog-bounded; the skew
+    guard at scale is a per-order item cap before the self-join."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    def li(n_orders, mega=0):
+        o = spark.range(n_orders).select(F.col("id").alias("l_orderkey"))
+        items = o.select(
+            "l_orderkey",
+            F.explode(F.sequence(F.lit(0),
+                                 (F.col("l_orderkey") % 5) + 3)).alias("i"),
+        ).select(
+            "l_orderkey",
+            ((F.col("l_orderkey") * 7 + F.col("i") * 131) % 2000)
+            .alias("l_partkey"),
+        )
+        if mega:
+            big = spark.range(mega).select(
+                F.lit(n_orders + 1).alias("l_orderkey"),
+                (F.col("id") % 2000).alias("l_partkey"))
+            items = items.union(big)
+        return items
+
+    def pairs_stage(items):
+        liq = items.distinct()
+        a = liq.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("pa"))
+        b = liq.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("pb"))
+        return (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+                .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab")))
+
+    for n in order_counts:
+        t0 = time.monotonic()
+        rows = pairs_stage(li(n)).count()
+        print(f"orders={n}: pair_cells={rows} "
+              f"wall={time.monotonic() - t0:.1f}s", flush=True)
+    t0 = time.monotonic()
+    rows = pairs_stage(li(order_counts[0], mega=5_000)).count()
+    print(f"orders={order_counts[0]} + one 2000-item mega-basket: "
+          f"pair_cells={rows} wall={time.monotonic() - t0:.1f}s",
+          flush=True)
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "dedup"
     spark = get_probe_spark()
@@ -511,6 +559,9 @@ def main() -> None:
     elif what == "graph10":
         counts = [int(x) for x in sys.argv[2:]] or [10_000, 100_000, 1_000_000]
         probe_graph10(spark, counts)
+    elif what == "basket":
+        counts = [int(x) for x in sys.argv[2:]] or [150_000, 1_500_000, 15_000_000]
+        probe_basket(spark, counts)
     elif what == "gate_skew":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
         probe_gate_skew(spark, n)
