@@ -10323,9 +10323,14 @@ def _fuzzy_edit_pairs(docs: DataFrame, *, max_dist: int = 6) -> DataFrame:
         .distinct()
         .select(
             "d1", "d2",
-            F.levenshtein("p1", "p2").cast("int").alias("dist"),
+            # banded DP: levenshtein with a threshold computes the exact
+            # distance when <= max_dist and returns -1 above it — O(k*n)
+            # per pair instead of O(n^2), same output rows/values as the
+            # unbounded form + filter (the oracle keeps the plain
+            # levenshtein <= k, which is the identical predicate)
+            F.levenshtein("p1", "p2", max_dist).cast("int").alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
 
 
