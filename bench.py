@@ -297,6 +297,9 @@ HEADLINE = [
     "q22_idle_customers",
     "degree_distribution",
     "ship_delay_profile",
+    "minute_autocorr",
+    "dau_wau_stickiness",
+    "hhi_market_share",
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",

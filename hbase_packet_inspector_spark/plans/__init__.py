@@ -17,7 +17,7 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 247 queries: 5 rounds between a
+# ceil(len(registry) / 50) rounds (at 250 queries: 5 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
@@ -25,11 +25,14 @@ except ImportError:
 # and land at the front automatically.
 _UNVERIFIED_FIRST = (
     "markov_transitions",  # latest green r0
+    "minute_autocorr",  # latest green r0
+    "dau_wau_stickiness",  # latest green r0
     "acctbal_deciles_binned",  # latest green r0
     "rfm_segments_binned",  # latest green r0
     "q22_idle_customers",  # latest green r0
     "basket_affinity",  # latest green r0
     "ship_delay_profile",  # latest green r0
+    "hhi_market_share",  # latest green r0
     "mmr_select",  # latest green r0
     "score_lift_binned",  # latest green r0
     "degree_distribution",  # latest green r0

@@ -1268,3 +1268,152 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_out")).alias("prob"),
         )
     )
+
+
+@register(
+    "minute_autocorr",
+    """
+    WITH m AS (SELECT event_type,
+                      CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute,
+                      count(*) AS x
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type, a.x AS x, b.x AS y
+          FROM m a JOIN m b ON b.event_type = a.event_type
+                           AND b.minute = a.minute + 1),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM p GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+               AS lag1_autocorr
+    FROM s
+    """,
+    doc="Lag-1 autocorrelation of the per-minute traffic series per "
+    "method — the burstiness diagnostic beside seasonal_residuals' "
+    "rhythm removal and cusum_alerts' level shifts: near 0 means "
+    "Poisson-like arrivals, near 1 means long bursts (capacity "
+    "planning reads THIS number before trusting a mean QPS). Pairs "
+    "are strictly ADJACENT minutes (a gap breaks the pair, stated as "
+    "a minute+1 self-join in the oracle and an equivalent "
+    "lead-with-gap-check window here), then Pearson in the "
+    "value_corr exact-integer five-sum form: counts are exact "
+    "BIGINTs, moment terms widen to decimal(38,0) before the "
+    "variance products (value_corr's overflow lesson), both sqrts "
+    "correctly-rounded IEEE, ONE unrounded division; zero-variance "
+    "groups emit 0.0. Plan: one partial+final agg to the "
+    "minutes x methods frame, one PARTITIONED window over it "
+    "(post-agg time-bounded, never event-sized), one 5-sum agg.",
+    tags=("events", "timeseries", "stats", "window"),
+)
+def minute_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    m = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 60).cast("long")
+            .alias("minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("minute")
+    p = (
+        m.select(
+            "event_type", "x",
+            F.lead("x").over(w).alias("y"),
+            (F.lead("minute").over(w) - F.col("minute")).alias("gap"),
+        )
+        .where(F.col("gap") == 1)
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def _d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    vx = _d("n") * _d("sxx") - _d("sx") * _d("sx")
+    vy = _d("n") * _d("syy") - _d("sy") * _d("sy")
+    num = _d("n") * _d("sxy") - _d("sx") * _d("sy")
+    return s.select(
+        "event_type", F.col("n").cast("bigint").alias("n_pairs"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).alias("lag1_autocorr"),
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      user_id
+               FROM events GROUP BY 1, 2),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM d GROUP BY 1),
+    wk AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week_start,
+                  user_id
+           FROM d GROUP BY 1, 2),
+    wau AS (SELECT week_start, CAST(count(*) AS BIGINT) AS wau
+            FROM wk GROUP BY 1),
+    wd AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week_start,
+                  CAST(sum(dau) AS BIGINT) AS sum_dau,
+                  CAST(count(*) AS BIGINT) AS n_days
+           FROM dau GROUP BY 1)
+    SELECT wd.week_start, wd.n_days, wd.sum_dau, wau.wau,
+           CAST(wd.sum_dau AS DOUBLE) / (wd.n_days * wau.wau)
+               AS stickiness
+    FROM wd JOIN wau USING (week_start)
+    """,
+    doc="DAU/WAU stickiness per ISO week — the engagement ratio "
+    "(avg daily actives / weekly actives, 1/7..1) every growth "
+    "dashboard tracks: near 1 means the same users return daily, "
+    "near 1/7 means each user shows up once. Exact distincts via "
+    "(day, user) / (week, user) de-dup groupBys (two partial+final "
+    "shuffles; at 10^12 events swap the exact pair de-dup for "
+    "approx_count_distinct per window, the approx_distinct_users "
+    "path), integer sums, ONE double division; weeks truncate to "
+    "ISO Monday in both engines and emit as DATE.",
+    tags=("events", "timeseries", "agg", "report"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wk = d.select(
+        F.date_trunc("week", F.col("day")).cast("date")
+        .alias("week_start"),
+        "user_id",
+    ).distinct()
+    wau = wk.groupBy("week_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau"))
+    wd = dau.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date")
+        .alias("week_start")
+    ).agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return (
+        wd.join(wau, "week_start")
+        .select(
+            "week_start", "n_days", "sum_dau", "wau",
+            (F.col("sum_dau").cast("double")
+             / (F.col("n_days") * F.col("wau"))).alias("stickiness"),
+        )
+    )

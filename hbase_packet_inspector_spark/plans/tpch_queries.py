@@ -1247,3 +1247,68 @@ def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("price_c").cast("double") / (F.count(F.lit(1)) * 100))
         .alias("avg_price"),
     )
+
+
+@register(
+    "hhi_market_share",
+    """
+    WITH sr AS (SELECT s.s_nationkey, l.l_suppkey,
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                           AS rev_c
+                FROM lineitem l JOIN supplier s
+                  ON s.s_suppkey = l.l_suppkey
+                GROUP BY 1, 2),
+    agg AS (SELECT s_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   sum(rev_c) AS tot,
+                   sum(CAST(rev_c AS HUGEINT) * rev_c) AS sumsq
+            FROM sr GROUP BY 1)
+    SELECT n.n_name,
+           agg.n_suppliers,
+           CAST(agg.tot AS DOUBLE) / 100 AS total_revenue,
+           CAST(agg.sumsq AS DOUBLE)
+               / (CAST(agg.tot AS DOUBLE) * CAST(agg.tot AS DOUBLE))
+               AS hhi
+    FROM agg JOIN nation n ON n.n_nationkey = agg.s_nationkey
+    """,
+    doc="Herfindahl-Hirschman market concentration per nation — the "
+    "antitrust-grade concentration index (sum of squared supplier "
+    "revenue shares, 1/n..1) that tells a sourcing analyst which "
+    "national supply markets are monopolized vs fragmented. Stated "
+    "share-free for exactness: HHI = sum(rev^2) / tot^2 over exact "
+    "integer cents, so no per-supplier float shares accumulate — "
+    "DuckDB's BIGINT sums promote to HUGEINT and Spark's sum of "
+    "bigint*bigint products stays exact at these magnitudes (rev_c^2 "
+    "~1e18 per supplier at sf0.1; widen the product to decimal(38,0) "
+    "beyond ~1e9 cents/supplier, the value_corr lesson), and the "
+    "division happens once on the final doubles. Plan: fact scan -> "
+    "broadcast supplier join -> (nation, supplier) partial+final agg "
+    "-> 25-row nation rollup -> broadcast dim join.",
+    tags=("tpch", "warehouse", "stats", "report"),
+)
+def hhi_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation")
+    sr = (
+        lineitem.join(F.broadcast(supplier),
+                      lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("rev_c"))
+    )
+    d = F.col("rev_c").cast("decimal(38,0)")
+    agg = sr.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev_c").alias("tot"),
+        F.sum(d * d).alias("sumsq"),
+    )
+    return (
+        agg.join(F.broadcast(nation),
+                 agg.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", "n_suppliers",
+            (F.col("tot").cast("double") / 100).alias("total_revenue"),
+            (F.col("sumsq").cast("double")
+             / (F.col("tot").cast("double") * F.col("tot").cast("double")))
+            .alias("hhi"),
+        )
+    )
