@@ -613,3 +613,45 @@ def test_ann_ndcg_hand_rolled(spark):
     ).collect()[0]
     assert got.dcg == round(want_dcg, 6)
     assert 0 <= got.dcg / idcg <= 1
+
+
+def test_binned_twin_invariants(spark):
+    """The histogram-cutpoint scale twins (r11) are oracle-pinned for
+    cross-engine EQUALITY; these invariants guard against both engines
+    being consistently wrong: full coverage (every row lands in exactly
+    one bucket), bucket ids in range, cumulative gain reaching 1, and
+    value-monotonic bucket boundaries."""
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        acctbal_deciles_binned,
+        rfm_segments_binned,
+    )
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        score_lift_binned,
+    )
+    from hbase_packet_inspector_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    lift = sorted(score_lift_binned(spark, sf).collect(),
+                  key=lambda r: r.decile)
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in lift) == n_docs       # full coverage
+    assert all(1 <= r.decile <= 10 for r in lift)
+    assert abs(lift[-1].cum_gain - 1.0) < 1e-12        # all positives seen
+    # (no assertion on lift ORDER: whether the top decile is richer in
+    # positives is a property of the trained model, not of the binning,
+    # and the 2-round logreg on 150 docs doesn't rank reliably)
+
+    dec = sorted(acctbal_deciles_binned(spark, sf).collect(),
+                 key=lambda r: r.decile)
+    n_cust = load_table(spark, sf, "customer").count()
+    assert sum(r.n_customers for r in dec) == n_cust
+    for lo, hi in zip(dec, dec[1:]):                   # strict value order
+        assert hi.min_bal > lo.max_bal
+
+    rfm = rfm_segments_binned(spark, sf).collect()
+    n_buyers = (load_table(spark, sf, "orders")
+                .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in rfm) == n_buyers
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+               and 1 <= r.m_score <= 5 for r in rfm)
