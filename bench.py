@@ -300,6 +300,7 @@ HEADLINE = [
     "minute_autocorr",
     "dau_wau_stickiness",
     "hhi_market_share",
+    "vocab_growth_binned",
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",

@@ -10458,3 +10458,82 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hosts").cast("double") / F.col("n")).alias("share"),
         )
     )
+
+
+@register(
+    "vocab_growth_binned",
+    """
+    WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                FROM documents),
+    t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS w
+          FROM documents),
+    fo AS (SELECT w, min(doc_id) AS first_doc FROM t GROUP BY 1),
+    nd AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY 1),
+    nw AS (SELECT first_doc AS doc_id, count(*) AS n_new
+           FROM fo GROUP BY 1),
+    g AS (SELECT least((nd.doc_id * 100) // nn.n, 99) AS bucket,
+                 sum(nd.n_tok) AS b_tok,
+                 sum(coalesce(nw.n_new, 0)) AS b_new
+          FROM nd LEFT JOIN nw USING (doc_id) CROSS JOIN nn
+          GROUP BY 1),
+    b AS (SELECT bucket,
+                 sum(b_tok) OVER (ORDER BY bucket) AS cum_tokens,
+                 sum(b_new) OVER (ORDER BY bucket) AS cum_vocab
+          FROM g)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           round(ln(CAST(cum_vocab AS DOUBLE))
+                 / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_beta
+    FROM b
+    """,
+    doc="The SCALE path for the Heaps-law vocabulary-growth curve — "
+    "vocab_growth samples every 50 docs, so its cumulative window "
+    "frame GROWS with the corpus (10^12 docs -> 2x10^10 bucket rows: "
+    "the one remaining way that query's shape degrades); this twin "
+    "fixes the resolution at 100 PERCENTILE buckets of doc_id "
+    "(bucket = doc_id*100 div N, N from a 1-row max aggregate "
+    "collected as a scalar — the sufficient-statistic discipline), so "
+    "the cumulative window runs over a CONSTANT 100-row frame at any "
+    "corpus size. Same first-occurrence restatement (each word "
+    "contributes once at min(doc_id) — never a quadratic cumulative "
+    "distinct), all-integer cumulative sums (exact on any engine), "
+    "heaps_beta one per-row double division of ln's of exact ints, "
+    "rounded to 6 (the ln portability rule: Spark and libm ln differ "
+    "by 1 ulp on some inputs — observed live on this very query).",
+    tags=("dataprep", "text", "vocabulary", "scale-twin"),
+)
+def vocab_growth_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    t = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda x: x != F.lit(""))).alias("w"),
+    )
+    fo = t.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    nd = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    nw = fo.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new"))
+    bucket = F.least(F.expr(f"doc_id * 100 DIV {n}"), F.lit(99))
+    g = (
+        nd.join(nw, "doc_id", "left")
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(F.sum("n_tok").alias("b_tok"),
+             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).alias("b_new"))
+    )
+    w = Window.orderBy("bucket")
+    b = g.select(
+        "bucket",
+        F.sum("b_tok").over(w).alias("cum_tokens"),
+        F.sum("b_new").over(w).alias("cum_vocab"),
+    )
+    return b.select(
+        "bucket",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        F.round(F.log(F.col("cum_vocab").cast("double"))
+                / F.log(F.col("cum_tokens").cast("double")), 6)
+        .alias("heaps_beta"),
+    )

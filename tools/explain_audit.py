@@ -98,6 +98,10 @@ ALLOWED = {
     # (docs/50 rows — bucketing happens before the only global window;
     # widen the bucket at scale, per the docstring)
     "vocab_growth": {"GLOBAL-WINDOW"},
+    # the scale twin's window frame is CONSTANT 100 percentile buckets
+    # at ANY corpus size (bucket = doc_id*100 div N) — this is the
+    # conversion of vocab_growth's growing frame, not another instance
+    "vocab_growth_binned": {"GLOBAL-WINDOW"},
     # the class x sensitive-value grid is a BROADCAST cross of the
     # equivalence-class frame with the (bucketed) value-domain histogram
     # — value-domain-bounded fan-out by construction, and the global
