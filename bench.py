@@ -301,6 +301,7 @@ HEADLINE = [
     "dau_wau_stickiness",
     "hhi_market_share",
     "vocab_growth_binned",
+    "spend_lorenz_binned",
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",

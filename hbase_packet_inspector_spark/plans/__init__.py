@@ -17,7 +17,7 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 251 queries: 6 rounds between a
+# ceil(len(registry) / 50) rounds (at 252 queries: 6 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
@@ -33,6 +33,7 @@ _UNVERIFIED_FIRST = (
     "basket_affinity",  # latest green r0
     "ship_delay_profile",  # latest green r0
     "hhi_market_share",  # latest green r0
+    "spend_lorenz_binned",  # latest green r0
     "mmr_select",  # latest green r0
     "score_lift_binned",  # latest green r0
     "degree_distribution",  # latest green r0

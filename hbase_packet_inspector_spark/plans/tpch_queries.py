@@ -1312,3 +1312,85 @@ def hhi_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi"),
         )
     )
+
+
+@register(
+    "spend_lorenz_binned",
+    """
+    WITH c AS (SELECT o_custkey,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1),
+    rng AS (SELECT min(cents) AS lo, max(cents) AS hi,
+                   CASE WHEN max(cents) = min(cents) THEN 1.0
+                        ELSE CAST(max(cents) - min(cents) AS DOUBLE) END
+                       AS span
+            FROM c),
+    b AS (SELECT least(CAST(floor((cents - lo) / span * 256) AS INTEGER),
+                       255) AS bin,
+                 cents
+          FROM c CROSS JOIN rng),
+    g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS bin_cents
+          FROM b GROUP BY 1),
+    cum AS (SELECT bin, n_customers, bin_cents,
+                   CAST(sum(n_customers) OVER (ORDER BY bin) AS BIGINT)
+                       AS cum_n,
+                   CAST(sum(bin_cents) OVER (ORDER BY bin) AS BIGINT)
+                       AS cum_cents,
+                   CAST(sum(n_customers) OVER () AS BIGINT) AS tot_n,
+                   CAST(sum(bin_cents) OVER () AS BIGINT) AS tot_cents
+            FROM g)
+    SELECT bin, n_customers, bin_cents,
+           CAST(cum_n AS DOUBLE) / tot_n AS cum_pop_share,
+           CAST(cum_cents AS DOUBLE) / tot_cents AS cum_spend_share
+    FROM cum
+    """,
+    doc="Binned Lorenz curve of customer lifetime spend — the revenue-"
+    "concentration report ('the top x% of customers carry y% of "
+    "revenue') that sets every account-tiering and retention budget; "
+    "the exact curve needs a GLOBAL RANK of customers by spend, which "
+    "is precisely the shape that dies at 10^9 customers, so this is "
+    "the histogram restatement: customers land in 256 fixed-width "
+    "spend bins (lo/max/span from a 1-row aggregate joined broadcast "
+    "— fully distributed, nothing collected), per-bin counts and "
+    "exact-cents sums, then cumulative population/spend shares via "
+    "windows over the CONSTANT 256-row bin frame. All cumulative "
+    "sums are exact integers; the two shares are single double "
+    "divisions (num.py). Curve granularity is one bin of spend "
+    "width — n_customers per bin makes the resolution visible.",
+    tags=("tpch", "warehouse", "calibration", "sketch", "scale-twin"),
+)
+def spend_lorenz_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    rng = c.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+        F.when(F.max("cents") == F.min("cents"), F.lit(1.0))
+        .otherwise((F.max("cents") - F.min("cents")).cast("double"))
+        .alias("span"),
+    )
+    b = c.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("cents") - F.col("lo"))
+                    / F.col("span") * 256).cast("int"),
+            F.lit(255),
+        ).alias("bin"),
+        "cents",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("bin_cents"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return g.select(
+        "bin", "n_customers", "bin_cents",
+        (F.sum("n_customers").over(w).cast("double")
+         / F.sum("n_customers").over(w_all)).alias("cum_pop_share"),
+        (F.sum("bin_cents").over(w).cast("double")
+         / F.sum("bin_cents").over(w_all)).alias("cum_spend_share"),
+    )

@@ -102,6 +102,10 @@ ALLOWED = {
     # at ANY corpus size (bucket = doc_id*100 div N) — this is the
     # conversion of vocab_growth's growing frame, not another instance
     "vocab_growth_binned": {"GLOBAL-WINDOW"},
+    # binned Lorenz: the NLJ is the 1-row min/max/span broadcast cross
+    # (fully distributed — nothing collected) and the windows run over
+    # the CONSTANT 256-row bin frame at any customer count
+    "spend_lorenz_binned": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
     # the class x sensitive-value grid is a BROADCAST cross of the
     # equivalence-class frame with the (bucketed) value-domain histogram
     # — value-domain-bounded fan-out by construction, and the global
