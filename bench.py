@@ -302,6 +302,7 @@ HEADLINE = [
     "hhi_market_share",
     "vocab_growth_binned",
     "spend_lorenz_binned",
+    "degree_assortativity",
     "vocab_growth",
     "min_cost_supplier",
     "entity_clusters",

@@ -17,7 +17,7 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 252 queries: 6 rounds between a
+# ceil(len(registry) / 50) rounds (at 253 queries: 6 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
@@ -38,6 +38,7 @@ _UNVERIFIED_FIRST = (
     "score_lift_binned",  # latest green r0
     "degree_distribution",  # latest green r0
     "vocab_growth_binned",  # latest green r0
+    "degree_assortativity",  # latest green r0
     "term_zipf",  # latest green r6
     "tfidf_top_terms",  # latest green r6
     "dedup_containment",  # latest green r6

@@ -10537,3 +10537,106 @@ def vocab_growth_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.log(F.col("cum_tokens").cast("double")), 6)
         .alias("heaps_beta"),
     )
+
+
+@register(
+    "degree_assortativity",
+    """
+    WITH d0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    l AS (
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com'
+               AS src,
+             'site' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR) || '.com'
+               AS dst
+      FROM d0
+      UNION ALL
+      SELECT 'site' || CAST((doc_id // 4) % 25 AS VARCHAR) || '.com',
+             'site' || CAST((doc_id * 11 + 5) % 25 AS VARCHAR) || '.com'
+      FROM d0),
+    e AS (SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM l
+            UNION ALL SELECT dst, src FROM l)
+          WHERE a <> b),
+    deg AS (SELECT a AS host, count(*) AS d FROM e GROUP BY 1),
+    p AS (SELECT da.d AS x, db.d AS y
+          FROM e JOIN deg da ON da.host = e.a
+                 JOIN deg db ON db.host = e.b),
+    s AS (SELECT count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM p)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+               AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the host link graph (Newman 2002): "
+    "Pearson correlation of the degrees at the two ends of every "
+    "edge, over the symmetrized simple graph (each undirected edge "
+    "counted in both orientations, the standard estimator) — THE "
+    "one-number topology fingerprint: social/citation webs are "
+    "assortative (hubs link hubs), link-spam constellations are "
+    "strongly DISassortative (farms all point at one target), so a "
+    "crawl-wide drop in r is a spam-injection alarm that per-node "
+    "scores miss. Exactness: degrees are exact integers, the "
+    "correlation uses the value_corr five-sum form with the sums "
+    "widened to decimal(38,0) before the variance products (the "
+    "overflow lesson), two correctly-rounded sqrts, ONE unrounded "
+    "division; degenerate (regular-graph) variance emits 0.0. Plan: "
+    "distinct edges, one node-sized degree aggregate joined back to "
+    "edges twice (AQE broadcasts the node side), one 5-sum "
+    "partial+final aggregate — edge-linear shuffle, no window, "
+    "1-row output.",
+    tags=("dataprep", "web", "graph", "stats"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).filter(F.col("doc_id") % 3 != 0)
+    did = F.col("doc_id")
+    src = _site((F.floor(did / 4) % 25).cast("long"))
+    l = d.select(src.alias("src"),
+                 _site((did * 7 + 3) % 25).alias("dst")).union(
+        d.select(src.alias("src"),
+                 _site((did * 11 + 5) % 25).alias("dst")))
+    e = (
+        l.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(l.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("a").alias("host")).agg(
+        F.count(F.lit(1)).alias("d"))
+    p = (
+        e.join(deg.select(F.col("host").alias("a"),
+                          F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("host").alias("b"),
+                         F.col("d").alias("y")), "b")
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def _d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    vx = _d("n") * _d("sxx") - _d("sx") * _d("sx")
+    vy = _d("n") * _d("syy") - _d("sy") * _d("sy")
+    num = _d("n") * _d("sxy") - _d("sx") * _d("sy")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).alias("assortativity"),
+    )
