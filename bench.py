@@ -476,13 +476,26 @@ def _release_rdds(spark) -> int:
     DataFrame built on a localCheckpointed plan is invalidated by this,
     but between bench queries nothing is reused, and the leftover block
     sets are exactly the session-cumulative state the r10 record
-    degradation tracked. Returns the number released."""
+    degradation tracked. The ONE deliberately-reused block set — the
+    decoded-capture memo (one bounded test capture) — is skipped, so
+    the two real-pcap queries stop paying a full rebuild per query (the
+    r11 0.27->0.82 s regression) while the iterative queries' orphans
+    still drain. Returns the number released."""
     try:
+        from hbase_packet_inspector_spark.plans.pipeline_queries import (
+            capture_memo_rdd_ids,
+        )
+
+        keep = capture_memo_rdd_ids(spark)
         m = spark.sparkContext._jsc.sc().getPersistentRDDs()
-        n = m.size()
-        it = m.valuesIterator()
+        n = 0
+        it = m.iterator()
         while it.hasNext():
-            it.next().unpersist(False)
+            kv = it.next()
+            if kv._1() in keep:
+                continue
+            kv._2().unpersist(False)
+            n += 1
         return n
     except Exception:
         return 0

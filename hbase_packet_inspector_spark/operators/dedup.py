@@ -335,7 +335,8 @@ def band_keyed(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
 def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
                         n_bands: int = DEFAULT_BANDS,
                         min_est: float = 0.4,
-                        broadcast_bytes: int = 128 << 20) -> DataFrame:
+                        broadcast_bytes: int = 128 << 20,
+                        broadcast: bool | None = None) -> DataFrame:
     """Candidate pairs from wide signatures: per-band key self-joins, then a
     minhash-ESTIMATE prefilter (fraction of agreeing signatures) so only
     plausibly-similar pairs reach exact verification.
@@ -343,7 +344,16 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
     The estimate costs O(candidates) column compares — it's what keeps the
     expensive exact-Jaccard join linear in true near-dups rather than in
     band collisions (critical on self-similar corpora where band buckets
-    are crowded)."""
+    are crowded).
+
+    ``broadcast`` is a tri-state: ``None`` (default) prices the exploded
+    frame against ``broadcast_bytes`` by counting ``sigs`` — NOTE this
+    runs an eager Spark job at plan-CONSTRUCTION time (aggregated frames
+    carry no stats, so Catalyst cannot make this call; an adaptive
+    decision needs the cardinality now). ``True`` forces the broadcast
+    hint and ``False`` forces the shuffle join — both build the plan
+    without running ANY job, so plan-only tooling (explain audits,
+    dry-run composition) should pass an explicit value."""
     keyed = band_keyed(sigs, n_hashes, n_bands)
     left = keyed.select(F.col("doc_id").alias("d1"), "bkey",
                         *[F.col(f"s{j}").alias(f"l{j}") for j in range(n_hashes)])
@@ -355,14 +365,17 @@ def lsh_candidates_wide(sigs: DataFrame, n_hashes: int = DEFAULT_HASHES,
     # frame — one row per (doc, band), each carrying all n_hashes 8-hex
     # signature pieces. Past the cap, a plain shuffle join on the band key
     # — which is also the right plan at 10^9 docs.
-    try:
-        # 16 B per 8-hex signature piece in UnsafeRow form (offset/length
-        # slot + aligned data), one exploded row per (doc, band)
-        row_bytes = n_bands * (n_hashes * 16 + 48)
-        if sigs.count() * row_bytes <= broadcast_bytes:
-            right = F.broadcast(right)
-    except Exception:
-        pass
+    if broadcast is True:
+        right = F.broadcast(right)
+    elif broadcast is None:
+        try:
+            # 16 B per 8-hex signature piece in UnsafeRow form (offset/
+            # length slot + aligned data), one exploded row per (doc, band)
+            row_bytes = n_bands * (n_hashes * 16 + 48)
+            if sigs.count() * row_bytes <= broadcast_bytes:
+                right = F.broadcast(right)
+        except Exception:
+            pass
     cand = left.join(right, ["bkey"]).where(F.col("d1") < F.col("d2"))
 
     est = sum(

@@ -398,11 +398,14 @@ def _mmr_rounds_sql(k: int) -> str:
     "so near-duplicate neighbors can't crowd the context window. "
     "Plan: one broadcast-anchor corpus scan for the pool (cosine_topk "
     "shape — anchor-bounded however big the corpus), pool-pair "
-    "cosines over the 20-row pool, then the greedy selection runs "
-    "driver-side over the <=400-row pool-sim matrix (a pool-bounded "
-    "sufficient statistic, the gate_cutoffs_binned discipline) — at "
-    "100 TB the pool comes from any registered ANN path and the MMR "
-    "arithmetic is corpus-size-independent. Sims round to 6 before "
+    "cosines over the 20-row pool, then the 5 greedy rounds replay in "
+    "ONE lazy plan: pool and pair sims collapse to single-row arrays "
+    "(pool-bounded sufficient statistics) and aggregate(sequence(1,5)) "
+    "runs the per-round filter/score/argmax with higher-order "
+    "functions — no driver-side data loop, no checkpoint barriers, no "
+    "job at plan-construction time — at 100 TB the pool comes from "
+    "any registered ANN path and the MMR rounds are "
+    "corpus-size-independent. Sims round to 6 before "
     "selection so the greedy argmax (score DESC, id ASC) is "
     "engine-exact; the oracle unrolls the 5 rounds with the penalty "
     "coalesced to 0 for the empty first round.",
@@ -432,24 +435,56 @@ def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("_na") * F.col("_nb")), 6).alias("s"),
         )
     )
-    simq = {r.neighbor_id: r.cos for r in pool.collect()}
-    sims = {(r.x, r.y): r.s for r in pp.collect()}
-    selected: list[int] = []
-    out = []
-    for i in range(1, 6):
-        best = None
-        for nid, sq in simq.items():
-            if nid in selected:
-                continue
-            m = max((sims[(nid, s)] for s in selected), default=0.0)
-            score = 0.7 * sq - 0.3 * m
-            if (best is None or score > best[0]
-                    or (score == best[0] and nid < best[1])):
-                best = (score, nid, sq)
-        selected.append(best[1])
-        out.append((i, best[1], best[2], best[0]))
-    return spark.createDataFrame(
-        out, "rnk int, vec_id bigint, simq double, mmr_score double")
+    # The 5 greedy rounds run in ONE lazy plan: the pool (<=20 rows)
+    # and pool-pair sims (<=380 rows) collapse to single-row arrays
+    # (pool-bounded sufficient statistics), and aggregate(sequence(1,5))
+    # replays the selection with higher-order functions — per round,
+    # filter out the selected, score 0.7*simq - 0.3*max(sim to any
+    # selected), argmax via a comparator sort (score DESC, nid ASC)
+    # + slice(.,1,1), which is also the empty-pool guard (slice of an
+    # empty array appends nothing). No driver-side data loop, no
+    # checkpoint barriers, no job at plan-construction time (the old
+    # form collected the pool while BUILDING the frame); the arithmetic
+    # is the same IEEE double expression the oracle's unrolled round
+    # CTEs evaluate, over the same round-6 sims. At 100 TB the pool
+    # comes from any registered ANN path; everything after the pool
+    # scan is corpus-size-independent.
+    pool_arr = (
+        pool.select(F.col("neighbor_id").alias("nid"),
+                    F.col("cos").alias("simq"))
+        .agg(F.collect_list(F.struct("nid", "simq")).alias("cands"))
+    )
+    pairs_arr = pp.agg(F.collect_list(F.struct("x", "y", "s")).alias("prs"))
+    picks = pool_arr.crossJoin(pairs_arr).select(
+        F.explode(F.expr("""
+          aggregate(
+            sequence(1, 5),
+            cast(array() as
+                 array<struct<rnk:int,nid:bigint,simq:double,score:double>>),
+            (acc, i) -> concat(acc, slice(array_sort(
+              transform(
+                filter(cands, c -> NOT array_contains(
+                                     transform(acc, p -> p.nid), c.nid)),
+                c -> named_struct(
+                  'rnk', i, 'nid', c.nid, 'simq', c.simq,
+                  'score', 0.7D * c.simq - 0.3D * coalesce(
+                    array_max(transform(
+                      filter(prs, p -> p.x = c.nid AND array_contains(
+                               transform(acc, q -> q.nid), p.y)),
+                      p -> p.s)),
+                    0.0D))),
+              (a, b) -> CASE WHEN a.score > b.score THEN -1
+                             WHEN a.score < b.score THEN 1
+                             WHEN a.nid < b.nid THEN -1
+                             WHEN a.nid > b.nid THEN 1 ELSE 0 END),
+              1, 1)))
+        """)).alias("p")
+    )
+    return picks.select(
+        F.col("p.rnk").alias("rnk"),
+        F.col("p.nid").alias("vec_id"),
+        F.col("p.simq").alias("simq"),
+        F.col("p.score").alias("mmr_score"))
 
 
 @register(
@@ -10506,7 +10541,12 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_growth_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    n = d.agg(F.max("doc_id")).first()[0] + 1
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is None:  # empty corpus: empty curve, not a TypeError
+        return spark.createDataFrame(
+            [], "bucket bigint, cum_tokens bigint, cum_vocab bigint, "
+                "heaps_beta double")
+    n = max_id + 1
     t = d.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "),

@@ -478,8 +478,41 @@ _HBASE_FIXDIR = "/root/reference/dev-resources"
 # queries it many times. Single-entry (latest session wins) so stopped
 # sessions and their checkpointed tables are never pinned for process
 # lifetime; the session object rides in the value so a recycled id()
-# can never serve stale tables.
-_HBASE_CAPTURE_MEMO: list[tuple[SparkSession, dict]] = []
+# can never serve stale tables. The third slot records the RDD ids
+# backing the memo's localCheckpoint (lazy checkpointing persists the
+# RDD at PLAN time — verified on this Spark build — so the ids are
+# known before any action runs): revalidation checks id-presence in
+# the context's persistent-RDD map, a pure driver-side JVM call, NOT a
+# Spark job, and exactly the condition the one observed failure mode
+# (an external unpersist sweep) violates.
+_HBASE_CAPTURE_MEMO: list[tuple[SparkSession, dict, frozenset]] = []
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set:
+    """Driver-side snapshot of the context's persistent-RDD ids (the
+    storage-API view; no job)."""
+    try:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+    except Exception:  # pragma: no cover - JVM gateway gone
+        return set()
+
+
+def capture_memo_rdd_ids(spark: SparkSession) -> frozenset:
+    """RDD ids backing the live capture memo for ``spark`` (empty when
+    none). Session-hygiene sweeps (bench.py::_release_rdds) use this to
+    SKIP the memo's blocks: the memo is one bounded block set (a decoded
+    test capture, ~10^3 rows), so keeping it persisted costs nothing
+    while unpersisting it forced a full pcap->reassembly->decode rebuild
+    on every later capture query (the documented 0.27->0.82 s r11
+    regression)."""
+    if _HBASE_CAPTURE_MEMO and _HBASE_CAPTURE_MEMO[0][0] is spark:
+        return _HBASE_CAPTURE_MEMO[0][2]
+    return frozenset()
 
 
 def _load_hbase_capture(spark: SparkSession):
@@ -494,17 +527,18 @@ def _load_hbase_capture(spark: SparkSession):
     from ..engine import Engine
 
     if _HBASE_CAPTURE_MEMO and _HBASE_CAPTURE_MEMO[0][0] is spark:
-        tables = _HBASE_CAPTURE_MEMO[0][1]
-        try:
-            # revalidate: the memo'd tables read localCheckpoint blocks,
-            # and a session-hygiene pass (bench.py::_release_rdds) may
-            # have unpersisted them between queries — probe one block
-            # and rebuild on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead
-            # of failing every later capture query in the session
-            tables["responses"].take(1)
+        _, tables, ids = _HBASE_CAPTURE_MEMO[0]
+        # revalidate: the memo'd tables read localCheckpoint blocks; an
+        # unpersist sweep between queries would leave later capture
+        # queries failing with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The
+        # check is id-presence in the persistent-RDD map — the exact
+        # condition an unpersist violates, costs no Spark job (the old
+        # take(1) probe ran one per memo HIT), and cannot be faked
+        # green by an unrelated transient error (the old bare except
+        # discarded the memo on ANY failure and paid a full rebuild).
+        if ids and ids <= _persistent_rdd_ids(spark):
             return tables
-        except Exception:
-            _HBASE_CAPTURE_MEMO[:] = []
+        _HBASE_CAPTURE_MEMO[:] = []
 
     eng = Engine(spark)
     if os.path.isdir(_HBASE_FIXDIR):
@@ -539,9 +573,11 @@ def _load_hbase_capture(spark: SparkSession):
     # the decode; the first action materializes it once) so both queries'
     # rollups and any repeat run in the same session read checkpointed
     # rows instead of re-running the Python decode
+    before = _persistent_rdd_ids(spark)
     eng._events = eng._events.localCheckpoint(eager=False)
     tables = eng.register_tables().tables
-    _HBASE_CAPTURE_MEMO[:] = [(spark, tables)]
+    ids = frozenset(_persistent_rdd_ids(spark) - before)
+    _HBASE_CAPTURE_MEMO[:] = [(spark, tables, ids)]
     return tables
 
 

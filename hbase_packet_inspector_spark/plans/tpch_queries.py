@@ -732,8 +732,11 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
-    cut = orders.agg(F.max("o_orderdate")).first()[0] \
-        - _dt.timedelta(days=365)
+    max_date = orders.agg(F.max("o_orderdate")).first()[0]
+    if max_date is None:  # empty orders: empty report, not a TypeError
+        return spark.createDataFrame(
+            [], "n_name string, n_customers bigint, total_acctbal double")
+    cut = max_date - _dt.timedelta(days=365)
     pos = cust.where(F.col("c_acctbal") > 0.0).select(
         "c_custkey", "c_nationkey",
         _cents(F.col("c_acctbal")).alias("bal_c"),

@@ -16,6 +16,7 @@ operators.pipeline.correlate.
 from __future__ import annotations
 
 import json
+import warnings
 from collections.abc import Iterator
 from typing import Any
 
@@ -131,6 +132,32 @@ def _correlate_group_evict(
     yield from _correlate_stateful(pdfs, state, evict=True)
 
 
+_WARNED_UNBOUNDED_STATE = False
+
+
+def _warn_unbounded_state(fn_name: str) -> None:
+    """One-time heads-up that ``watermark=None`` means NO idle-connection
+    state eviction. The default changed from "2 minutes" to None in
+    round 10 (replay safety: a watermark default silently dropped
+    >2-min-late rows from archive replays); live deployments that relied
+    on the old default must now opt in explicitly or the state store
+    grows without bound. Emitted once per process, not per query, so
+    replay harnesses that build many bounded streams aren't spammed."""
+    global _WARNED_UNBOUNDED_STATE
+    if _WARNED_UNBOUNDED_STATE:
+        return
+    _WARNED_UNBOUNDED_STATE = True
+    warnings.warn(
+        f"{fn_name}(watermark=None): idle-connection state rows are "
+        "never evicted — fine for bounded archive replays "
+        "(availableNow / finite file feeds), but a LIVE deployment "
+        "must pass e.g. watermark='2 minutes' or state grows without "
+        "bound. (Default changed from '2 minutes' to None for replay "
+        "safety.)",
+        stacklevel=3,
+    )
+
+
 def stream_correlate(
     events: DataFrame, *, watermark: str | None = None
 ) -> DataFrame:
@@ -154,6 +181,8 @@ def stream_correlate(
     >2-min-late rows from replayed archives, so lateness-tolerance is
     now always an explicit caller decision."""
     if watermark is None:
+        if events.isStreaming:
+            _warn_unbounded_state("stream_correlate")
         return events.groupBy("client", "port").applyInPandasWithState(
             _correlate_group,
             outputStructType=CORRELATED_SCHEMA,
@@ -660,6 +689,8 @@ def stream_correlate_tws(
     )
 
     use_timers = watermark is not None
+    if watermark is None and events.isStreaming:
+        _warn_unbounded_state("stream_correlate_tws")
 
     class CorrelateProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -261,3 +261,32 @@ def test_bpe_more_rounds_than_merges(spark):
     assert X.bpe_merge_table(docs, rounds=3).count() == 0
     out = X.bpe_token_counts(docs, rounds=3).collect()
     assert len(out) == 1 and out[0].n_words == 3 and out[0].n_bpe_tokens == 3
+
+
+def test_lsh_candidates_broadcast_tristate(spark):
+    """broadcast=True/False build the candidate plan WITHOUT running any
+    Spark job (plan-only tooling must never trigger one); the default
+    None prices the broadcast with an eager sigs.count(). All three
+    produce the same pairs."""
+    docs = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40),
+        (1, "alpha beta gamma delta epsilon zeta eta theta x", "en", "s", 40),
+        (2, "totally different words live over here now ok", "en", "s", 40),
+    ])
+    sets = D.shingle_sets(docs, D.DEFAULT_SHINGLE)
+    sigs = D.minhash_signatures_wide(sets, D.DEFAULT_HASHES)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    plan_off = D.lsh_candidates_wide(sigs, broadcast=False)
+    plan_on = D.lsh_candidates_wide(sigs, broadcast=True)
+    assert set(tracker.getJobIdsForGroup()) == before  # zero jobs run
+    # the hint actually lands: only the forced-broadcast plan broadcasts
+    # the band-keyed side
+    assert "broadcast" in plan_on._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
+
+    auto = {(r.d1, r.d2) for r in D.lsh_candidates_wide(sigs).collect()}
+    assert {(r.d1, r.d2) for r in plan_off.collect()} == auto
+    assert {(r.d1, r.d2) for r in plan_on.collect()} == auto
+    assert (0, 1) in auto and (0, 2) not in auto

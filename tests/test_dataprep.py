@@ -655,3 +655,57 @@ def test_binned_twin_invariants(spark):
     assert sum(r.n_customers for r in rfm) == n_buyers
     assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
                and 1 <= r.m_score <= 5 for r in rfm)
+
+
+def test_empty_table_scalar_guard(spark, tmp_path):
+    """An empty source table yields an empty result with the declared
+    schema — not a TypeError from None scalar arithmetic (the
+    max(doc_id)+1 / max(o_orderdate)-interval collects). Mirrors the
+    score_lift_binned guard so the binned/scalar family is consistent
+    on this edge."""
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        vocab_growth_binned,
+    )
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        q22_idle_customers,
+    )
+
+    sf = str(tmp_path)
+    pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="string"),
+        "lang": pd.Series([], dtype="string"),
+        "source": pd.Series([], dtype="string"),
+        "n_chars": pd.Series([], dtype="int64"),
+    }).to_parquet(f"{sf}/documents.parquet")
+    pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderstatus": pd.Series([], dtype="string"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series([], dtype="string"),
+    }).to_parquet(f"{sf}/orders.parquet")
+    pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype="string"),
+        "c_nationkey": pd.Series([], dtype="int32"),
+        "c_acctbal": pd.Series([], dtype="float64"),
+        "c_mktsegment": pd.Series([], dtype="string"),
+    }).to_parquet(f"{sf}/customer.parquet")
+    pd.DataFrame({
+        "n_nationkey": pd.Series([], dtype="int32"),
+        "n_name": pd.Series([], dtype="string"),
+        "n_regionkey": pd.Series([], dtype="int32"),
+    }).to_parquet(f"{sf}/nation.parquet")
+
+    vg = vocab_growth_binned(spark, sf)
+    assert vg.columns == ["bucket", "cum_tokens", "cum_vocab",
+                          "heaps_beta"]
+    assert vg.count() == 0
+
+    q22 = q22_idle_customers(spark, sf)
+    assert q22.columns == ["n_name", "n_customers", "total_acctbal"]
+    assert q22.count() == 0

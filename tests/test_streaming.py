@@ -1559,3 +1559,34 @@ def test_stream_scd2_idle_retirement_flushes_open_version(spark, tmp_path):
     assert sum(p["stateOperators"][0].get("numRowsRemoved", 0)
                for p in progs) >= 1
     assert progs[-1]["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_unbounded_state_warning_once(spark, tmp_path, workload):
+    """watermark=None on a STREAMING frame warns exactly once per
+    process that idle-connection state is never evicted (the r10
+    default change from '2 minutes' — live deployments must opt in);
+    batch frames and explicit watermarks never warn."""
+    import warnings as _w
+
+    from hbase_packet_inspector_spark.streaming import pipeline as sp
+
+    src = str(tmp_path / "events")
+    fx.to_df(spark, workload).write.parquet(src)
+    stream = spark.readStream.schema(fx.RPC_EVENT_SCHEMA).parquet(src)
+
+    sp._WARNED_UNBOUNDED_STATE = False
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        sp.stream_correlate(stream)           # plan-only: no query start
+        first = [c for c in caught if "never evicted" in str(c.message)]
+        sp.stream_correlate(stream)           # second call: silent
+        again = [c for c in caught if "never evicted" in str(c.message)]
+    assert len(first) == 1 and len(again) == 1
+
+    sp._WARNED_UNBOUNDED_STATE = False
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        sp.stream_correlate(stream, watermark="2 minutes")
+        batch = spark.read.schema(fx.RPC_EVENT_SCHEMA).parquet(src)
+        sp.stream_correlate(batch)            # batch frame: replay path
+    assert not [c for c in caught if "never evicted" in str(c.message)]

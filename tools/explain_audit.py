@@ -139,6 +139,14 @@ ALLOWED = {
     "bm25_topk": {"NESTED-LOOP-JOIN"},
     # the LM total re-enters as a broadcast ONE-ROW aggregate
     "unigram_surprise": {"NESTED-LOOP-JOIN"},
+    # three bounded NLJs, none corpus x corpus: (1) the pool scan is
+    # cosine_topk's broadcast-ANCHOR pass (that rationale), (2) the
+    # pool-pair sims cross the 20-row pool with itself, (3) the two
+    # ONE-ROW array aggregates (pool + pair sims, pool-bounded
+    # sufficient statistics) cross before the HOF greedy rounds — the
+    # r12 lazy rewrite; the OLD form ran the same joins but collected
+    # them at plan-BUILD time, which merely hid them from this audit
+    "mmr_select": {"NESTED-LOOP-JOIN"},
     # gate_cutoffs runs unigram_surprise's scoring pass (same ONE-ROW
     # total broadcast) before the single-buffer percentile collapse;
     # the binned variant runs the same pass before the histogram
