@@ -311,6 +311,8 @@ HEADLINE = [
     "open_orders_timeline",
     "seasonal_residuals",
     "clustering_coeff",
+    "session_concurrency",
+    "pareto_frontier",
 ]
 
 

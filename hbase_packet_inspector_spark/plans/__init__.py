@@ -24,56 +24,6 @@ except ImportError:
 # CORRECTNESS_r{N}.json lands; new queries register with no green row
 # and land at the front automatically.
 _UNVERIFIED_FIRST = (
-    "markov_transitions",  # latest green r0
-    "minute_autocorr",  # latest green r0
-    "dau_wau_stickiness",  # latest green r0
-    "acctbal_deciles_binned",  # latest green r0
-    "rfm_segments_binned",  # latest green r0
-    "q22_idle_customers",  # latest green r0
-    "basket_affinity",  # latest green r0
-    "ship_delay_profile",  # latest green r0
-    "hhi_market_share",  # latest green r0
-    "spend_lorenz_binned",  # latest green r0
-    "mmr_select",  # latest green r0
-    "score_lift_binned",  # latest green r0
-    "degree_distribution",  # latest green r0
-    "vocab_growth_binned",  # latest green r0
-    "degree_assortativity",  # latest green r0
-    "term_zipf",  # latest green r6
-    "tfidf_top_terms",  # latest green r6
-    "dedup_containment",  # latest green r6
-    "curation_funnel",  # latest green r6
-    "top_bigrams",  # latest green r6
-    "curation_by_source",  # latest green r6
-    "stratified_sample",  # latest green r6
-    "source_token_mix",  # latest green r6
-    "ann_recall",  # latest green r6
-    "mixture_sample",  # latest green r6
-    "curriculum_order",  # latest green r6
-    "leakage_safe_split",  # latest green r6
-    "simhash_pairs_wide",  # latest green r6
-    "boilerplate_lines",  # latest green r6
-    "boilerplate_strip",  # latest green r6
-    "token_budget_select",  # latest green r6
-    "url_dedup",  # latest green r6
-    "classifier_pr_curve",  # latest green r6
-    "web_curation_pipeline",  # latest green r6
-    "hard_negatives",  # latest green r6
-    "image_ahash_pairs",  # latest green r6
-    "host_reputation",  # latest green r6
-    "host_pagerank",  # latest green r6
-    "link_graph",  # latest green r6
-    "pagerank_convergence",  # latest green r6
-    "html_text_extract",  # latest green r6
-    "crawl_frontier",  # latest green r6
-    "contrastive_triplets",  # latest green r6
-    "video_frame_dedup",  # latest green r6
-    "wav_silence_trim",  # latest green r6
-    "image_dedup_keep_best",  # latest green r6
-    "media_ingest_gate",  # latest green r6
-    "ann_ndcg",  # latest green r6
-    "host_drift",  # latest green r6
-    "media_corpus_card",  # latest green r6
     "warc_source_stats",  # latest green r6
     "warc_crawl_curation",  # latest green r6
     "warc_media_extract",  # latest green r6
@@ -277,6 +227,56 @@ _UNVERIFIED_FIRST = (
     "k_core",  # latest green r10
     "entity_representatives",  # latest green r10
     "entity_clusters",  # latest green r10
+    "markov_transitions",  # latest green r11
+    "minute_autocorr",  # latest green r11
+    "dau_wau_stickiness",  # latest green r11
+    "acctbal_deciles_binned",  # latest green r11
+    "rfm_segments_binned",  # latest green r11
+    "q22_idle_customers",  # latest green r11
+    "basket_affinity",  # latest green r11
+    "ship_delay_profile",  # latest green r11
+    "hhi_market_share",  # latest green r11
+    "spend_lorenz_binned",  # latest green r11
+    "mmr_select",  # latest green r11
+    "term_zipf",  # latest green r11
+    "tfidf_top_terms",  # latest green r11
+    "dedup_containment",  # latest green r11
+    "curation_funnel",  # latest green r11
+    "top_bigrams",  # latest green r11
+    "curation_by_source",  # latest green r11
+    "stratified_sample",  # latest green r11
+    "source_token_mix",  # latest green r11
+    "ann_recall",  # latest green r11
+    "mixture_sample",  # latest green r11
+    "curriculum_order",  # latest green r11
+    "leakage_safe_split",  # latest green r11
+    "simhash_pairs_wide",  # latest green r11
+    "boilerplate_lines",  # latest green r11
+    "boilerplate_strip",  # latest green r11
+    "token_budget_select",  # latest green r11
+    "url_dedup",  # latest green r11
+    "classifier_pr_curve",  # latest green r11
+    "web_curation_pipeline",  # latest green r11
+    "hard_negatives",  # latest green r11
+    "image_ahash_pairs",  # latest green r11
+    "host_reputation",  # latest green r11
+    "host_pagerank",  # latest green r11
+    "link_graph",  # latest green r11
+    "pagerank_convergence",  # latest green r11
+    "html_text_extract",  # latest green r11
+    "crawl_frontier",  # latest green r11
+    "contrastive_triplets",  # latest green r11
+    "video_frame_dedup",  # latest green r11
+    "wav_silence_trim",  # latest green r11
+    "image_dedup_keep_best",  # latest green r11
+    "media_ingest_gate",  # latest green r11
+    "ann_ndcg",  # latest green r11
+    "host_drift",  # latest green r11
+    "media_corpus_card",  # latest green r11
+    "score_lift_binned",  # latest green r11
+    "degree_distribution",  # latest green r11
+    "vocab_growth_binned",  # latest green r11
+    "degree_assortativity",  # latest green r11
 )
 
 

@@ -1417,3 +1417,80 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (F.col("n_days") * F.col("wau"))).alias("stickiness"),
         )
     )
+
+
+@register(
+    "session_concurrency",
+    """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ep
+               FROM events),
+    g AS (SELECT user_id, ep,
+                 CASE WHEN ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END
+                   AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    sx AS (SELECT user_id, ep,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ep, brk
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+    s AS (SELECT user_id, sess, min(ep) // 60 AS m0, max(ep) // 60 AS m1
+          FROM sx GROUP BY 1, 2),
+    mins AS (SELECT unnest(generate_series(m0, m1)) AS minute FROM s),
+    conc AS (SELECT minute, count(*) AS concurrent FROM mins GROUP BY 1),
+    h AS (SELECT minute // 60 AS epoch_hour, max(concurrent) AS peak
+          FROM conc GROUP BY 1)
+    SELECT CAST(h.epoch_hour AS BIGINT) AS epoch_hour,
+           CAST(h.peak AS BIGINT) AS peak_concurrent,
+           CAST(min(c.minute) AS BIGINT) AS peak_minute
+    FROM h JOIN conc c ON c.minute // 60 = h.epoch_hour
+                      AND c.concurrent = h.peak
+    GROUP BY 1, 2
+    """,
+    doc="Peak concurrent sessions per hour — the capacity-planning "
+    "report behind connection-pool sizing (HPI's scanner-session "
+    "analog at the fleet level): sessions are the 30-min-gap spans "
+    "sessionize derives, and concurrency is computed by TEMPORAL "
+    "GRIDDING, a sweep-line restated distributably — each session "
+    "explodes to the minute buckets it overlaps (sequence(m0, m1); "
+    "cost = session-minutes, bounded by gap x events, NEVER a global "
+    "time-ordered window over the fact table), per-minute counts "
+    "collapse map-side, and the hourly peak is a 60-row-bounded "
+    "argmax via struct-max (ties -> earliest minute, stated). All "
+    "arithmetic on floored epoch seconds (the asof_correlate rule) "
+    "so bucket edges agree across engines. At 100 TB the minute grid "
+    "shuffles on the minute key (uniform by construction) and every "
+    "other stage is keyed by user or hour; no stage sees "
+    "order-dependent state.",
+    tags=("events", "sessions", "interval", "gridding"),
+)
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ep = F.col("ts").cast("long")
+    g = ev.select(
+        "user_id", "event_id", ep.alias("ep"),
+        F.when(ep - F.lag(ep).over(w) > 1800, 1).otherwise(0).alias("brk"),
+    )
+    ws = (Window.partitionBy("user_id").orderBy("ep", "brk")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sx = g.select("user_id", "ep", F.sum("brk").over(ws).alias("sess"))
+    s = sx.groupBy("user_id", "sess").agg(
+        F.expr("min(ep) DIV 60").alias("m0"),
+        F.expr("max(ep) DIV 60").alias("m1"),
+    )
+    conc = (
+        s.select(F.explode(F.sequence("m0", "m1")).alias("minute"))
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("concurrent"))
+    )
+    best = (
+        conc.groupBy(F.expr("minute DIV 60").alias("epoch_hour"))
+        .agg(F.max(F.struct(
+            F.col("concurrent"),
+            (-F.col("minute")).alias("negm"))).alias("b"))
+    )
+    return best.select(
+        F.col("epoch_hour").cast("bigint").alias("epoch_hour"),
+        F.col("b.concurrent").cast("bigint").alias("peak_concurrent"),
+        (-F.col("b.negm")).cast("bigint").alias("peak_minute"),
+    )

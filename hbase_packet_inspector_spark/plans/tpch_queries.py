@@ -1397,3 +1397,96 @@ def spend_lorenz_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("bin_cents").over(w).cast("double")
          / F.sum("bin_cents").over(w_all)).alias("cum_spend_share"),
     )
+
+
+@register(
+    "pareto_frontier",
+    """
+    WITH p AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d
+               FROM orders),
+    mm AS (SELECT min(pc) AS lo, max(pc) AS hi FROM p),
+    b AS (SELECT p.*,
+                 CAST(least((pc - lo) * 256 // (hi - lo + 1), 255)
+                      AS INTEGER) AS bin
+          FROM p, mm),
+    bd AS (SELECT bin, max(d) AS md FROM b GROUP BY 1),
+    m AS (SELECT bin,
+                 max(md) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING) AS mprev
+          FROM bd),
+    cand AS (SELECT b.o_orderkey, b.pc, b.d
+             FROM b JOIN m USING (bin)
+             WHERE m.mprev IS NULL OR b.d > m.mprev),
+    e AS (SELECT *,
+            max(d) OVER (ORDER BY pc RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS mc,
+            max(d) OVER (PARTITION BY pc) AS ms
+          FROM cand)
+    SELECT o_orderkey, CAST(pc AS DOUBLE) / 100 AS price,
+           CAST(d AS BIGINT) AS order_epoch
+    FROM e WHERE (mc IS NULL OR mc < d) AND ms <= d
+    """,
+    doc="Pareto frontier (skyline, Borzsony 2001) of orders on "
+    "(cheaper price, more recent date): an order is on the frontier "
+    "iff no other order has price <= AND date >= with at least one "
+    "strict — the best-value curve a buyer-side report draws. "
+    "Duplicate (price, date) points all stay (neither strictly "
+    "dominates), stated. Plan: the BNL/window skyline is restated "
+    "with the binned-envelope prefilter — 256 price bins from a "
+    "1-row min/max broadcast (integer bin edges, spend_lorenz's "
+    "rule), per-bin max date (256-row frame), running max over the "
+    "CONSTANT bin frame, broadcast back: an order survives only if "
+    "its date beats every strictly-cheaper BIN's best date. "
+    "Dominators of survivors provably survive too (a pruned "
+    "dominator's bin evidence also prunes the dominated row), so the "
+    "exact pass — two windows over the CANDIDATE frame only: "
+    "max(date) RANGE-to-price-minus-1 for strictly-cheaper, "
+    "per-price-partition max for same-price — never misses. "
+    "Candidates are the bin-frontier envelope (output-bounded, not "
+    "corpus-bounded, on any non-adversarial distribution; the "
+    "inherent skyline worst case IS the full table when price and "
+    "date are perfectly anti-correlated). All comparisons on integer "
+    "cents / floored epoch seconds.",
+    tags=("tpch", "skyline", "window", "report"),
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, = _t(spark, sf_dir, "orders")
+    p = orders.select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("pc"),
+        F.col("o_orderdate").cast("long").alias("d"),
+    )
+    mm = p.agg(F.min("pc").alias("lo"), F.max("pc").alias("hi"))
+    b = p.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey", "pc", "d",
+        F.least(F.expr("(pc - lo) * 256 DIV (hi - lo + 1)"), F.lit(255))
+        .cast("int").alias("bin"),
+    )
+    bd = b.groupBy("bin").agg(F.max("d").alias("md"))
+    wprev = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    m = bd.select("bin", F.max("md").over(wprev).alias("mprev"))
+    cand = (
+        b.join(F.broadcast(m), "bin")
+        .where(F.col("mprev").isNull() | (F.col("d") > F.col("mprev")))
+        .select("o_orderkey", "pc", "d")
+    )
+    wc = (Window.orderBy("pc")
+          .rangeBetween(Window.unboundedPreceding, -1))
+    ws = Window.partitionBy("pc")
+    e = cand.select(
+        "o_orderkey", "pc", "d",
+        F.max("d").over(wc).alias("mc"),
+        F.max("d").over(ws).alias("ms"),
+    )
+    return (
+        e.where((F.col("mc").isNull() | (F.col("mc") < F.col("d")))
+                & (F.col("ms") <= F.col("d")))
+        .select(
+            "o_orderkey",
+            (F.col("pc").cast("double") / 100).alias("price"),
+            F.col("d").cast("bigint").alias("order_epoch"),
+        )
+    )

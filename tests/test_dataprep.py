@@ -709,3 +709,80 @@ def test_empty_table_scalar_guard(spark, tmp_path):
     q22 = q22_idle_customers(spark, sf)
     assert q22.columns == ["n_name", "n_customers", "total_acctbal"]
     assert q22.count() == 0
+
+
+def test_pareto_frontier_hand_checked(spark, tmp_path):
+    """5-order hand case pinning the dominance rules against REALITY
+    (parity alone can't catch a bug both engines share): strict-one-dim
+    dominance, duplicate points both staying, and the binned prefilter
+    never pruning a frontier row."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        pareto_frontier,
+    )
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    # (key, price, date): 1 cheap-old, 2 mid-recent, 3 dominated by 2
+    # (same price, older), 4 expensive-recent, 5 duplicate of 4
+    pd.DataFrame({
+        "o_orderkey": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+        "o_custkey": pd.Series([1] * 5, dtype="int64"),
+        "o_orderstatus": pd.Series(["F"] * 5, dtype="string"),
+        "o_totalprice": pd.Series([10.0, 50.0, 50.0, 90.0, 90.0],
+                                  dtype="float64"),
+        "o_orderdate": pd.Series([d(1), d(10), d(5), d(20), d(20)],
+                                 dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series(["1"] * 5, dtype="string"),
+    }).to_parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r.o_orderkey: r for r in
+           pareto_frontier(spark, str(tmp_path)).collect()}
+    # 3 dominated by 2 (equal price, strictly older); everything else
+    # is on the frontier — including BOTH duplicates 4 and 5
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1].price == 10.0 and out[4].price == 90.0
+
+
+def test_session_concurrency_hand_checked(spark, tmp_path):
+    """Two users with overlapping sessions: user A 00:00-00:02, user B
+    00:01-00:03 (same hour) -> peak 2 at minute 1; user A returns after
+    a >30-min gap in hour 1 alone -> peak 1. Pins the minute-grid
+    overlap count and the earliest-minute tie rule."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.events_queries import (
+        session_concurrency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minute, user):
+        return (i, t0 + dt.timedelta(minutes=minute), user, "view", 1.0,
+                "{}")
+
+    rows = [ev(1, 0, 1), ev(2, 2, 1),          # A session 1: min 0-2
+            ev(3, 1, 2), ev(4, 3, 2),          # B session:   min 1-3
+            ev(5, 62, 1)]                      # A session 2: min 62
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                "event_type", "value", "props"]).astype(
+        {"event_id": "int64", "user_id": "int64", "value": "float64",
+         "props": "string", "event_type": "string"}
+    ).to_parquet(f"{tmp_path}/events.parquet")
+
+    base_min = int(t0.timestamp()) // 60
+    out = {r.epoch_hour: r for r in
+           session_concurrency(spark, str(tmp_path)).collect()}
+    assert len(out) == 2
+    h0 = out[base_min // 60]
+    # minutes 1 and 2 both have 2 concurrent sessions -> earliest wins
+    assert h0.peak_concurrent == 2
+    assert h0.peak_minute == base_min + 1
+    h1 = out[base_min // 60 + 1]
+    assert h1.peak_concurrent == 1 and h1.peak_minute == base_min + 62

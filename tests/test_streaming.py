@@ -1590,3 +1590,64 @@ def test_unbounded_state_warning_once(spark, tmp_path, workload):
         batch = spark.read.schema(fx.RPC_EVENT_SCHEMA).parquet(src)
         sp.stream_correlate(batch)            # batch frame: replay path
     assert not [c for c in caught if "never evicted" in str(c.message)]
+
+
+def test_stream_correlate_state_plateaus_under_ephemeral_churn(
+        spark, tmp_path):
+    """Scaled-down twin of tools/probe_stream_state.py (the 1M-connection
+    probe recorded in SCALE.md): 6 micro-batches of 200 FRESH
+    connections each, spaced 300 s in event time with watermark=2min,
+    must hold numRowsTotal at a ~2-batch plateau (current batch + the
+    previous one awaiting its timeout sweep) — NOT grow with total
+    connections seen. This is the bounded-state property that lets the
+    correlator survive millions of short-lived TCP connections live."""
+    import time
+
+    from hbase_packet_inspector_spark.streaming.pipeline import (
+        stream_correlate,
+    )
+
+    n_batches, conns = 6, 200
+    src = str(tmp_path / "churn")
+    eid = 0
+    for b in range(n_batches):
+        rows = []
+        for c in range(conns):
+            port = 40000 + b * conns + c
+            base = b * 300_000
+            rows.append(fx._ev(eid, base, True, 1, "get", table=fx.TABLE,
+                               region=fx.REGION, row="k", port=port))
+            rows.append(fx._ev(eid + 1, base + 50, False, 1, None,
+                               cells=1, port=port))
+            eid += 2
+        fx.to_df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)  # file source orders micro-batches by mod time
+
+    matched = []
+    q = (
+        stream_correlate(
+            spark.readStream.schema(fx.RPC_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            watermark="2 minutes",
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: matched.append(
+                df.where(~df.inbound & df.elapsed.isNotNull()).count()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # correlation unaffected by the churn: every response matched
+    assert sum(matched) == n_batches * conns
+
+    progs = [p for p in q.recentProgress if p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progs]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in progs)
+    # plateau: peak is ~2 batches of connections, never the 1200 total
+    assert max(totals) <= 2 * conns
+    assert totals[-1] <= 2 * conns
+    # every batch except the last two had its connections swept
+    assert removed >= (n_batches - 2) * conns

@@ -139,6 +139,14 @@ ALLOWED = {
     "bm25_topk": {"NESTED-LOOP-JOIN"},
     # the LM total re-enters as a broadcast ONE-ROW aggregate
     "unigram_surprise": {"NESTED-LOOP-JOIN"},
+    # skyline with the binned-envelope prefilter: the NLJ is the 1-row
+    # min/max broadcast cross (spend_lorenz_binned's rationale); the
+    # global windows are (a) the running bin max over the CONSTANT
+    # 256-row bin frame (vocab_growth_binned's rationale) and (b) the
+    # exact dominance pass over the CANDIDATE frame only —
+    # output-bounded by the bin-envelope pruning, never the fact table
+    # (worst case is inherent to the skyline operator, docstring)
+    "pareto_frontier": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
     # three bounded NLJs, none corpus x corpus: (1) the pool scan is
     # cosine_topk's broadcast-ANCHOR pass (that rationale), (2) the
     # pool-pair sims cross the 20-row pool with itself, (3) the two

@@ -520,6 +520,91 @@ def probe_basket(spark, order_counts: list[int]) -> None:
           flush=True)
 
 
+def probe_crawlplan(spark, dirs: list[str]) -> None:
+    """Per-stage 1x/10x/100x attribution for the crawl_plan capstone
+    (VERDICT_r11 item 2): anchor-signal (URL-link-proportional),
+    frontier (pagerank rounds — edge-proportional, host-sized output),
+    robots gate (per-URL in-row rules), scheduler (host-partitioned
+    URL window) and budget+final joins (host-sized), each cut with an
+    EAGER localCheckpoint so stage walls are additive and shuffle
+    deltas attributable; then the registered body composed end-to-end
+    (lazy cuts, as shipped). Claim probed: every stage's shuffle is
+    URL- or edge-linear with host-cardinality frames constant."""
+    from hbase_packet_inspector_spark import plans
+    from hbase_packet_inspector_spark.operators import web as WB
+    from hbase_packet_inspector_spark.plans import dataprep_queries as dq
+
+    for d in dirs:
+        base = dq._docs(spark, d)
+        n = base.count()
+        print(f"\n== crawl_plan @ {d} ({n} docs)")
+        m = StageMeter(spark)
+        dd = base.select(F.col("doc_id").cast("long").alias("doc_id"))
+        sig = fr = gated = sched = None
+
+        def stage_sig():
+            nonlocal sig
+            sig = WB.anchor_signal(
+                WB.extract_anchor_texts(dq._spam_anchor_pages(dd))
+            ).localCheckpoint()
+            return sig.count()
+
+        def stage_frontier():
+            nonlocal fr
+            ranks, stats = dq._frontier_inputs(base)
+            fr = WB.crawl_frontier(ranks, stats, sig).localCheckpoint()
+            return fr.count()
+
+        def stage_gate():
+            nonlocal gated
+            frontier, robots = dq._robots_inputs(dd)
+            gated = WB.robots_gate_rfc(
+                frontier, WB.parse_robots_rules(robots)).localCheckpoint()
+            return gated.count()
+
+        def stage_sched():
+            nonlocal sched
+            _, robots = dq._robots_inputs(dd)
+            fetches = (
+                gated.join(fr.select("host", "status", "priority"), "host")
+                .where(~F.col("blocked") & (F.col("status") != "blocked")
+                       & (F.col("priority") > 0))
+                .select("url", "host")
+            )
+            sched = WB.schedule_fetches(
+                fetches, WB.parse_crawl_delays(robots), default_delay=0.5
+            ).localCheckpoint()
+            return sched.count()
+
+        def stage_budget():
+            alloc = WB.frontier_budget(
+                fr, budget=2000, per_host_cap=150).select("host", "alloc")
+            return (
+                sched.join(fr.select("host", "priority"), "host")
+                .join(alloc, "host")
+                .select("url", "host", "priority", "alloc", "slot",
+                        "crawl_delay", "fetch_at_s",
+                        (F.col("slot") < F.col("alloc")).alias("fetch"))
+                .count()
+            )
+
+        m.run("anchor_signal (URL links)", stage_sig)
+        m.run("frontier (pagerank rounds)", stage_frontier)
+        m.run("robots_gate_rfc (per-URL)", stage_gate)
+        m.run("schedule (host URL window)", stage_sched)
+        m.run("budget + final joins", stage_budget)
+        spark.catalog.clearCache()
+
+        fn = plans.QUERIES["crawl_plan"].fn
+        m.run("COMPOSED (registered body)", lambda: fn(spark, d).count())
+        spark.catalog.clearCache()
+        # drop the probe's checkpoint blocks before the next scale point
+        jm = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jm.valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "dedup"
     spark = get_probe_spark()
@@ -545,6 +630,11 @@ def main() -> None:
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
         ]
         probe_crawl(spark, dirs)
+    elif what == "crawlplan":
+        dirs = sys.argv[2:] or [
+            "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
+        ]
+        probe_crawlplan(spark, dirs)
     elif what == "crawl9":
         dirs = sys.argv[2:] or [
             "/root/testdata/sf0.1", "/tmp/sfbig10", "/tmp/sfbig100",
