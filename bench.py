@@ -313,6 +313,12 @@ HEADLINE = [
     "clustering_coeff",
     "session_concurrency",
     "pareto_frontier",
+    "supplier_ship_intervals",
+    "bootstrap_price_ci",
+    "weighted_sample_tokens",
+    "dp_noisy_counts",
+    "quantile_normalize_binned",
+    "retrieval_rbo",
 ]
 
 

@@ -177,3 +177,60 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
         (F.col("_num") * F.lit(t_den).cast(d38)
          > den * F.lit(t_num).cast(d38)).alias("violates_t"),
     )
+
+
+def dp_noisy_counts(df: DataFrame, group_cols: list[str], *,
+                    epsilon: float = 1.0, threshold: float = 10.0,
+                    salt: str = "dp:") -> DataFrame:
+    """ε-differentially-private histogram release (Dwork et al. 2006):
+    per-group counts + Laplace(1/ε) noise, then threshold suppression —
+    the mechanism behind every "publish corpus composition stats
+    without leaking membership" release, and the natural third stage
+    after the k_anonymity / l_diversity / t_closeness AUDITS: those
+    measure re-identification risk of the raw release, this produces a
+    release whose risk is bounded by ε regardless of background
+    knowledge (a unit count change moves any output's likelihood by at
+    most e^ε). Suppressing noisy counts below ``threshold`` is the
+    standard practice for rare groups, whose signal is mostly noise.
+
+    Noise is DERIVED, not drawn (the reproducibility discipline of
+    operators/sampling.py): u = hash-uniform(group key) in (0, 1],
+    centered v = u - 0.5, noise = -(1/ε)·sign(v)·ln(1 - 2|v|) — the
+    exact inverse CDF of Laplace(1/ε). A re-run (or a second engine)
+    reproduces the identical release, so the noise cannot be averaged
+    away by repeated queries — the release is computed ONCE per salt,
+    which is the correct accounting posture (each fresh salt spends
+    another ε of budget).
+
+    Scale shape: one groupBy (partial+final count), then scalar math on
+    the group-cardinality frame. Output: groups with noisy_count ≥
+    threshold only, plus the noise parameters for the release card."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                for c in group_cols])
+    h = F.md5(F.concat(F.lit(salt), key))
+    u = (
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") + 1.0)
+        / F.lit(float(1 << 24))
+    )
+    v = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    noisy = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .select(
+            *group_cols,
+            F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        )
+    )
+    return (
+        noisy.where(F.col("noisy_count") >= threshold)
+        .select(
+            *group_cols, "noisy_count",
+            F.lit(float(epsilon)).alias("epsilon"),
+            F.lit(float(threshold)).alias("suppress_below"),
+        )
+    )

@@ -467,3 +467,57 @@ def budget_select(scored: DataFrame, budget: int, *, score_col: str,
         .drop("_bin", "_cum")
     )
     return kept_full.unionByName(bnd)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Stable uniform double in (0, 1]: the first 6 md5 hex chars of the
+    salted key as a 24-bit int, shifted by 1 so ln() is always defined —
+    u = (h + 1) / 2^24. Engine-portable (DuckDB recomputes it from the
+    same md5), 24 bits of resolution — ties between distinct keys are
+    ~2^-24 likely and break on the row key downstream."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") + 1.0)
+        / F.lit(float(1 << 24))
+    )
+
+
+def weighted_sample_aes(df: DataFrame, weight: Column, *, k: int = 200,
+                        key: str = "doc_id",
+                        salt: str = "aes:") -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    algorithm A-ES (IPL 2006): each row draws u = hash-uniform(key) and
+    scores ln(u) / w — the top-k scores are exactly a weighted sample
+    without replacement (P(row first) = w_i / Σw). The textbook key
+    u^(1/w) is monotone with ln(u)/w, so the log form ranks identically
+    while staying in a numerically flat range.
+
+    This is THE one-pass distributed answer to "sample 10k docs
+    proportional to token count" — no per-stratum rates, no rejection
+    loop, no RNG state: membership is recomputable from the row alone
+    (the reproducibility bar every operator in this module meets).
+
+    Scale shape: a narrow map to score each row, then a global top-k —
+    Spark plans orderBy(...).limit(k) as TakeOrderedAndProject (per-
+    partition heaps + a k-row driver merge), so the corpus is never
+    globally sorted and never shuffles. Score rounded 6 AFTER selection
+    (the cut itself compares full doubles; md5-derived u's are spread
+    ~2^-24 apart, far beyond any cross-engine 1-ulp ln() drift).
+
+    ``weight`` must be strictly positive; rows with weight <= 0 are
+    dropped (they can never be sampled under A-ES semantics)."""
+    scored = (
+        df.withColumn("_w", weight.cast("double"))
+        .where(F.col("_w") > 0)
+        .withColumn(
+            "aes_score",
+            F.log(hash_uniform(F.col(key), salt=salt)) / F.col("_w"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("aes_score").desc(), F.col(key).asc())
+        .limit(k)
+        .withColumn("aes_score", F.round("aes_score", 6))
+        .withColumn("weight", F.col("_w").cast("bigint"))
+        .drop("_w")
+    )

@@ -1373,3 +1373,61 @@ def pq_rerank_topk(emb: DataFrame, queries: DataFrame, *, m: int = 4,
         .where(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "d2", "rnk")
     )
+
+
+def rbo_overlap(rank_a: DataFrame, rank_b: DataFrame, *, k: int = 5,
+                p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between two
+    top-k rankings per query — the ranker-agreement metric that, unlike
+    Kendall/Spearman, handles TOP-WEIGHTED, INDEFINITE, non-conjoint lists
+    (each ranker may surface documents the other never saw). Truncated
+    (depth-k, unextrapolated) form:
+
+        RBO@k = (1 - p) * Σ_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d
+
+    A document appearing at rank ra in A and rb in B is a member of both
+    prefixes from depth m = max(ra, rb) on, so its total contribution is
+    Σ_{d=m..k} p^(d-1)/d — evaluated per matched pair with one
+    ``aggregate(sequence(m, k))`` higher-order function (JVM-side, no
+    depth explode). Complements the relevance-based metrics
+    (retrieval_ndcg/mrr): RBO needs no labels — it audits ranker DRIFT,
+    e.g. cheap-ANN vs exact or old-index vs rebuilt, before a corpus swap.
+
+    Inputs are (q_id, neighbor_id, rnk) top-k frames. Output: one row per
+    query in either frame — n_overlap (|A_k ∩ B_k|) and rbo, rounded 6.
+
+    Scale shape: both inputs are queries × k frames (retrieval-sized, not
+    corpus-sized), the match is one equi join on (q_id, neighbor_id), and
+    the per-match weight is a ≤ k-term fold — the metric costs less than
+    either ranker at any corpus size."""
+    a = rank_a.select("q_id", "neighbor_id", F.col("rnk").alias("_ra"))
+    b = rank_b.select("q_id", "neighbor_id", F.col("rnk").alias("_rb"))
+    m = a.join(b, ["q_id", "neighbor_id"]).select(
+        "q_id",
+        F.greatest("_ra", "_rb").alias("_m"),
+    )
+    contrib = F.aggregate(
+        F.sequence(F.col("_m"), F.lit(k)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.pow(F.lit(p), d.cast("double") - 1) / d.cast("double"),
+    )
+    per_q = (
+        m.select("q_id", contrib.alias("_c"))
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.round(F.lit(1.0 - p) * F.sum("_c"), 6).alias("rbo"),
+        )
+    )
+    qs = (
+        rank_a.select("q_id")
+        .unionByName(rank_b.select("q_id"))
+        .distinct()
+    )
+    return qs.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+        .alias("n_overlap"),
+        F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
+    )

