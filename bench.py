@@ -319,6 +319,9 @@ HEADLINE = [
     "dp_noisy_counts",
     "quantile_normalize_binned",
     "retrieval_rbo",
+    "isotonic_calibration_binned",
+    "cuped_adjusted_lift",
+    "psi_drift_binned",
 ]
 
 

@@ -10984,3 +10984,171 @@ def retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "neighbor_id", "rnk"
     )
     return S.rbo_overlap(emb_rank, lex_rank, k=5, p=0.9)
+
+
+@register(
+    "isotonic_calibration_binned",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST((doc_id * 37) % 101 AS DOUBLE) / 100 AS score,
+                      CASE WHEN (doc_id * 37) % 101 + doc_id % 13 > 55
+                           THEN 1 ELSE 0 END AS y
+               FROM documents),
+    hist AS (SELECT least(greatest(CAST(floor(score * 10) AS INTEGER), 0),
+                          9) AS bin,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS ysum,
+                    round(avg(score), 6) AS avg_score,
+                    round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+             FROM d GROUP BY 1),
+    cum AS (SELECT *,
+                   sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cn,
+                   sum(ysum) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cy
+            FROM hist),
+    pairs AS (SELECT j.bin AS bj, k.bin AS bk,
+                     CAST(k.cy - (j.cy - j.ysum) AS DOUBLE)
+                       / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+              FROM cum j JOIN cum k ON k.bin >= j.bin),
+    mn AS (SELECT i.bin AS bin, p.bj, min(p.a) AS minavg
+           FROM cum i JOIN pairs p ON p.bj <= i.bin AND p.bk >= i.bin
+           GROUP BY 1, 2),
+    iso AS (SELECT bin, round(max(minavg), 6) AS iso_rate
+            FROM mn GROUP BY 1)
+    SELECT cum.bin, cum.n, cum.avg_score, cum.frac_pos, iso.iso_rate
+    FROM cum JOIN iso USING (bin)
+    """,
+    doc="Isotonic calibration fit (operators/learn.py::"
+    "isotonic_calibration — pool-adjacent-violators, Ayer 1955 / "
+    "Zadrozny-Elkan 2002) over score_calibration's reliability bins: "
+    "the MONOTONE-regressed positive rate per score decile, i.e. the "
+    "calibration map a quality classifier actually ships (the raw "
+    "diagram zig-zags on noisy mid bins; downstream token-budget "
+    "thresholds need a nondecreasing score -> P(good) map). Evaluated "
+    "via the PAV minimax identity iso_i = max_(j<=i) min_(k>=i) "
+    "avg(y, bins j..k) — no sequential pooling loop: prefix sums over "
+    "the CONSTANT 10-bin frame turn every interval average into one "
+    "exact int/int division, and two <=100-row inequality joins + two "
+    "groupBys evaluate the max-of-mins identically on any engine "
+    "(Robertson-Wright-Dykstra Thm 1.4.4 equates it to sequential "
+    "PAV). Corpus cost: the one (bin, label) histogram aggregate; "
+    "everything after is dimension-sized. Same synthetic score/label "
+    "grid as score_calibration so the two registered queries audit "
+    "raw vs fitted on identical data.",
+    tags=("dataprep", "learn", "quality", "calibration", "binned"),
+)
+def isotonic_calibration_binned(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators import learn as L
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id")
+    g = (did * 37) % 101
+    scored = d.select(
+        (g.cast("double") / 100).alias("score"),
+        F.when(g + did % 13 > 55, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return L.isotonic_calibration(scored, n_bins=10)
+
+
+@register(
+    "psi_drift_binned",
+    """
+    WITH s AS (SELECT (doc_id // 25) % 2 AS cohort,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS sc
+               FROM documents),
+    mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM s),
+    b AS (SELECT cohort,
+                 CAST(least((sc - lo) * 10 // (hi - lo + 1), 9)
+                      AS INTEGER) AS bin
+          FROM s, mm),
+    cb AS (SELECT cohort, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    per AS (SELECT grid.bin,
+                   CAST(coalesce(max(CASE WHEN cohort = 0 THEN c END), 0)
+                        AS BIGINT) AS ca,
+                   CAST(coalesce(max(CASE WHEN cohort = 1 THEN c END), 0)
+                        AS BIGINT) AS cbn
+            FROM grid LEFT JOIN cb ON cb.bin = grid.bin
+            GROUP BY 1),
+    tot AS (SELECT CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ta,
+                   CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tb
+            FROM s)
+    SELECT per.bin, per.ca AS n_ref, per.cbn AS n_cur,
+           round(CAST(per.ca + 1 AS DOUBLE) / (tot.ta + 10), 6) AS p_ref,
+           round(CAST(per.cbn + 1 AS DOUBLE) / (tot.tb + 10), 6) AS p_cur,
+           round((CAST(per.ca + 1 AS DOUBLE) / (tot.ta + 10)
+                  - CAST(per.cbn + 1 AS DOUBLE) / (tot.tb + 10))
+                 * ln((CAST(per.ca + 1 AS DOUBLE) / (tot.ta + 10))
+                      / (CAST(per.cbn + 1 AS DOUBLE) / (tot.tb + 10))), 6)
+             AS psi_contrib
+    FROM per, tot
+    """,
+    doc="Population-stability-index drift audit (the credit-scoring "
+    "PSI, standard monitoring metric; see e.g. Siddiqi 2006) between "
+    "two corpus cohorts ((doc_id DIV 25) % 2 — the interleaved-half "
+    "split that can't alias the %25 synthetic keys, per the test "
+    "discipline): the token-count distribution is binned into 10 "
+    "CONSTANT bins from a pooled 1-row min/max broadcast, each "
+    "cohort's bin shares get add-one smoothing over the full grid "
+    "(empty bins must contribute, so the grid is materialized, not "
+    "inferred from observed rows), and each bin reports its "
+    "(p-q)*ln(p/q) PSI contribution — sum > 0.2 is the conventional "
+    "'distribution shifted, retrain/recalibrate' alarm. Complements "
+    "t_closeness (TVD between conditional and global distributions) "
+    "and quality_drift (windowed mean): PSI is the two-sample binned "
+    "DIVERGENCE with per-bin attribution. Shares are exact int/int "
+    "divisions; the ln product is rounded 6 (the 1-ulp ln rule). "
+    "Scale: one corpus pass to bin, then 10-row frames and two 1-row "
+    "broadcast crosses.",
+    tags=("dataprep", "statistics", "drift", "binned"),
+)
+def psi_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        (F.expr("doc_id DIV 25") % 2).alias("cohort"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("sc"),
+    )
+    mm = s.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    b = s.crossJoin(F.broadcast(mm)).select(
+        "cohort",
+        F.least(F.expr("(sc - lo) * 10 DIV (hi - lo + 1)"), F.lit(9))
+        .cast("int").alias("bin"),
+    )
+    cb = b.groupBy("cohort", "bin").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        b.sparkSession.range(10)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    per = (
+        grid.join(F.broadcast(cb), "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == 0, F.col("c"))), F.lit(0)
+            ).cast("bigint").alias("ca"),
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == 1, F.col("c"))), F.lit(0)
+            ).cast("bigint").alias("cbn"),
+        )
+    )
+    tot = b.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint").alias("ta"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint").alias("tb"),
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("ta") + 10)
+    q = (F.col("cbn") + 1).cast("double") / (F.col("tb") + 10)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("ca").alias("n_ref"),
+        F.col("cbn").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

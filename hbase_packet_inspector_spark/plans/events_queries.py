@@ -1494,3 +1494,140 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.concurrent").cast("bigint").alias("peak_concurrent"),
         (-F.col("b.negm")).cast("bigint").alias("peak_minute"),
     )
+
+
+@register(
+    "cuped_adjusted_lift",
+    """
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    mm AS (SELECT min(ep) AS lo, max(ep) AS hi FROM e),
+    u AS (SELECT user_id,
+                 CAST(user_id % 2 AS INTEGER) AS variant,
+                 CAST(sum(CASE WHEN ep < lo + (hi - lo) // 2
+                          THEN vc ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ep >= lo + (hi - lo) // 2
+                          THEN vc ELSE 0 END) AS BIGINT) AS y
+          FROM e, mm GROUP BY 1, 2),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM u),
+    t AS (SELECT nn, sx, sy,
+                 CAST(nn * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   AS covn,
+                 CAST(nn * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                   AS varxn,
+                 CAST(nn * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                   AS varyn
+          FROM g),
+    v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS vx,
+                 CAST(sum(y) AS BIGINT) AS vy
+          FROM u GROUP BY 1)
+    SELECT v.variant, v.n_users,
+           round(CAST(v.vy AS DOUBLE) / (v.n_users * 100), 6)
+             AS raw_mean,
+           round((CAST(v.vy AS DOUBLE) / v.n_users
+                  - (t.covn / t.varxn)
+                    * (CAST(v.vx AS DOUBLE) / v.n_users
+                       - CAST(t.sx AS DOUBLE) / t.nn)) / 100, 6)
+             AS cuped_mean,
+           round(t.covn / t.varxn, 6) AS theta,
+           round((t.covn * t.covn) / (t.varxn * t.varyn), 6)
+             AS var_reduction
+    FROM v, t
+    """,
+    doc="CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker, "
+    "WSDM 2013 — 'Improving the Sensitivity of Online Controlled "
+    "Experiments by Utilizing Pre-Experiment Data'): users split into "
+    "deterministic variants (user_id parity), the observation window "
+    "split at its epoch midpoint into pre/post periods, per-user "
+    "pre-period spend serving as the covariate; the post-period mean "
+    "per variant is adjusted by theta * (covariate mean - global "
+    "covariate mean) with theta = cov(x,y)/var(x), cutting metric "
+    "variance by the squared pre/post correlation (reported as "
+    "var_reduction = rho^2) — the standard fix for 'the A/B readout "
+    "is noise because heavy users landed unevenly'. Determinism "
+    "(plans/num.py): all five moments are EXACT integer sums of "
+    "cents (HUGEINT/decimal squares — the sf10 overflow lesson), "
+    "cast to double only for the final scalar arithmetic, which is "
+    "then identical IEEE ops on identical inputs in any engine. "
+    "Scale shape: one groupBy(user) over the fact scan (partial+ "
+    "final), then a 2-row variant frame and a ONE-ROW moment "
+    "aggregate broadcast cross (source_token_mix's rationale) — "
+    "nothing user-cardinality-sized crosses the wire twice; the "
+    "epoch-midpoint 1-row min/max broadcast prices the period split "
+    "exactly like spend_lorenz_binned's bin edges.",
+    tags=("events", "experiment", "statistics"),
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("ep"),
+        _cents(F.col("value")).alias("vc"),
+    )
+    mm = e.agg(F.min("ep").alias("lo"), F.max("ep").alias("hi"))
+    mid = F.col("lo") + F.expr("(hi - lo) DIV 2")
+    u = (
+        e.crossJoin(F.broadcast(mm))
+        .withColumn("_mid", mid)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("_mid"), F.col("vc"))
+                  .otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(F.col("ep") >= F.col("_mid"), F.col("vc"))
+                  .otherwise(F.lit(0))).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "x", "y",
+        )
+    )
+    xd = F.col("x").cast(d38)
+    yd = F.col("y").cast(d38)
+    g = u.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    t = g.select(
+        "nn", "sx", "sy",
+        (F.col("nn").cast(d38) * F.col("sxy")
+         - F.col("sx").cast(d38) * F.col("sy")).cast("double").alias("covn"),
+        (F.col("nn").cast(d38) * F.col("sxx")
+         - F.col("sx").cast(d38) * F.col("sx")).cast("double").alias("varxn"),
+        (F.col("nn").cast(d38) * F.col("syy")
+         - F.col("sy").cast(d38) * F.col("sy")).cast("double").alias("varyn"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("vx"),
+        F.sum("y").alias("vy"),
+    )
+    theta = F.col("covn") / F.col("varxn")
+    return v.crossJoin(F.broadcast(t)).select(
+        "variant", "n_users",
+        F.round(F.col("vy").cast("double") / (F.col("n_users") * 100), 6)
+        .alias("raw_mean"),
+        F.round(
+            (F.col("vy").cast("double") / F.col("n_users")
+             - theta * (F.col("vx").cast("double") / F.col("n_users")
+                        - F.col("sx").cast("double") / F.col("nn"))) / 100,
+            6,
+        ).alias("cuped_mean"),
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            (F.col("covn") * F.col("covn"))
+            / (F.col("varxn") * F.col("varyn")), 6
+        ).alias("var_reduction"),
+    )

@@ -961,3 +961,96 @@ def test_rbo_overlap_disjoint_rankers_is_zero(spark):
     out = {r.q_id: r for r in rbo_overlap(a, b, k=5, p=0.9).collect()}
     assert out[1].n_overlap == 0 and out[1].rbo == 0.0
     assert out[2].n_overlap == 0 and out[2].rbo == 0.0
+
+
+def test_isotonic_calibration_pools_adjacent_violators(spark):
+    """Hand case for the PAV minimax: bin rates [0.0, 1.0, 0.5] with
+    equal weights must pool bins 1 and 2 to 0.75 while leaving bin 0
+    alone — the canonical adjacent-violator merge."""
+    from hbase_packet_inspector_spark.operators.learn import (
+        isotonic_calibration,
+    )
+
+    rows = (
+        [(0.05, 0)] * 4            # bin 0: rate 0.0
+        + [(0.15, 1)] * 4          # bin 1: rate 1.0 (violator)
+        + [(0.25, 1)] * 2 + [(0.25, 0)] * 2   # bin 2: rate 0.5
+    )
+    scored = spark.createDataFrame(rows, ["score", "y"])
+    out = {r.bin: r for r in
+           isotonic_calibration(scored, n_bins=10).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].iso_rate == 0.0
+    assert abs(out[1].iso_rate - 0.75) < 1e-9
+    assert abs(out[2].iso_rate - 0.75) < 1e-9
+    # raw diagram still reports the violating rates
+    assert out[1].frac_pos == 1.0 and out[2].frac_pos == 0.5
+
+
+def test_isotonic_calibration_binned_is_monotone(spark):
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        isotonic_calibration_binned,
+    )
+
+    rows = sorted(
+        isotonic_calibration_binned(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-9
+    for r in rows:
+        assert 0.0 <= r.iso_rate <= 1.0
+
+
+def test_cuped_preserves_pooled_mean(spark):
+    """CUPED's defining identity: the user-weighted average of the
+    adjusted variant means equals that of the raw means (the
+    adjustment is a zero-sum reallocation of covariate imbalance)."""
+    from hbase_packet_inspector_spark.plans.events_queries import (
+        cuped_adjusted_lift,
+    )
+
+    rows = cuped_adjusted_lift(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 2
+    n = sum(r.n_users for r in rows)
+    raw = sum(r.raw_mean * r.n_users for r in rows) / n
+    adj = sum(r.cuped_mean * r.n_users for r in rows) / n
+    assert abs(raw - adj) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.var_reduction <= 1.0
+
+
+def test_psi_drift_zero_on_identical_cohorts(spark, tmp_path):
+    """Interleaved halves with identical length distributions must
+    yield exactly zero PSI in every bin (p == q after smoothing)."""
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        psi_drift_binned,
+    )
+
+    pd.DataFrame({
+        "doc_id": pd.Series(range(100), dtype="int64"),
+        "source": pd.Series(["s"] * 100, dtype="string"),
+        "text": pd.Series(["w " * 10] * 100, dtype="string"),
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    rows = psi_drift_binned(spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.psi_contrib == 0.0
+        assert r.p_ref == r.p_cur
+
+
+def test_psi_drift_contributions_nonnegative(spark):
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        psi_drift_binned,
+    )
+
+    rows = psi_drift_binned(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.psi_contrib >= 0.0

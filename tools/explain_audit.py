@@ -161,6 +161,22 @@ ALLOWED = {
     # inverted-index lexical ranker; the metric itself is an equi join
     # of two queries-x-5 frames (hybrid_rrf's rationale)
     "retrieval_rbo": {"NESTED-LOOP-JOIN"},
+    # PAV minimax over the CONSTANT 10-bin reliability histogram: the
+    # NLJs are the <=100-row inequality joins of the bin grid with
+    # itself (dimension-bounded by construction), the global window is
+    # the prefix sum over the same constant 10-row frame
+    # (vocab_growth_binned's rationale) — corpus size only enters the
+    # first (bin, label) aggregate
+    "isotonic_calibration_binned": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
+    # CUPED's NLJs are three ONE-ROW broadcast crosses: the epoch
+    # midpoint (min/max), and the global five-moment aggregate joined
+    # onto the 2-row variant frame (source_token_mix's rationale) —
+    # nothing user- or event-sized ever fans out
+    "cuped_adjusted_lift": {"NESTED-LOOP-JOIN"},
+    # PSI's NLJs are the 1-row min/max bin-edge broadcast and the
+    # 1-row cohort-total broadcast (spend_lorenz_binned's rationale);
+    # every other frame is the constant 10-bin grid
+    "psi_drift_binned": {"NESTED-LOOP-JOIN"},
     # three bounded NLJs, none corpus x corpus: (1) the pool scan is
     # cosine_topk's broadcast-ANCHOR pass (that rationale), (2) the
     # pool-pair sims cross the 20-row pool with itself, (3) the two
