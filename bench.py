@@ -322,6 +322,8 @@ HEADLINE = [
     "isotonic_calibration_binned",
     "cuped_adjusted_lift",
     "psi_drift_binned",
+    "km_repurchase_survival",
+    "rank_sum_test",
 ]
 
 

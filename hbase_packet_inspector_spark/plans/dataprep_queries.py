@@ -11152,3 +11152,110 @@ def psi_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("p_cur"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+@register(
+    "rank_sum_test",
+    """
+    WITH s AS (SELECT (doc_id // 25) % 2 AS cohort,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+               FROM documents),
+    pv AS (SELECT v,
+                  CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS b
+           FROM s GROUP BY 1),
+    cw AS (SELECT *,
+                  CAST(coalesce(sum(b) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS bless
+           FROM pv),
+    g AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                 CAST(sum(b) AS BIGINT) AS nb,
+                 sum(CAST(a AS HUGEINT) * bless) AS u2,
+                 sum(CAST(a AS HUGEINT) * b) AS uties,
+                 sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b)
+                     - (a + b)) AS tsum
+          FROM cw)
+    , vv AS (SELECT na, nb,
+                    CAST(2 * u2 + uties AS DOUBLE) / 2 AS u,
+                    CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / 2 AS mu,
+                    (CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / 12)
+                    * ((na + nb + 1)
+                       - CAST(tsum AS DOUBLE)
+                         / (CAST(CAST(na + nb AS HUGEINT)
+                                 * (na + nb - 1) AS DOUBLE))) AS var
+             FROM g)
+    SELECT na AS n_a, nb AS n_b,
+           round(u, 6) AS u_stat,
+           round(CASE WHEN var > 0 THEN (u - mu) / sqrt(var)
+                      ELSE 0.0 END, 6) AS z_score
+    FROM vv
+    """,
+    doc="Mann-Whitney U rank-sum test (Mann & Whitney 1947) between "
+    "the two interleaved corpus cohorts on token count — the "
+    "NONPARAMETRIC two-sample location test that complements "
+    "cuped_adjusted_lift's parametric mean readout and "
+    "psi_drift_binned's distributional divergence: U needs no "
+    "normality assumption, is rank-based so outlier-immune, and its "
+    "tie-corrected normal approximation gives the z the analyst "
+    "thresholds. Restated WITHOUT global ranking: U = sum over "
+    "distinct values v of a_v * B_less(v) + a_v*b_v/2 — one "
+    "per-value histogram (a_v, b_v), a cumulative sum over the "
+    "VALUE-DOMAIN frame (bounded by distinct token counts, "
+    "t_closeness's domain-bounded rationale — never corpus rows), "
+    "and exact integer moments: the tie term sum(t^3 - t) runs in "
+    "HUGEINT/decimal38 (the sf10 overflow lesson), U doubles to "
+    "2U/2 so the half-tie contribution stays integral, and the z is "
+    "assembled from exact-int-derived doubles with one sqrt "
+    "(correctly-rounded IEEE, engine-exact). Scale: one shuffle on "
+    "value (partial+final), one domain-frame window, a 1-row output.",
+    tags=("dataprep", "statistics", "hypothesis-test"),
+)
+def rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        (F.expr("doc_id DIV 25") % 2).alias("cohort"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("v"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint").alias("b"),
+    )
+    wless = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cw = pv.select(
+        "v", "a", "b",
+        F.coalesce(F.sum("b").over(wless), F.lit(0))
+        .cast("bigint").alias("bless"),
+    )
+    t = (F.col("a") + F.col("b")).cast(d38)
+    g = cw.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+        F.sum(F.col("a").cast(d38) * F.col("bless").cast(d38)).alias("u2"),
+        F.sum(F.col("a").cast(d38) * F.col("b").cast(d38)).alias("uties"),
+        F.sum(t * t * t - t).alias("tsum"),
+    )
+    u = (F.lit(2) * F.col("u2") + F.col("uties")).cast("double") / 2
+    mu = (F.col("na").cast(d38) * F.col("nb").cast(d38)).cast("double") / 2
+    nn = F.col("na") + F.col("nb")
+    var = (
+        (F.col("na").cast(d38) * F.col("nb").cast(d38)).cast("double") / 12
+    ) * (
+        (nn + 1).cast("double")
+        - F.col("tsum").cast("double")
+        / (nn.cast(d38) * (nn - 1).cast(d38)).cast("double")
+    )
+    return g.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            F.when(var > 0, (u - mu) / F.sqrt(var)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_score"),
+    )

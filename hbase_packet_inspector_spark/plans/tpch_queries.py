@@ -1715,3 +1715,122 @@ def bootstrap_price_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m32") + F.col("m33")) / 2, 6).alias("boot_median"),
         F.round("hi", 6).alias("boot_hi"),
     )
+
+
+@register(
+    "km_repurchase_survival",
+    """
+    WITH o AS (SELECT o_custkey, o_orderdate,
+                      lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                              o_orderkey) AS nxt
+               FROM orders),
+    mx AS (SELECT max(o_orderdate) AS mend FROM orders),
+    obs AS (SELECT CASE WHEN nxt IS NOT NULL
+                        THEN least(date_diff('day', o_orderdate, nxt)
+                                   // 7, 103)
+                        ELSE least(date_diff('day', o_orderdate, mend)
+                                   // 7, 103) END AS wk,
+                   CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM o, mx),
+    agg AS (SELECT CAST(wk AS INTEGER) AS wk,
+                   CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(sum(1 - ev) AS BIGINT) AS c
+            FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM agg),
+    risk AS (SELECT agg.wk, agg.d, agg.c,
+                    tot.n - CAST(coalesce(
+                        sum(agg.d + agg.c) OVER (ORDER BY agg.wk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+             FROM agg, tot),
+    f AS (SELECT *,
+                 CASE WHEN d < n_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                      END AS lnf,
+                 CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hit0
+          FROM risk),
+    s AS (SELECT wk, n_risk, d, c,
+                 CASE WHEN max(hit0) OVER (ORDER BY wk
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) = 1 THEN 0.0
+                      ELSE exp(sum(lnf) OVER (ORDER BY wk
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)) END AS surv
+          FROM f)
+    SELECT wk, CAST(n_risk AS BIGINT) AS n_risk, d AS d_repurchase,
+           c AS c_censored, round(surv, 6) AS km_survival
+    FROM s
+    """,
+    doc="Kaplan-Meier repurchase-survival curve (Kaplan & Meier 1958) "
+    "— the churn/retention estimator done RIGHT-CENSORED: each "
+    "customer's gap to their next order is an observed repurchase "
+    "event; the open gap from their last order to the corpus end is a "
+    "CENSORED observation (the naive 'average gap' metric silently "
+    "drops these and biases retention optimistic — censoring is the "
+    "entire point of KM). Time is bucketed to weeks capped at 103 "
+    "(the constant-domain discipline), S(t) = prod_(s<=t) "
+    "(1 - d_s/n_s) evaluated as exp of the running sum of "
+    "ln(1 - d/n) with an explicit zero-factor guard (d = n_risk "
+    "collapses survival to exactly 0 thereafter, where ln is "
+    "undefined). d/n is an exact int/int division; ln/exp are rounded "
+    "6 at the boundary (the 1-ulp rule). Plan: the per-customer lead "
+    "window partitions by custkey (customer-parallel), the corpus end "
+    "is a 1-row broadcast, and every KM window runs over the CONSTANT "
+    "<=104-row week frame — survival analysis at 100 TB costs one "
+    "customer-keyed sort plus dimension-sized arithmetic.",
+    tags=("tpch", "survival", "window", "statistics", "binned"),
+)
+def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, = _t(spark, sf_dir, "orders")
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                 "o_orderkey")
+    o = orders.select(
+        "o_custkey", "o_orderdate",
+        F.lead("o_orderdate").over(wl).alias("nxt"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mend"))
+    obs = o.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.least(F.floor(F.datediff("nxt", "o_orderdate") / 7),
+                    F.lit(103)),
+        ).otherwise(
+            F.least(F.floor(F.datediff("mend", "o_orderdate") / 7),
+                    F.lit(103)),
+        ).cast("int").alias("wk"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    agg = obs.groupBy("wk").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = agg.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n"))
+    wprev = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    wcur = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    risk = agg.crossJoin(F.broadcast(tot)).select(
+        "wk", "d", "c",
+        (F.col("n") - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+        ).cast("bigint")).alias("n_risk"),
+    )
+    f = risk.select(
+        "wk", "d", "c", "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).alias("lnf"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("hit0"),
+    )
+    s = f.select(
+        "wk", "n_risk", "d", "c",
+        F.when(F.max("hit0").over(wcur) == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum("lnf").over(wcur))).alias("surv"),
+    )
+    return s.select(
+        "wk",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("d_repurchase"),
+        F.col("c").alias("c_censored"),
+        F.round("surv", 6).alias("km_survival"),
+    )

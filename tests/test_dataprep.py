@@ -1054,3 +1054,98 @@ def test_psi_drift_contributions_nonnegative(spark):
     assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-5
     for r in rows:
         assert r.psi_contrib >= 0.0
+
+
+def test_km_survival_hand_checked(spark, tmp_path):
+    """4 customers, corpus ending day 15: C's 1-day gap (wk 0, with
+    D's same-day censor) drops S to 5/6; A's 7-day gap (wk 1, with 2
+    censored exits the same week) drops S to 5/6 * 3/4; B's lone
+    censored observation at wk 2 leaves S flat — pins at-risk
+    bookkeeping, censoring, and the product form."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        km_repurchase_survival,
+    )
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = [
+        (1, 100, d(1)), (2, 100, d(8)),     # A: gap 7d -> wk 1 event
+        (3, 200, d(1)),                     # B: censored 14d -> wk 2
+        (4, 300, d(1)), (5, 300, d(2)),     # C: gap 1d -> wk 0 event
+        (6, 400, d(15)),                    # closes corpus at day 15
+    ]
+    pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                "o_orderdate"]).astype(
+        {"o_orderkey": "int64", "o_custkey": "int64",
+         "o_orderdate": "datetime64[us]"}
+    ).to_parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r.wk: r for r in
+           km_repurchase_survival(spark, str(tmp_path)).collect()}
+    # wk 0: D's same-day censor (d15->d15) joins C's event: n=6
+    assert out[0].n_risk == 6
+    assert out[0].d_repurchase == 1 and out[0].c_censored == 1
+    assert abs(out[0].km_survival - (1 - 1 / 6)) < 1e-6
+    assert out[1].n_risk == 4
+    assert out[1].d_repurchase == 1 and out[1].c_censored == 2
+    assert abs(out[1].km_survival - (1 - 1 / 6) * (1 - 1 / 4)) < 1e-6
+    assert out[2].n_risk == 1 and out[2].d_repurchase == 0
+    assert abs(out[2].km_survival - out[1].km_survival) < 1e-6
+
+
+def test_km_survival_monotone_on_real_data(spark):
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        km_repurchase_survival,
+    )
+
+    rows = sorted(
+        km_repurchase_survival(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.wk,
+    )
+    assert rows
+    assert all(0.0 <= r.km_survival <= 1.0 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.km_survival <= a.km_survival + 1e-9
+    # at-risk counts strictly decrease over weeks
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk < a.n_risk
+
+
+def test_rank_sum_separated_and_identical_cohorts(spark, tmp_path):
+    """Fully separated cohorts give U = 0 and a large negative z;
+    identical per-cohort distributions give U exactly na*nb/2 and
+    z = 0 — the two ends of the test's range, hand-derivable."""
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        rank_sum_test,
+    )
+
+    # separated: cohort 0 (ids 0-24, 50-74) len 2, cohort 1 len 10
+    n = 100
+    txt = ["w" if (i // 25) % 2 == 0 else "w " * 10 for i in range(n)]
+    pd.DataFrame({
+        "doc_id": pd.Series(range(n), dtype="int64"),
+        "source": pd.Series(["s"] * n, dtype="string"),
+        "text": pd.Series(txt, dtype="string"),
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    r = rank_sum_test(spark, str(tmp_path)).collect()[0]
+    assert r.n_a == 50 and r.n_b == 50
+    assert r.u_stat == 0.0
+    assert r.z_score < -5
+
+    # identical: length keyed on (doc_id % 25) % 2, same in each block
+    txt2 = ["w" if (i % 25) % 2 == 0 else "w " * 10 for i in range(n)]
+    pd.DataFrame({
+        "doc_id": pd.Series(range(n), dtype="int64"),
+        "source": pd.Series(["s"] * n, dtype="string"),
+        "text": pd.Series(txt2, dtype="string"),
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    r2 = rank_sum_test(spark, str(tmp_path)).collect()[0]
+    assert abs(r2.u_stat - 50 * 50 / 2) < 1e-9
+    assert r2.z_score == 0.0

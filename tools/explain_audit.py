@@ -173,6 +173,17 @@ ALLOWED = {
     # onto the 2-row variant frame (source_token_mix's rationale) —
     # nothing user- or event-sized ever fans out
     "cuped_adjusted_lift": {"NESTED-LOOP-JOIN"},
+    # Kaplan-Meier: the NLJ is the 1-row corpus-end broadcast; the
+    # global windows (at-risk countdown, running log-sum, zero-factor
+    # flag) all run over the CONSTANT <=104-row week frame — the
+    # per-customer lead window partitions by custkey and is not
+    # flagged
+    "km_repurchase_survival": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
+    # Mann-Whitney's cumulative B-count window is ordered over the
+    # VALUE-DOMAIN frame (distinct token counts — bounded by max doc
+    # length, t_closeness's domain-bounded rationale), never corpus
+    # rows
+    "rank_sum_test": {"GLOBAL-WINDOW"},
     # PSI's NLJs are the 1-row min/max bin-edge broadcast and the
     # 1-row cohort-total broadcast (spend_lorenz_binned's rationale);
     # every other frame is the constant 10-bin grid
