@@ -324,6 +324,10 @@ HEADLINE = [
     "psi_drift_binned",
     "km_repurchase_survival",
     "rank_sum_test",
+    "theil_decomposition",
+    "benford_digit_audit",
+    "median_of_means",
+    "chisq_independence",
 ]
 
 

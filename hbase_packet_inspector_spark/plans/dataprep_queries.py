@@ -11259,3 +11259,78 @@ def rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "chisq_independence",
+    """
+    WITH s AS (SELECT source,
+                      least(CAST(length(text) // 500 AS INTEGER), 9)
+                        AS len_bucket
+               FROM documents),
+    o AS (SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS obs
+          FROM s GROUP BY 1, 2),
+    r AS (SELECT source, CAST(sum(obs) AS BIGINT) AS rn FROM o GROUP BY 1),
+    c AS (SELECT len_bucket, CAST(sum(obs) AS BIGINT) AS cn
+          FROM o GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    grid AS (SELECT r.source, c.len_bucket, r.rn, c.cn, tot.n
+             FROM r CROSS JOIN c CROSS JOIN tot),
+    j AS (SELECT grid.source, grid.len_bucket,
+                 CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+                 CAST(CAST(grid.rn AS HUGEINT) * grid.cn AS DOUBLE)
+                   / grid.n AS exp
+          FROM grid LEFT JOIN o USING (source, len_bucket))
+    SELECT source, len_bucket, obs,
+           round(exp, 6) AS expected,
+           round((obs - exp) * (obs - exp) / exp, 6) AS chi2_contrib
+    FROM j
+    """,
+    doc="Chi-square test of independence (Pearson 1900) on the source "
+    "x length-bucket contingency table — 'does document length depend "
+    "on source?', the categorical-association audit that rounds out "
+    "the hypothesis-test family (rank_sum_test: two-sample location; "
+    "psi_drift_binned: two-sample divergence; benford_digit_audit: "
+    "fixed-reference fit; this: R x C independence). The full grid is "
+    "MATERIALIZED from the row/column marginals (zero cells must "
+    "contribute their expected mass — inferring the grid from "
+    "observed rows understates chi2), expected counts are "
+    "HUGEINT/decimal38 marginal products over one double division "
+    "(the sf10 overflow lesson), and per-cell contributions round 6; "
+    "sum vs chi-square((R-1)(C-1)) is the consumer's fold. Plan: one "
+    "(source, bucket) histogram shuffle; marginals re-aggregate the "
+    "histogram; the grid is dimension-bounded (sources x 10).",
+    tags=("dataprep", "statistics", "hypothesis-test"),
+)
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "source",
+        F.least((F.length("text") / F.lit(500)).cast("int"), F.lit(9))
+        .alias("len_bucket"),
+    )
+    o = s.groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs"))
+    r = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("rn"))
+    c = o.groupBy("len_bucket").agg(F.sum("obs").cast("bigint").alias("cn"))
+    tot = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tot))
+    )
+    j = (
+        grid.join(F.broadcast(o), ["source", "len_bucket"], "left")
+        .select(
+            "source", "len_bucket",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+            ((F.col("rn").cast(d38) * F.col("cn").cast(d38)).cast("double")
+             / F.col("n")).alias("exp"),
+        )
+    )
+    dev = F.col("obs") - F.col("exp")
+    return j.select(
+        "source", "len_bucket", "obs",
+        F.round("exp", 6).alias("expected"),
+        F.round(dev * dev / F.col("exp"), 6).alias("chi2_contrib"),
+    )

@@ -1631,3 +1631,94 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("varxn") * F.col("varyn")), 6
         ).alias("var_reduction"),
     )
+
+
+def _hex6_ev(expr: str) -> str:
+    """DuckDB twin of F.conv(substring(md5(x), 1, 6), 16, 10)."""
+    return (
+        "("
+        + " + ".join(
+            f"instr('123456789abcdef', substr({expr}, {i + 1}, 1))"
+            f" * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + ")"
+    )
+
+
+@register(
+    "median_of_means",
+    f"""
+    WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+                      {_hex6_ev("md5('mom:' || CAST(event_id AS VARCHAR))")}
+                        % 32 AS bkt
+               FROM events),
+    b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(vc) AS BIGINT) AS sb,
+                 CAST(sum(vc) AS DOUBLE) / count(*) AS m
+          FROM e GROUP BY 1),
+    r AS (SELECT *, row_number() OVER (ORDER BY m, bkt) AS rk,
+                 count(*) OVER () AS nbkt
+          FROM b),
+    mom AS (SELECT avg(m) AS mom_c
+            FROM r WHERE rk IN ((nbkt + 1) // 2, (nbkt + 2) // 2)),
+    raw AS (SELECT CAST(sum(vc) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e)
+    SELECT raw.n AS n_events,
+           CAST(32 AS INTEGER) AS n_buckets,
+           round(CAST(raw.s AS DOUBLE) / (raw.n * 100), 6) AS raw_mean,
+           round(mom.mom_c / 100, 6) AS mom_mean
+    FROM raw, mom
+    """,
+    doc="Median-of-means robust mean estimator (Nemirovsky & Yudin "
+    "1983; the sub-Gaussian mean estimator under heavy tails): events "
+    "land in 32 DETERMINISTIC salted-md5 buckets (the no-RNG "
+    "discipline — membership recomputable from the row), each "
+    "bucket's mean is an exact integer-cents sum over one division, "
+    "and the released estimate is the MEDIAN of the 32 bucket means — "
+    "a handful of corrupted or heavy-tailed readings can drag the "
+    "raw mean arbitrarily but shift at most a few bucket means, "
+    "leaving the median bounded. Complements bootstrap_price_ci "
+    "(same sufficient-statistic shape; CI vs robust point estimate). "
+    "The median is an ORDER STATISTIC of 32 identical-on-any-engine "
+    "doubles (rank via row_number over the constant 32-row frame, "
+    "even-count midpoint averaged) — no float accumulation crosses "
+    "engines. Plan: one partial+final groupBy on the hash bucket "
+    "(shuffle carries 32 partial rows per task), one 32-row window.",
+    tags=("events", "statistics", "robust"),
+)
+def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        _cents(F.col("value")).alias("vc"),
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mom:"),
+                               F.col("event_id").cast("string"))), 1, 6),
+            16, 10,
+        ).cast("long") % 32).alias("bkt"),
+    )
+    b = e.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("vc").cast("bigint").alias("sb"),
+        (F.sum("vc").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    w = Window.orderBy("m", "bkt")
+    r = b.select(
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nbkt"),
+    )
+    mom = r.where(
+        (F.col("rk") == F.expr("(nbkt + 1) DIV 2"))
+        | (F.col("rk") == F.expr("(nbkt + 2) DIV 2"))
+    ).agg(F.avg("m").alias("mom_c"))
+    raw = e.agg(F.sum("vc").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"))
+    return raw.crossJoin(F.broadcast(mom)).select(
+        F.col("n").alias("n_events"),
+        F.lit(32).cast("int").alias("n_buckets"),
+        F.round(F.col("s").cast("double") / (F.col("n") * 100), 6)
+        .alias("raw_mean"),
+        F.round(F.col("mom_c") / 100, 6).alias("mom_mean"),
+    )

@@ -1834,3 +1834,187 @@ def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("c_censored"),
         F.round("surv", 6).alias("km_survival"),
     )
+
+
+@register(
+    "theil_decomposition",
+    """
+    WITH cs AS (SELECT c.c_custkey, n.n_name,
+                       CAST(sum(CAST(round(o.o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS xc
+                FROM customer c
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2),
+    g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(xc) AS BIGINT) AS sg
+          FROM cs GROUP BY 1),
+    tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(sum(sg) AS BIGINT) AS s
+            FROM g),
+    tw AS (SELECT cs.n_name,
+                  sum((CAST(cs.xc AS DOUBLE) / g.sg)
+                      * ln(CAST(cs.xc AS DOUBLE) * g.ng / g.sg))
+                    AS twsum
+           FROM cs JOIN g USING (n_name)
+           WHERE cs.xc > 0
+           GROUP BY 1)
+    SELECT g.n_name, g.ng AS n_customers,
+           round(CAST(g.sg AS DOUBLE) / (g.ng * 100), 6) AS mean_spend,
+           round(CAST(g.sg AS DOUBLE) / tot.s, 6) AS spend_share,
+           round((CAST(g.sg AS DOUBLE) / tot.s) * tw.twsum, 6)
+             AS theil_within,
+           round((CAST(g.sg AS DOUBLE) / tot.s)
+                 * ln((CAST(g.sg AS DOUBLE) / g.ng)
+                      / (CAST(tot.s AS DOUBLE) / tot.n)), 6)
+             AS between_term
+    FROM g JOIN tw USING (n_name) CROSS JOIN tot
+    """,
+    doc="Theil-T inequality decomposition (Theil 1967) of customer "
+    "spend across nations — the inequality index the Lorenz/HHI "
+    "family lacks: Theil is exactly ADDITIVELY DECOMPOSABLE, "
+    "T = sum_g share_g * T_g + sum_g share_g * ln(mu_g/mu), so each "
+    "nation reports its spend-share-weighted WITHIN-group inequality "
+    "and its BETWEEN-group term, and the two columns sum to the "
+    "corpus Theil (the identity a test pins) — 'is spend inequality "
+    "driven inside markets or between them', the question "
+    "spend_lorenz_binned's single curve can't answer. Per-group "
+    "sums-of-x-ln-x are the one float accumulation in the registry's "
+    "statistics family: ln values are irrational (never on a "
+    "round-6 boundary), terms are O(1), and groups are "
+    "customer-sized, so partition-order drift is ~1e-13 against a "
+    "5e-7 rounding quantum — documented, not accidental. Everything "
+    "else is exact integer cents. Plan: one fact shuffle to customer "
+    "spend, one to nation aggregates; nation frames join the 1-row "
+    "corpus total broadcast (source_token_mix's rationale).",
+    tags=("tpch", "statistics", "inequality"),
+)
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, orders = _t(spark, sf_dir, "customer", "nation",
+                                  "orders")
+    cs = (
+        customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("xc"))
+    )
+    g = cs.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("xc").cast("bigint").alias("sg"),
+    )
+    tot = g.agg(F.sum("ng").cast("bigint").alias("n"),
+                F.sum("sg").cast("bigint").alias("s"))
+    tw = (
+        cs.join(g.select("n_name", "ng", "sg"), "n_name")
+        .where(F.col("xc") > 0)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("xc").cast("double") / F.col("sg"))
+                * F.log(F.col("xc").cast("double") * F.col("ng")
+                        / F.col("sg"))
+            ).alias("twsum")
+        )
+    )
+    return (
+        g.join(tw, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("ng").alias("n_customers"),
+            F.round(F.col("sg").cast("double") / (F.col("ng") * 100), 6)
+            .alias("mean_spend"),
+            F.round(F.col("sg").cast("double") / F.col("s"), 6)
+            .alias("spend_share"),
+            F.round(
+                (F.col("sg").cast("double") / F.col("s")) * F.col("twsum"),
+                6,
+            ).alias("theil_within"),
+            F.round(
+                (F.col("sg").cast("double") / F.col("s"))
+                * F.log(
+                    (F.col("sg").cast("double") / F.col("ng"))
+                    / (F.col("s").cast("double") / F.col("n"))
+                ), 6
+            ).alias("between_term"),
+        )
+    )
+
+
+@register(
+    "benford_digit_audit",
+    """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                           AS INTEGER) AS digit
+               FROM orders
+               WHERE o_totalprice > 0),
+    o AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+          FROM d GROUP BY 1),
+    dig AS (SELECT unnest(range(1, 10)) AS digit),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o),
+    j AS (SELECT dig.digit,
+                 CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+                 tot.n,
+                 log10(1.0 + 1.0 / dig.digit) AS p
+          FROM dig LEFT JOIN o USING (digit) CROSS JOIN tot)
+    SELECT digit, observed,
+           round(n * p, 6) AS expected,
+           round(CAST(observed AS DOUBLE) / n, 6) AS obs_share,
+           round(p, 6) AS benford_share,
+           round((observed - n * p) * (observed - n * p) / (n * p), 6)
+             AS chi2_contrib
+    FROM j
+    """,
+    doc="Benford first-digit audit (Newcomb 1881 / Benford 1938; the "
+    "standard forensic-accounting screen): leading digits of "
+    "naturally-grown monetary amounts follow log10(1+1/d), and a "
+    "fabricated or truncated feed shows up as per-digit chi-square "
+    "excess — run on order totals as the data-QUALITY gate a pipeline "
+    "applies to financial fact feeds (complements psi_drift_binned's "
+    "two-sample drift: this tests against a fixed REFERENCE law, no "
+    "second cohort needed). The digit grid is materialized (all nine "
+    "digits report even at zero observations); the leading digit "
+    "comes from the exact integer-cents string, never float "
+    "formatting; expected shares are one log10 per digit (1-ulp "
+    "rule -> round 6). Sum of chi2_contrib vs the chi-square(8) "
+    "critical value is the consumer's one fold. Plan: one partial+ "
+    "final digit histogram + a 1-row total broadcast onto the "
+    "constant 9-row frame.",
+    tags=("tpch", "statistics", "audit"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, = _t(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(_cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").alias("digit")
+    )
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("observed"))
+    dig = (
+        orders.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+    )
+    tot = o.agg(F.sum("observed").cast("bigint").alias("n"))
+    j = (
+        dig.join(F.broadcast(o), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint")
+            .alias("observed"),
+            "n",
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")).alias("p"),
+        )
+    )
+    dev = F.col("observed") - F.col("n") * F.col("p")
+    return j.select(
+        "digit", "observed",
+        F.round(F.col("n") * F.col("p"), 6).alias("expected"),
+        F.round(F.col("observed").cast("double") / F.col("n"), 6)
+        .alias("obs_share"),
+        F.round("p", 6).alias("benford_share"),
+        F.round(dev * dev / (F.col("n") * F.col("p")), 6)
+        .alias("chi2_contrib"),
+    )

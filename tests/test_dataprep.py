@@ -1149,3 +1149,106 @@ def test_rank_sum_separated_and_identical_cohorts(spark, tmp_path):
     r2 = rank_sum_test(spark, str(tmp_path)).collect()[0]
     assert abs(r2.u_stat - 50 * 50 / 2) < 1e-9
     assert r2.z_score == 0.0
+
+
+def test_theil_decomposition_identity(spark):
+    """Theil's defining property: sum(share-weighted within) +
+    sum(between terms) equals the corpus Theil computed directly from
+    per-customer spend."""
+    import math
+
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        theil_decomposition,
+    )
+    from hbase_packet_inspector_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = theil_decomposition(spark, sf).collect()
+    assert rows
+    decomposed = sum(r.theil_within for r in rows) + sum(
+        r.between_term for r in rows)
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("x"))
+        .collect()
+    )
+    xs = [r.x for r in per if r.x > 0]
+    mu = sum(xs) / len(xs)
+    direct = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    assert abs(decomposed - direct) < 1e-3
+
+
+def test_benford_digit_audit_structure(spark):
+    from hbase_packet_inspector_spark.plans.tpch_queries import (
+        benford_digit_audit,
+    )
+
+    rows = benford_digit_audit(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 9
+    assert {r.digit for r in rows} == set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.chi2_contrib >= 0.0
+        assert r.expected > 0.0
+
+
+def test_median_of_means_resists_outlier(spark, tmp_path):
+    """One 10^6 outlier among 3200 unit values drags the raw mean
+    >100x but lands in a single hash bucket, leaving the median of
+    32 bucket means at ~1 — the estimator's defining robustness."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.events_queries import (
+        median_of_means,
+    )
+
+    n = 3200
+    vals = [1.0] * n + [1_000_000.0]
+    t0 = dt.datetime(2024, 1, 1)
+    pd.DataFrame({
+        "event_id": pd.Series(range(n + 1), dtype="int64"),
+        "ts": pd.Series([t0] * (n + 1), dtype="datetime64[us]"),
+        "user_id": pd.Series([1] * (n + 1), dtype="int64"),
+        "event_type": pd.Series(["view"] * (n + 1), dtype="string"),
+        "value": pd.Series(vals, dtype="float64"),
+        "props": pd.Series(["{}"] * (n + 1), dtype="string"),
+    }).to_parquet(f"{tmp_path}/events.parquet")
+
+    r = median_of_means(spark, str(tmp_path)).collect()[0]
+    assert r.n_events == n + 1
+    assert r.raw_mean > 100
+    assert r.mom_mean < 2.0
+
+
+def test_chisq_independence_zero_when_independent(spark, tmp_path):
+    """A perfectly independent 2x2 contingency (equal counts in every
+    cell) must yield exactly zero chi2 in every cell."""
+    import pandas as pd
+
+    from hbase_packet_inspector_spark.plans.dataprep_queries import (
+        chisq_independence,
+    )
+
+    rows = []
+    for i in range(100):
+        src = "a" if i % 2 == 0 else "b"
+        text = "x" * 100 if i % 4 < 2 else "x" * 600
+        rows.append((i, src, text))
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).astype(
+        {"doc_id": "int64", "source": "string", "text": "string"}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    out = chisq_independence(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.obs == 25
+        assert r.expected == 25.0
+        assert r.chi2_contrib == 0.0

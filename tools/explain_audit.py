@@ -173,6 +173,20 @@ ALLOWED = {
     # onto the 2-row variant frame (source_token_mix's rationale) —
     # nothing user- or event-sized ever fans out
     "cuped_adjusted_lift": {"NESTED-LOOP-JOIN"},
+    # r12 statistics family — every NLJ below is a 1-row or
+    # dimension-bounded broadcast cross (source_token_mix's
+    # rationale), never a data-sized fan-out:
+    # Theil: the 1-row corpus (N, S) total onto the nation frame
+    "theil_decomposition": {"NESTED-LOOP-JOIN"},
+    # Benford: the 1-row observed-total onto the constant 9-digit grid
+    "benford_digit_audit": {"NESTED-LOOP-JOIN"},
+    # median-of-means: the window ranks the CONSTANT 32-bucket frame;
+    # the NLJ crosses the 1-row raw aggregate with the 1-row median
+    "median_of_means": {"NESTED-LOOP-JOIN", "GLOBAL-WINDOW"},
+    # chi-square: the R x C marginal grid is a broadcast cross of two
+    # dimension frames (t_closeness's value-domain rationale) plus the
+    # 1-row total
+    "chisq_independence": {"NESTED-LOOP-JOIN"},
     # Kaplan-Meier: the NLJ is the 1-row corpus-end broadcast; the
     # global windows (at-risk countdown, running log-sum, zero-factor
     # flag) all run over the CONSTANT <=104-row week frame — the
