@@ -17,13 +17,30 @@ except ImportError:
 # Rotation order for the driver's ~50-slot correctness check: queries
 # never hash-verified first, then ascending by the round of each query's
 # LATEST green hash row (oldest-green-first). Worst-case freshness is
-# ceil(len(registry) / 50) rounds (at 253 queries: 6 rounds between a
+# ceil(len(registry) / 50) rounds (at 270 queries: 6 rounds between a
 # query's driver re-verifications), so the full-registry parity sweep
 # (tools/check_parity.py) stays the per-round gate. Regenerate with
 # `python tools/refresh_unverified.py --write` after each round's
 # CORRECTNESS_r{N}.json lands; new queries register with no green row
 # and land at the front automatically.
 _UNVERIFIED_FIRST = (
+    "session_concurrency",  # latest green r0
+    "cuped_adjusted_lift",  # latest green r0
+    "median_of_means",  # latest green r0
+    "pareto_frontier",  # latest green r0
+    "supplier_ship_intervals",  # latest green r0
+    "bootstrap_price_ci",  # latest green r0
+    "km_repurchase_survival",  # latest green r0
+    "theil_decomposition",  # latest green r0
+    "benford_digit_audit",  # latest green r0
+    "weighted_sample_tokens",  # latest green r0
+    "dp_noisy_counts",  # latest green r0
+    "quantile_normalize_binned",  # latest green r0
+    "retrieval_rbo",  # latest green r0
+    "isotonic_calibration_binned",  # latest green r0
+    "psi_drift_binned",  # latest green r0
+    "rank_sum_test",  # latest green r0
+    "chisq_independence",  # latest green r0
     "warc_source_stats",  # latest green r6
     "warc_crawl_curation",  # latest green r6
     "warc_media_extract",  # latest green r6
