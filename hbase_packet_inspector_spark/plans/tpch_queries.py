@@ -1585,9 +1585,13 @@ def supplier_ship_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic Poisson(1) draw from a 24-bit md5 hash: integer
-# thresholds floor(CDF * 2^24) so both engines compare the same ints.
-_POIS_T = (6171992, 12343985, 15429982, 16458647, 16715813)
+# Deterministic Poisson(1) draw from a 12-bit md5 slice: integer
+# thresholds floor(CDF * 2^12) so both engines compare the same ints.
+# 12 bits keeps the ladder within 1/4096 of the true CDF (bootstrap
+# weights don't need more) and lets ONE md5 feed ten draws (32 hex
+# chars -> 10 x 3-char slices), so 64 replicates cost 7 md5s per row
+# instead of 64 — the hash was >80% of the exploded stage's CPU.
+_POIS_T = (1506, 3013, 3767, 4018, 4081)
 
 
 def _pois_case_sql(c: str) -> str:
@@ -1600,15 +1604,15 @@ def _pois_case_sql(c: str) -> str:
     )
 
 
-def _hex6_int_sql(expr: str) -> str:
-    """DuckDB: first 6 md5 hex chars -> int (instr('123..f', ch) decodes
-    one hex digit; '0' returns 0)."""
+def _hex3_int_sql(expr: str) -> str:
+    """DuckDB: a 3-hex-char slice -> 12-bit int (instr('123..f', ch)
+    decodes one hex digit; '0' returns 0)."""
     return (
         "("
         + " + ".join(
             f"instr('123456789abcdef', substr({expr}, {i + 1}, 1))"
-            f" * {16 ** (5 - i)}"
-            for i in range(6)
+            f" * {16 ** (2 - i)}"
+            for i in range(3)
         )
         + ")"
     )
@@ -1617,13 +1621,18 @@ def _hex6_int_sql(expr: str) -> str:
 @register(
     "bootstrap_price_ci",
     f"""
-    WITH b AS (SELECT unnest(range(1, 65)) AS rep),
-    d AS (SELECT o_orderpriority, rep,
+    WITH b AS (SELECT unnest(range(0, 64)) AS idx),
+    h AS (SELECT o_orderpriority,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
-                 {_pois_case_sql(_hex6_int_sql(
-                     "md5('boot:' || CAST(rep AS VARCHAR) || ':' "
-                     "|| CAST(o_orderkey AS VARCHAR))"))} AS w
-          FROM orders CROSS JOIN b),
+                 [{", ".join(
+                     f"md5('boot{j}:' || CAST(o_orderkey AS VARCHAR))"
+                     for j in range(7))}] AS hs
+          FROM orders),
+    d AS (SELECT o_orderpriority, idx + 1 AS rep, pc,
+                 {_pois_case_sql(_hex3_int_sql(
+                     "substr(hs[idx // 10 + 1], "
+                     "(idx % 10) * 3 + 1, 3)"))} AS w
+          FROM h CROSS JOIN b),
     m AS (SELECT o_orderpriority, rep,
                  CAST(sum(w * pc) AS DOUBLE)
                    / (CAST(sum(w) AS DOUBLE) * 100) AS mean_price
@@ -1654,9 +1663,13 @@ def _hex6_int_sql(expr: str) -> str:
     "instead of resampling n rows WITH replacement (which needs global "
     "coordination), each row enters replicate b with multiplicity ~ "
     "Poisson(1) — drawn DETERMINISTICALLY from integer thresholds "
-    "floor(CDF*2^24) over a salted 24-bit md5 of (rep, orderkey), the "
-    "engine-portable no-RNG discipline. B=64 replicates explode "
-    "map-side and collapse in the SAME stage's partial aggregate "
+    "floor(CDF*2^12) over salted md5 bits of (rep, orderkey), the "
+    "engine-portable no-RNG discipline; SEVEN md5s per row each feed "
+    "ten 12-bit slices (the r12 rewrite — per-(row,rep) md5 was >80% "
+    "of the exploded stage's CPU at 9.6M draws; 1/4096 CDF "
+    "granularity is far inside bootstrap noise). B=64 replicates "
+    "explode map-side and collapse in the SAME stage's partial "
+    "aggregate "
     "(weighted sums in exact integer cents), so the shuffle carries "
     "only priorities x 64 partial rows — replication is never "
     "materialized across the wire. CI bounds are ORDER STATISTICS of "
@@ -1671,25 +1684,37 @@ def _hex6_int_sql(expr: str) -> str:
 )
 def bootstrap_price_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, = _t(spark, sf_dir, "orders")
-    c = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("boot:"), F.col("rep").cast("string"),
-                           F.lit(":"), F.col("o_orderkey").cast("string"))),
-            1, 6),
-        16, 10,
-    ).cast("long")
-    w = (
-        F.when(c < _POIS_T[0], 0).when(c < _POIS_T[1], 1)
-        .when(c < _POIS_T[2], 2).when(c < _POIS_T[3], 3)
-        .when(c < _POIS_T[4], 4).otherwise(5)
+    # The 7 md5s MUST enter as the transform's input array so the
+    # lambda variable h binds the materialized hash: naming the array
+    # in a prior select gets projection-collapsed into the lambda
+    # body, recomputing every md5 per draw (measured 33x slower).
+    md5s = ",".join(
+        f"md5(concat('boot{j}:', cast(o_orderkey as string)))"
+        for j in range(7)
     )
+    ladder = "+".join(f"cast(c>={t} as int)" for t in _POIS_T)
+    ws = F.expr(f"""
+      slice(
+        transform(
+          flatten(transform(
+            array({md5s}),
+            h -> transform(sequence(0, 9),
+                           k -> cast(conv(substr(h, k*3+1, 3), 16, 10)
+                                     as int)))),
+          c -> {ladder}),
+        1, 64)
+    """)
     d = (
         orders.select(
-            "o_orderpriority", "o_orderkey",
+            "o_orderpriority",
             _cents(F.col("o_totalprice")).alias("pc"),
+            ws.alias("ws"),
         )
-        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(64))))
-        .withColumn("w", w)
+        .select(
+            "o_orderpriority", "pc",
+            F.posexplode("ws").alias("idx", "w"),
+        )
+        .withColumn("rep", F.col("idx") + 1)
         .where(F.col("w") > 0)
     )
     m = d.groupBy("o_orderpriority", "rep").agg(
