@@ -905,15 +905,19 @@ def dedup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
     # each round's join re-derives the (expensive) upstream pair pipeline,
     # and the lineage tree grows multiplicatively with iterations — the
     # classic iterative-dataflow trap
-    edges, labels = _cluster_graph(pairs)
-    for i in range(iterations):
-        labels = _propagate_round(edges, labels)
-        if i % 2 == 1:
-            # materialize every second round: cuts the doubling lineage
-            # (labels feeds both the neighbor join and the carry-through)
-            # while keeping job-scheduling barriers to a minimum
-            labels = labels.persist()
-            labels.count()
+    from .web import _lazy_rounds
+
+    edges, labels, nparts = _cluster_graph(pairs)
+    # lazy-localCheckpoint every round (r12 job-collapse, the
+    # _lazy_rounds discipline): each round's frame truncates to a flat
+    # LogicalRDD (no doubling lineage — labels feeds both the neighbor
+    # join and the carry-through) and is shared inside the caller's
+    # single materializing job; the former per-2-rounds persist+count()
+    # barrier cost two synchronous jobs per call for no extra dedup
+    with _lazy_rounds(pairs, nparts=nparts):
+        for i in range(iterations):
+            labels = _propagate_round(edges, labels).localCheckpoint(
+                eager=False)
     return _cluster_output(labels)
 
 
@@ -979,7 +983,7 @@ def _cluster_graph(pairs: DataFrame):
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    return edges, labels
+    return edges, labels, nparts
 
 
 def _propagate_round(edges: DataFrame, labels: DataFrame,
@@ -1036,7 +1040,7 @@ def dedup_clusters_fixpoint(pairs: DataFrame, max_rounds: int = 64) -> DataFrame
     Oracle-checkable: the result equals DuckDB's ``WITH RECURSIVE``
     transitive min-label closure on the same edges.
     """
-    edges, labels = _cluster_graph(pairs)
+    edges, labels, _nparts = _cluster_graph(pairs)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         nxt = _propagate_round(edges, labels, with_changed=True).localCheckpoint(

@@ -18,8 +18,71 @@ SQL out); URL curation is part of this repo's LLM-data-pipeline surface.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _lazy_rounds(df: DataFrame, nparts: int | None = None):
+    """Context for building ITERATIVE-loop round frames without running
+    any job until the caller's single eager materialization (r12
+    job-collapse).
+
+    Inside the context, cut each round with ``localCheckpoint(
+    eager=False)``: the round's plan truncates to a flat LogicalRDD leaf
+    (no nested-lineage blowup, no Catalyst re-entry) and the RDD is
+    marked persisted, so the two references every round makes to its
+    predecessor (value + carry/aggregate) share one computation inside
+    the final job. The caller's single eager localCheckpoint then
+    computes all rounds as stages of ONE job. For the cut to be
+    JOB-FREE at construction, two session confs flip while rounds are
+    built (restored after):
+
+    - AQE off — under AQE, materializing ``Dataset.rdd`` eagerly
+      executes every shuffle stage to re-plan: one synchronous job per
+      round, exactly the barrier this collapses (the eager-per-round
+      form measured ~0.4-0.6 s/round of scheduler+tiny-shuffle latency
+      on host-cardinality frames).
+    - auto-broadcast off — a ``BroadcastExchange`` anywhere in a
+      round's plan submits its collect job from ``doPrepare`` at RDD
+      CONSTRUCTION (measured: 31 jobs for a 5-iteration HITS build,
+      the barrier back under another name). Round joins instead plan
+      as sort-merge/cartesian — the correct strategy for
+      node-cardinality frames at scale anyway; the 1-row aggregates
+      these loops cross-join stay tiny on any plan.
+
+    ``nparts`` (optional) additionally pins the rounds' shuffle
+    partitioning, derived by callers from the MEASURED node/edge count
+    (~100k rows per partition), never a local constant: round frames
+    are node-cardinality, orders of magnitude under the corpus the
+    session default is sized for, and without AQE coalescing a default-
+    sized round pays width-of-session empty tasks per stage. AQE is
+    restored before the final materialization and still optimizes the
+    outer query.
+    """
+    spark = df.sparkSession
+
+    def _get(key: str, default: str) -> str:
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return default
+
+    old_aqe = _get("spark.sql.adaptive.enabled", "true")
+    old_bc = _get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    old_parts = _get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    if nparts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, nparts)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 # query parameters that never identify content (analytics campaign tags).
 # Deliberately ONLY the unambiguous analytics params: 'ref' is excluded
@@ -881,10 +944,13 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     the node-sized rank frame onto the edges plus a groupBy(dst) sum —
     partial+final combines, no windows — and a 1-row dangling-mass
     aggregate cross-joined back (broadcast nested loop on a literal
-    row, the sanctioned 1-row shape). Rank frames are localCheckpointed
-    per round so the loop plan stays flat instead of re-entering
-    Catalyst with iters nested joins (the dedup_clusters_converged
-    discipline). Node/rank frames are host-cardinality — millions of
+    row, the sanctioned 1-row shape). Rank frames are lazily
+    persist()ed per round (r12 job-collapse): the cache dedups the
+    double reference and keeps the executed plan flat via CacheManager
+    substitution, while the one eager localCheckpoint on the output
+    materializes every round in a single job instead of iters+2
+    (the dedup_clusters_converged flat-plan discipline, minus the
+    per-round barrier). Node/rank frames are host-cardinality — millions of
     rows at 100 TB, never collected; the single driver scalar is N.
 
     Output: (host, pagerank, out_links) — rank rounded to 6,
@@ -915,7 +981,10 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         )
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
     )
-    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # ow is read every round (the dangling anti-join's out_hosts side)
+    # and once more in the final join: persist it, or each round's job
+    # re-aggregates the raw edge frame from scratch
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow")).persist()
     e2 = e.join(ow, "src").persist()
     nodes = (
         e2.select(F.col("src").alias("host"))
@@ -925,6 +994,7 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     n = nodes.count()  # the one driver scalar: node count for 1/N terms
     if n == 0:
         e2.unpersist()
+        ow.unpersist()
         nodes.unpersist()
         return nodes.select(
             "host", F.lit(0.0).alias("pagerank"),
@@ -932,35 +1002,42 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         )
     ranks = nodes.select(
         "host", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
-    ).localCheckpoint()
+    )
     out_hosts = ow.select(F.col("src").alias("host"))
+    # rank frames are cut with lazy localCheckpoints inside
+    # _lazy_rounds (r12 job-collapse; see host_components): flat plans,
+    # each round's two references (dangling anti-join + contrib join)
+    # share one computation, and the single eager localCheckpoint on
+    # the output materializes all rounds as stages of one job instead
+    # of iters+2 synchronous jobs.
     prev = ranks
-    for _ in range(iters):
-        prev = ranks
-        dangling = (
-            ranks.join(out_hosts, "host", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        contrib = (
-            e2.join(ranks.withColumnRenamed("host", "src"), "src")
-            .groupBy(F.col("dst").alias("host"))
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow"))
-                 .alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, "host", "left").crossJoin(dangling)
-            .select(
-                "host",
-                F.round(
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                       + F.col("dm") / F.lit(float(n))),
-                    9,
-                ).alias("rank"),
+    with _lazy_rounds(edges, nparts=max(1, n // 100_000)):
+        for _ in range(iters):
+            prev = ranks
+            dangling = (
+                ranks.join(out_hosts, "host", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             )
-            .localCheckpoint()
-        )
+            contrib = (
+                e2.join(ranks.withColumnRenamed("host", "src"), "src")
+                .groupBy(F.col("dst").alias("host"))
+                .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow"))
+                     .alias("contrib"))
+            )
+            ranks = (
+                nodes.join(contrib, "host", "left").crossJoin(dangling)
+                .select(
+                    "host",
+                    F.round(
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                           + F.col("dm") / F.lit(float(n))),
+                        9,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
     out = (
         ranks.join(ow.withColumnRenamed("src", "host"), "host", "left")
         .select(
@@ -982,6 +1059,7 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         out = out.join(dd, "host")
     out = out.localCheckpoint()
     e2.unpersist()
+    ow.unpersist()
     nodes.unpersist()
     return out
 
@@ -1005,17 +1083,16 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
     Scale shape: the deduped weighted edge frame is persisted once; each
     half-round is ONE equi-join of the node-sized score frame onto the
     edges plus a groupBy partial+final sum, then a 1-row L1 aggregate
-    cross-joined back (the sanctioned 1-row broadcast shape). BOTH
-    score frames are localCheckpointed per half-round: the checkpoint
-    jobs dominate local wall (each ~0.5 s of scheduler+tiny-shuffle
-    latency on the fixed 26-host graph) but skipping the authority
-    checkpoint was MEASURED SLOWER (6.4 s → 9.2 s) — the L1 norm
-    references its input twice (value + sum), so an unmaterialized
-    authority plan recomputes the in-sum join twice inside every hub
-    round and the per-round plan Catalyst must re-optimize keeps
-    growing. Node frames are host-cardinality — never collected;
-    there is no driver scalar at all (unlike PageRank's 1/N terms,
-    HITS needs none).
+    cross-joined back (the sanctioned 1-row broadcast shape). Each
+    half-round's raw in-sum aggregate is a LAZY persist() (r12
+    job-collapse): the cache dedups the L1 norm's double reference
+    (value + sum) — the UNPERSISTED checkpoint-free form was measured
+    slower, 6.4 s → 9.2 s, recomputing the in-sum join twice per use —
+    while the single eager localCheckpoint on the output materializes
+    all rounds in ONE job instead of the former 2*iters+2 per-half-round
+    checkpoint barriers that dominated local wall. Node frames are
+    host-cardinality — never collected; there is no driver scalar at
+    all (unlike PageRank's 1/N terms, HITS needs none).
 
     Output: (host, authority, hub) rounded to 6 — one row per node in
     sources ∪ targets; hosts nothing links to have authority 0, hosts
@@ -1040,15 +1117,23 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
         .distinct().persist()
     )
 
-    def _norm(raw: DataFrame, col: str, *,
-              checkpoint: bool) -> DataFrame:
-        # nodes LEFT JOIN raw (absent => 0), then L1-normalize and
-        # round 9: one 1-row aggregate cross-joined back
-        filled = nodes.join(raw, "host", "left").select(
-            "host", F.coalesce(F.col(col), F.lit(0.0)).alias(col))
-        tot = filled.agg(F.sum(col).alias("_tot"))
-        out = (
-            filled.crossJoin(tot)
+    # Half-round shape since r12 (job-collapse): the nodes zero-fill
+    # join is gone from the loop — the fill was round-invisible (a
+    # zero-scored host contributes 0 to the next half-round's sum and
+    # 0 to the L1 total; the FINAL output still left-joins nodes and
+    # coalesces absent scores to 0, so the emitted rows are identical)
+    # — and each half-round's raw in-sum aggregate is cut with a lazy
+    # localCheckpoint inside _lazy_rounds: the flat LogicalRDD dedups
+    # the L1 norm's double reference (value + sum; the UNCUT form was
+    # measured slower, 6.4 -> 9.2 s, recomputing the in-sum join twice
+    # per use) without the per-half-round barrier, and the ONE eager
+    # localCheckpoint on the output materializes all rounds as stages
+    # of a single job instead of 2*iters+2 synchronous jobs.
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        raw = raw.localCheckpoint(eager=False)
+        tot = raw.agg(F.sum(col).alias("_tot"))
+        return (
+            raw.crossJoin(tot)
             .select(
                 "host",
                 F.when(F.col("_tot") > 0,
@@ -1056,23 +1141,26 @@ def hits_scores(edges: DataFrame, *, src_col: str = "src_host",
                 .otherwise(F.lit(0.0)).alias(col),
             )
         )
-        return out.localCheckpoint() if checkpoint else out
 
-    hub = nodes.select("host", F.lit(1.0).alias("hub")).localCheckpoint()
+    hub = nodes.select("host", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(iters):
-        auth = _norm(
-            e.join(hub.withColumnRenamed("host", "src"), "src")
-            .groupBy(F.col("dst").alias("host"))
-            .agg(F.sum(F.col("hub") * F.col("w")).alias("auth")),
-            "auth", checkpoint=True,
-        )
-        hub = _norm(
-            e.join(auth.withColumnRenamed("host", "dst"), "dst")
-            .groupBy(F.col("src").alias("host"))
-            .agg(F.sum(F.col("auth") * F.col("w")).alias("hub")),
-            "hub", checkpoint=True,
-        )
+    # one count job prices the round partitioning from the MEASURED
+    # graph size (and materializes the e/nodes caches the loop reads)
+    n_nodes = nodes.count()
+    with _lazy_rounds(edges, nparts=max(1, n_nodes // 100_000)):
+        for _ in range(iters):
+            auth = _norm(
+                e.join(hub.withColumnRenamed("host", "src"), "src")
+                .groupBy(F.col("dst").alias("host"))
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("auth")),
+                "auth",
+            )
+            hub = _norm(
+                e.join(auth.withColumnRenamed("host", "dst"), "dst")
+                .groupBy(F.col("src").alias("host"))
+                .agg(F.sum(F.col("auth") * F.col("w")).alias("hub")),
+                "hub",
+            )
     if auth is None:  # iters == 0: defined as the uniform start state
         auth = nodes.select("host", F.lit(0.0).alias("auth"))
     out = (
@@ -1501,8 +1589,12 @@ def host_components(edges: DataFrame, *, src_col: str = "src_host",
 
     Per round: ONE equi-join of the label frame onto the
     both-directions edge frame + groupBy(dst) min + a node-frame
-    least() merge, localCheckpointed (flat plans, the iterative-loop
-    discipline). Labels are host-cardinality; no driver state.
+    least() merge. Round frames are cut with lazy localCheckpoints
+    inside :func:`_lazy_rounds` (the r12 job-collapse): plans stay
+    flat, the double reference per round shares one computation, and
+    the ONE eager localCheckpoint at the end materializes every round
+    as stages of a single job instead of iters+2 synchronous jobs.
+    Labels are host-cardinality; no driver state.
 
     Output: (host, component, component_size) — component is the min
     host of the island, size joined on with one extra groupBy.
@@ -1517,26 +1609,29 @@ def host_components(edges: DataFrame, *, src_col: str = "src_host",
         .persist()
     )
     nodes = both.select(F.col("a").alias("host")).distinct().persist()
-    lab = nodes.select(
-        "host", F.col("host").alias("component")).localCheckpoint()
-    for _ in range(iters):
-        nb = (
-            both.join(
-                lab.withColumnRenamed("host", "a"), "a")
-            .groupBy(F.col("b").alias("host"))
-            .agg(F.min("component").alias("_nb"))
-        )
-        lab = (
-            lab.join(nb, "host", "left")
-            .select(
-                "host",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("_nb"), F.col("component")),
-                ).alias("component"),
+    lab = nodes.select("host", F.col("host").alias("component"))
+    # one count job prices the round partitioning from the MEASURED
+    # graph size (and materializes the both/nodes caches the loop reads)
+    n_nodes = nodes.count()
+    with _lazy_rounds(edges, nparts=max(1, n_nodes // 100_000)):
+        for _ in range(iters):
+            nb = (
+                both.join(
+                    lab.withColumnRenamed("host", "a"), "a")
+                .groupBy(F.col("b").alias("host"))
+                .agg(F.min("component").alias("_nb"))
             )
-            .localCheckpoint()
-        )
+            lab = (
+                lab.join(nb, "host", "left")
+                .select(
+                    "host",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_nb"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=False)
+            )
     sizes = lab.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size"))
     out = lab.join(sizes, "component").select(
@@ -1596,7 +1691,8 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
         .sortWithinPartitions("b")
         .persist()
     )
-    alive = both.select(F.col("a").alias("host")).distinct().localCheckpoint()
+    alive = both.select(F.col("a").alias("host")).distinct().persist()
+    init = alive
 
     def _alive_degrees(cur: DataFrame) -> DataFrame:
         # degree of a within the survivor-induced subgraph: count of
@@ -1608,13 +1704,23 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
             .join(cur, "host", "left_semi")
         )
 
-    for _ in range(iters):
-        alive = (
-            _alive_degrees(alive)
-            .filter(F.col("degree") >= k)
-            .select("host")
-            .localCheckpoint()
-        )
+    # survivor frames are cut with lazy localCheckpoints inside
+    # _lazy_rounds (r12 job-collapse; see host_components): flat plans,
+    # the two per-round references (semi-join b side + the survivor
+    # intersect) share one computation, and the single eager
+    # localCheckpoint at the end materializes the whole peel in one job
+    # instead of iters+2.
+    # one count job prices the round partitioning from the MEASURED
+    # graph size (and materializes the edge cache the loop reads)
+    n_edges = both.count()
+    with _lazy_rounds(edges, nparts=max(1, n_edges // 100_000)):
+        for _ in range(iters):
+            alive = (
+                _alive_degrees(alive)
+                .filter(F.col("degree") >= k)
+                .select("host")
+                .localCheckpoint(eager=False)
+            )
     final_deg = (
         both.join(alive.withColumnRenamed("host", "b"), "b", "left_semi")
         .groupBy(F.col("a").alias("host"))
@@ -1628,6 +1734,7 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
         .localCheckpoint()
     )
     both.unpersist()
+    init.unpersist()
     return out
 
 
