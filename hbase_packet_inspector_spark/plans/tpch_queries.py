@@ -1684,37 +1684,63 @@ def _hex3_int_sql(expr: str) -> str:
 )
 def bootstrap_price_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, = _t(spark, sf_dir, "orders")
-    # The 7 md5s MUST enter as the transform's input array so the
-    # lambda variable h binds the materialized hash: naming the array
-    # in a prior select gets projection-collapsed into the lambda
-    # body, recomputing every md5 per draw (measured 33x slower).
-    md5s = ",".join(
-        f"md5(concat('boot{j}:', cast(o_orderkey as string)))"
-        for j in range(7)
+    # r12 shape (measured 23.1 s -> ~1 s at sf0.1, two compounding
+    # fixes):
+    #
+    # 1. PARALLELISM. The sf0.1 orders scan is one small parquet file =
+    #    ONE scan task, and the whole 64x exploded weight pipeline ran
+    #    on a single core while 31 idled. Repartition by o_orderkey
+    #    right after the read (guide-§2.5 input-skew fix; the shuffle
+    #    moves ~5 MB of raw rows, orders of magnitude cheaper than the
+    #    hashing it parallelizes — the shingle _spread discipline).
+    # 2. CODEGEN. The weights were built pre-explode through nested
+    #    higher-order transform() lambdas, which evaluate INTERPRETED
+    #    (outside whole-stage codegen) and were additionally duplicated
+    #    wholesale below the Generate by InferFiltersFromGenerate as a
+    #    `size(ws) > 0` filter — every row paid the md5+slice pipeline
+    #    twice, interpreted, on one core. Now: a LITERAL sequence(0,63)
+    #    explodes (size(sequence) constant-folds, nothing for the
+    #    filter-inference rule to duplicate), the child projection
+    #    below the Generate converts each md5 ONCE per row into two
+    #    60-bit bigints (14 convs/row; CollapseProject cannot merge a
+    #    projection through a Generate), and each draw's 12-bit slice
+    #    is a shiftright+mask on the exploded rows — every expression
+    #    plain codegen'd primitive work.
+    #
+    # Value-identical to the substr/conv-per-draw form: slice k of an
+    # md5's first 30 hex chars is bits (k%5*12)..(k%5*12+11) of the
+    # 15-hex-char half cast to a 60-bit integer (verified 320/320
+    # replicate means equal; the DuckDB oracle keeps the per-draw
+    # substr form).
+    convs = ",".join(
+        f"cast(conv(substr(md5(concat('boot{j}:', "
+        f"cast(o_orderkey as string))), {off}, 15), 16, 10) as bigint)"
+        for j in range(7) for off in (1, 16)
     )
-    ladder = "+".join(f"cast(c>={t} as int)" for t in _POIS_T)
-    ws = F.expr(f"""
-      slice(
-        transform(
-          flatten(transform(
-            array({md5s}),
-            h -> transform(sequence(0, 9),
-                           k -> cast(conv(substr(h, k*3+1, 3), 16, 10)
-                                     as int)))),
-          c -> {ladder}),
-        1, 64)
-    """)
+    c = ("cast(shiftright(element_at(hv, cast(idx div 10 as int) * 2"
+         " + cast((idx % 10) div 5 as int) + 1),"
+         " (4 - cast(idx % 10 as int) % 5) * 12) & 4095 as int)")
+    ladder = "+".join(f"cast(c_>={t} as int)" for t in _POIS_T)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
-        orders.select(
+        orders.repartition(nparts, "o_orderkey")
+        .select(
             "o_orderpriority",
             _cents(F.col("o_totalprice")).alias("pc"),
-            ws.alias("ws"),
+            F.expr(f"array({convs})").alias("hv"),
+        )
+        .select(
+            "o_orderpriority", "pc", "hv",
+            F.posexplode(F.expr("sequence(0, 63)")).alias("idx", "_z"),
+        )
+        .select(
+            "o_orderpriority", "pc", "idx", F.expr(c).alias("c_"),
         )
         .select(
             "o_orderpriority", "pc",
-            F.posexplode("ws").alias("idx", "w"),
+            (F.col("idx") + 1).alias("rep"),
+            F.expr(ladder).alias("w"),
         )
-        .withColumn("rep", F.col("idx") + 1)
         .where(F.col("w") > 0)
     )
     m = d.groupBy("o_orderpriority", "rep").agg(
