@@ -944,13 +944,13 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     the node-sized rank frame onto the edges plus a groupBy(dst) sum —
     partial+final combines, no windows — and a 1-row dangling-mass
     aggregate cross-joined back (broadcast nested loop on a literal
-    row, the sanctioned 1-row shape). Rank frames are lazily
-    persist()ed per round (r12 job-collapse): the cache dedups the
-    double reference and keeps the executed plan flat via CacheManager
-    substitution, while the one eager localCheckpoint on the output
-    materializes every round in a single job instead of iters+2
-    (the dedup_clusters_converged flat-plan discipline, minus the
-    per-round barrier). Node/rank frames are host-cardinality — millions of
+    row, the sanctioned 1-row shape). Rank frames are EAGERLY
+    localCheckpointed per round — re-measured both ways in r12: the
+    lazy one-job collapse that speeds up hits/k_core/host_components
+    is SLOWER here (see the loop comment below) because each PageRank
+    round chains three joins and the collapse's no-broadcast
+    requirement turns all of them into sort-merge exchange waves.
+    Node/rank frames are host-cardinality — millions of
     rows at 100 TB, never collected; the single driver scalar is N.
 
     Output: (host, pagerank, out_links) — rank rounded to 6,
@@ -1002,42 +1002,45 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         )
     ranks = nodes.select(
         "host", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
-    )
+    ).localCheckpoint()
     out_hosts = ow.select(F.col("src").alias("host"))
-    # rank frames are cut with lazy localCheckpoints inside
-    # _lazy_rounds (r12 job-collapse; see host_components): flat plans,
-    # each round's two references (dangling anti-join + contrib join)
-    # share one computation, and the single eager localCheckpoint on
-    # the output materializes all rounds as stages of one job instead
-    # of iters+2 synchronous jobs.
+    # Rank frames are EAGERLY localCheckpointed per round — measured
+    # FASTER than the r12 _lazy_rounds collapse for this operator (4.3 s
+    # vs 5.5-6.0 s isolated on the bench graph, re-measured both ways):
+    # unlike the hits/k_core/components loops, each PageRank round
+    # chains THREE joins (dangling anti-join, contrib equi-join, nodes
+    # left join) plus a 1-row cross join, and with auto-broadcast off
+    # (the lazy build's requirement) every one becomes a sort-merge
+    # exchange wave — more stage-scheduling latency than the per-round
+    # checkpoint barriers the collapse removes. Eager rounds keep the
+    # tiny rank frame broadcastable, so the edge frame never re-sorts.
     prev = ranks
-    with _lazy_rounds(edges, nparts=max(1, n // 100_000)):
-        for _ in range(iters):
-            prev = ranks
-            dangling = (
-                ranks.join(out_hosts, "host", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+    for _ in range(iters):
+        prev = ranks
+        dangling = (
+            ranks.join(out_hosts, "host", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            e2.join(ranks.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow"))
+                 .alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left").crossJoin(dangling)
+            .select(
+                "host",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n))),
+                    9,
+                ).alias("rank"),
             )
-            contrib = (
-                e2.join(ranks.withColumnRenamed("host", "src"), "src")
-                .groupBy(F.col("dst").alias("host"))
-                .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow"))
-                     .alias("contrib"))
-            )
-            ranks = (
-                nodes.join(contrib, "host", "left").crossJoin(dangling)
-                .select(
-                    "host",
-                    F.round(
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                           + F.col("dm") / F.lit(float(n))),
-                        9,
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            .localCheckpoint()
+        )
     out = (
         ranks.join(ow.withColumnRenamed("src", "host"), "host", "left")
         .select(
