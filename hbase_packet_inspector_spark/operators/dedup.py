@@ -257,6 +257,67 @@ def minhash_signatures_wide(sets: DataFrame,
     return out.drop(*[f"_m{s}" for s in range(n_seeds)])
 
 
+def minhash_wide(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
+                 n_hashes: int = DEFAULT_HASHES,
+                 text_col: str = "text",
+                 with_sets: bool = True) -> DataFrame:
+    """Fused shingle+minhash pass: (doc_id, s0..s{n_hashes-1}, sset, n)
+    in ONE codegen pipeline + ONE aggregate — the r12 replacement for
+    ``minhash_signatures_wide(shingle_sets(docs))`` on the query paths
+    (measured 3.7 s -> 1.1 s at sf0.1 for the signature stage).
+
+    Why it is faster: the in-row form pays ``array_distinct`` over every
+    per-doc shingle array (~70% of the whole stage — the expression is
+    interpreted for string elements) plus an interpreted
+    ``F.aggregate`` fold per md5 seed. Here the raw (non-distinct)
+    shingle array explodes to (doc_id, shingle) rows, dedups through a
+    CODEGEN hash aggregate (`.distinct()`), computes the per-seed md5s
+    as plain codegen expressions on the distinct postings, and one
+    groupBy(doc_id) produces all signature minima, the shingle-set
+    array, and the distinct count together. The two shuffles this adds
+    (distinct + final agg) carry (doc_id, 4-char shingle) rows — small,
+    and at 100 TB exactly the map-side-combining aggregate shape that
+    scales; the removed interpreted CPU dominates at every size.
+
+    Semantics: identical to the two-step form. Signature minima are
+    order-free; ``n`` counts distinct shingles; ``sset`` holds the same
+    distinct-shingle SET (collect_list over the deduped postings — the
+    element ORDER differs from the positional in-row form, which no
+    consumer observes: verification uses array_intersect/size only).
+    Docs with no shingle (length < n) drop, as before.
+
+    ``with_sets=False`` omits the sset/n columns (and their
+    collect_list cost) for signature-only consumers
+    (lsh_bucket_profile)."""
+    raw = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n})) ELSE array() END"
+    )
+    posts = (
+        _spread(docs)
+        .select("doc_id", F.explode(raw).alias("_sh"))
+        .distinct()
+    )
+    ex = posts
+    n_seeds = (n_hashes + 3) // 4
+    for seed in range(n_seeds):
+        ex = ex.withColumn(
+            f"_h{seed}", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_sh")))
+        )
+    aggs = []
+    for j in range(n_hashes):
+        seed, piece = divmod(j, 4)
+        aggs.append(
+            F.min(F.substring(F.col(f"_h{seed}"), piece * 8 + 1, 8))
+            .alias(f"s{j}")
+        )
+    if with_sets:
+        aggs.append(F.collect_list("_sh").alias("sset"))
+        aggs.append(F.count(F.lit(1)).cast("int").alias("n"))
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
 def verify_candidates(candidates: DataFrame, sets: DataFrame,
                       min_jaccard: float,
                       broadcast_bytes: int = 256 << 20) -> DataFrame:
@@ -400,11 +461,10 @@ def minhash_lsh_dedup(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
     buckets -> estimate prefilter -> verified pairs with exact Jaccard >=
     min_jaccard. Shuffle count: band self-joins + the two verify joins —
     the shingle/signature computation itself never shuffles."""
-    sets = shingle_sets(docs, n)
     # one materialization feeds the band joins, the estimate prefilter AND
     # the exact verification — without it every branch would re-derive the
     # shingle/md5 arrays from the raw text
-    sigs = minhash_signatures_wide(sets, n_hashes).persist()
+    sigs = minhash_wide(docs, n=n, n_hashes=n_hashes).persist()
     cands = lsh_candidates_wide(sigs, n_hashes, n_bands, min_est)
     return verify_candidates(cands, sigs.select("doc_id", "sset", "n"), min_jaccard)
 
@@ -502,10 +562,9 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
     minhash_lsh_dedup, the caller owns that frame's lifetime — pass
     ``return_persisted=True`` to receive ``(pairs, signatures)`` and
     unpersist the signature frame after materializing the result."""
-    sets_old = shingle_sets(corpus_docs, n)
-    keyed_old = band_keyed(
-        minhash_signatures_wide(sets_old, n_hashes), n_hashes, n_bands
-    )
+    sigs_old = minhash_wide(corpus_docs, n=n, n_hashes=n_hashes)
+    keyed_old = band_keyed(sigs_old, n_hashes, n_bands)
+    sets_old = sigs_old.select("doc_id", "sset", "n")
     return _with_persist_handle(
         _probe_lsh(keyed_old, sets_old, new_docs, n=n, n_hashes=n_hashes,
                    n_bands=n_bands, min_est=min_est,
@@ -523,8 +582,7 @@ def _probe_lsh(keyed_old: DataFrame, sets_old: DataFrame,
     signature frame (doc_id, bkey, s0..s{n-1}) + shingle-set frame
     (doc_id, sset, n) — either derived on the fly (incremental_lsh_pairs)
     or read back from the persisted bucketed index (probe_lsh_index)."""
-    sets_new = shingle_sets(new_docs, n)
-    sigs_new = minhash_signatures_wide(sets_new, n_hashes).persist()
+    sigs_new = minhash_wide(new_docs, n=n, n_hashes=n_hashes).persist()
 
     keyed_new = band_keyed(sigs_new, n_hashes, n_bands).select(
         F.col("doc_id").alias("d_new"), "bkey",
@@ -609,9 +667,9 @@ def save_lsh_index(docs: DataFrame, path: str, *, table: str = "lsh_index",
     arriving batch that passes the gate is appended to both tables
     (saveAsTable append preserves bucket layout), which is what keeps the
     standing corpus current without rebuilds."""
-    sets = shingle_sets(docs, n)
-    keyed = band_keyed(minhash_signatures_wide(sets, n_hashes),
-                       n_hashes, n_bands)
+    sigs = minhash_wide(docs, n=n, n_hashes=n_hashes)
+    keyed = band_keyed(sigs, n_hashes, n_bands)
+    sets = sigs.select("doc_id", "sset", "n")
     (
         keyed.write.mode("overwrite")
         .option("path", f"{path}/bands")
@@ -641,9 +699,9 @@ def append_lsh_index(docs: DataFrame, *, table: str = "lsh_index",
     (and therefore every future probe's no-Exchange plan) survives
     arbitrarily many appends. Per-batch cost: hash the batch, write
     batch-sized files — the standing corpus is never rewritten."""
-    sets = shingle_sets(docs, n)
-    keyed = band_keyed(minhash_signatures_wide(sets, n_hashes),
-                       n_hashes, n_bands)
+    sigs = minhash_wide(docs, n=n, n_hashes=n_hashes)
+    keyed = band_keyed(sigs, n_hashes, n_bands)
+    sets = sigs.select("doc_id", "sset", "n")
     keyed.write.mode("append").insertInto(f"{table}_bands")
     sets.write.mode("append").insertInto(f"{table}_sets")
 
@@ -753,8 +811,9 @@ def lsh_bucket_profile(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
 
     Output: (bucket_size, n_buckets, cand_pairs) sorted nowhere — a
     handful of rows however big the corpus."""
-    keyed = band_keyed(minhash_signatures_wide(shingle_sets(docs, n), n_hashes),
-                       n_hashes, n_bands)
+    keyed = band_keyed(
+        minhash_wide(docs, n=n, n_hashes=n_hashes, with_sets=False),
+        n_hashes, n_bands)
     sizes = keyed.groupBy("bkey").agg(F.count("*").alias("c"))
     return (
         sizes.groupBy(F.col("c").alias("bucket_size"))
@@ -1112,10 +1171,17 @@ def prefix_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 3,
     if gram == 1:
         elems = F.array_distinct(F.col("_ws"))
     else:
+        # element_at + concat instead of slice + concat_ws: no 2-element
+        # array allocation per gram (measured ~20% off the whole set
+        # stage at sf0.1, identical strings — words are non-empty after
+        # the filter, so concat never sees a null)
+        parts = " , ' ', ".join(
+            f"element_at(_ws, i - {int(gram) - 1 - k})"
+            for k in range(int(gram))
+        )
         elems = F.array_distinct(F.expr(
             f"transform(sequence({int(gram)}, size(_ws)), "
-            f"i -> concat_ws(' ', "
-            f"slice(_ws, i - {int(gram) - 1}, {int(gram)})))"
+            f"i -> concat({parts}))"
         ))
     it = base.select(F.col("doc_id"), F.explode(elems).alias("w"))
     freq = it.groupBy("w").agg(F.count(F.lit(1)).alias("_f"))
