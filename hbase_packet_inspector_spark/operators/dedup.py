@@ -562,7 +562,11 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame, *,
     minhash_lsh_dedup, the caller owns that frame's lifetime — pass
     ``return_persisted=True`` to receive ``(pairs, signatures)`` and
     unpersist the signature frame after materializing the result."""
-    sigs_old = minhash_wide(corpus_docs, n=n, n_hashes=n_hashes)
+    # one corpus hashing pass feeds BOTH the band probe and the exact
+    # verification (r12: previously each side re-derived the corpus
+    # shingles from raw text) — same persist discipline as
+    # minhash_lsh_dedup's sigs
+    sigs_old = minhash_wide(corpus_docs, n=n, n_hashes=n_hashes).persist()
     keyed_old = band_keyed(sigs_old, n_hashes, n_bands)
     sets_old = sigs_old.select("doc_id", "sset", "n")
     return _with_persist_handle(
@@ -1031,14 +1035,23 @@ def _cluster_graph(pairs: DataFrame):
     session default (the graph is normally orders of magnitude smaller
     than the corpus; default-sized rounds pay hundreds of near-empty
     tasks)."""
-    edges = (
+    base = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
         .distinct()
         .persist()
     )
-    nparts = max(1, edges.count() // 100_000)
-    edges = edges.repartition(nparts, "dst")
+    nparts = max(1, base.count() // 100_000)
+    # partition AND sort by the round join key INSIDE the persisted frame
+    # (the k_core/host_components discipline): every round's sort-merge
+    # join then reuses the cached layout and only the doc-sized label
+    # frame moves — persisting the pre-repartition frame instead made
+    # each round re-exchange + re-sort the whole edge cache
+    edges = (
+        base.repartition(nparts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )

@@ -383,12 +383,19 @@ def leakage_safe_split(
     a = sp.select(F.col(key).alias("d1"), F.col("split").alias("_sa"))
     b = sp.select(F.col(key).alias("d2"), F.col("split").alias("_sb"))
     lab = pairs.select("d1", "d2").join(a, "d1").join(b, "d2")
+    # ONE pass over lab: the two leak directions are mutually exclusive
+    # per row, so a CASE projection + distinct emits exactly the union
+    # of the former two filtered branches — which each re-evaluated the
+    # entire upstream near-dup pipeline (r12: the pair detector is the
+    # expensive side; the union form doubled it)
     bad = (
-        lab.where((F.col("_sa") == "test") & (F.col("_sb") == "train"))
-        .select(F.col("d1").alias(key))
-        .union(
-            lab.where((F.col("_sa") == "train") & (F.col("_sb") == "test"))
-            .select(F.col("d2").alias(key)))
+        lab.select(
+            F.when((F.col("_sa") == "test") & (F.col("_sb") == "train"),
+                   F.col("d1"))
+            .when((F.col("_sa") == "train") & (F.col("_sb") == "test"),
+                  F.col("d2"))
+            .alias(key))
+        .where(F.col(key).isNotNull())
         .distinct()
         .withColumn("_leak", F.lit(True))
     )

@@ -1609,6 +1609,14 @@ def host_components(edges: DataFrame, *, src_col: str = "src_host",
                             F.col(src_col).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # pre-partition+sort the loop-invariant edge frame by the round
+        # join key ONCE (the k_core discipline): every round's sort-merge
+        # join then reuses the cached ordering and only the node-sized
+        # label frame moves — without it each round re-sorts the whole
+        # edge cache (measured on the entity-resolution graph at sf0.1:
+        # 9.4-10.2 s -> 6.0-6.6 s for the 4-round loop, same labels)
+        .repartition(F.col("a"))
+        .sortWithinPartitions("a")
         .persist()
     )
     nodes = both.select(F.col("a").alias("host")).distinct().persist()

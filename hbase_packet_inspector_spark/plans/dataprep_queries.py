@@ -6063,7 +6063,12 @@ def _frontier_inputs(base: DataFrame):
     pages = base.select("doc_id", url.alias("url")).join(feats, "doc_id")
     stats = WB.host_stats(
         pages, quality_col="quality_score", max_dup_rate=0.5)
-    return ranks, stats
+    # stats is host-cardinality but derives from a corpus-wide
+    # quality_features pass; downstream compositions (frontier_budget's
+    # total+split, recrawl_schedule's rp, crawl_plan's four fr reads)
+    # reference it 2-5x — materialize the 25 rows once (r12; ranks is
+    # already checkpointed inside host_pagerank)
+    return ranks, stats.localCheckpoint()
 
 
 @register(
@@ -6861,7 +6866,9 @@ def _robots_inputs(d: DataFrame):
             did.cast("string"),
         ).alias("url")
     )
-    return frontier, robots
+    # robots is 25 host rows behind a corpus-wide distinct; crawl_schedule
+    # and crawl_plan read it twice (gate + crawl delays) — materialize once
+    return frontier, robots.localCheckpoint()
 
 
 @register(
@@ -7589,6 +7596,10 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = WB.crawl_frontier(ranks, stats)
     rp = WB.recrawl_priority(fr, entries, asof_date="2024-03-15",
                              fresh_days=30, boost=0.5)
+    # rp is host-cardinality but sits atop the frontier ladder + the
+    # sitemap parse; the budget split reads it twice and the final join
+    # once more — materialize the ~25 rows once (r12)
+    rp = rp.localCheckpoint()
     alloc = WB.frontier_budget(
         rp.select("host",
                   F.col("recrawl_priority").alias("priority"), "status"),
@@ -8133,7 +8144,10 @@ def crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
     sig = WB.anchor_signal(WB.extract_anchor_texts(_spam_anchor_pages(d)))
     ranks, stats = _frontier_inputs(base)
-    fr = WB.crawl_frontier(ranks, stats, sig)
+    # fr is read FOUR times below (fetch gate, budget total+split, two
+    # final joins) and carries the corpus-wide anchor_signal pass —
+    # materialize the host-cardinality frame once (r12)
+    fr = WB.crawl_frontier(ranks, stats, sig).localCheckpoint()
     frontier, robots = _robots_inputs(d)
     gated = WB.robots_gate_rfc(frontier, WB.parse_robots_rules(robots))
     fetches = (

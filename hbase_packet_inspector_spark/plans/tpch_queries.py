@@ -645,19 +645,42 @@ def rfm_segments_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
     ).persist()
 
-    def _cutpoints(col: str) -> list[float]:
-        lo, hi = c.agg(F.min(col), F.max(col)).first()
+    # TWO driver-synchronous jobs instead of six (r12): all three
+    # metrics' min/max in ONE aggregate, then all three 256-bin
+    # histograms in ONE (metric, bin) aggregate over a 3x-exploded
+    # projection of the persisted customer frame — the per-metric
+    # values, bins and counts are identical to the former per-metric
+    # jobs; only the job count changes (each extra job was a full
+    # scheduler round-trip on a host-sized cached frame)
+    metrics = ("r_days", "n_orders", "cents")
+    ext = c.agg(*[f(m) for m in metrics for f in (F.min, F.max)]).first()
+    rng = {m: (ext[2 * i], ext[2 * i + 1]) for i, m in enumerate(metrics)}
+
+    def _bin(col: str) -> Column:
+        lo, hi = rng[col]
         span = float(hi - lo) or 1.0
-        b = F.least(
+        return F.least(
             F.floor((F.col(col) - F.lit(lo)) / F.lit(span) * 256)
             .cast("int"),
             F.lit(255),
         )
-        hist = {
-            r.bin: r.cnt
-            for r in c.groupBy(b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
+
+    hists: dict[str, dict] = {m: {} for m in metrics}
+    for r in (
+        c.select(F.explode(F.array(*[
+            F.struct(F.lit(m).alias("metric"), _bin(m).alias("bin"))
+            for m in metrics
+        ])).alias("mb"))
+        .groupBy(F.col("mb.metric").alias("metric"),
+                 F.col("mb.bin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ):
+        hists[r.metric][r.bin] = r.cnt
+
+    def _cutpoints(col: str) -> list[float]:
+        lo, _hi = rng[col]
+        span = float(_hi - lo) or 1.0
+        hist = hists[col]
         total = sum(hist.values())
         cuts = []
         for j in (1, 2, 3, 4):
