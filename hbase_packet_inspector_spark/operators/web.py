@@ -1000,10 +1000,21 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
             "host", F.lit(0.0).alias("pagerank"),
             F.lit(0).cast("bigint").alias("out_links"),
         )
+    out_hosts = ow.select(F.col("src").alias("host"))
+    # Price the dangling term ONCE: when the graph has no dangling host
+    # (every node has an out-link — typical of host link graphs, where a
+    # node only appears by linking or being linked by a linker), dm is
+    # exactly 0.0 every round, yet the generic loop would still pay a
+    # 1-row anti-join aggregate + broadcast cross join per round for
+    # that constant. One anti-join isEmpty probe on the cached
+    # host-cardinality frames (r12: ~1 s off the 5-round build at
+    # sf0.1, ranks hash-identical — (contrib + 0.0/N) == contrib in
+    # IEEE doubles) lets those rounds drop the term; graphs WITH
+    # dangling hosts keep the exact per-round dangling mass unchanged.
+    no_dangling = nodes.join(out_hosts, "host", "left_anti").isEmpty()
     ranks = nodes.select(
         "host", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
     ).localCheckpoint()
-    out_hosts = ow.select(F.col("src").alias("host"))
     # Rank frames are EAGERLY localCheckpointed per round — measured
     # FASTER than the r12 _lazy_rounds collapse for this operator (4.3 s
     # vs 5.5-6.0 s isolated on the bench graph, re-measured both ways):
@@ -1017,25 +1028,28 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     prev = ranks
     for _ in range(iters):
         prev = ranks
-        dangling = (
-            ranks.join(out_hosts, "host", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
         contrib = (
             e2.join(ranks.withColumnRenamed("host", "src"), "src")
             .groupBy(F.col("dst").alias("host"))
             .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow"))
                  .alias("contrib"))
         )
+        upd = nodes.join(contrib, "host", "left")
+        if no_dangling:
+            in_mass = F.coalesce(F.col("contrib"), F.lit(0.0))
+        else:
+            dangling = (
+                ranks.join(out_hosts, "host", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            upd = upd.crossJoin(dangling)
+            in_mass = (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n)))
         ranks = (
-            nodes.join(contrib, "host", "left").crossJoin(dangling)
-            .select(
+            upd.select(
                 "host",
                 F.round(
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                       + F.col("dm") / F.lit(float(n))),
+                    F.lit((1.0 - damping) / n) + F.lit(damping) * in_mass,
                     9,
                 ).alias("rank"),
             )

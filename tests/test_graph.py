@@ -67,6 +67,28 @@ def test_pagerank_matches_reference_power_iteration(spark):
     assert out["c.com"].pagerank > (1 - 0.85) / len(ref)
 
 
+def test_pagerank_no_dangling_fast_path_matches_reference(spark):
+    # every node has an out-link, so the r12 dangling-free fast path is
+    # taken (the per-round dangling aggregate is skipped because dm is
+    # provably 0.0) — ranks must still equal the generic reference
+    # formula with dangling = 0 exactly
+    edges = [
+        ("a.com", "b.com", 1), ("b.com", "c.com", 2),
+        ("c.com", "a.com", 1), ("c.com", "b.com", 1),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, w int")
+    out = {
+        r.host: r
+        for r in host_pagerank(df, weight_col="w", iters=5).collect()
+    }
+    ref, ow = _ref_pagerank(edges)
+    assert set(out) == set(ref)
+    for h, expected in ref.items():
+        assert out[h].pagerank == pytest.approx(expected, abs=1e-6)
+        assert out[h].out_links == int(ow.get(h, 0))
+    assert sum(r.pagerank for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
 def test_pagerank_hub_outranks_leaf_and_duplicate_edges_aggregate(spark):
     # everyone links the hub; hub links one leaf. Duplicate rows must
     # aggregate into weights, not create parallel semantics.
