@@ -1035,9 +1035,15 @@ def _cluster_graph(pairs: DataFrame):
     session default (the graph is normally orders of magnitude smaller
     than the corpus; default-sized rounds pay hundreds of near-empty
     tasks)."""
+    # both orientations from ONE scan of the (expensive, unpersisted)
+    # upstream pair pipeline — the former two-sided union evaluated it
+    # twice per cache fill (the host_components explode discipline, r12)
     base = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .unionByName(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+            F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+        )).alias("_e"))
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist()
     )

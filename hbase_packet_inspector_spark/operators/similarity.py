@@ -452,11 +452,18 @@ def knn_graph(emb: DataFrame, k: int = 3, *, bits: int = 16,
     with ann_recall/srp_recall before trusting the graph downstream."""
     pairs = embedding_neardup(emb, bits=bits, n_bands=n_bands,
                               min_cos=-1.0, id_col=id_col, vec_col=vec_col)
-    sym = pairs.select(
-        F.col("d1").alias("src"), F.col("d2").alias("neighbor_id"), "cos"
-    ).unionByName(pairs.select(
-        F.col("d2").alias("src"), F.col("d1").alias("neighbor_id"), "cos"
-    ))
+    # both orientations from ONE scan of the banded-LSH pair pipeline —
+    # the former two-sided union evaluated the whole detector twice
+    # (the host_components explode discipline, r12)
+    sym = (
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("d1").alias("src"),
+                     F.col("d2").alias("neighbor_id"), F.col("cos")),
+            F.struct(F.col("d2").alias("src"),
+                     F.col("d1").alias("neighbor_id"), F.col("cos")),
+        )).alias("_e"))
+        .select("_e.src", "_e.neighbor_id", "_e.cos")
+    )
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         sym.withColumn("rnk", F.rank().over(w))

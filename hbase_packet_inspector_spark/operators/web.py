@@ -974,12 +974,17 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         raise ValueError("return_delta requires iters >= 1")
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
+    # e is read twice during setup (ow aggregate + the e2 join) and each
+    # read re-runs the upstream edge derivation — a full corpus pass for
+    # link graphs derived from document scans. Persist it for the setup
+    # (released right after the loop caches materialize, before rounds).
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
             w.alias("w"),
         )
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .persist()
     )
     # ow is read every round (the dangling anti-join's out_hosts side)
     # and once more in the final join: persist it, or each round's job
@@ -992,6 +997,7 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         .distinct().persist()
     )
     n = nodes.count()  # the one driver scalar: node count for 1/N terms
+    e.unpersist()  # setup caches (ow/e2/nodes) are materialized now
     if n == 0:
         e2.unpersist()
         ow.unpersist()
@@ -1616,11 +1622,16 @@ def host_components(edges: DataFrame, *, src_col: str = "src_host",
     Output: (host, component, component_size) — component is the min
     host of the island, size joined on with one extra groupBy.
     """
+    # both orientations from ONE scan of the (possibly expensive,
+    # unpersisted) upstream edge pipeline: the former two-sided union
+    # evaluated it twice per cache fill (r12: union 4.7-6.3 s vs
+    # explode 3.7-4.6 s for entity_clusters end-to-end, same labels)
     both = (
-        edges.select(F.col(src_col).alias("a"),
-                     F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"),
-                            F.col(src_col).alias("b")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+            F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+        )).alias("_e"))
+        .select("_e.a", "_e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         # pre-partition+sort the loop-invariant edge frame by the round
@@ -1706,10 +1717,14 @@ def k_core(edges: DataFrame, *, k: int = 2, iters: int = 4,
     Output: (host, degree) — survivors of the k-core with their final
     in-core degree.
     """
+    # both orientations from ONE scan of the upstream edge pipeline
+    # (the host_components explode discipline, r12)
     both = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"),
-                            F.col(src_col).alias("b")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+            F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+        )).alias("_e"))
+        .select("_e.a", "_e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .repartition(F.col("b"))
