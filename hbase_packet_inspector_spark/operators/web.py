@@ -996,7 +996,18 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         .union(e2.select(F.col("dst").alias("host")))
         .distinct().persist()
     )
-    n = nodes.count()  # the one driver scalar: node count for 1/N terms
+    # The two driver scalars — node count N and whether any node lacks
+    # an out-link — come from ONE aggregate job over the cached frames
+    # (merged in r12: the former nodes.count() + anti-join isEmpty pair
+    # cost two sequential setup jobs; ow is grouped by src so the left
+    # join matches each node at most once and count(ow) counts exactly
+    # the nodes WITH out-links).
+    _setup = (
+        nodes.join(ow.withColumnRenamed("src", "host"), "host", "left")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("ow").alias("n_out"))
+        .first()
+    )
+    n = int(_setup["n"])  # the one driver scalar: node count for 1/N terms
     e.unpersist()  # setup caches (ow/e2/nodes) are materialized now
     if n == 0:
         e2.unpersist()
@@ -1012,12 +1023,11 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
     # node only appears by linking or being linked by a linker), dm is
     # exactly 0.0 every round, yet the generic loop would still pay a
     # 1-row anti-join aggregate + broadcast cross join per round for
-    # that constant. One anti-join isEmpty probe on the cached
-    # host-cardinality frames (r12: ~1 s off the 5-round build at
+    # that constant. The probe (r12: ~1 s off the 5-round build at
     # sf0.1, ranks hash-identical — (contrib + 0.0/N) == contrib in
     # IEEE doubles) lets those rounds drop the term; graphs WITH
     # dangling hosts keep the exact per-round dangling mass unchanged.
-    no_dangling = nodes.join(out_hosts, "host", "left_anti").isEmpty()
+    no_dangling = int(_setup["n_out"]) == n
     ranks = nodes.select(
         "host", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
     ).localCheckpoint()

@@ -6031,6 +6031,35 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.crawl_frontier(ranks, stats)
 
 
+def _overlap(*thunks):
+    """Materialize INDEPENDENT input frames concurrently (guide §2.6:
+    overlap independent jobs). Each thunk performs eager Spark actions
+    (persist materializations / localCheckpoints) that do not depend on
+    any sibling thunk's result; submitting them from a small driver
+    pool lets the later build's tasks back-fill the executor slots the
+    earlier build's job barriers leave idle — an iterative pagerank
+    round keeps ~1 core busy per tiny host-frame job while a
+    corpus-wide stats scan would otherwise wait serially behind all
+    five rounds. Results are identical by construction: the SAME
+    frames materialize with the SAME plans, only the driver-side job
+    submission overlaps (default FIFO scheduling keeps the first
+    build's stages ahead; the sibling fills the tail).
+
+    ``pyspark.inheritable_thread_target`` propagates the caller's
+    job-description/group thread-locals into the pool threads so
+    bench/UI labels survive (pinned-thread mode does not inherit them
+    otherwise)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return tuple(f.result() for f in futs)
+
+
 def _frontier_inputs(base: DataFrame):
     """The (ranks, stats) pair crawl_frontier and crawl_cycle share:
     pagerank over the synthetic link graph + host_stats over the no-www
@@ -6038,7 +6067,6 @@ def _frontier_inputs(base: DataFrame):
     from ..operators import web as WB
 
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
-    ranks = WB.host_pagerank(_site_links(d), iters=5)
 
     g = F.floor(F.col("doc_id") / 4).cast("long")
     v = F.col("doc_id") % 4
@@ -6067,8 +6095,15 @@ def _frontier_inputs(base: DataFrame):
     # quality_features pass; downstream compositions (frontier_budget's
     # total+split, recrawl_schedule's rp, crawl_plan's four fr reads)
     # reference it 2-5x — materialize the 25 rows once (r12; ranks is
-    # already checkpointed inside host_pagerank)
-    return ranks, stats.localCheckpoint()
+    # already checkpointed inside host_pagerank). The pagerank build
+    # and the stats checkpoint are INDEPENDENT eager pipelines — run
+    # them overlapped (guide §2.6) so the stats corpus scan fills the
+    # cores the five tiny pagerank-round jobs leave idle.
+    ranks, stats = _overlap(
+        lambda: WB.host_pagerank(_site_links(d), iters=5),
+        stats.localCheckpoint,
+    )
+    return ranks, stats
 
 
 @register(
@@ -6910,10 +6945,14 @@ def crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _docs(spark, sf_dir)
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
-    ranks, stats = _frontier_inputs(base)
+    # the frontier build (pagerank + stats) and the robots checkpoint
+    # are independent eager pipelines — overlap them (guide §2.6)
+    (ranks, stats), (frontier, robots) = _overlap(
+        lambda: _frontier_inputs(base),
+        lambda: _robots_inputs(d),
+    )
     fr = WB.crawl_frontier(ranks, stats).select(
         "host", "status", "priority")
-    frontier, robots = _robots_inputs(d)
     gated = WB.robots_gate(frontier, WB.parse_robots(robots))
     return gated.join(fr, "host").select(
         "url", "host", "status", "priority", "blocked",
@@ -7943,10 +7982,14 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _docs(spark, sf_dir)
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
-    ranks, stats = _frontier_inputs(base)
+    # frontier build and robots checkpoint are independent — overlap
+    # them (guide §2.6)
+    (ranks, stats), (frontier, robots) = _overlap(
+        lambda: _frontier_inputs(base),
+        lambda: _robots_inputs(d),
+    )
     fr = WB.crawl_frontier(ranks, stats).select(
         "host", "status", "priority")
-    frontier, robots = _robots_inputs(d)
     gated = WB.robots_gate(frontier, WB.parse_robots(robots))
     fetches = (
         gated.join(fr, "host")
@@ -8143,12 +8186,16 @@ def crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _docs(spark, sf_dir)
     d = base.select(F.col("doc_id").cast("long").alias("doc_id"))
     sig = WB.anchor_signal(WB.extract_anchor_texts(_spam_anchor_pages(d)))
-    ranks, stats = _frontier_inputs(base)
+    # frontier build and robots checkpoint are independent — overlap
+    # them (guide §2.6)
+    (ranks, stats), (frontier, robots) = _overlap(
+        lambda: _frontier_inputs(base),
+        lambda: _robots_inputs(d),
+    )
     # fr is read FOUR times below (fetch gate, budget total+split, two
     # final joins) and carries the corpus-wide anchor_signal pass —
     # materialize the host-cardinality frame once (r12)
     fr = WB.crawl_frontier(ranks, stats, sig).localCheckpoint()
-    frontier, robots = _robots_inputs(d)
     gated = WB.robots_gate_rfc(frontier, WB.parse_robots_rules(robots))
     fetches = (
         gated.join(fr.select("host", "status", "priority"), "host")

@@ -828,3 +828,26 @@ def test_k_core_under_peeled_survivor_surfaces_as_degree_zero(spark):
              k_core(edges, k=2, iters=1).collect()}
     assert under == {("b", 0)}  # surfaced, not vanished
     assert k_core(edges, k=2, iters=2).count() == 0  # converged: empty
+
+
+def test_overlap_materializes_concurrently_and_preserves_order(spark):
+    """r12 §2.6 job-overlap helper: results come back in thunk order
+    (the crawl compositions unpack positionally), a single thunk takes
+    the no-pool path, and a failing thunk's exception propagates to the
+    caller instead of vanishing in the pool."""
+    from hbase_packet_inspector_spark.plans.dataprep_queries import _overlap
+
+    a, b = _overlap(
+        lambda: spark.range(10).localCheckpoint(),
+        lambda: spark.range(3).localCheckpoint(),
+    )
+    assert (a.count(), b.count()) == (10, 3)
+
+    (only,) = _overlap(lambda: spark.range(7).localCheckpoint())
+    assert only.count() == 7
+
+    def boom():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        _overlap(lambda: spark.range(1).localCheckpoint(), boom)
