@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Explicit-count hash repartition of the corpus side BEFORE a
+    per-pair scoring stage: a byte-small embeddings scan plans ONE
+    input partition (file-size/maxPartitionBytes) and AQE won't widen
+    byte-small exchanges, so every broadcast-join scoring stage
+    downstream — O(#base x #queries x dim) dot products — would run on
+    a single core (guide §2.5 input skew; the dedup._spread /
+    assign_cells trap, r12). Hash on the id column: deterministic
+    placement (no keyless round-robin sort), and the per-row scores /
+    rank windows downstream are partitioning-insensitive, so results
+    are bit-identical."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(nparts, key)
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -50,10 +65,12 @@ def cosine_topk(
     """
     # norms are per-VECTOR, so hoist them out of the pair loop: computing
     # them inside the join would redo an O(dim) aggregate per PAIR — at
-    # n_base x n_query pairs that triples the hot-loop work for nothing
-    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
-        "_n", F.sqrt(sq_norm(F.col("_v")))
-    )
+    # n_base x n_query pairs that triples the hot-loop work for nothing.
+    # _spread the corpus side first or the whole n_base x n_query dot
+    # stage runs on the scan's single input partition (r12).
+    base = _spread(emb, id_col).withColumn(
+        "_v", _as_double(F.col(vec_col))
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
     qs = queries.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
         "_qn", F.sqrt(sq_norm(F.col("_qv")))
     )
@@ -96,9 +113,9 @@ def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 5, *,
     cross-label predicate prunes BEFORE the O(dim) dot product, so
     same-label rows cost one int compare. Output: (q_id, q_label,
     neighbor_id, neighbor_label, cos, rnk)."""
-    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
-        "_n", F.sqrt(sq_norm(F.col("_v")))
-    )
+    base = _spread(emb, id_col).withColumn(
+        "_v", _as_double(F.col(vec_col))
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
     qs = anchors.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
         "_qn", F.sqrt(sq_norm(F.col("_qv")))
     )
@@ -137,9 +154,9 @@ def mine_triplets(emb: DataFrame, anchors: DataFrame, *,
     label has no second member keeps its row with null pos columns —
     nothing silently drops. Output: (q_id, q_label, pos_id, pos_cos,
     neg_id, neg_cos, margin)."""
-    base = emb.withColumn("_v", _as_double(F.col(vec_col))).withColumn(
-        "_n", F.sqrt(sq_norm(F.col("_v")))
-    )
+    base = _spread(emb, id_col).withColumn(
+        "_v", _as_double(F.col(vec_col))
+    ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
     qs = anchors.withColumn("_qv", _as_double(F.col("q_emb"))).withColumn(
         "_qn", F.sqrt(sq_norm(F.col("_qv")))
     )
@@ -193,7 +210,7 @@ def decontaminate_embeddings(train: DataFrame, eval_set: DataFrame, *,
     partitioning; the groupBy shuffles only train-row-count rows of
     (id, cos)). Broadcast-NL against a bounded eval set is by design —
     same contract as bm25's stats frame, not a corpus x corpus join."""
-    tr = train.select(
+    tr = _spread(train, id_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", F.sqrt(sq_norm(F.col("_v"))))
     ev = eval_set.select(
@@ -262,7 +279,8 @@ def srp_topk(emb: DataFrame, queries: DataFrame, k: int = 5, *,
     ``queries`` must have columns (q_id, q_emb)."""
     keys = _sign_band_keys(vec_col, bits, n_bands)
     qkeys = _sign_band_keys("q_emb", bits, n_bands)
-    base_keys = emb.select(F.col(id_col), F.explode(keys).alias("bkey"))
+    base_keys = _spread(emb, id_col).select(
+        F.col(id_col), F.explode(keys).alias("bkey"))
     q_keys = queries.select("q_id", F.explode(qkeys).alias("bkey"))
     cand = (
         base_keys.join(F.broadcast(q_keys), "bkey")
@@ -1198,7 +1216,7 @@ def pq_codes(emb: DataFrame, codebook: DataFrame, *, m: int = 4,
     a per-(vector, subspace) argmin; the encoded corpus is m small ints
     per vector — the ~100x compression that lets a 10^9-vector index fit
     a fraction of the raw storage."""
-    subs = emb.select(
+    subs = _spread(emb, id_col).select(
         F.col(id_col).alias("vec_id"),
         F.explode(_sub_slices(F.col(vec_col), m, sub_dim)).alias("s"),
     ).select("vec_id", "s.j", F.col("s.sub").alias("sub"))
@@ -1281,7 +1299,7 @@ def l2_topk(emb: DataFrame, queries: DataFrame, k: int = 3, *,
     """Exact squared-L2 top-k (the metric PQ approximates — the right
     baseline for PQ recall, where cosine_topk is the baseline for the
     cosine-pruned paths). Same broadcast-queries shape as cosine_topk."""
-    base = emb.select(
+    base = _spread(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_b"),
     )

@@ -517,7 +517,12 @@ def lexical_topk(docs: DataFrame, query_docs: DataFrame, *, k: int = 5,
     neighbor_id asc) so top-k membership is engine-exact."""
     from pyspark.sql import Window
 
-    base = docs.select(
+    from .dedup import _spread
+
+    # a byte-small corpus scan plans ONE partition, serializing the
+    # tokenize/array_distinct pass AND the postings-probe stage below
+    # (guide §2.5 — the dedup._spread trap, r12); hash-spread first
+    base = _spread(docs).select(
         F.col("doc_id").alias("neighbor_id"),
         F.array_distinct(_tok(text_col)).alias("_w"),
     )

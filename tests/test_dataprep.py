@@ -90,6 +90,27 @@ def test_cosine_topk_exact(spark):
     assert out == [1, 2, 3]  # descending cosine: ~0.995, 0, -1
 
 
+def test_cosine_topk_spreads_base_before_scoring(spark):
+    # r12 guide-§2.5 fix: a byte-small embeddings scan plans ONE input
+    # partition, so without the explicit hash repartition the whole
+    # n_base x n_query dot-product stage runs on a single core. Pin the
+    # REPARTITION_BY_NUM exchange on the corpus side of the broadcast
+    # scoring join (results themselves are partitioning-insensitive:
+    # per-row rounds + rank windows — covered by the oracle parity).
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    plan = (
+        S.cosine_topk(emb, qs, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_hard_negatives_cross_label_only(spark):
     rows = [
         (0, [1.0, 0.0], 0),
