@@ -1671,7 +1671,11 @@ def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     cells = S.kmeans_refine(emb, seed, iterations=1)
-    docs = _docs(spark, sf_dir)
+    # spread the single-partition docs scan: the cell join's stream side
+    # otherwise tokenizes the whole corpus on one core for BOTH passes
+    # below (guide §2.5). Downstream aggregates are exact (integer
+    # counts; avg = exact long sum / count), so regrouping is value-safe
+    docs = D._spread(_docs(spark, sf_dir))
     j = docs.join(cells, docs["doc_id"] == cells["vec_id"]).select(
         "doc_id", "cell", F.split(F.col("text"), " ").alias("ws")
     )
@@ -2055,7 +2059,11 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import _word_grams
 
-    docs = _docs(spark, sf_dir)
+    # spread the byte-small single-partition scan or the whole
+    # tokenize+explode+partial-count stage runs on one core (guide
+    # §2.5, the dedup._spread trap); counts are integers, so the
+    # partial-aggregate regrouping is value-exact
+    docs = D._spread(_docs(spark, sf_dir))
     return (
         docs.select(F.explode(_word_grams("text", 2)).alias("bigram"))
         .groupBy("bigram")
