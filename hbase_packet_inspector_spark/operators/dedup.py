@@ -46,12 +46,24 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _spread(docs: DataFrame) -> DataFrame:
-    """Explicit-count repartition by doc_id: a small text scan plans one
+def _spread(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Explicit-count hash repartition by ``key`` (default doc_id) — the
+    shared guard (dedup/text/similarity import THIS one, r12 ADVICE)
+    against the single-input-partition trap: a byte-small scan plans one
     partition and AQE won't widen byte-small exchanges, which serializes
-    every CPU-dense shingle/hash stage downstream (see shingle_sets)."""
+    every CPU-dense shingle/hash/dot-product stage downstream (see
+    shingle_sets; guide §2.5 input skew). Hash on the id column keeps
+    placement deterministic (no keyless round-robin sort) and every
+    downstream consumer is per-row math, a rank window (which
+    re-exchanges by its own key), or an exact count/min/max — value-safe
+    under any regrouping. The explicit count follows
+    spark.sql.shuffle.partitions (conf-derived, never a local constant);
+    at 100 TB a many-file scan already parallelizes and the spread then
+    costs one narrow (id, payload) exchange that guarantees the
+    CPU-dense stage's parallelism never degenerates to the file count
+    (a coalesced or single-file index shard)."""
     nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return docs.repartition(nparts, "doc_id")
+    return docs.repartition(nparts, key)
 
 
 def char_shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE,
@@ -320,7 +332,8 @@ def minhash_wide(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
 
 def verify_candidates(candidates: DataFrame, sets: DataFrame,
                       min_jaccard: float,
-                      broadcast_bytes: int = 256 << 20) -> DataFrame:
+                      broadcast_bytes: int = 256 << 20,
+                      stats: tuple[int, int] | None = None) -> DataFrame:
     """Exact Jaccard on candidate pairs only (the cheap post-LSH pass).
 
     Computes intersections via array_intersect over per-doc shingle SETS
@@ -334,13 +347,22 @@ def verify_candidates(candidates: DataFrame, sets: DataFrame,
     join broadcasts it TWICE (two keys, no exchange reuse), so the estimate
     prices both copies at UnsafeRow cost (~16 B/shingle: an 8-byte
     offset/length slot plus 8-byte-aligned data); a row-count threshold
-    melts down exactly when the corpus grows."""
+    melts down exactly when the corpus grows.
+
+    ``stats`` — optional precomputed ``(n_rows, sum_n)`` of the set frame:
+    callers that already aggregate the signature frame (minhash_lsh_dedup
+    prices its band broadcast from the same cardinality) pass it so this
+    function submits NO eager pricing job of its own."""
     try:
-        st = sets.agg(
-            F.count("*").alias("c"),
-            F.coalesce(F.sum("n"), F.lit(0)).alias("s"),
-        ).collect()[0]
-        small = 2 * (st.s * 16 + st.c * 64) <= broadcast_bytes
+        if stats is not None:
+            c, s = stats
+        else:
+            st = sets.agg(
+                F.count("*").alias("c"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("s"),
+            ).collect()[0]
+            c, s = st.c, st.s
+        small = 2 * (s * 16 + c * 64) <= broadcast_bytes
     except Exception:
         small = False
     s1 = sets.select(F.col("doc_id").alias("d1"), F.col("sset").alias("set1"),
@@ -465,8 +487,20 @@ def minhash_lsh_dedup(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,
     # the exact verification — without it every branch would re-derive the
     # shingle/md5 arrays from the raw text
     sigs = minhash_wide(docs, n=n, n_hashes=n_hashes).persist()
-    cands = lsh_candidates_wide(sigs, n_hashes, n_bands, min_est)
-    return verify_candidates(cands, sigs.select("doc_id", "sset", "n"), min_jaccard)
+    # ONE eager job prices BOTH adaptive broadcasts (band frame + the two
+    # verify set sides) and materializes the persist — previously the
+    # pipeline paid two sequential driver jobs for the same scalars
+    # (sigs.count() inside lsh_candidates_wide, then the sets aggregate
+    # inside verify_candidates).
+    st = sigs.agg(
+        F.count("*").alias("c"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    bc = int(st.c) * (n_bands * (n_hashes * 16 + 48)) <= (128 << 20)
+    cands = lsh_candidates_wide(sigs, n_hashes, n_bands, min_est,
+                                broadcast=bc)
+    return verify_candidates(cands, sigs.select("doc_id", "sset", "n"),
+                             min_jaccard, stats=(int(st.c), int(st.s)))
 
 
 def lsh_recall(docs: DataFrame, *, n: int = DEFAULT_SHINGLE,

@@ -19,19 +19,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Explicit-count hash repartition of the corpus side BEFORE a
-    per-pair scoring stage: a byte-small embeddings scan plans ONE
-    input partition (file-size/maxPartitionBytes) and AQE won't widen
-    byte-small exchanges, so every broadcast-join scoring stage
-    downstream — O(#base x #queries x dim) dot products — would run on
-    a single core (guide §2.5 input skew; the dedup._spread /
-    assign_cells trap, r12). Hash on the id column: deterministic
-    placement (no keyless round-robin sort), and the per-row scores /
-    rank windows downstream are partitioning-insensitive, so results
-    are bit-identical."""
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(nparts, key)
+# Shared single-input-partition guard — one definition for the whole
+# operator library (r12 ADVICE: the former local twin drifted from
+# dedup._spread). See dedup._spread for the full rationale: without it a
+# byte-small embeddings scan plans ONE partition and every broadcast-join
+# scoring stage downstream — O(#base x #queries x dim) dot products —
+# runs on a single core (guide §2.5 input skew).
+from .dedup import _spread  # noqa: E402
 
 
 def _as_double(arr: Column) -> Column:

@@ -972,8 +972,13 @@ def host_pagerank(edges: DataFrame, *, src_col: str = "src_host",
         # ranks and every delta would read 0.0 — a caller probing
         # convergence would see "converged" from a run that never ran
         raise ValueError("return_delta requires iters >= 1")
-    w = (F.col(weight_col).cast("double") if weight_col
-         else F.lit(1.0))
+    # NULL weights coalesce to 0.0 at ingest (r12 ADVICE): sum() skips
+    # nulls, so an all-null-weight node's ow would read NULL and the
+    # merged setup probe below would count it dangling where the old
+    # anti-join counted it non-dangling. With the coalesce ow is always
+    # defined and the probe is exactly the anti-join's answer.
+    w = (F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+         if weight_col else F.lit(1.0))
     # e is read twice during setup (ow aggregate + the e2 join) and each
     # read re-runs the upstream edge derivation — a full corpus pass for
     # link graphs derived from document scans. Persist it for the setup

@@ -6055,16 +6055,22 @@ def _overlap(*thunks):
 
     ``pyspark.inheritable_thread_target`` propagates the caller's
     job-description/group thread-locals into the pool threads so
-    bench/UI labels survive (pinned-thread mode does not inherit them
-    otherwise)."""
+    bench/UI labels survive. On PySpark 4.x the ACTIVE SESSION must be
+    passed (``inheritable_thread_target(session)(fn)``) — the bare-
+    function form warns 'Spark session is not provided' and silently
+    drops tag/label inheritance (r12 ADVICE)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession
 
     if len(thunks) == 1:
         return (thunks[0](),)
+    sess = SparkSession.getActiveSession()
+    wrap = (inheritable_thread_target(sess) if sess is not None
+            else inheritable_thread_target)
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        futs = [pool.submit(wrap(t)) for t in thunks]
         return tuple(f.result() for f in futs)
 
 
