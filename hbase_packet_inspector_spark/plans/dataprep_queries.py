@@ -5174,9 +5174,12 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
+    # budget_select scans its input three times (min/max pass, histogram,
+    # boundary filter — its docstring says persist upstream if expensive):
+    # unpersisted, the whole DSIR weight pipeline re-ran per scan (r13).
     w = X.dsir_logweights(
         _docs(spark, sf_dir), F.col("lang") == "en", buckets=64
-    )
+    ).persist()
     return SA.budget_select(
         w, 40_000, score_col="dsir_logweight", tokens_col="n_tokens"
     )
@@ -10429,8 +10432,6 @@ def _fuzzy_edit_pairs(docs: DataFrame, *, max_dist: int = 6) -> DataFrame:
     return (
         a.join(c, ["blk", "lenb"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "p1", "p2")
-        .distinct()
         .select(
             "d1", "d2",
             # banded DP: levenshtein with a threshold computes the exact
@@ -10441,6 +10442,15 @@ def _fuzzy_edit_pairs(docs: DataFrame, *, max_dist: int = 6) -> DataFrame:
             F.levenshtein("p1", "p2", max_dist).cast("int").alias("dist"),
         )
         .filter(F.col("dist") >= 0)
+        # dedup pairs caught by BOTH blocking passes AFTER the banded
+        # levenshtein filter, not before (r13): the pre-lev DISTINCT
+        # shuffled every candidate pair with both 24-char prefixes
+        # attached (463k wide rows at sf0.1) to save ~0.4% duplicate
+        # distance evaluations; deduping the survivors shuffles 974
+        # narrow rows instead. dist is a pure function of the pair, so
+        # row-distinct here emits the identical multiset — and at scale
+        # the exchange now carries matches, not candidates.
+        .distinct()
     )
 
 

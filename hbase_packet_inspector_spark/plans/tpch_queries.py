@@ -486,8 +486,20 @@ def acctbal_deciles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supp, nat = _t(
         spark, sf_dir, "lineitem", "part", "supplier", "nation")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents"))
+    # One explicit hash exchange on l_partkey carries the whole argmin
+    # chain (r13): partitioning on the part key satisfies the
+    # (part, supplier) aggregate (subset rule), the per-part minimum,
+    # AND the cost=min equi self-join — no further exchange — while
+    # keeping the chain's parallelism pinned (AQE's byte-based
+    # coalescing would fold the small post-shuffle frames to one task
+    # per stage; explicit counts are exempt).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cost = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition(nparts, "l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents"))
+    )
     best = cost.groupBy("l_partkey").agg(
         F.min("cost_cents").alias("min_cost")).withColumnRenamed(
         "l_partkey", "_bpk")
@@ -826,7 +838,20 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # Explicit hash repartition on the ORDER key before the distinct
+    # (r13): the basket frame is byte-small but the self-join below is
+    # CPU-dense (C(items,2) pairs per order), so AQE's byte-based
+    # coalescing would serialize it; the explicit count is exempt. It
+    # also REMOVES two exchanges outright: partitioning by l_orderkey
+    # satisfies the (l_orderkey, l_partkey) distinct (subset rule,
+    # partial+final agg in place) and co-partitions BOTH sides of the
+    # basket self-join, so only the pair aggregate re-shuffles.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    li = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(nparts, "l_orderkey")
+        .distinct()
+    )
     n = li.agg(F.countDistinct("l_orderkey").cast("bigint")
                .alias("n_orders"))
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
