@@ -290,3 +290,32 @@ def test_lsh_candidates_broadcast_tristate(spark):
     assert {(r.d1, r.d2) for r in plan_off.collect()} == auto
     assert {(r.d1, r.d2) for r in plan_on.collect()} == auto
     assert (0, 1) in auto and (0, 2) not in auto
+
+
+def test_verify_candidates_precomputed_stats_job_free(spark):
+    """stats=(n_rows, sum_n) builds the verification plan WITHOUT the
+    eager pricing aggregate (r13: minhash_lsh_dedup prices both adaptive
+    broadcasts from ONE job and hands the scalars down) and emits the
+    identical verified pairs as the self-pricing path."""
+    docs = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40),
+        (1, "alpha beta gamma delta epsilon zeta eta theta x", "en", "s", 40),
+        (2, "totally different words live over here now ok", "en", "s", 40),
+    ])
+    sets = D.shingle_sets(docs, D.DEFAULT_SHINGLE).select("doc_id", "sset", "n")
+    cands = D.lsh_candidates_wide(
+        D.minhash_signatures_wide(D.shingle_sets(docs, D.DEFAULT_SHINGLE),
+                                  D.DEFAULT_HASHES),
+        broadcast=True,
+    )
+    st = sets.agg(F.count("*"), F.sum("n")).collect()[0]
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    plan = D.verify_candidates(cands, sets, 0.35,
+                               stats=(int(st[0]), int(st[1])))
+    assert set(tracker.getJobIdsForGroup()) == before  # zero jobs run
+    got = {(r.d1, r.d2, round(r.jaccard, 6)) for r in plan.collect()}
+    want = {(r.d1, r.d2, round(r.jaccard, 6))
+            for r in D.verify_candidates(cands, sets, 0.35).collect()}
+    assert got == want and any(p[:2] == (0, 1) for p in got)
